@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** One registered query: a Spark implementation plus (when SQL-expressible)
+  * an equivalent DuckDB oracle. Column names MUST match between the two —
+  * the driver sorts columns by name before hashing values.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** Shared table access. All test tables are parquet files under an sf dir
+  * (see TESTDATA.md). At 100 TB these reads become distributed scans over a
+  * partitioned lake layout; nothing here assumes local paths beyond the dir
+  * prefix, and every query is written so Catalyst can push filters/pruning
+  * into the scan.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with a normalized epoch-second `ts_sec: Long` column.
+    *
+    * The events parquet stores TIMESTAMP(NANOS). Spark either reads it as
+    * TimestampType (micros, truncating) or — with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — as LongType nanos. Either
+    * way `ts_sec` is the floor-seconds value, which matches the reference's
+    * uint64-seconds event time (reference: src/fns_imported.h:5) and is what
+    * every oracle compares against (`floor(epoch(ts))` in DuckDB).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    val tsSec = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => col("ts").cast("long")
+    }
+    df.withColumn("ts_sec", tsSec)
+  }
+}
+
+/** Session factory used by Verify/Bench/tests. local[32] here, but every
+  * setting is the one you'd want on a real cluster: AQE on (runtime skew-join
+  * and partition coalescing), modest shuffle partition count for local mode,
+  * nanos-as-long so the ns-precision events table round-trips losslessly.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. Everything here is pure column expressions
+  * (whole-stage-codegen'd, no UDFs), so it scales linearly with input
+  * and never shuffles until the final (small) aggregation — at 100 TB these
+  * are embarrassingly parallel map stages.
+  */
+object TextAnalysis {
+
+  /** Token count: whitespace tokenization. */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+")).cast("long")
+
+  /** Simple quality metrics (counts, not ratios — deterministic for the
+    * oracle; ratios are a trivial division on top).
+    */
+  def qualityMetrics(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("n_distinct_tokens"),
+    )
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(c: Column): Column = md5(c)
+
+  /** Language ID: character/stop-word n-gram heuristic scoring against tiny
+    * per-language profiles. Pure column expressions — a real system would
+    * learn profiles offline; the mechanism (score per language, argmax via
+    * greatest/when cascade) is the scalable shape.
+    */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " des "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ein "),
+    "zh" -> Seq("的", "了", "是", "在", "我"),
+  )
+
+  private def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast("long")
+
+  def langScore(c: Column, lang: String): Column =
+    profiles(lang).map(n => occurrences(concat(lit(" "), c, lit(" ")), n)).reduce(_ + _)
+
+  def langId(c: Column): Column = {
+    val scored = profiles.keys.toSeq.sorted.map(l => struct(langScore(c, l).as("s"), lit(l).as("l")))
+    // argmax by (score, then language desc for a deterministic tie-break)
+    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    when(best("s") > 0, best("l")).otherwise(lit("und"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "t_token_count",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id"""),
+    ),
+    Q(
+      "t_quality",
+      (s, dir) => qualityMetrics(Tables(s, dir, "documents")).orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        FROM documents ORDER BY doc_id"""),
+    ),
+    Q(
+      "t_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
+    ),
+    // Heuristic lang-id has no SQL oracle (driver records rows-only check);
+    // result is (doc_id, predicted, actual) for eyeballing accuracy.
+    Q(
+      "t_langid",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), langId(col("text")).as("lang_pred"), col("lang"))
+          .orderBy("doc_id"),
+      None,
+    ),
+  )
+}
