@@ -1,0 +1,188 @@
+package graft.trck
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import Fsm.Bindings
+import LocalRunner._
+
+/** Harness for the reference's embedded golden tests (reference:
+  * test/run_test.sh + test/ddiff.py): parse the tests JSON, build in-memory
+  * DBs, run LocalRunner, compare with ddiff's semantics (groupby rows
+  * matched by %/# param keys; sets compared order-insensitively; counters
+  * and multisets exact). We additionally compare `^hll` hex strings, which
+  * ddiff silently skips — stricter than the reference harness.
+  */
+object TestHarness {
+
+  final case class GoldenTest(
+      desc: String,
+      dbs: Seq[Db],
+      expected: JValue,
+      cnf: Option[CnfFilter],
+  )
+
+  final case class GoldenFile(
+      program: Ir.Program,
+      tests: Seq[GoldenTest],
+      params: Bindings,
+      foreachTuples: Option[Vector[ForeachTuple]],
+  )
+
+  def parseFile(jv: JValue, groupbyValues: Option[String]): GoldenFile = {
+    val program = Ir.fromJValue(jv)
+    val (binds, tuples) = parseParams(jv \ "params", program)
+    val tests = (jv \ "tests") match {
+      case JArray(ts) => ts.map(parseTest)
+      case _          => Nil
+    }
+    GoldenFile(program, tests, binds, tuples)
+  }
+
+  private def parseTest(jv: JValue): GoldenTest = {
+    val desc = (jv \ "desc") match { case JString(s) => s; case _ => "" }
+    val dbs = (jv \ "trails") match {
+      case JArray(ds) => ds.map(parseDb)
+      case _          => Nil
+    }
+    GoldenTest(desc, dbs, jv \ "expected", parseFilter(jv \ "filter"))
+  }
+
+  private def parseDb(jv: JValue): Db = jv match {
+    case JObject(trails) =>
+      Db(trails.map { case (cookie, JArray(events)) =>
+        cookie -> events.map(parseEvent)
+      case (cookie, _) => cookie -> Nil
+      })
+    case _ => Db(Nil)
+  }
+
+  private def str(v: JValue): String = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toString
+    case JLong(l)    => l.toString
+    case JDouble(d)  => d.toString
+    case JBool(b)    => b.toString
+    case _           => ""
+  }
+
+  private def parseEvent(jv: JValue): RawEvent = jv match {
+    case JObject(fields) =>
+      val ts = fields.collectFirst { case ("timestamp", v) => str(v).toLong }.getOrElse(0L)
+      RawEvent(ts, fields.collect { case (k, v) if k != "timestamp" => k -> str(v) }.toMap)
+    case _ => RawEvent(0L, Map.empty)
+  }
+
+  def parseFilter(jv: JValue): Option[CnfFilter] = (jv \ "clauses") match {
+    case JArray(clauses) =>
+      Some(CnfFilter(clauses.map {
+        case JArray(terms) =>
+          terms.map { t =>
+            val op = (t \ "op") match { case JString(s) => s; case _ => "equal" }
+            ((t \ "field") match { case JString(s) => s; case _ => "" },
+             str(t \ "value"),
+             op == "equal")
+          }
+        case _ => Nil
+      }))
+    case _ => None
+  }
+
+  /** params JSON → base bindings + foreach tuples
+    * (reference: src/match_traildb.c:955-1065).
+    */
+  def parseParams(jv: JValue, program: Ir.Program): (Bindings, Option[Vector[ForeachTuple]]) = jv match {
+    case JObject(fields) =>
+      var scalars = Map.empty[String, String]
+      var sets = Map.empty[String, Set[String]]
+      var arrays = Map.empty[String, Vector[ForeachTuple]]
+      val nVars = program.groupby.map(_.vars.length).getOrElse(0)
+      fields.foreach {
+        case (k, v) if k.startsWith("%") => scalars += k.tail -> str(v)
+        case (k, JArray(vs)) if k.startsWith("#") => sets += k.tail -> vs.map(str).toSet
+        case (k, JArray(ts)) if k.startsWith("@") =>
+          arrays += k -> ts.map {
+            case JArray(elems) =>
+              ForeachTuple(elems.map {
+                case JArray(ss) => Right(ss.map(str).toSet)
+                case other      => Left(str(other))
+              }.toVector)
+            case other if nVars <= 1 => ForeachTuple(Vector(Left(str(other))))
+            case other               => sys.error(s"bad foreach tuple: $other")
+          }.toVector
+        case _ => ()
+      }
+      val tuples = program.groupby.flatMap(_.values).flatMap(arrays.get)
+        .orElse(arrays.values.headOption.filter(_ => program.groupby.exists(_.values.isDefined)))
+      (Bindings(scalars, sets), tuples)
+    case _ => (Bindings(), None)
+  }
+
+  // ------------------------------------------------------------- comparison
+
+  /** Render a RunOutput into JSON-comparable values. */
+  def outputToJValues(out: RunOutput): Vector[JObject] =
+    out.toOutputs.map { m =>
+      JObject(m.toList.map {
+        case (k, v: Long)   => k -> (JInt(v): JValue)
+        case (k, v: String) => k -> (JString(v): JValue)
+        case (k, v: Vector[_]) if k.startsWith("&") =>
+          k -> JObject(v.toList.map { case (s: String, c: Long) => s -> (JInt(c): JValue) })
+        case (k, v: Vector[_]) => k -> (JArray(v.toList.map(x => JString(x.toString))): JValue)
+        case (k, v) => k -> (JString(v.toString): JValue)
+      })
+    }
+
+  /** ddiff obj_equals (reference: test/ddiff.py:6-27) over given prefixes,
+    * plus strict `^` handling.
+    */
+  def objEquals(a: JObject, b: JObject, prefixes: Set[Char]): Boolean = {
+    val keys = (a.obj.map(_._1) ++ b.obj.map(_._1)).filter(k => k.nonEmpty && prefixes(k.head))
+    keys.forall { k =>
+      val av = a \ k
+      val bv = b \ k
+      if (av == JNothing || bv == JNothing) false
+      else
+        (av, bv) match {
+          case (JArray(x), JArray(y)) => x.map(str).toSet == y.map(str).toSet
+          case (JObject(x), JObject(y)) =>
+            x.map { case (k2, v2) => k2 -> str(v2) }.toMap ==
+              y.map { case (k2, v2) => k2 -> str(v2) }.toMap
+          case (x, y) => str(x) == str(y)
+        }
+    }
+  }
+
+  /** Full ddiff compare: expected vs actual. Returns error description or None. */
+  def compare(expected: JValue, actual: Vector[JObject], strictHll: Boolean = true): Option[String] = {
+    val resultPrefixes = if (strictHll) Set('$', '#', '&', '^') else Set('$', '#', '&')
+    expected match {
+      case e: JObject =>
+        if (objEquals(e, actual.head, resultPrefixes)) None
+        else Some(s"expected ${JsonMethods.compact(e)} got ${JsonMethods.compact(actual.head)}")
+      case JArray(rows) =>
+        val errs = rows.flatMap { r =>
+          val ro = r.asInstanceOf[JObject]
+          actual.find(a => objEquals(ro, a, Set('%', '#'))) match {
+            case None => Some(s"not found: ${JsonMethods.compact(r)}")
+            case Some(a) =>
+              if (objEquals(ro, a, resultPrefixes)) None
+              else Some(s"expected ${JsonMethods.compact(r)} got ${JsonMethods.compact(a)}")
+          }
+        }
+        if (errs.isEmpty) None else Some(errs.mkString("; "))
+      case _ => Some("bad expected value")
+    }
+  }
+
+  /** Run one golden test end-to-end through LocalRunner. */
+  def runGolden(file: GoldenFile, test: GoldenTest,
+                windows: Option[WindowSet] = None,
+                exclude: Set[String] = Set.empty,
+                fcalls: Map[String, Fsm.Fcall] = Map.empty): Option[String] = {
+    val prog = Compiled.compile(file.program)
+    val out = LocalRunner.run(
+      prog, test.dbs, file.params, file.foreachTuples, test.cnf, windows, exclude, fcalls)
+    compare(test.expected, outputToJValues(out))
+  }
+}
