@@ -12,12 +12,16 @@ object SparkEntry {
 
   def registry: Seq[Q] =
     _root_.graft.queries.RelationalQueries.all ++
+      engine.TrckQueries.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The trck flagship program (single-block counter FSM) run through the
+    * distributed TrailEngine.
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry.head.run(spark, "/root/testdata/sf0.001")
+    queries("m1_fsm_count")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

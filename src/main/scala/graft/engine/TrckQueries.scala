@@ -1,0 +1,189 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.trck._
+import graft.trck.Ir._
+import graft.trck.LocalRunner.ForeachTuple
+
+/** FSM-backed queries over the events table — the trck programs from the
+  * reference's README/tests re-run through the distributed TrailEngine,
+  * each with a DuckDB oracle derived from the FSM's semantics (for these
+  * program shapes FSM ≡ a relational query, which is exactly what makes
+  * them verifiable).
+  */
+object TrckQueries {
+
+  /** events prepped for trail matching: uuid, epoch-second ts, event_type;
+    * event_id kept as order tiebreak and dedup uniqueness.
+    */
+  private def trailEvents(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id").cast("string").as("uuid"),
+        col("ts_sec"),
+        col("event_type"),
+        col("event_id"),
+      )
+
+  private val SEC = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  private def clause(attrs: Map[String, List[String]], action: String, yields: List[Yield] = Nil) =
+    Clause(attrs, negated = false, Some(action), yields)
+
+  private def rule(clauses: List[Clause], window: Option[Long] = None, after: Option[Clause] = None) =
+    Rule(None, window, None, entrypoint = false, clauses, after)
+
+  /** Flagship single-block counter (reference: README.md:133-138 shape). */
+  val countProgram: Program = Program(
+    Vector(
+      rule(List(
+        clause(Map("event_type" -> List("click")), "repeat", List(Yield("$clicks", Nil))),
+        clause(Map.empty, "repeat"),
+      ))
+    ),
+    None,
+  )
+
+  /** signup → later purchase funnel (M1 multi-rule transition). */
+  val funnelProgram: Program = Program(
+    Vector(
+      rule(List(
+        clause(Map("event_type" -> List("signup")), "break"),
+        clause(Map.empty, "repeat"),
+      )),
+      rule(List(
+        clause(Map("event_type" -> List("purchase")), "quit", List(Yield("$conv", Nil))),
+        clause(Map.empty, "repeat"),
+      )),
+    ),
+    None,
+  )
+
+  /** count events inside the 30-minute window opened by the first event
+    * (M2 `after` timeout semantics).
+    */
+  val windowProgram: Program = Program(
+    Vector(
+      rule(List(clause(Map.empty, "break", List(Yield("$in", Nil))))),
+      rule(
+        List(clause(Map.empty, "repeat", List(Yield("$in", Nil)))),
+        window = Some(1800L),
+        after = Some(clause(Map.empty, "quit")),
+      ),
+    ),
+    None,
+  )
+
+  /** foreach %t over an explicit param array (G1). */
+  val foreachProgram: Program = Program(
+    Vector(
+      rule(List(
+        clause(Map("event_type" -> List("%t")), "repeat", List(Yield("$n", Nil))),
+        clause(Map.empty, "repeat"),
+      ))
+    ),
+    Some(GroupBy(List("%t"), Some("@arr"), mergeResults = false)),
+  )
+
+  /** implicit foreach lexicon sweep (G2). */
+  val implicitForeachProgram: Program = foreachProgram.copy(
+    groupby = Some(GroupBy(List("%t"), None, mergeResults = false))
+  )
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "m1_fsm_count",
+      (s, dir) => {
+        val prog = Compiled.compile(countProgram)
+        val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        em.filter(col("kind") === "c")
+          .agg(sum("n").cast("long").as("n_clicks"))
+      },
+      Some("SELECT COUNT(*) AS n_clicks FROM events WHERE event_type = 'click'"),
+    ),
+    Q(
+      "m1_fsm_funnel",
+      (s, dir) => {
+        val prog = Compiled.compile(funnelProgram)
+        val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        TrailEngine
+          .countersByUuid(em)
+          .filter(col("dst") === "conv")
+          .agg(count(lit(1)).as("n_converted"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY $SEC, event_id) AS seq
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, MIN(seq) AS first_signup FROM o
+          WHERE event_type = 'signup' GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_converted FROM s
+        WHERE EXISTS (SELECT 1 FROM o
+                      WHERE o.user_id = s.user_id AND o.event_type = 'purchase'
+                        AND o.seq > s.first_signup)"""),
+    ),
+    Q(
+      "m2_fsm_window",
+      (s, dir) => {
+        val prog = Compiled.compile(windowProgram)
+        val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        TrailEngine
+          .countersByUuid(em)
+          .select(col("uuid").cast("long").as("uuid"), col("value").as("n_in_window30"))
+          .orderBy("uuid")
+      },
+      Some(s"""
+        WITH m AS (SELECT user_id, MIN($SEC) AS t0 FROM events GROUP BY user_id)
+        SELECT e.user_id AS uuid, COUNT(*) AS n_in_window30
+        FROM events e JOIN m ON e.user_id = m.user_id
+        WHERE $SEC < m.t0 + 1800
+        GROUP BY e.user_id ORDER BY uuid"""),
+    ),
+    Q(
+      "g1_fsm_foreach",
+      (s, dir) => {
+        val prog = Compiled.compile(foreachProgram)
+        val tuples = Vector("click", "purchase", "signup").map(v => ForeachTuple(Vector(Left(v))))
+        val em = TrailEngine.emits(
+          prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          foreachTuples = Some(tuples))
+        TrailEngine
+          .counters(em, prog, tuples)
+          .select(col("t").as("param_t"), col("value"))
+          .orderBy("param_t")
+      },
+      Some("""
+        SELECT param_t, COUNT(*) AS value
+        FROM events
+        JOIN (VALUES ('click'), ('purchase'), ('signup')) p(param_t)
+          ON event_type = param_t
+        GROUP BY param_t ORDER BY param_t"""),
+    ),
+    Q(
+      "g2_fsm_implicit_foreach",
+      (s, dir) => {
+        val prog = Compiled.compile(implicitForeachProgram)
+        val ev = trailEvents(s, dir)
+        val values = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+        val tuples = ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
+        val em = TrailEngine.emits(
+          prog, ev, "uuid", "ts_sec", Seq("event_id"), foreachTuples = Some(tuples))
+        TrailEngine
+          .counters(em, prog, tuples)
+          .select(col("t"), col("value"))
+          .orderBy("t")
+      },
+      Some("""
+        SELECT event_type AS t, COUNT(*) AS value
+        FROM events GROUP BY event_type ORDER BY t"""),
+    ),
+  )
+}

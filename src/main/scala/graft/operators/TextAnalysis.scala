@@ -51,9 +51,12 @@ object TextAnalysis {
     profiles(lang).map(n => occurrences(concat(lit(" "), c, lit(" ")), n)).reduce(_ + _)
 
   def langId(c: Column): Column = {
+    // argmax via greatest() over (score, lang) structs — each score
+    // expression appears exactly once, keeping the generated code inside
+    // janino's method-size limit (a when-cascade duplicates every operand);
+    // ties break to the lexicographically largest language
     val scored = profiles.keys.toSeq.sorted.map(l => struct(langScore(c, l).as("s"), lit(l).as("l")))
-    // argmax by (score, then language desc for a deterministic tie-break)
-    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    val best = greatest(scored: _*)
     when(best("s") > 0, best("l")).otherwise(lit("und"))
   }
 

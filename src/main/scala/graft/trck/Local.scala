@@ -200,11 +200,6 @@ object LocalRunner {
     val results = Vector.fill(nSlots)(new Results(prog))
     def slot(j: Int): Results = results(if (prog.mergeResults) 0 else j)
 
-    // can distinct-value skipping be used? (not if a groupby var binds to
-    // timestamp — its comparisons are ordered, not presence-based)
-    val dvOk = gvars.nonEmpty && gvars.forall(v => prog.varFields.get(v).exists(_ != "timestamp"))
-    val gvFields = gvars.map(v => prog.varFields.getOrElse(v, ""))
-
     // cookie → per-tuple states (reference: states Judy128 map)
     val states = mutable.LinkedHashMap[String, Array[FsmState]]()
 
@@ -252,82 +247,20 @@ object LocalRunner {
         }.toArray
 
         val saved = states.getOrElseUpdate(cookie, Array.fill(nTuples)(FsmState.initial(prog)))
-        val out = new Array[FsmState](nTuples)
-
-        // values present in this trail per groupby var (lazy)
-        var trailVals: Array[Set[String]] = null
-        def tupleInTrail(k: Int): Boolean = {
-          if (trailVals == null)
-            trailVals = gvFields.map { f =>
-              val s = prog.slot(f)
-              if (s == -1) Set.empty[String]
-              else events.iterator.map(_.fields(s)).toSet
-            }.toArray
-          tuples(k).items.zipWithIndex.exists {
-            case (Left(v), i)   => trailVals(i).contains(v)
-            case (Right(vs), i) => vs.exists(trailVals(i).contains)
-          }
-        }
-
-        def runOne(j: Int): (FsmState, Results, Boolean) = {
-          val st = saved(j).copyOf()
-          val scratch = new Results(prog)
-          stats.reset()
-          val ctx = new TrailCtx(cookie, events, wStart, wEnd)
-          Fsm.matchTrail(prog, st, ctx, tuples(j).bind(gvars, params), scratch, stats, groupbySet, fcalls)
-          (st, scratch, stats.groupbyUsed)
-        }
-
-        var j = 0
-        while (j < nTuples) {
-          // run of tuples sharing the same starting state
-          var n = 1
-          while (j + n < nTuples && saved(j + n).sameAs(saved(j))) n += 1
-
-          val (st, scratch, used) = runOne(j)
-          if (!used) {
-            // groupby-independence early-break (reference: :644-652)
-            var k = j
-            while (k < j + n) { out(k) = st; slot(k).merge(scratch); k += 1 }
-            j += n
-          } else {
-            out(j) = st
-            slot(j).merge(scratch)
-            var k = j + 1
-            val end = j + n
-            var memo: (FsmState, Results) = null
-            while (k < end) {
-              if (!dvOk || tupleInTrail(k)) {
-                val (s2, r2, _) = runOne(k)
-                out(k) = s2; slot(k).merge(r2)
-              } else {
-                // distinct-value skipping (reference: :666-741)
-                if (memo == null) { val (s2, r2, _) = runOne(k); memo = (s2, r2) }
-                out(k) = memo._1; slot(k).merge(memo._2)
-              }
-              k += 1
-            }
-            j = end
-          }
-        }
-        states(cookie) = out
+        states(cookie) = TrailMatcher.processTrail(
+          prog, tuples, saved, events, cookie, wStart, wEnd, params, fcalls,
+          (j, scratch) => slot(j).merge(scratch),
+        )
       }
       minTs = dbMaxTs
     }
 
     // finalization at MAX_TIMESTAMP (reference: :899-944)
-    for ((cookie, sts) <- states; j <- 0 until nTuples) {
-      val st = sts(j)
-      if (!st.isInitial(prog.entrypoint)) {
-        val scratch = new Results(prog)
-        stats.reset()
-        Fsm.matchTrail(
-          prog, st, TrailCtx.finalization(cookie),
-          tuples(j).bind(gvars, params), scratch, stats, groupbySet, fcalls,
-        )
-        slot(j).merge(scratch)
-      }
-    }
+    for ((cookie, sts) <- states)
+      TrailMatcher.finalizeTrail(
+        prog, tuples, sts, cookie, params, fcalls,
+        (j, scratch) => slot(j).merge(scratch),
+      )
 
     RunOutput(prog, tuples, results, prog.mergeResults)
   }
