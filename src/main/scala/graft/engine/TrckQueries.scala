@@ -95,6 +95,27 @@ object TrckQueries {
   )
 
   val queries: Seq[Q] = Seq(
+    // A4: trck-format HLL sketch of distinct users per event type. No SQL
+    // oracle (DuckDB cannot produce the trck sketch format) → rows-only
+    // check; byte-level parity is pinned by HllParitySpec.
+    Q(
+      "a4_hll_distinct_users",
+      (s, dir) => {
+        import graft.functions.HllAggregator
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id").cast("string").as("uuid"))
+        val item = ev.withColumn(
+          "item",
+          encode(col("uuid"), "UTF-8"),
+        )
+        item
+          .groupBy("event_type")
+          .agg(HllAggregator.trckHllHex(col("item")).as("hll_hex"))
+          .withColumn("est", round(graft.functions.HllAggregator.estimateUdf(col("hll_hex"))))
+          .orderBy("event_type")
+      },
+      None,
+    ),
     Q(
       "m1_fsm_count",
       (s, dir) => {

@@ -105,6 +105,14 @@ object Hll {
 
   def apply(): Hll = new Hll(new Array[Byte](M))
 
+  /** View over an externally-owned register array (e.g. a Spark Aggregator
+    * buffer) — mutations write through.
+    */
+  def wrap(registers: Array[Byte]): Hll = {
+    require(registers.length == M, s"expected $M registers, got ${registers.length}")
+    new Hll(registers)
+  }
+
   def fromHexString(s: String): Hll = {
     // reference: src/utils.c:164-210 hll_rle_decode
     val hll = Hll()
