@@ -344,13 +344,24 @@ object Fsm {
           }
 
         case CONT =>
-          // RULE_CONT prelude (reference: src/fsm2c.py:615-627)
-          state.ri = ri
-          if (ri == 0 && prog.hasWindowRules) {
-            state.outerIds(0) = -1
-            state.outerExpires(0) = 0
+          if (prog.rules(ri).isOuter) {
+            // RULE_CONT of a window-block rule has no body in the generated
+            // C — control falls through to the NEXT rule's RULE_START
+            // without pushing the outer window (reference: compile_block
+            // early return, src/fsm2c.py:617-619). This is how a fresh
+            // state whose entrypoint is an outer rule starts inside the
+            // first inner rule with no window on the stack.
+            ri += 1
+            mode = START
+          } else {
+            // RULE_CONT prelude (reference: src/fsm2c.py:620-627)
+            state.ri = ri
+            if (ri == 0 && prog.hasWindowRules) {
+              state.outerIds(0) = -1
+              state.outerExpires(0) = 0
+            }
+            if (ctx.endOfTrail) mode = STOP else mode = LOOP
           }
-          if (ctx.endOfTrail) mode = STOP else mode = LOOP
 
         case LOOP =>
           if (ctx.endOfTrail) mode = STOP

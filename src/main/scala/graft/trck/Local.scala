@@ -122,10 +122,13 @@ object LocalRunner {
       })
   }
 
-  /** Per-uuid [start, end) windows; listed uuids only
-    * (reference: src/window_set.c:30-180).
+  /** Per-uuid [start, end) windows; listed uuids only. The optional id
+    * column substitutes the ctx cookie (what `cookie` yields report) while
+    * the trail is still looked up by the real cookie
+    * (reference: src/window_set.c:30-180, src/match_traildb.c:533-553).
     */
-  final case class WindowSet(entries: Seq[(String, Long, Long)])
+  final case class WindowEntry(id: String, cookie: String, start: Long, end: Long)
+  final case class WindowSet(entries: Seq[WindowEntry])
 
   /** One foreach tuple: per groupby var either a scalar or a set. */
   final case class ForeachTuple(items: Vector[Either[String, Set[String]]]) {
@@ -209,15 +212,21 @@ object LocalRunner {
     for (db <- dbs) {
       val dbMaxTs = db.trails.iterator.flatMap(_._2.iterator.map(_.ts)).foldLeft(0L)(math.max)
 
-      val trailSeq: Seq[(String, Seq[RawEvent], Long, Long)] = windows match {
+      // (ctxCookie, stateKey, events, wStart, wEnd): with a window file the
+      // ctx cookie is the window id while state/exclude key by real cookie
+      val trailSeq: Seq[(String, String, Seq[RawEvent], Long, Long)] = windows match {
         case Some(ws) =>
           // iterate the window list, not the db (reference: :513-524)
           val byCookie = db.trails.toMap
-          ws.entries.flatMap { case (c, s, e) => byCookie.get(c).map(ev => (c, ev, s, e)) }
-        case None => db.trails.map { case (c, ev) => (c, ev, 0L, 0L) }
+          ws.entries.flatMap(w => byCookie.get(w.cookie).map(ev => (w.id, w.cookie, ev, w.start, w.end)))
+        case None => db.trails.map { case (c, ev) => (c, c, ev, 0L, 0L) }
       }
 
-      for ((cookie, rawEvents, wStart0, wEnd) <- trailSeq if !exclude.contains(cookie)) {
+      // states written thread-locally per DB, merged after (reference:
+      // :779-794, :812-849) — matters when one cookie has several window ids
+      val dbStates = mutable.LinkedHashMap[String, Array[FsmState]]()
+
+      for ((ctxCookie, cookie, rawEvents, wStart0, wEnd) <- trailSeq if !exclude.contains(cookie)) {
         val wStart = math.max(wStart0, minTs)
         // read + filter trail (reference: ctx_read_trail), then dedup over
         // ALL db fields — an event differing only in a field the program
@@ -247,11 +256,12 @@ object LocalRunner {
         }.toArray
 
         val saved = states.getOrElseUpdate(cookie, Array.fill(nTuples)(FsmState.initial(prog)))
-        states(cookie) = TrailMatcher.processTrail(
-          prog, tuples, saved, events, cookie, wStart, wEnd, params, fcalls,
+        dbStates(cookie) = TrailMatcher.processTrail(
+          prog, tuples, saved, events, ctxCookie, wStart, wEnd, params, fcalls,
           (j, scratch) => slot(j).merge(scratch),
         )
       }
+      states ++= dbStates
       minTs = dbMaxTs
     }
 

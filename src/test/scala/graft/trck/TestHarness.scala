@@ -39,7 +39,7 @@ object TestHarness {
     GoldenFile(program, tests, binds, tuples)
   }
 
-  private def parseTest(jv: JValue): GoldenTest = {
+  def parseTest(jv: JValue): GoldenTest = {
     val desc = (jv \ "desc") match { case JString(s) => s; case _ => "" }
     val dbs = (jv \ "trails") match {
       case JArray(ds) => ds.map(parseDb)
@@ -158,8 +158,27 @@ object TestHarness {
     val resultPrefixes = if (strictHll) Set('$', '#', '&', '^') else Set('$', '#', '&')
     expected match {
       case e: JObject =>
-        if (objEquals(e, actual.head, resultPrefixes)) None
-        else Some(s"expected ${JsonMethods.compact(e)} got ${JsonMethods.compact(actual.head)}")
+        // single-result tests list only a SUBSET of result keys (the
+        // reference's ddiff never actually compares the dict case — the
+        // obj_equals return value is discarded and compare_dicts is
+        // commented out, test/ddiff.py:68-72 — so its corpus never had to
+        // list every key). We compare one-sided: every expected key must
+        // match; extra actual keys are fine.
+        val a = actual.head
+        val errs = e.obj.filter { case (k, _) => k.nonEmpty && resultPrefixes(k.head) }.flatMap {
+          case (k, v) =>
+            val got = a \ k
+            val ok = (v, got) match {
+              case (JArray(x), JArray(y)) => x.map(str).toSet == y.map(str).toSet
+              case (JObject(x), JObject(y)) =>
+                x.map { case (k2, v2) => k2 -> str(v2) }.toMap ==
+                  y.map { case (k2, v2) => k2 -> str(v2) }.toMap
+              case (x, y) => str(x) == str(y)
+            }
+            if (ok) None else Some(s"$k: expected ${JsonMethods.compact(v)} got ${JsonMethods.compact(got)}")
+        }
+        if (errs.isEmpty) None
+        else Some(errs.mkString("; ") + s" in ${JsonMethods.compact(a)}")
       case JArray(rows) =>
         val errs = rows.flatMap { r =>
           val ro = r.asInstanceOf[JObject]
