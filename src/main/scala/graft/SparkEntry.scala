@@ -14,7 +14,8 @@ object SparkEntry {
     _root_.graft.queries.RelationalQueries.all ++
       engine.TrckQueries.queries ++
       operators.TextAnalysis.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.TrainingDataQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The trck flagship program (single-block counter FSM) run through the

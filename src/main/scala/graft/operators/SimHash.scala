@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 64-bit SimHash near-duplicate fingerprinting.
+  *
+  * For each token, xxhash64 contributes +1/−1 per bit position; the
+  * fingerprint takes the sign of each accumulated position. Near-dups are
+  * found by banding the fingerprint into 4 × 16-bit chunks — two docs
+  * within Hamming distance 3 must share at least one exact chunk
+  * (pigeonhole), so chunk equality is a complete candidate filter for
+  * d ≤ 3.
+  *
+  * The whole computation is per-row column expressions (no UDF, no
+  * shuffle); only the chunk-bucket join shuffles, on 16-bit keys.
+  */
+object SimHash {
+
+  /** 64-bit simhash of a token array, as LongType. bit j of the result is
+    * set iff sum over tokens of sign(bit j of xxhash64(token)) > 0. One
+    * fold over tokens updating all 64 counters per step.
+    *
+    * NOTE: array-lambda form — Spark interprets higher-order lambdas, so
+    * prefer [[simhashOf]] (explode + codegen'd hash agg) for bulk jobs.
+    */
+  def simhash64(tokens: Column): Column = {
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)), i => call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L))),
+          (c, bit) => c + when(bit === 1L, 1).otherwise(-1),
+        ),
+    )
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)), (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x),
+    )
+  }
+
+  /** (idCol, simhash) for a whole DataFrame, via explode + 64 codegen'd
+    * conditional-sum aggregates: partial aggregation collapses each doc's
+    * tokens map-side, so the shuffle carries one row per doc. The
+    * per-token hash is computed once (not once per bit).
+    */
+  def simhashOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val sums = hashed
+      .groupBy(idCol)
+      .agg(
+        (0 until 64).map { j =>
+          sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$j")
+        }.head,
+        (1 until 64).map { j =>
+          sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$j")
+        }: _*
+      )
+    val fp = (0 until 64)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** the 4 16-bit chunks of a simhash (candidate-bucket keys) */
+  def chunks(sh: Column): Column =
+    array((0 until 4).map(i => shiftrightunsigned(sh, i * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** docs → (doc_id, simhash, canonical_id) where canonical is the min
+    * doc_id sharing any 16-bit chunk (Hamming ≤ 3 complete filter).
+    */
+  def nearDupCanonical(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       maxBucket: Int = 100): DataFrame = {
+    val withSh = simhashOf(docs, idCol, textCol)
+    val banded = withSh.select(
+      col(idCol), col("simhash"),
+      posexplode(chunks(col("simhash"))).as(Seq("chunk_idx", "chunk")),
+    )
+    val buckets = banded.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("n"), min(idCol).as("bucket_min"))
+      .filter(col("n") <= maxBucket) // hot chunks are low-information
+    val fromBuckets = banded
+      .join(buckets, Seq("chunk_idx", "chunk"))
+      .groupBy(idCol)
+      .agg(min("bucket_min").as("canonical_id"))
+    // docs whose every chunk was hot stay their own canonical
+    withSh
+      .join(fromBuckets, Seq(idCol), "left")
+      .select(col(idCol), col("simhash"),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]` embedding
+  * column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one narrow pass over the corpus computing dot products with built-in
+  * higher-order functions (codegen'd, no UDF), then a per-query top-k via
+  * window rank (partial top-k per partition would be the next optimization
+  * at scale; the shuffle is already only (n_queries × corpus) slim rows of
+  * (query_id, vec_id, sim)).
+  *
+  * Scale path: random-hyperplane LSH — 16 sign bits from fixed pseudo-
+  * random hyperplanes bucket the corpus; queries search only their bucket
+  * (and optionally multi-probe neighbors). Corpus bucketing is a narrow
+  * map; the join is an equi-join on the bucket id, turning O(N·Q) into
+  * O(N·Q/2^bits) with recall traded for probes.
+  */
+object Similarity {
+
+  /** cosine similarity between two float-array columns (double precision) */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (excluding itself). Queries must be small (broadcast).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** 16-bit random-hyperplane LSH bucket id for a vector. Hyperplanes are
+    * pseudo-random but fixed: plane p's component i is derived from
+    * xxhash64(p, i) mapped to [-1, 1) — deterministic across executors
+    * with zero driver state to ship.
+    */
+  def lshBucket(vec: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(
+          vec,
+          transform(sequence(lit(0), size(vec) - 1), i =>
+            (xxhash64(lit(p), i) % 1000000L).cast("double") / 1000000.0),
+          (x, h) => x.cast("double") * h,
+        ),
+        lit(0.0),
+        _ + _,
+      )
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: join queries to corpus on bucket id only. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val cb = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val qb = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = cb
+      .join(broadcast(qb), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
+    * (each pair reported once, a < b).
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(
+      col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

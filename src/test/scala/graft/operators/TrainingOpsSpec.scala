@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Behavioral specs for the dedup/similarity operators on planted data —
+  * the properties rows-only driver checks can't cover.
+  */
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("training-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash lsh finds planted near-duplicates and not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // 1-word edit
+    val unrelated = "completely different content about spark query engines and column pruning"
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val canon = MinHash.nearDupCanonical(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(2L) == 1L, "near-dup should canonicalize to the earlier doc")
+    assert(canon(3L) == 3L, "unrelated doc should stay its own canonical")
+  }
+
+  test("exact jaccard is 1 for identical and low for unrelated") {
+    val docs = docsDf(Seq(1L -> "a b c d e f g", 2L -> "a b c d e f g", 3L -> "x y z w q r t"))
+    val j = docs.as("l")
+      .crossJoin(docs.as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        MinHash.exactJaccard(col("l.text"), col("r.text")).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: small edits stay within small hamming distance") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val edited = base.replace("twelve", "thirteen")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = docsDf(Seq(1L -> base, 2L -> edited, 3L -> unrelated))
+      .select(col("doc_id"), SimHash.simhash64(split(col("text"), " ")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)),
+      s"edit distance ${ham(m(1L), m(2L))} should be below unrelated ${ham(m(1L), m(3L))}")
+    assert(m(1L) != m(3L))
+  }
+
+  test("lsh ann recall vs brute force on sf0.001 embeddings") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, planes = 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // with only 2 planes (4 buckets) recall should be decent on 500 vecs
+    val recalls = brute.keys.toSeq.map { q =>
+      val found = lsh.getOrElse(q, Set.empty)
+      found.intersect(brute(q)).size.toDouble / 5.0
+    }
+    assert(recalls.nonEmpty && recalls.sum / recalls.size > 0.2,
+      s"mean recall too low: ${recalls.sum / recalls.size}")
+  }
+
+  test("multimodal decode stub is deterministic and batch-safe") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val out = Multimodal.decodeAndFeaturize(docs, "blob")
+    val rows = out.select("doc_id", "meta.width", "meta.format", "features").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getInt(1) >= 64))
+    assert(rows.forall(r => Set("png", "jpeg").contains(r.getString(2))))
+    assert(rows.forall(r => r.getSeq[Float](3).length == 8))
+  }
+}
