@@ -1,0 +1,135 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.trck._
+import graft.trck.Compiled.CompiledProgram
+import graft.trck.Fsm.Bindings
+import graft.trck.LocalRunner.ForeachTuple
+
+/** Full trck query execution on Spark: TrailEngine emits → distributed
+  * monoid aggregation (counters sum, set/multiset counts, HLL register
+  * merge) → small per-tuple results collected and rendered in the
+  * reference's output shape (reference: src/results_json.c:233-295).
+  *
+  * The collect is only of FINAL aggregated results — O(tuples × result
+  * vars [× set cardinality]) — never of events; everything upstream is
+  * distributed with map-side partial aggregation.
+  */
+object TrckSparkRunner {
+
+  /** Pre-FSM relational filters (reference F1-F3) applied as Catalyst
+    * operations so they push into the scan / use broadcast joins.
+    */
+  final case class EngineFilters(
+      /** CNF over (field = v | field != v) — becomes a pushed-down filter */
+      cnf: Option[Column] = None,
+      /** (uuid, w_start, w_end) rows; listed uuids only — broadcast range join */
+      windows: Option[DataFrame] = None,
+      /** uuids to drop — broadcast left_anti join */
+      exclude: Option[DataFrame] = None,
+  )
+
+  /** CNF JSON clauses → Column (reference: src/traildb_filter.c:9-103). */
+  def cnfColumn(clauses: Seq[Seq[(String, String, Boolean)]], df: DataFrame): Option[Column] = {
+    def fieldCol(f: String): Column =
+      if (df.columns.contains(f)) coalesce(col(f).cast("string"), lit("")) else lit("")
+    val ands = clauses.map { terms =>
+      terms
+        .map { case (f, v, eq) => if (eq) fieldCol(f) === v else fieldCol(f) =!= v }
+        .reduceOption(_ || _)
+        .getOrElse(lit(true))
+    }
+    ands.reduceOption(_ && _)
+  }
+
+  /** Apply F1-F3 to a trail-events DataFrame (uuidCol must exist). */
+  def applyFilters(events: DataFrame, uuidCol: String, tsCol: String, filters: EngineFilters): DataFrame = {
+    var df = events
+    filters.cnf.foreach(c => df = df.filter(c))
+    filters.exclude.foreach { ex =>
+      df = df.join(
+        broadcast(ex.select(col(ex.columns.head).as(uuidCol))), Seq(uuidCol), "left_anti")
+    }
+    filters.windows.foreach { w =>
+      val ww = w.select(
+        col(w.columns(0)).as(uuidCol),
+        col(w.columns(1)).cast("long").as("__wstart"),
+        col(w.columns(2)).cast("long").as("__wend"),
+      )
+      df = df
+        .join(broadcast(ww), Seq(uuidCol)) // inner: unlisted trails drop
+        .filter(
+          (col("__wstart") === 0L || col(tsCol) >= col("__wstart")) &&
+            (col("__wend") === 0L || col(tsCol) < col("__wend")))
+    }
+    df
+  }
+
+  /** Run a program over a trail DataFrame and assemble reference-shaped
+    * results (one map per foreach tuple, or one for merged/no-groupby).
+    */
+  def run(
+      prog: CompiledProgram,
+      events: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      tiebreak: Seq[String] = Nil,
+      params: Bindings = Bindings(),
+      foreachTuples: Option[Vector[ForeachTuple]] = None,
+      filters: EngineFilters = EngineFilters(),
+      fcalls: Map[String, Fsm.Fcall] = Map.empty,
+  ): Vector[mutable.LinkedHashMap[String, Any]] = {
+    val filtered = applyFilters(events, uuidCol, tsCol, filters)
+    val tuples: Vector[ForeachTuple] =
+      if (prog.groupbyVars.isEmpty) Vector(ForeachTuple(Vector.empty))
+      else
+        foreachTuples.getOrElse {
+          require(prog.groupbyVars.size == 1, "implicit foreach requires exactly one var")
+          val field = prog.varFields(prog.groupbyVars.head)
+          val values = filtered
+            .select(coalesce(col(field).cast("string"), lit("")))
+            .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted
+          ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
+        }
+
+    val em = TrailEngine
+      .emits(prog, filtered, uuidCol, tsCol, tiebreak, params, Some(tuples), fcalls)
+      .cache()
+
+    val nSlots = if (prog.mergeResults) 1 else tuples.length
+    val results = Vector.fill(nSlots)(new Results(prog))
+    def slotIdx(i: Int) = if (prog.mergeResults) 0 else i
+
+    // counters
+    em.filter(col("kind") === "c")
+      .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
+      .collect()
+      .foreach(r => results(slotIdx(r.getInt(0))).counters.updateWith(r.getString(1))(c => Some(c.getOrElse(0L) + r.getLong(2))))
+    // sets + multisets: distinct encoded tuples with counts
+    em.filter(col("kind").isin("s", "m"))
+      .groupBy("tuple_idx", "kind", "dst", "item").agg(sum("n").as("v"))
+      .collect()
+      .foreach { r =>
+        val res = results(slotIdx(r.getInt(0)))
+        val m = if (r.getString(1) == "s") res.sets(r.getString(2)) else res.msets(r.getString(2))
+        val k = r.getAs[Array[Byte]]("item")
+        m.update(k, m.getOrElse(k, 0L) + r.getLong(4))
+      }
+    // hlls: merge per-trail register arrays
+    em.filter(col("kind") === "h")
+      .groupBy("tuple_idx", "dst")
+      .agg(graft.functions.HllAggregator.trckHllMergeHex(col("item")).as("hex"))
+      .collect()
+      .foreach { r =>
+        val res = results(slotIdx(r.getInt(0)))
+        res.hlls.update(r.getString(1), Hll.fromHexString(r.getString(2)))
+      }
+    em.unpersist()
+
+    LocalRunner.RunOutput(prog, tuples, results, prog.mergeResults).toOutputs
+  }
+}

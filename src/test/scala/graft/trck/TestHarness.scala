@@ -66,57 +66,13 @@ object TestHarness {
     case _           => ""
   }
 
-  private def parseEvent(jv: JValue): RawEvent = jv match {
-    case JObject(fields) =>
-      val ts = fields.collectFirst { case ("timestamp", v) => str(v).toLong }.getOrElse(0L)
-      RawEvent(ts, fields.collect { case (k, v) if k != "timestamp" => k -> str(v) }.toMap)
-    case _ => RawEvent(0L, Map.empty)
-  }
+  private def parseEvent(jv: JValue): RawEvent = graft.TrckParams.parseEvent(jv)
 
-  def parseFilter(jv: JValue): Option[CnfFilter] = (jv \ "clauses") match {
-    case JArray(clauses) =>
-      Some(CnfFilter(clauses.map {
-        case JArray(terms) =>
-          terms.map { t =>
-            val op = (t \ "op") match { case JString(s) => s; case _ => "equal" }
-            ((t \ "field") match { case JString(s) => s; case _ => "" },
-             str(t \ "value"),
-             op == "equal")
-          }
-        case _ => Nil
-      }))
-    case _ => None
-  }
+  def parseFilter(jv: JValue): Option[CnfFilter] = graft.TrckParams.parseFilter(jv)
 
-  /** params JSON → base bindings + foreach tuples
-    * (reference: src/match_traildb.c:955-1065).
-    */
-  def parseParams(jv: JValue, program: Ir.Program): (Bindings, Option[Vector[ForeachTuple]]) = jv match {
-    case JObject(fields) =>
-      var scalars = Map.empty[String, String]
-      var sets = Map.empty[String, Set[String]]
-      var arrays = Map.empty[String, Vector[ForeachTuple]]
-      val nVars = program.groupby.map(_.vars.length).getOrElse(0)
-      fields.foreach {
-        case (k, v) if k.startsWith("%") => scalars += k.tail -> str(v)
-        case (k, JArray(vs)) if k.startsWith("#") => sets += k.tail -> vs.map(str).toSet
-        case (k, JArray(ts)) if k.startsWith("@") =>
-          arrays += k -> ts.map {
-            case JArray(elems) =>
-              ForeachTuple(elems.map {
-                case JArray(ss) => Right(ss.map(str).toSet)
-                case other      => Left(str(other))
-              }.toVector)
-            case other if nVars <= 1 => ForeachTuple(Vector(Left(str(other))))
-            case other               => sys.error(s"bad foreach tuple: $other")
-          }.toVector
-        case _ => ()
-      }
-      val tuples = program.groupby.flatMap(_.values).flatMap(arrays.get)
-        .orElse(arrays.values.headOption.filter(_ => program.groupby.exists(_.values.isDefined)))
-      (Bindings(scalars, sets), tuples)
-    case _ => (Bindings(), None)
-  }
+  /** params JSON → base bindings + foreach tuples (shared with the CLI). */
+  def parseParams(jv: JValue, program: Ir.Program): (Bindings, Option[Vector[ForeachTuple]]) =
+    graft.TrckParams.parse(jv, program)
 
   // ------------------------------------------------------------- comparison
 
