@@ -54,16 +54,21 @@ object MinHash {
     array((0 until bands).map(b => hash(lit(b), slice(sig, b * rows + 1, rows))): _*)
 
   /** (idCol, band, bk) — exploded LSH bucket memberships, hot buckets
-    * (> maxBucket members) dropped.
+    * (> maxBucket members) dropped. `sigs` = output of [[signatures]]
+    * (pass a cached frame when also using the signatures downstream).
     */
-  def bandedBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                    k: Int = 3, h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame = {
+  def bandedBucketsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
+                            h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame = {
     val rows = h / bands
-    val banded = signatures(docs, idCol, textCol, k, h)
+    val banded = sigs
       .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
     val sized = banded.groupBy("band", "bk").agg(count(lit(1)).as("n"), min(idCol).as("bucket_min"))
     banded.join(sized.filter(col("n") <= maxBucket), Seq("band", "bk"))
   }
+
+  def bandedBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 3, h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame =
+    bandedBucketsFromSigs(signatures(docs, idCol, textCol, k, h), idCol, h, bands, maxBucket)
 
   /** docs → (doc_id, canonical_id): canonical is the smallest doc_id this
     * doc shares any LSH bucket with (including itself).
@@ -89,9 +94,9 @@ object MinHash {
   }
 
   /** candidate near-dup pairs (id_a < id_b), deduped across bands */
-  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                     k: Int = 3, h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame = {
-    val b = bandedBuckets(docs, idCol, textCol, k, h, bands, maxBucket)
+  def candidatePairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
+                             h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame = {
+    val b = bandedBucketsFromSigs(sigs, idCol, h, bands, maxBucket)
     val l = b.select(col("band"), col("bk"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bk"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bk"))
@@ -99,6 +104,10 @@ object MinHash {
       .select("id_a", "id_b")
       .distinct()
   }
+
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 3, h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame =
+    candidatePairsFromSigs(signatures(docs, idCol, textCol, k, h), idCol, h, bands, maxBucket)
 
   /** estimated Jaccard similarity from two signatures */
   def estJaccard(sigA: Column, sigB: Column): Column =

