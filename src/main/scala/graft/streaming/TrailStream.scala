@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.trck._
+import graft.trck.Compiled.CompiledProgram
+import graft.trck.Fsm.{Bindings, FsmState, TrailEvent}
+import graft.trck.LocalRunner.ForeachTuple
+
+/** Incremental trail matching over a Structured Streaming source.
+  *
+  * The reference's multi-DB execution already IS an incremental contract:
+  * per-cookie state vectors persist across sequentially-processed DBs, a
+  * `min_ts` cut drops events older than the previous DB's max timestamp,
+  * and surviving states are finalized with a MAX_TIMESTAMP dummy event
+  * (reference: src/match_traildb.c:384-390, 812-849, 899-944; SURVEY.md §2
+  * streaming note). Each micro-batch plays the role of "the next TrailDB":
+  *
+  *  - state: per-(uuid × foreach-tuple) FSM states in `GroupState`
+  *    (checkpointable, partitioned by uuid — the same keying the batch
+  *    engine shuffles on);
+  *  - late data: events at or below the uuid's high-water mark are skipped,
+  *    replicating the reference's cross-DB `min_ts` cut;
+  *  - finalization: an event-time timeout (watermark-driven) runs the
+  *    MAX_TIMESTAMP finalization and clears the state — the streaming
+  *    equivalent of end-of-input.
+  */
+object TrailStream {
+
+  /** Serializable snapshot of [[FsmState]] for GroupState. */
+  final case class StateData(ri: Int, windowExpires: Long, outerIds: Array[Int], outerExpires: Array[Long])
+  final case class TrailState(states: Array[StateData], maxTs: Long)
+
+  final case class InEvent(uuid: String, ts: Long, fields: Array[String])
+  final case class EmitRow(uuid: String, tupleIdx: Int, kind: String, dst: String, item: Array[Byte], n: Long)
+
+  private def toData(s: FsmState): StateData =
+    StateData(s.ri, s.windowExpires, s.outerIds.clone(), s.outerExpires.clone())
+
+  private def fromData(d: StateData, nOuters: Int): FsmState = {
+    val s = new FsmState(nOuters)
+    s.ri = d.ri
+    s.windowExpires = d.windowExpires
+    System.arraycopy(d.outerIds, 0, s.outerIds, 0, math.min(d.outerIds.length, s.outerIds.length))
+    System.arraycopy(d.outerExpires, 0, s.outerExpires, 0, math.min(d.outerExpires.length, s.outerExpires.length))
+    s
+  }
+
+  /** Wire a streaming events DataFrame (uuidCol, tsCol seconds, program
+    * field columns) into the FSM. Returns the stream of emitted yield rows
+    * (same schema as TrailEngine.emits). Use with a watermark on the
+    * event-time column and `idleTimeoutSec` for finalization.
+    */
+  def emits(
+      prog: CompiledProgram,
+      events: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      params: Bindings = Bindings(),
+      foreachTuples: Vector[ForeachTuple] = Vector(ForeachTuple(Vector.empty)),
+      fcalls: Map[String, Fsm.Fcall] = Map.empty,
+      idleTimeoutMs: Long = 0L,
+  ): Dataset[EmitRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val fieldCols = prog.fields.toSeq
+    val projected = events
+      .select(
+        col(uuidCol).cast("string").as("uuid"),
+        col(tsCol).cast("long").as("ts"),
+        array(fieldCols.map(f =>
+          if (events.columns.contains(f)) coalesce(col(f).cast("string"), lit("")) else lit("")): _*
+        ).as("fields"),
+      )
+      .as[InEvent]
+
+    val tuples = foreachTuples
+    val nTuples = tuples.length
+
+    // NoTimeout unless idle finalization is requested — with a timeout mode
+    // enabled Spark schedules continuous timeout-check micro-batches even
+    // when no state ever sets a timeout
+    val timeoutMode =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    projected
+      .groupByKey(_.uuid)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutMode)(
+        (uuid: String, rows: Iterator[InEvent], state: GroupState[TrailState]) => {
+          val buf = scala.collection.mutable.ArrayBuffer[EmitRow]()
+
+          def emit(j: Int, r: Results): Unit = {
+            r.counters.foreach { case (d, v) => if (v != 0) buf += EmitRow(uuid, j, "c", d, null, v) }
+            r.sets.foreach { case (d, m) => m.foreach { case (t, c) => buf += EmitRow(uuid, j, "s", d, t, c) } }
+            r.msets.foreach { case (d, m) => m.foreach { case (t, c) => buf += EmitRow(uuid, j, "m", d, t, c) } }
+            r.hlls.foreach { case (d, h) => buf += EmitRow(uuid, j, "h", d, h.registers, 1L) }
+          }
+
+          if (state.hasTimedOut) {
+            // end-of-input analog: MAX_TIMESTAMP finalization, state dropped
+            state.getOption.foreach { ts0 =>
+              val sts = ts0.states.map(fromData(_, prog.nWindowRules))
+              TrailMatcher.finalizeTrail(prog, tuples, sts, uuid, params, fcalls, emit)
+            }
+            state.remove()
+          } else {
+            val prev = state.getOption.getOrElse(
+              TrailState(Array.fill(nTuples)(toData(FsmState.initial(prog))), 0L))
+            // micro-batch = "next DB": sort, apply the min_ts cut, dedup
+            val evs = rows.toArray.sortBy(_.ts)
+            val cut = evs.filter(e => prev.maxTs == 0L || e.ts >= prev.maxTs)
+            val trail = Fsm.TrailCtx.dedupConsecutive(cut.map(e => new TrailEvent(e.ts, e.fields)))
+            val saved = prev.states.map(fromData(_, prog.nWindowRules))
+            val out = TrailMatcher.processTrail(
+              prog, tuples, saved, trail, uuid, 0L, 0L, params, fcalls, emit)
+            val newMax = if (evs.isEmpty) prev.maxTs else math.max(prev.maxTs, evs.map(_.ts).max)
+            state.update(TrailState(out.map(toData), newMax))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          }
+          buf.iterator
+        }
+      )
+  }
+}

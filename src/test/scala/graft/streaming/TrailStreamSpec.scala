@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.engine.TrckQueries
+import graft.trck.Compiled
+
+/** Streaming FSM: state must carry across micro-batches exactly as the
+  * reference carries state across sequential TrailDBs.
+  */
+class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("2").appName("trail-stream-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("funnel conversion spanning two micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prog = Compiled.compile(TrckQueries.funnelProgram)
+    val input = MemoryStream[(String, Long, String)]
+    val events = input.toDF().toDF("uuid", "ts", "event_type")
+
+    val out = TrailStream.emits(prog, events, "uuid", "ts")
+    val query = out.writeStream
+      .format("memory")
+      .queryName("fsm_out")
+      .outputMode("append")
+      .start()
+
+    try {
+      // batch 1: signup only — FSM moves to rule 1, no emission
+      input.addData(("u1", 100L, "signup"), ("u2", 100L, "view"))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM fsm_out WHERE kind = 'c'").count() == 0)
+
+      // batch 2: purchase for u1 — resumed state converts
+      input.addData(("u1", 200L, "purchase"), ("u2", 200L, "view"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT uuid, dst, n FROM fsm_out WHERE kind = 'c'").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "u1" && rows.head.getString(1) == "conv" && rows.head.getLong(2) == 1L)
+
+      // late event below the high-water mark is cut (reference min_ts)
+      input.addData(("u2", 150L, "purchase"))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM fsm_out WHERE kind = 'c'").count() == 1)
+    } finally query.stop()
+  }
+}
