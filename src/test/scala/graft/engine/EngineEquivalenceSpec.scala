@@ -1,0 +1,109 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.trck._
+import graft.trck.LocalRunner.{Db, ForeachTuple, RawEvent}
+
+/** Distributed ↔ local equivalence: randomized trails run through the
+  * Spark TrailEngine must produce exactly the results of the golden-tested
+  * LocalRunner (the FSM purity contract — reference:
+  * src/match_traildb.c:578-608 — makes this partitioning-independent).
+  * Deterministic seeds; programs chosen to exercise windows, transitions,
+  * foreach and set/multiset yields.
+  */
+class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("engine-equivalence").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val types = Vector("cli", "imp", "pxl", "ct2")
+  private val eids = Vector("a1", "a2", "a3")
+
+  private def randomDb(seed: Long, nTrails: Int, nEvents: Int): Db = {
+    val rnd = new scala.util.Random(seed)
+    Db((0 until nTrails).map { u =>
+      var ts = 0L
+      val evs = (0 until nEvents).map { _ =>
+        ts += rnd.nextInt(500).toLong // may repeat (equal timestamps)
+        RawEvent(ts, Map(
+          "type" -> types(rnd.nextInt(types.length)),
+          "advertisable_eid" -> eids(rnd.nextInt(eids.length)),
+        ))
+      }
+      s"user$u" -> evs
+    })
+  }
+
+  private def dbToDf(db: Db) = {
+    val s = spark
+    import s.implicits._
+    db.trails.zipWithIndex.flatMap { case ((uuid, evs), _) =>
+      evs.zipWithIndex.map { case (e, i) =>
+        (uuid, e.ts, i.toLong, e.fields("type"), e.fields("advertisable_eid"))
+      }
+    }.toDF("uuid", "ts", "seq", "type", "advertisable_eid")
+  }
+
+  /** funnel with a window + set yields + foreach — exercises most machinery */
+  private val program = Ir.Program(
+    Vector(
+      Ir.Rule(Some("start"), None, None, entrypoint = false,
+        List(
+          Ir.Clause(Map("type" -> List("cli"), "advertisable_eid" -> List("%a")), negated = false,
+            Some("break"), List(Ir.Yield("$seen", Nil))),
+          Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil),
+        ), None),
+      Ir.Rule(Some("conv"), Some(1000L), None, entrypoint = false,
+        List(
+          Ir.Clause(Map("type" -> List("ct2")), negated = false, Some("restart-from-next(0)"),
+            List(Ir.Yield("$conv", Nil), Ir.Yield("&convtypes", List(Ir.FieldTerm("type"))))),
+          Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil),
+        ),
+        Some(Ir.Clause(Map.empty, negated = false, Some("restart-from-here(0)"),
+          List(Ir.Yield("$expired", Nil))))),
+    ),
+    Some(Ir.GroupBy(List("%a"), Some("@arr"), mergeResults = false)),
+  )
+
+  for (seed <- Seq(1L, 7L, 42L)) {
+    test(s"engine matches local runner (seed=$seed)") {
+      val prog = Compiled.compile(program)
+      val db = randomDb(seed, nTrails = 30, nEvents = 40)
+      val tuples = eids.map(e => ForeachTuple(Vector(Left(e))))
+
+      val local = LocalRunner.run(prog, Seq(db), foreachTuples = Some(tuples.toVector))
+
+      val em = TrailEngine.emits(
+        prog, dbToDf(db), "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples.toVector))
+
+      // counters per tuple
+      val engineCounters = em
+        .filter(col("kind") === "c")
+        .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      for ((t, j) <- tuples.zipWithIndex; (name, v) <- local.results(j).counters)
+        assert(engineCounters.getOrElse((j, name), 0L) == v,
+          s"counter $name tuple $j: engine=${engineCounters.get((j, name))} local=$v")
+
+      // multisets per tuple
+      val engineMsets = em
+        .filter(col("kind") === "m")
+        .groupBy("tuple_idx", "dst", "item").agg(sum("n").as("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getAs[Array[Byte]]("item").toSeq) -> r.getLong(3))
+        .toMap
+      for ((t, j) <- tuples.zipWithIndex; (name, m) <- local.results(j).msets; (k, c) <- m)
+        assert(engineMsets.getOrElse((j, name, k.toSeq), 0L) == c,
+          s"mset $name tuple $j key ${k.toSeq}")
+      assert(engineMsets.size == tuples.indices.flatMap(j => local.results(j).msets.toSeq.flatMap(_._2)).size)
+    }
+  }
+}
