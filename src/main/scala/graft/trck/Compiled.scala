@@ -45,19 +45,18 @@ object Compiled {
     }
   }
 
-  /** One per-field condition, pre-resolved to field slot + comparison. */
-  sealed trait Pred { def usesGroupby(groupbyVars: Set[String]): Boolean = false }
+  /** One per-field condition, pre-resolved to field slot + comparison.
+    * Param vars are referenced by their index in
+    * [[CompiledProgram.varNames]] so the per-event hot loop is pure array
+    * access (the analog of the reference resolving value-ids once per DB,
+    * src/match_traildb.c:86-159).
+    */
+  sealed trait Pred
   final case class EqLit(slot: Int, value: String) extends Pred
-  final case class EqScalar(slot: Int, varName: String) extends Pred {
-    override def usesGroupby(g: Set[String]) = g.contains(varName)
-  }
-  final case class InSet(slot: Int, varName: String) extends Pred {
-    override def usesGroupby(g: Set[String]) = g.contains(varName)
-  }
-  /** timestamp OP value; op ∈ { == < <= > >= }, rhs literal or %scalar */
-  final case class TsCmp(op: String, lit: Long, varName: String) extends Pred {
-    override def usesGroupby(g: Set[String]) = varName != null && g.contains(varName)
-  }
+  final case class EqScalar(slot: Int, varIdx: Int, varName: String) extends Pred
+  final case class InSet(slot: Int, varIdx: Int, varName: String) extends Pred
+  /** timestamp OP value; op ∈ { == < <= > >= }, rhs literal or %scalar (varIdx ≥ 0) */
+  final case class TsCmp(op: String, lit: Long, varIdx: Int, varName: String) extends Pred
 
   final case class CClause(
       preds: Array[Pred],
@@ -92,6 +91,8 @@ object Compiled {
       groupbyVars: List[String],
       mergeResults: Boolean,
       groupbyValuesParam: Option[String],
+      /** ordered param vars (with sigil); Pred.varIdx indexes this */
+      varNames: Array[String],
       hasWindowRules: Boolean,
       nWindowRules: Int,
       yieldCounters: List[String],
@@ -154,6 +155,8 @@ object Compiled {
 
     val fields = kvs.toArray
     val fieldIndex = fields.zipWithIndex.toMap
+    val varNamesArr = vars.toArray
+    val varIndex = varNamesArr.zipWithIndex.toMap
 
     // ---- yield var inventory (insertion-ordered, for stable output)
     val counters = scala.collection.mutable.LinkedHashSet[String]()
@@ -176,20 +179,20 @@ object Compiled {
       for ((field, conds) <- attrs.toSeq.sortBy(_._1); expr <- conds) {
         if (field == "timestamp") {
           val e = expr.trim
-          if (e.nonEmpty && e.head.isDigit) out += TsCmp("==", java.lang.Long.parseLong(e), null)
+          if (e.nonEmpty && e.head.isDigit) out += TsCmp("==", java.lang.Long.parseLong(e), -1, null)
           else
             e match {
               case tsOpRe(op, v) =>
-                if (v.startsWith("%")) { anyVar = true; out += TsCmp(op, 0L, v) }
-                else out += TsCmp(op, java.lang.Long.parseLong(v.trim), null)
+                if (v.startsWith("%")) { anyVar = true; out += TsCmp(op, 0L, varIndex(v), v) }
+                else out += TsCmp(op, java.lang.Long.parseLong(v.trim), -1, null)
               case _ => sys.error(s"bad timestamp condition: $expr")
             }
         } else {
           val slot = fieldIndex(field)
           if (isVariable(expr)) {
             varType(expr) match {
-              case "scalar"           => anyVar = true; out += EqScalar(slot, expr)
-              case "set" | "multiset" => anyVar = true; out += InSet(slot, expr)
+              case "scalar"           => anyVar = true; out += EqScalar(slot, varIndex(expr), expr)
+              case "set" | "multiset" => anyVar = true; out += InSet(slot, varIndex(expr), expr)
               case t                  => sys.error(s"bad condition var $expr ($t)")
             }
           } else out += EqLit(slot, expr)
@@ -263,6 +266,7 @@ object Compiled {
       groupbyVars = groupbyVars,
       mergeResults = p.groupby.exists(_.mergeResults),
       groupbyValuesParam = p.groupby.flatMap(_.values),
+      varNames = varNamesArr,
       hasWindowRules = windowRuleIds.nonEmpty,
       nWindowRules = windowRuleIds.length,
       yieldCounters = counters.toList,

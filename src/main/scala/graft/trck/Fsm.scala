@@ -187,25 +187,52 @@ object Fsm {
 
     if (ri == -1) return true // quit in a previous DB → stays aborted
 
+    // Pre-resolve every param var once per run into index-aligned arrays —
+    // the per-event hot loop does pure array access, no map lookups or
+    // string allocation (the analog of the reference resolving param
+    // value-ids once per DB, src/match_traildb.c:86-159).
+    val nVars = prog.varNames.length
+    val scalarByIdx = new Array[String](nVars)
+    val setByIdx = new Array[Set[String]](nVars)
+    val tsByIdx = new Array[Long](nVars)
+    val gbByIdx = new Array[Boolean](nVars)
+    var vi = 0
+    while (vi < nVars) {
+      val v = prog.varNames(vi)
+      Ir.varType(v) match {
+        case "scalar" =>
+          val sv = binds.scalar(v)
+          scalarByIdx(vi) = sv
+          tsByIdx(vi) =
+            if (sv != null && sv.trim.nonEmpty && sv.trim.forall(_.isDigit))
+              java.lang.Long.parseLong(sv.trim)
+            else -1L
+        case "set" | "multiset" => setByIdx(vi) = binds.set(v)
+        case _                  => ()
+      }
+      gbByIdx(vi) = groupbyVars.contains(v)
+      vi += 1
+    }
+
     def evalPred(p: Pred): Boolean = p match {
       case EqLit(slot, v) =>
         val ev = if (slot == -1) "" else item.fields(slot)
         ev == v
-      case EqScalar(slot, vn) =>
-        if (groupbyVars.contains(vn)) stats.groupbyUsed = true
-        val pv = binds.scalar(vn)
+      case EqScalar(slot, vIdx, _) =>
+        if (gbByIdx(vIdx)) stats.groupbyUsed = true
+        val pv = scalarByIdx(vIdx)
         val ev = if (slot == -1) "" else item.fields(slot)
         pv != null && ev == pv
-      case InSet(slot, vn) =>
-        if (groupbyVars.contains(vn)) stats.groupbyUsed = true
-        val ps = binds.set(vn)
+      case InSet(slot, vIdx, _) =>
+        if (gbByIdx(vIdx)) stats.groupbyUsed = true
+        val ps = setByIdx(vIdx)
         val ev = if (slot == -1) "" else item.fields(slot)
         ps != null && ps.contains(ev)
-      case TsCmp(op, lit, vn) =>
-        val rhs = if (vn == null) lit
+      case TsCmp(op, lit, vIdx, _) =>
+        val rhs = if (vIdx == -1) lit
         else {
-          if (groupbyVars.contains(vn)) stats.groupbyUsed = true
-          binds.tsScalar(vn)
+          if (gbByIdx(vIdx)) stats.groupbyUsed = true
+          tsByIdx(vIdx)
         }
         op match {
           case "==" => timestamp == rhs
