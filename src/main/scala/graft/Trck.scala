@@ -111,10 +111,7 @@ object Trck {
         val events = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
         val filters = TrckSparkRunner.EngineFilters(
           cnf = cnf.flatMap(c => TrckSparkRunner.cnfColumn(c.clauses, events)),
-          windows = windows.map { ws =>
-            import spark.implicits._
-            ws.entries.map(w => (w.cookie, w.start, w.end)).toDF(uuidCol, "w_start", "w_end")
-          },
+          windows = windows,
           exclude =
             if (exclude.isEmpty) None
             else {
@@ -192,7 +189,7 @@ object TrckParams {
             arrays += k -> ts.map {
               case JArray(elems) =>
                 LocalRunner.ForeachTuple(elems.map {
-                  case JArray(ss) => Right(ss.map(str).toSet)
+                  case JArray(ss) => Right(ss.map(str).toVector)
                   case other      => Left(str(other))
                 }.toVector)
               case other if nVars <= 1 => LocalRunner.ForeachTuple(Vector(Left(str(other))))

@@ -45,6 +45,15 @@ object TrailEngine {
     StructField("n", LongType),
   ))
 
+  /** Per-trail context columns for window-file runs (reference window_set
+    * semantics, src/match_traildb.c:513-553): each window entry is its own
+    * ctx — `cookieCol` holds the ctx cookie (the window id, which `cookie`
+    * yields echo), `startCol`/`endCol` the Y5 filter bounds. The trail key
+    * (`uuidCol`) must then be unique per window entry, so one real cookie
+    * with several windows runs as several independent trails.
+    */
+  final case class CtxCols(cookieCol: String, startCol: String, endCol: String)
+
   /** Run `prog` over `events`, which must contain `uuidCol`, `tsCol`
     * (long seconds) and a column per program-referenced field (missing
     * columns read as ""). Extra columns participate in consecutive-dup
@@ -60,6 +69,7 @@ object TrailEngine {
       params: Bindings = Bindings(),
       foreachTuples: Option[Vector[ForeachTuple]] = None,
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
+      ctx: Option[CtxCols] = None,
   ): DataFrame = {
     val spark = events.sparkSession
 
@@ -84,12 +94,19 @@ object TrailEngine {
 
     // prune to what the FSM needs; all extra columns only matter for dedup,
     // which by reference semantics uses the full input row
-    val fieldCols = prog.fields.toSeq
-    val otherCols = events.columns.filterNot(c => c == uuidCol || c == tsCol).toSeq
-    val dedupCols = otherCols // full row minus uuid/ts
+    val ctxNames = ctx.toSeq.flatMap(c => Seq(c.cookieCol, c.startCol, c.endCol))
+    val ctxSel: Seq[Column] = ctx.toSeq.flatMap(c =>
+      Seq(
+        col(c.cookieCol).cast(StringType).as("__ctx"),
+        col(c.startCol).cast(LongType).as("__wstart"),
+        col(c.endCol).cast(LongType).as("__wend"),
+      ))
+    val reserved = (Seq(uuidCol, tsCol) ++ ctxNames).toSet
+    val dedupCols = events.columns.filterNot(reserved).toSeq // full row minus uuid/ts/ctx
     val projected = events.select(
-      col(uuidCol).cast(StringType).as("__uuid") +:
+      (col(uuidCol).cast(StringType).as("__uuid") +:
         col(tsCol).cast(LongType).as("__ts") +:
+        ctxSel) ++
         dedupCols.map(c => col(c).cast(StringType).as(c)): _*
     )
 
@@ -97,9 +114,11 @@ object TrailEngine {
       .repartition(col("__uuid"))
       .sortWithinPartitions(col("__uuid") +: col("__ts") +: tiebreak.map(col): _*)
 
+    val fieldBase = 2 + ctxSel.length
+    val hasCtx = ctx.isDefined
     val fieldIdxInRow: Array[Int] = prog.fields.map { f =>
       val i = dedupCols.indexOf(f)
-      if (i >= 0) i + 2 else -1
+      if (i >= 0) i + fieldBase else -1
     }
     val nDedup = dedupCols.length
 
@@ -124,6 +143,10 @@ object TrailEngine {
           if (first == null) return
           pending = null
           val uuid = first.getString(0)
+          // ctx cookie + Y5 window bounds (constant per trail by construction)
+          val ctxCookie = if (hasCtx) first.getString(2) else uuid
+          val wStart = if (hasCtx) first.getLong(3) else 0L
+          val wEnd = if (hasCtx) first.getLong(4) else 0L
           // collect this trail's events (consecutive same-uuid rows),
           // applying consecutive-dup elision over the full row
           val evs = scala.collection.mutable.ArrayBuffer[TrailEvent]()
@@ -134,8 +157,8 @@ object TrailEngine {
             if (cur.getString(0) != uuid) { pending = cur; done = true }
             else {
               val dup = prev != null && prev.getLong(1) == cur.getLong(1) && {
-                var i = 2; var same = true
-                while (same && i < 2 + nDedup) { same = rowField(prev, i) == rowField(cur, i); i += 1 }
+                var i = fieldBase; var same = true
+                while (same && i < fieldBase + nDedup) { same = rowField(prev, i) == rowField(cur, i); i += 1 }
                 same
               }
               if (!dup) {
@@ -156,22 +179,22 @@ object TrailEngine {
           val saved = Array.fill(ts.length)(FsmState.initial(prog))
           def emit(j: Int, r: Results): Unit = {
             r.counters.foreach { case (d, v) =>
-              if (v != 0) buf += Row(uuid, j, "c", d, null, v)
+              if (v != 0) buf += Row(ctxCookie, j, "c", d, null, v)
             }
             r.sets.foreach { case (d, m) =>
-              m.foreach { case (t, c) => buf += Row(uuid, j, "s", d, t, c) }
+              m.foreach { case (t, c) => buf += Row(ctxCookie, j, "s", d, t, c) }
             }
             r.msets.foreach { case (d, m) =>
-              m.foreach { case (t, c) => buf += Row(uuid, j, "m", d, t, c) }
+              m.foreach { case (t, c) => buf += Row(ctxCookie, j, "m", d, t, c) }
             }
             r.hlls.foreach { case (d, h) =>
               // emit the trail-local sketch registers; merged upstream
-              buf += Row(uuid, j, "h", d, h.registers, 1L)
+              buf += Row(ctxCookie, j, "h", d, h.registers, 1L)
             }
           }
           val out = TrailMatcher.processTrail(
-            prog, ts, saved, eventsArr, uuid, 0L, 0L, params, fcalls, emit)
-          TrailMatcher.finalizeTrail(prog, ts, out, uuid, params, fcalls, emit)
+            prog, ts, saved, eventsArr, ctxCookie, wStart, wEnd, params, fcalls, emit)
+          TrailMatcher.finalizeTrail(prog, ts, out, ctxCookie, params, fcalls, emit)
         }
 
         override def hasNext: Boolean = {

@@ -27,8 +27,10 @@ object TrckSparkRunner {
   final case class EngineFilters(
       /** CNF over (field = v | field != v) — becomes a pushed-down filter */
       cnf: Option[Column] = None,
-      /** (uuid, w_start, w_end) rows; listed uuids only — broadcast range join */
-      windows: Option[DataFrame] = None,
+      /** per-uuid windows; listed uuids only — broadcast range join, one
+        * independent trail ctx per entry (reference window_set semantics)
+        */
+      windows: Option[LocalRunner.WindowSet] = None,
       /** uuids to drop — broadcast left_anti join */
       exclude: Option[DataFrame] = None,
   )
@@ -46,7 +48,10 @@ object TrckSparkRunner {
     ands.reduceOption(_ && _)
   }
 
-  /** Apply F1-F3 to a trail-events DataFrame (uuidCol must exist). */
+  /** Apply F1 (CNF) and F3 (exclude) to a trail-events DataFrame. F2
+    * (windows) is handled in [[run]] because it changes the trail keying,
+    * not just the row set.
+    */
   def applyFilters(events: DataFrame, uuidCol: String, tsCol: String, filters: EngineFilters): DataFrame = {
     var df = events
     filters.cnf.foreach(c => df = df.filter(c))
@@ -54,19 +59,32 @@ object TrckSparkRunner {
       df = df.join(
         broadcast(ex.select(col(ex.columns.head).as(uuidCol))), Seq(uuidCol), "left_anti")
     }
-    filters.windows.foreach { w =>
-      val ww = w.select(
-        col(w.columns(0)).as(uuidCol),
-        col(w.columns(1)).cast("long").as("__wstart"),
-        col(w.columns(2)).cast("long").as("__wend"),
-      )
-      df = df
-        .join(broadcast(ww), Seq(uuidCol)) // inner: unlisted trails drop
-        .filter(
-          (col("__wstart") === 0L || col(tsCol) >= col("__wstart")) &&
-            (col("__wend") === 0L || col(tsCol) < col("__wend")))
-    }
     df
+  }
+
+  /** F2 window file: broadcast-join events to the window list — INNER, so
+    * unlisted trails drop — and key the result one trail per window ENTRY
+    * (`__wkey`), with the entry's id as ctx cookie and its bounds as the Y5
+    * yieldables. One cookie with several windows becomes several
+    * independent FSM runs, exactly the reference's per-entry ctx loop
+    * (reference: src/match_traildb.c:513-553, src/window_set.c:30-180).
+    */
+  def applyWindows(
+      events: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      ws: LocalRunner.WindowSet,
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wdf = ws.entries.zipWithIndex
+      .map { case (w, i) => (i, w.id, w.cookie, w.start, w.end) }
+      .toDF("__wkey", "__ctx", uuidCol, "__wstart", "__wend")
+    events
+      .join(broadcast(wdf), Seq(uuidCol))
+      .filter(
+        (col("__wstart") === 0L || col(tsCol) >= col("__wstart")) &&
+          (col("__wend") === 0L || col(tsCol) < col("__wend")))
   }
 
   /** Run a program over a trail DataFrame and assemble reference-shaped
@@ -90,14 +108,24 @@ object TrckSparkRunner {
         foreachTuples.getOrElse {
           require(prog.groupbyVars.size == 1, "implicit foreach requires exactly one var")
           val field = prog.varFields(prog.groupbyVars.head)
-          val values = filtered
+          // lexicon sweep over the UNfiltered input: the reference reads the
+          // DB lexicon, not the filtered event stream
+          // (src/match_traildb.c:188-236; LocalRunner matches)
+          val values = events
             .select(coalesce(col(field).cast("string"), lit("")))
             .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted
           ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
         }
 
+    val (trailDf, keyCol, ctx) = filters.windows match {
+      case Some(ws) =>
+        (applyWindows(filtered, uuidCol, tsCol, ws), "__wkey",
+          Some(TrailEngine.CtxCols("__ctx", "__wstart", "__wend")))
+      case None => (filtered, uuidCol, None)
+    }
+
     val em = TrailEngine
-      .emits(prog, filtered, uuidCol, tsCol, tiebreak, params, Some(tuples), fcalls)
+      .emits(prog, trailDf, keyCol, tsCol, tiebreak, params, Some(tuples), fcalls, ctx)
       .cache()
 
     val nSlots = if (prog.mergeResults) 1 else tuples.length

@@ -23,8 +23,11 @@ import graft.trck.LocalRunner.ForeachTuple
   *    engine shuffles on);
   *  - late data: events at or below the uuid's high-water mark are skipped,
   *    replicating the reference's cross-DB `min_ts` cut;
-  *  - finalization: an event-time timeout (watermark-driven) runs the
-  *    MAX_TIMESTAMP finalization and clears the state — the streaming
+  *  - finalization: either an event-time timeout (`eventTimeGapSec` — fires
+  *    once the watermark passes the trail's last event + gap, deterministic
+  *    in event time) or a processing-time idle timeout (`idleTimeoutMs` —
+  *    wall-clock fallback for sources without a usable watermark). Both run
+  *    the MAX_TIMESTAMP finalization and clear the state — the streaming
   *    equivalent of end-of-input.
   */
 object TrailStream {
@@ -33,7 +36,7 @@ object TrailStream {
   final case class StateData(ri: Int, windowExpires: Long, outerIds: Array[Int], outerExpires: Array[Long])
   final case class TrailState(states: Array[StateData], maxTs: Long)
 
-  final case class InEvent(uuid: String, ts: Long, fields: Array[String])
+  final case class InEvent(uuid: String, ts: Long, eventTime: java.sql.Timestamp, fields: Array[String])
   final case class EmitRow(uuid: String, tupleIdx: Int, kind: String, dst: String, item: Array[Byte], n: Long)
 
   private def toData(s: FsmState): StateData =
@@ -50,8 +53,12 @@ object TrailStream {
 
   /** Wire a streaming events DataFrame (uuidCol, tsCol seconds, program
     * field columns) into the FSM. Returns the stream of emitted yield rows
-    * (same schema as TrailEngine.emits). Use with a watermark on the
-    * event-time column and `idleTimeoutSec` for finalization.
+    * (same schema as TrailEngine.emits).
+    *
+    * Finalization: pass `eventTimeGapSec` (> 0) for watermark-driven
+    * event-time finalization — a trail finalizes when the watermark (built
+    * here from `tsCol` with `watermarkDelay` slack) passes its last event
+    * plus the gap. Or pass `idleTimeoutMs` for wall-clock idle timeout.
     */
   def emits(
       prog: CompiledProgram,
@@ -62,29 +69,35 @@ object TrailStream {
       foreachTuples: Vector[ForeachTuple] = Vector(ForeachTuple(Vector.empty)),
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
       idleTimeoutMs: Long = 0L,
+      eventTimeGapSec: Long = 0L,
+      watermarkDelay: String = "0 seconds",
   ): Dataset[EmitRow] = {
     val spark = events.sparkSession
     import spark.implicits._
 
     val fieldCols = prog.fields.toSeq
-    val projected = events
+    val projected0 = events
       .select(
         col(uuidCol).cast("string").as("uuid"),
         col(tsCol).cast("long").as("ts"),
+        timestamp_seconds(col(tsCol).cast("long")).as("eventTime"),
         array(fieldCols.map(f =>
           if (events.columns.contains(f)) coalesce(col(f).cast("string"), lit("")) else lit("")): _*
         ).as("fields"),
       )
-      .as[InEvent]
+    val projected =
+      (if (eventTimeGapSec > 0) projected0.withWatermark("eventTime", watermarkDelay)
+       else projected0).as[InEvent]
 
     val tuples = foreachTuples
     val nTuples = tuples.length
 
-    // NoTimeout unless idle finalization is requested — with a timeout mode
+    // NoTimeout unless finalization is requested — with a timeout mode
     // enabled Spark schedules continuous timeout-check micro-batches even
     // when no state ever sets a timeout
     val timeoutMode =
-      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      if (eventTimeGapSec > 0) GroupStateTimeout.EventTimeTimeout()
+      else if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
 
     projected
@@ -119,7 +132,12 @@ object TrailStream {
               prog, tuples, saved, trail, uuid, 0L, 0L, params, fcalls, emit)
             val newMax = if (evs.isEmpty) prev.maxTs else math.max(prev.maxTs, evs.map(_.ts).max)
             state.update(TrailState(out.map(toData), newMax))
-            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            if (eventTimeGapSec > 0)
+              // fire when the watermark passes last-event + gap; clamp above
+              // the current watermark (Spark rejects timeouts at/behind it)
+              state.setTimeoutTimestamp(
+                math.max((newMax + eventTimeGapSec) * 1000L, state.getCurrentWatermarkMs() + 1L))
+            else if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
           }
           buf.iterator
         }

@@ -140,7 +140,7 @@ object Compiled {
 
     for (r <- rules; c <- r.clauses ++ r.after.toList) {
       for ((field, conds) <- c.attrs; expr <- conds) {
-        val stripped = expr.dropWhile("<=>".contains(_))
+        val stripped = expr.dropWhile("<=>".contains(_)).trim
         if (field != "timestamp") kvs += field
         if (isVariable(stripped)) {
           vars += stripped
@@ -182,9 +182,10 @@ object Compiled {
           if (e.nonEmpty && e.head.isDigit) out += TsCmp("==", java.lang.Long.parseLong(e), -1, null)
           else
             e match {
-              case tsOpRe(op, v) =>
+              case tsOpRe(op, v0) =>
+                val v = v0.trim
                 if (v.startsWith("%")) { anyVar = true; out += TsCmp(op, 0L, varIndex(v), v) }
-                else out += TsCmp(op, java.lang.Long.parseLong(v.trim), -1, null)
+                else out += TsCmp(op, java.lang.Long.parseLong(v), -1, null)
               case _ => sys.error(s"bad timestamp condition: $expr")
             }
         } else {

@@ -234,12 +234,18 @@ object Fsm {
           if (gbByIdx(vIdx)) stats.groupbyUsed = true
           tsByIdx(vIdx)
         }
+        // uint64 comparison semantics: the reference stores timestamps and
+        // param values as uint64, so an unbound %scalar's -1 sentinel is
+        // promoted to UINT64_MAX (`ts > %unbound` is always false,
+        // `ts < %unbound` always true) — compareUnsigned reproduces that
+        // (reference: src/fsm2c.py:135-153 with C unsigned promotion).
+        val c = java.lang.Long.compareUnsigned(timestamp, rhs)
         op match {
-          case "==" => timestamp == rhs
-          case "<"  => timestamp < rhs
-          case "<=" => timestamp <= rhs
-          case ">"  => timestamp > rhs
-          case ">=" => timestamp >= rhs
+          case "==" => c == 0
+          case "<"  => c < 0
+          case "<=" => c <= 0
+          case ">"  => c > 0
+          case ">=" => c >= 0
         }
     }
 

@@ -89,7 +89,7 @@ final class Results(prog: CompiledProgram) extends Emitter {
     counters.foreach { case (k, v) => out("$" + k) = v }
     sets.foreach { case (k, m) => out("#" + k) = m.keys.map(Tuple.render).toVector }
     msets.foreach { case (k, m) =>
-      out("&" + k) = m.map { case (t, c) => Tuple.render(t) -> c }.toVector
+      out("&" + k) = OutputJson.Mset(m.map { case (t, c) => Tuple.render(t) -> c }.toVector)
     }
     hlls.foreach { case (k, h) => out("^" + k) = h.toHexString }
     prog.yieldHlls.foreach(k => if (!hlls.contains(k)) out("^" + k) = Hll.EmptyHex)
@@ -130,14 +130,25 @@ object LocalRunner {
   final case class WindowEntry(id: String, cookie: String, start: Long, end: Long)
   final case class WindowSet(entries: Seq[WindowEntry])
 
-  /** One foreach tuple: per groupby var either a scalar or a set. */
-  final case class ForeachTuple(items: Vector[Either[String, Set[String]]]) {
+  /** One foreach tuple: per groupby var either a scalar or a set. Set
+    * elements keep the params-file order — the reference echoes `#var`
+    * tuples back in parse order, not sorted
+    * (reference: src/results_json.c:252-265).
+    */
+  final case class ForeachTuple(items: Vector[Either[String, Vector[String]]]) {
+    @transient private lazy val setItems: Vector[Option[Set[String]]] =
+      items.map { case Right(vs) => Some(vs.toSet); case _ => None }
+
     def bind(vars: Seq[String], base: Bindings): Bindings = {
       var sc = base.scalars
       var st = base.sets
-      vars.zip(items).foreach {
-        case (v, Left(s))  => sc += Ir.stripType(v) -> s
-        case (v, Right(s)) => st += Ir.stripType(v) -> s
+      var i = 0
+      while (i < vars.length && i < items.length) {
+        items(i) match {
+          case Left(s)  => sc += Ir.stripType(vars(i)) -> s
+          case Right(_) => st += Ir.stripType(vars(i)) -> setItems(i).get
+        }
+        i += 1
       }
       Bindings(sc, st)
     }
@@ -149,19 +160,21 @@ object LocalRunner {
       results: Vector[Results],
       merged: Boolean,
   ) {
-    /** groupby results in the reference's array-of-objects shape with param
-      * echo-back (reference: src/results_json.c:233-272).
+    /** groupby results in the reference's array-of-objects shape: result
+      * vars first, then the %var/#var echo, with `#var` sets in params-file
+      * tuple order (reference: src/results_json.c:233-272
+      * output_groupby_result_json prints match_results_to_json before the
+      * var loop and iterates `str_set` in stored order).
       */
     def toOutputs: Vector[mutable.LinkedHashMap[String, Any]] =
       if (prog.groupbyVars.isEmpty || merged) Vector(results.head.toOutput)
       else
         tuples.zip(results).map { case (t, r) =>
-          val m = mutable.LinkedHashMap[String, Any]()
+          val m = r.toOutput
           prog.groupbyVars.zip(t.items).foreach {
             case (v, Left(s))   => m(v) = s
-            case (v, Right(ss)) => m(v) = ss.toVector.sorted
+            case (v, Right(ss)) => m(v) = ss
           }
-          m ++= r.toOutput
           m
         }
   }

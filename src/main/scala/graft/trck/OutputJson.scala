@@ -9,6 +9,13 @@ import scala.collection.mutable
   */
 object OutputJson {
 
+  /** Explicitly-tagged multiset value: always renders as a JSON object,
+    * including when empty (reference: src/results_json.c:162-186
+    * multiset_to_json prints braces unconditionally — an empty multiset is
+    * `{}`, never `[]`).
+    */
+  final case class Mset(entries: Vector[(String, Long)])
+
   private def esc(s: String): String =
     s.flatMap {
       case '"'          => "\\\""
@@ -24,8 +31,8 @@ object OutputJson {
     case l: Long   => l.toString
     case i: Int    => i.toString
     case s: String => "\"" + esc(s) + "\""
-    case xs: Vector[_] if xs.headOption.exists(_.isInstanceOf[(_, _)]) =>
-      xs.map { case (k: String, c: Long) => "\"" + esc(k) + "\":" + c }
+    case Mset(es) =>
+      es.map { case (k, c) => "\"" + esc(k) + "\":" + c }
         .mkString("{", ",", "}")
     case xs: Vector[_] =>
       xs.map(x => "\"" + esc(x.toString) + "\"").mkString("[", ",", "]")

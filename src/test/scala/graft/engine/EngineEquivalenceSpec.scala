@@ -72,6 +72,47 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Some(Ir.GroupBy(List("%a"), Some("@arr"), mergeResults = false)),
   )
 
+  test("window-file runs: one ctx per window entry, id substitution, Spark = local") {
+    // every event counts and echoes the ctx cookie — sensitive to both the
+    // per-entry trail keying and the id→cookie substitution
+    val program = Ir.Program(
+      Vector(
+        Ir.Rule(None, None, None, entrypoint = false,
+          List(
+            Ir.Clause(Map.empty, negated = false, Some("repeat"),
+              List(
+                Ir.Yield("$n", Nil),
+                Ir.Yield("#cookies", List(Ir.FieldTerm("cookie"), Ir.FieldTerm("type"))),
+              )),
+          ), None),
+      ),
+      None,
+    )
+    val prog = Compiled.compile(program)
+    val db = randomDb(99L, nTrails = 10, nEvents = 20)
+    val maxTs = db.trails.flatMap(_._2.map(_.ts)).max
+    // user0 gets TWO windows (separate ctxs with their own ids), user1 one
+    // window without id (cookie echoes as itself), user2 an empty window;
+    // everyone else is unlisted and must drop; one entry has no trail
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("w-a", "user0", 0L, maxTs / 2),
+      LocalRunner.WindowEntry("w-b", "user0", maxTs / 3, maxTs),
+      LocalRunner.WindowEntry("user1", "user1", 100L, maxTs),
+      LocalRunner.WindowEntry("w-c", "user2", maxTs + 10, maxTs + 20),
+      LocalRunner.WindowEntry("w-d", "ghost", 0L, maxTs),
+    ))
+
+    val local = LocalRunner.run(prog, Seq(db), windows = Some(ws))
+    val sparkOut = TrckSparkRunner.run(
+      prog, dbToDf(db), "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)))
+
+    val localOut = local.toOutputs
+    assert(sparkOut.length == localOut.length)
+    assert(sparkOut.head("$n") == localOut.head("$n"))
+    assert(sparkOut.head("#cookies") == localOut.head("#cookies"))
+  }
+
   for (seed <- Seq(1L, 7L, 42L)) {
     test(s"engine matches local runner (seed=$seed)") {
       val prog = Compiled.compile(program)

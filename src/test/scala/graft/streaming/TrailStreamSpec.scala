@@ -54,4 +54,58 @@ class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("SELECT * FROM fsm_out WHERE kind = 'c'").count() == 1)
     } finally query.stop()
   }
+
+  test("event-time timeout finalizes trails once the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // windowed program whose only yield is in the `after` clause — it fires
+    // solely at window expiry / finalization, the part that needs the
+    // event-time timeout
+    import graft.trck.Ir
+    val program = Ir.Program(
+      Vector(
+        Ir.Rule(None, None, None, entrypoint = false,
+          List(
+            Ir.Clause(Map("event_type" -> List("signup")), negated = false, Some("break"), Nil),
+            Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil),
+          ), None),
+        Ir.Rule(None, Some(1800L), None, entrypoint = false,
+          List(Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)),
+          Some(Ir.Clause(Map.empty, negated = false, Some("quit"),
+            List(Ir.Yield("$expired", Nil))))),
+      ),
+      None,
+    )
+    val prog = Compiled.compile(program)
+    val input = MemoryStream[(String, Long, String)]
+    val events = input.toDF().toDF("uuid", "ts", "event_type")
+
+    val out = TrailStream.emits(
+      prog, events, "uuid", "ts", eventTimeGapSec = 60L)
+    val query = out.writeStream
+      .format("memory")
+      .queryName("fsm_evt_out")
+      .outputMode("append")
+      .start()
+
+    try {
+      // u1 enters the window (signup), nothing converts
+      input.addData(("u1", 1000L, "signup"))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM fsm_evt_out WHERE kind = 'c'").count() == 0)
+
+      // advance event time far past u1's last event + gap via another uuid;
+      // the next batch's watermark triggers u1's event-time timeout
+      input.addData(("u2", 20000L, "view"))
+      query.processAllAvailable()
+      input.addData(("u2", 30000L, "view"))
+      query.processAllAvailable()
+
+      val rows = spark.sql("SELECT uuid, dst FROM fsm_evt_out WHERE kind = 'c'").collect()
+      assert(rows.exists(r => r.getString(0) == "u1"),
+        s"expected u1 finalization yield, got ${rows.mkString(",")}")
+    } finally query.stop()
+  }
 }

@@ -82,8 +82,8 @@ object TestHarness {
       JObject(m.toList.map {
         case (k, v: Long)   => k -> (JInt(v): JValue)
         case (k, v: String) => k -> (JString(v): JValue)
-        case (k, v: Vector[_]) if k.startsWith("&") =>
-          k -> JObject(v.toList.map { case (s: String, c: Long) => s -> (JInt(c): JValue) })
+        case (k, OutputJson.Mset(es)) =>
+          k -> JObject(es.toList.map { case (s, c) => s -> (JInt(c): JValue) })
         case (k, v: Vector[_]) => k -> (JArray(v.toList.map(x => JString(x.toString))): JValue)
         case (k, v) => k -> (JString(v.toString): JValue)
       })
