@@ -38,15 +38,46 @@ object MinHash {
       )
   }
 
-  /** (idCol, sig: array<long>) — H-element minhash signatures, computed
-    * via explode + codegen'd hash aggregation (see object doc).
+  /** 64-bit hashes of the word k-shingles, built from ONE xxhash64 per word
+    * plus a polynomial combine over each k-window — the shingle strings are
+    * never materialized and each word is hashed once, not once per shingle
+    * position × hash function.
+    */
+  /** left-rotate a 64-bit column by n (bitwise — safe under ANSI mode,
+    * unlike multiply/add mixing which overflows LongType)
+    */
+  private def rotl(c: Column, n: Int): Column = {
+    val r = n & 63
+    if (r == 0) c
+    else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+  }
+
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val words = split(trim(text), "\\s+")
+    val wh = transform(words, w => xxhash64(w))
+    val cnt = size(words) - (k - 1)
+    // order-sensitive combine: rotl-xor fold over the k window positions
+    val combined = (0 until k)
+      .map(j => slice(wh, lit(j + 1), cnt))
+      .reduce((a, b) => zip_with(a, b, (x, y) => rotl(x, 13).bitwiseXOR(y)))
+    when(size(words) < k, array(xxhash64(concat_ws(" ", words)))).otherwise(combined)
+  }
+
+  /** (idCol, sig: array<long>) — H-element minhash signatures. Each shingle
+    * is hashed once; the H hash functions are the double-hash family
+    * g_i(x) = h1(x) XOR rotl(h2(x), i) (the bitwise analog of
+    * Kirsch–Mitzenmacher h1 + i·h2, which ANSI mode would reject for long
+    * overflow), so the per-row aggregation work is H rotate-xors instead of
+    * H string hashes. Partial aggregation collapses each doc's shingles
+    * map-side; the shuffle carries one (H+1)-column row per doc.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3, h: Int = 64): DataFrame =
     docs
-      .select(col(idCol), explode(shingles(col(textCol), k)).as("__shingle"))
+      .select(col(idCol), explode(shingleHashes(col(textCol), k)).as("__h1"))
+      .select(col(idCol), col("__h1"), xxhash64(col("__h1")).as("__h2"))
       .groupBy(idCol)
       .agg(
-        array((0 until h).map(i => min(xxhash64(col("__shingle"), lit(i)))): _*).as("sig")
+        array((0 until h).map(i => min(col("__h1").bitwiseXOR(rotl(col("__h2"), i)))): _*).as("sig")
       )
 
   /** band keys: hash each of B slices of R signature values */
@@ -70,6 +101,44 @@ object MinHash {
                     k: Int = 3, h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame =
     bandedBucketsFromSigs(signatures(docs, idCol, textCol, k, h), idCol, h, bands, maxBucket)
 
+  /** Per-bucket membership lists: (band, bk, ids sorted asc), hot buckets
+    * (> maxBucket) dropped. ONE pass over the signatures — downstream pair
+    * generation expands the small arrays instead of self-joining the bucket
+    * stream (a self-join would recompute the whole shingle→minhash pipeline
+    * once per side; at 100 TB that triples the dominant stage). The hot
+    * filter runs on a windowed count BEFORE collect_list, so a pathological
+    * bucket is counted (spillable sort) but never materialized as an array.
+    * The groupBy reuses the window's (band, bk) partitioning — one shuffle.
+    */
+  def bucketMembers(sigs: DataFrame, idCol: String = "doc_id",
+                    h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame = {
+    val rows = h / bands
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
+    sigs
+      .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .groupBy("band", "bk")
+      .agg(array_sort(collect_list(idCol)).as("ids"))
+  }
+
+  /** (id_a, id_b, shared_bands) with id_a < id_b — candidate pairs counted
+    * by how many band buckets they co-occur in. Pair expansion is an array
+    * lambda over ≤ maxBucket elements (interpreted, but tiny), so the only
+    * wide operations are the signature aggregation, the bucket groupBy and
+    * the final pair count — each a single shuffle.
+    */
+  def bucketPairCounts(sigs: DataFrame, idCol: String = "doc_id",
+                       h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame =
+    bucketMembers(sigs, idCol, h, bands, maxBucket)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('id_a', a, 'id_b', b))))"
+      )).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_bands"))
+
   /** docs → (doc_id, canonical_id): canonical is the smallest doc_id this
     * doc shares any LSH bucket with (including itself).
     */
@@ -82,28 +151,26 @@ object MinHash {
       bands: Int = 16,
       maxBucket: Int = 50,
   ): DataFrame = {
-    val all = docs.select(col(idCol))
-    val fromBuckets = bandedBuckets(docs, idCol, textCol, k, h, bands, maxBucket)
+    // one pass, no joins: window over the bucket key attaches (size, min)
+    // to every membership row, then a per-doc min over non-hot buckets.
+    // Every doc has ≥ 1 shingle ⇒ all `bands` memberships exist, so docs
+    // whose every bucket is hot fall out of the conditional min as NULL
+    // and keep themselves as canonical.
+    val rows = h / bands
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
+    signatures(docs, idCol, textCol, k, h)
+      .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
       .groupBy(idCol)
-      .agg(min("bucket_min").as("canonical_id"))
-    // docs whose every bucket was hot (or with no shingles) stay their own
-    // canonical
-    all
-      .join(fromBuckets, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .agg(min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"))
+      .select(col(idCol), coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
   }
 
   /** candidate near-dup pairs (id_a < id_b), deduped across bands */
   def candidatePairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
-                             h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame = {
-    val b = bandedBucketsFromSigs(sigs, idCol, h, bands, maxBucket)
-    val l = b.select(col("band"), col("bk"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("bk"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-  }
+                             h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame =
+    bucketPairCounts(sigs, idCol, h, bands, maxBucket).select("id_a", "id_b")
 
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                      k: Int = 3, h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame =

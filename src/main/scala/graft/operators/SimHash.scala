@@ -80,22 +80,26 @@ object SimHash {
     */
   def nearDupCanonical(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                        maxBucket: Int = 100): DataFrame = {
-    val withSh = simhashOf(docs, idCol, textCol)
-    val banded = withSh.select(
-      col(idCol), col("simhash"),
-      posexplode(chunks(col("simhash"))).as(Seq("chunk_idx", "chunk")),
-    )
-    val buckets = banded.groupBy("chunk_idx", "chunk")
-      .agg(count(lit(1)).as("n"), min(idCol).as("bucket_min"))
-      .filter(col("n") <= maxBucket) // hot chunks are low-information
-    val fromBuckets = banded
-      .join(buckets, Seq("chunk_idx", "chunk"))
+    // one pass, no joins (the simhash pipeline — explode + 64 aggregates —
+    // is the dominant cost; a join-back would recompute it per side): a
+    // window over the chunk key attaches (size, min) to each membership
+    // row, then a per-doc min over non-hot chunks. Hot chunks (> maxBucket)
+    // are low-information and fall out of the conditional min; a doc whose
+    // every chunk is hot keeps itself as canonical via the coalesce.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")
+    simhashOf(docs, idCol, textCol)
+      .select(
+        col(idCol), col("simhash"),
+        posexplode(chunks(col("simhash"))).as(Seq("chunk_idx", "chunk")),
+      )
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
       .groupBy(idCol)
-      .agg(min("bucket_min").as("canonical_id"))
-    // docs whose every chunk was hot stay their own canonical
-    withSh
-      .join(fromBuckets, Seq(idCol), "left")
+      .agg(
+        first("simhash").as("simhash"),
+        min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"),
+      )
       .select(col(idCol), col("simhash"),
-        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+        coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
   }
 }

@@ -101,18 +101,33 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
-    * (each pair reported once, a < b).
+    * (each pair reported once, a < b). Pairs are expanded inside each
+    * bucket's member array rather than via a bucket self-join — the join
+    * would recompute the (interpreted, per-component) lshBucket projection
+    * once per side and shuffle the corpus twice. Buckets larger than
+    * `maxBucket` are dropped BEFORE the member arrays are collected (the
+    * windowed count is a spillable sort, the arrays never materialize) —
+    * at 100 TB a hot bucket is low-information word-salad and its O(n²)
+    * pair expansion would dominate the job anyway.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(
-      col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
-    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxBucket: Int = 1000): DataFrame = {
+    val w = Window.partitionBy("bucket")
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshBucket(col(vecCol), planes).as("bucket"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .groupBy("bucket")
+      .agg(array_sort(collect_list(struct(col("id"), col("vec")))).as("ms"))
+      .select(explode(expr(
+        "flatten(transform(ms, (a, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), b -> named_struct('a', a, 'b', b))))"
+      )).as("p"))
+      .select(
+        col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.vec"), col("p.b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
   }
 }

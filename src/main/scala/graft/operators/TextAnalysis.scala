@@ -44,8 +44,9 @@ object TextAnalysis {
   )
 
   private def occurrences(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), "")))
-      / needle.length).cast("long")
+    // literal replace, not regexp_replace — same count, no regex engine in
+    // the hot path (25 needle scans per row)
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")
 
   def langScore(c: Column, lang: String): Column =
     profiles(lang).map(n => occurrences(concat(lit(" "), c, lit(" ")), n)).reduce(_ + _)
@@ -90,15 +91,45 @@ object TextAnalysis {
           .orderBy("doc_id"),
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
     ),
-    // Heuristic lang-id has no SQL oracle (driver records rows-only check);
-    // result is (doc_id, predicted, actual) for eyeballing accuracy.
+    // The heuristic is pure literal-replace counting + argmax, so the same
+    // computation is expressible in DuckDB SQL — full hash-match oracle.
+    // Result is (doc_id, predicted, actual) for eyeballing accuracy.
     Q(
       "t_langid",
       (s, dir) =>
         Tables(s, dir, "documents")
           .select(col("doc_id"), langId(col("text")).as("lang_pred"), col("lang"))
           .orderBy("doc_id"),
-      None,
+      Some(langIdOracleSql),
     ),
   )
+
+  /** DuckDB SQL computing exactly [[langId]]: per-language occurrence sums
+    * via literal replace, argmax with ties to the lexicographically largest
+    * language (mirrors greatest() over (score, lang) structs).
+    */
+  private def langIdOracleSql: String = {
+    val langs = profiles.keys.toSeq.sorted
+    val scoreExprs = langs.map { l =>
+      val sum = profiles(l)
+        .map(n => s"(length(t) - length(replace(t, '$n', ''))) // ${n.length}")
+        .mkString(" + ")
+      s"CAST($sum AS BIGINT) AS s_$l"
+    }.mkString(",\n             ")
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.reverse.init
+      .map(l => s"WHEN s_$l = $g THEN '$l'")
+      .mkString("\n               ")
+    s"""
+      WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS t FROM documents),
+      s AS (SELECT doc_id, lang,
+             $scoreExprs
+            FROM p)
+      SELECT doc_id,
+             CASE WHEN $g <= 0 THEN 'und'
+               $cases
+               ELSE '${langs.head}' END AS lang_pred,
+             lang
+      FROM s ORDER BY doc_id"""
+  }
 }

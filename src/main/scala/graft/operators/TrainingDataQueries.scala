@@ -40,22 +40,18 @@ object TrainingDataQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select("doc_id", "text")
         // estimate-then-verify: rank LSH candidates by how many bands they
-        // collide in (already in the pair stream — no signature join, one
-        // slim shuffle), then run the exact shingle-set Jaccard only on the
-        // top slice. At scale exact verification of every candidate
-        // dominates the job.
-        val b = MinHash.bandedBuckets(docs, maxBucket = 20)
-        val l = b.select(col("band"), col("bk"), col("doc_id").as("id_a"))
-        val r = b.select(col("band"), col("bk"), col("doc_id").as("id_b"))
-        val estimated = l
-          .join(r, Seq("band", "bk"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("shared_bands"))
+        // collide in (pairs expanded inside each small bucket array — the
+        // signature pipeline runs ONCE, no self-join), then run the exact
+        // shingle-set Jaccard only on the top slice. At scale exact
+        // verification of every candidate dominates the job.
+        val estimated = MinHash
+          .bucketPairCounts(MinHash.signatures(docs, "doc_id", "text"), maxBucket = 20)
           .orderBy(col("shared_bands").desc, col("id_a"), col("id_b"))
           .limit(100)
-        estimated
-          .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+        // 100 candidate rows — broadcast them (and the first join's output)
+        // into the text lookups so the doc table is never shuffled
+        broadcast(broadcast(estimated)
+          .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a")))
           .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             round(MinHash.exactJaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
