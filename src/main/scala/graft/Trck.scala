@@ -21,6 +21,7 @@ import graft.trck.LocalRunner.{WindowEntry, WindowSet}
   *   --exclude-file <file>   uuids to drop (hex, one per line)
   *   --uuid-col / --ts-col   column mapping for parquet inputs
   *   --tiebreak-col <c>      event-order tiebreak for equal timestamps
+  *   --output-format <f>     json (default) | msgpack | proto
   * }}}
   *
   * Inputs: `.json` files in the reference's test format
@@ -39,6 +40,7 @@ object Trck {
     var uuidCol = "uuid"
     var tsCol = "ts"
     var tiebreak: List[String] = Nil
+    var outputFormat = "json"
     val inputs = scala.collection.mutable.ListBuffer[String]()
 
     var i = 0
@@ -51,6 +53,7 @@ object Trck {
         case "--uuid-col"     => uuidCol = args(i + 1); i += 2
         case "--ts-col"       => tsCol = args(i + 1); i += 2
         case "--tiebreak-col" => tiebreak ::= args(i + 1); i += 2
+        case "--output-format" => outputFormat = args(i + 1); i += 2
         case a if programPath == null => programPath = a; i += 1
         case a                => inputs += a; i += 1
       }
@@ -88,7 +91,7 @@ object Trck {
       .getOrElse(Set.empty)
 
     val jsonInputs = inputs.forall(_.endsWith(".json"))
-    val outputs =
+    val rawOutput: LocalRunner.RunOutput =
       if (jsonInputs) {
         // reference test format → exact multi-DB local semantics
         val dbs = inputs.map { p =>
@@ -104,7 +107,7 @@ object Trck {
             case _ => LocalRunner.Db(Nil)
           }
         }
-        LocalRunner.run(prog, dbs.toSeq, binds, tuples, cnf, windows, exclude).toOutputs
+        LocalRunner.run(prog, dbs.toSeq, binds, tuples, cnf, windows, exclude)
       } else {
         val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
@@ -119,14 +122,22 @@ object Trck {
               Some(exclude.toSeq.toDF(uuidCol))
             },
         )
-        val out = TrckSparkRunner.run(
+        val out = TrckSparkRunner.runRaw(
           prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters)
         spark.stop()
         out
       }
 
-    val grouped = prog.groupbyVars.nonEmpty && !prog.mergeResults
-    println(OutputJson.render(outputs, grouped))
+    outputFormat match {
+      case "json" =>
+        val grouped = prog.groupbyVars.nonEmpty && !prog.mergeResults
+        println(OutputJson.render(rawOutput.toOutputs, grouped))
+      case "msgpack" =>
+        System.out.write(OutputMsgpack.render(rawOutput)); System.out.flush()
+      case "proto" =>
+        System.out.write(OutputProto.render(rawOutput)); System.out.flush()
+      case other => sys.error(s"unknown --output-format: $other")
+    }
   }
 
   private def hexToCookie(hex: String): String = {

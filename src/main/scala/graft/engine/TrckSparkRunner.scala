@@ -100,7 +100,24 @@ object TrckSparkRunner {
       foreachTuples: Option[Vector[ForeachTuple]] = None,
       filters: EngineFilters = EngineFilters(),
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
-  ): Vector[mutable.LinkedHashMap[String, Any]] = {
+  ): Vector[mutable.LinkedHashMap[String, Any]] =
+    runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls).toOutputs
+
+  /** As [[run]] but returns the raw [[LocalRunner.RunOutput]] (for the
+    * msgpack/proto sinks, which need the encoded tuples, not the rendered
+    * strings).
+    */
+  def runRaw(
+      prog: CompiledProgram,
+      events: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      tiebreak: Seq[String] = Nil,
+      params: Bindings = Bindings(),
+      foreachTuples: Option[Vector[ForeachTuple]] = None,
+      filters: EngineFilters = EngineFilters(),
+      fcalls: Map[String, Fsm.Fcall] = Map.empty,
+  ): LocalRunner.RunOutput = {
     val filtered = applyFilters(events, uuidCol, tsCol, filters)
     val tuples: Vector[ForeachTuple] =
       if (prog.groupbyVars.isEmpty) Vector(ForeachTuple(Vector.empty))
@@ -158,6 +175,6 @@ object TrckSparkRunner {
       }
     em.unpersist()
 
-    LocalRunner.RunOutput(prog, tuples, results, prog.mergeResults).toOutputs
+    LocalRunner.RunOutput(prog, tuples, results, prog.mergeResults)
   }
 }
