@@ -60,6 +60,73 @@ object TrainingDataQueries {
       },
       None,
     ),
+    // Exact 3-gram Jaccard with a full DuckDB oracle: deterministic pair
+    // selection (each doc vs the next doc_id inside its n_chars%16 bucket —
+    // a partitioned lead(), no global sort), then the same shingle-set
+    // Jaccard on both sides. Verifies the exactJaccard kernel end-to-end;
+    // the LSH candidate path stays rows-only (xxhash64 isn't in DuckDB).
+    Q(
+      "d_jaccard_exact",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("n_chars"), lit(16)))
+          .orderBy("doc_id")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars"))
+          .withColumn("next_id", lead("doc_id", 1).over(w))
+          .withColumn("next_text", lead("text", 1).over(w))
+          .filter(col("next_id").isNotNull)
+          .select(
+            col("doc_id"),
+            col("next_id"),
+            round(MinHash.exactJaccard(col("text"), col("next_text")), 4).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, text,
+                 lead(doc_id) OVER (PARTITION BY n_chars % 16 ORDER BY doc_id) AS next_id,
+                 lead(text)   OVER (PARTITION BY n_chars % 16 ORDER BY doc_id) AS next_text
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, next_id,
+                 list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+                   THEN [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+                   ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                        i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')) END) AS sa,
+                 list_distinct(CASE WHEN len(string_split_regex(trim(next_text), '\s+')) < 3
+                   THEN [array_to_string(string_split_regex(trim(next_text), '\s+'), ' ')]
+                   ELSE list_transform(range(1, len(string_split_regex(trim(next_text), '\s+')) - 1),
+                        i -> array_to_string(string_split_regex(trim(next_text), '\s+')[i:i+2], ' ')) END) AS sb
+          FROM p WHERE next_id IS NOT NULL
+        )
+        SELECT doc_id, next_id,
+               round(len(list_intersect(sa, sb)) * 1.0
+                     / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
+        FROM g ORDER BY doc_id"""),
+    ),
+    // Exact embedding near-dup pairs (the brute-force baseline the LSH
+    // variant approximates) — ID-only output so float formula differences
+    // in the last ulp can't flip the hash; threshold far from the sim bulk.
+    Q(
+      "d_embed_neardup_exact",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+        l.join(broadcast(r), col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.35)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        ORDER BY id_a, id_b"""),
+    ),
     // Embedding-cosine near-dup pairs via LSH buckets (D5).
     Q(
       "d_embed_neardup",
