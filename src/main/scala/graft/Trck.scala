@@ -111,7 +111,11 @@ object Trck {
       } else {
         val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val events = inputs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        val dfs = inputs.map(spark.read.parquet(_)).toSeq
+        // sequential-DB semantics: min_ts cut + per-source replay order
+        val events = TrckSparkRunner.unionSources(dfs, tsCol)
+        // the implicit-foreach lexicon sweeps the UNcut union
+        val lexicon = if (dfs.lengthCompare(1) == 0) None else Some(dfs.reduce(_ unionByName _))
         val filters = TrckSparkRunner.EngineFilters(
           cnf = cnf.flatMap(c => TrckSparkRunner.cnfColumn(c.clauses, events)),
           windows = windows,
@@ -123,7 +127,8 @@ object Trck {
             },
         )
         val out = TrckSparkRunner.runRaw(
-          prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters)
+          prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters,
+          lexiconEvents = lexicon)
         spark.stop()
         out
       }

@@ -70,6 +70,12 @@ object TrailEngine {
       foreachTuples: Option[Vector[ForeachTuple]] = None,
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
       ctx: Option[CtxCols] = None,
+      /** columns sorted BEFORE ts within each trail — the multi-source path
+        * passes the source index here so each trail replays its sources
+        * sequentially (reference: DBs are processed in argument order with
+        * per-trail state carry, src/match_traildb.c:384-390)
+        */
+      preOrderCols: Seq[String] = Nil,
   ): DataFrame = {
     val spark = events.sparkSession
 
@@ -112,7 +118,8 @@ object TrailEngine {
 
     val sorted = projected
       .repartition(col("__uuid"))
-      .sortWithinPartitions(col("__uuid") +: col("__ts") +: tiebreak.map(col): _*)
+      .sortWithinPartitions(
+        col("__uuid") +: (preOrderCols.map(col) ++ (col("__ts") +: tiebreak.map(col))): _*)
 
     val fieldBase = 2 + ctxSel.length
     val hasCtx = ctx.isDefined

@@ -62,6 +62,31 @@ object TrckSparkRunner {
     df
   }
 
+  /** Multiple sequential sources ("TrailDBs") → one tagged DataFrame with
+    * the reference's cross-DB semantics (src/match_traildb.c:384-390,
+    * 812-849): source i's events are dropped below the running max
+    * timestamp of sources 0..i-1 (the min_ts cut — one tiny max()
+    * aggregation per source), and a `__src` column orders each trail's
+    * replay by source before timestamp. `__src` also participates in
+    * consecutive-dup elision like any other column, so an event repeated
+    * across a DB boundary is NOT deduped — matching the per-DB trail reads.
+    * Pass `preOrderCols = Seq("__src")` to [[TrailEngine.emits]] (run/runRaw
+    * do this automatically when they see the column).
+    */
+  def unionSources(sources: Seq[DataFrame], tsCol: String): DataFrame = {
+    require(sources.nonEmpty)
+    if (sources.lengthCompare(1) == 0) return sources.head
+    val maxes = sources.map { df =>
+      Option(df.agg(max(col(tsCol).cast("long"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    val cuts = maxes.scanLeft(0L)(math.max).init
+    sources.zipWithIndex.map { case (df, i) =>
+      val tagged = df.withColumn("__src", lit(i))
+      if (cuts(i) == 0L) tagged else tagged.filter(col(tsCol).cast("long") >= cuts(i))
+    }.reduce(_ unionByName _)
+  }
+
   /** F2 window file: broadcast-join events to the window list — INNER, so
     * unlisted trails drop — and key the result one trail per window ENTRY
     * (`__wkey`), with the entry's id as ctx cookie and its bounds as the Y5
@@ -100,8 +125,10 @@ object TrckSparkRunner {
       foreachTuples: Option[Vector[ForeachTuple]] = None,
       filters: EngineFilters = EngineFilters(),
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
+      lexiconEvents: Option[DataFrame] = None,
   ): Vector[mutable.LinkedHashMap[String, Any]] =
-    runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls).toOutputs
+    runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls,
+      lexiconEvents).toOutputs
 
   /** As [[run]] but returns the raw [[LocalRunner.RunOutput]] (for the
     * msgpack/proto sinks, which need the encoded tuples, not the rendered
@@ -117,6 +144,10 @@ object TrckSparkRunner {
       foreachTuples: Option[Vector[ForeachTuple]] = None,
       filters: EngineFilters = EngineFilters(),
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
+      /** implicit-foreach lexicon source when `events` is pre-cut (the
+        * reference sweeps the full DB lexicons, min_ts cut or not)
+        */
+      lexiconEvents: Option[DataFrame] = None,
   ): LocalRunner.RunOutput = {
     val filtered = applyFilters(events, uuidCol, tsCol, filters)
     val tuples: Vector[ForeachTuple] =
@@ -128,7 +159,7 @@ object TrckSparkRunner {
           // lexicon sweep over the UNfiltered input: the reference reads the
           // DB lexicon, not the filtered event stream
           // (src/match_traildb.c:188-236; LocalRunner matches)
-          val values = events
+          val values = lexiconEvents.getOrElse(events)
             .select(coalesce(col(field).cast("string"), lit("")))
             .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted
           ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
@@ -141,8 +172,9 @@ object TrckSparkRunner {
       case None => (filtered, uuidCol, None)
     }
 
+    val preOrder = if (events.columns.contains("__src")) Seq("__src") else Nil
     val em = TrailEngine
-      .emits(prog, trailDf, keyCol, tsCol, tiebreak, params, Some(tuples), fcalls, ctx)
+      .emits(prog, trailDf, keyCol, tsCol, tiebreak, params, Some(tuples), fcalls, ctx, preOrder)
       .cache()
 
     val nSlots = if (prog.mergeResults) 1 else tuples.length

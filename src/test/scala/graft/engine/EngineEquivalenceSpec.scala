@@ -72,6 +72,38 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Some(Ir.GroupBy(List("%a"), Some("@arr"), mergeResults = false)),
   )
 
+  test("multi-source runs: min_ts cut + cross-DB state carry, Spark = local") {
+    val prog = Compiled.compile(program)
+    val db1 = randomDb(11L, nTrails = 20, nEvents = 25)
+    // db2 reuses the same uuids with later (and some boundary/older)
+    // timestamps — LocalRunner applies the min_ts cut and carries FSM state
+    val rnd = new scala.util.Random(12L)
+    val db1Max = db1.trails.flatMap(_._2.map(_.ts)).max
+    val db2 = Db(db1.trails.map { case (uuid, _) =>
+      var ts = db1Max - 300 // some events fall below the cut
+      val evs = (0 until 25).map { _ =>
+        ts += rnd.nextInt(500).toLong
+        RawEvent(ts, Map(
+          "type" -> types(rnd.nextInt(types.length)),
+          "advertisable_eid" -> eids(rnd.nextInt(eids.length)),
+        ))
+      }
+      uuid -> evs
+    })
+    val tuples = eids.map(e => ForeachTuple(Vector(Left(e)))).toVector
+
+    val local = LocalRunner.run(prog, Seq(db1, db2), foreachTuples = Some(tuples))
+
+    val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+    val sparkOut = TrckSparkRunner.runRaw(
+      prog, unioned, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples))
+
+    val localOut = local.toOutputs
+    val gotOut = sparkOut.toOutputs
+    assert(gotOut.length == localOut.length)
+    for ((l, g) <- localOut.zip(gotOut)) assert(g == l)
+  }
+
   test("window-file runs: one ctx per window entry, id substitution, Spark = local") {
     // every event counts and echoes the ctx cookie — sensitive to both the
     // per-entry trail keying and the id→cookie substitution
