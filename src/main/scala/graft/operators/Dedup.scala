@@ -25,6 +25,48 @@ object Dedup {
       .select("doc_id", "canonical_id")
   }
 
+  /** Connected components over an undirected edge list — the exact closure
+    * of pairwise near-dup relations into canonical clusters (the one-pass
+    * min-over-shared-bucket canonicalization in MinHash/SimHash is the
+    * cheap approximation; this is the fixpoint).
+    *
+    * Iterative min-label propagation: each round every vertex takes the min
+    * of its own label and its neighbors' labels; converged when no label
+    * changes. O(diameter) rounds of two shuffles each; `localCheckpoint`
+    * truncates the lineage so 50 rounds don't build a 100-stage plan. At
+    * 100 TB diameters are small for near-dup graphs (clusters are dense);
+    * for adversarial chain graphs switch to large-star/small-star, which
+    * contracts in O(log n) rounds on the same join primitive.
+    */
+  def connectedComponents(
+      vertices: DataFrame, // one column: vertex id (long)
+      edges: DataFrame,    // two columns: endpoint ids
+      maxIter: Int = 50,
+  ): DataFrame = {
+    val vCol = vertices.columns.head
+    val (ea, eb) = (edges.columns(0), edges.columns(1))
+    val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
+      .union(edges.select(col(eb).as("src"), col(ea).as("dst")))
+    var labels = vertices.select(col(vCol).as("id"), col(vCol).cast("long").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min("comp").as("nbr_comp"))
+      val updated = labels
+        .join(nbrMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"),
+          (col("nbr_comp") < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).limit(1).count() == 0
+      labels = updated.select("id", "comp")
+      iter += 1
+    }
+    labels
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "d_exact_dup",

@@ -100,6 +100,98 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val d = norm(a) * norm(b)
+    if (d == 0) 0.0 else dot(a, b) / d
+  }
+
+  private def nearestCells(cent: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
+    cent.indices.sortBy(i => -cos(cent(i), v)).take(n).toArray
+
+  /** Deterministic k-means-lite coarse quantizer: the nCells lowest-id
+    * vectors seed the centroids, then `iters` rounds of assign (typed map,
+    * tight JVM loops — no interpreted array lambdas in the hot path) +
+    * per-dimension mean (posexplode → groupBy(cell, pos) with map-side
+    * partial agg). Centroids are tiny (nCells × dim) and live on the
+    * driver/broadcast; at 100 TB you train on a sample and reuse.
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    var cent = ds.orderBy("id").limit(nCells).collect().map(_._2)
+    for (_ <- 0 until iters) {
+      val cb = spark.sparkContext.broadcast(cent)
+      val means = ds
+        .map { case (_, v) => (nearestCells(cb.value, v, 1)(0), v) }
+        .toDF("cell", "vec")
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy("cell", "pos")
+        .agg(avg("col").as("m"))
+        .collect()
+      val next = cent.map(_.clone())
+      means.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val arr = next(cell)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+      }
+      cent = next
+    }
+    cent
+  }
+
+  /** IVF-bucketed ANN: corpus vectors live in their nearest centroid's
+    * cell; each query probes its `nProbe` nearest cells only. One narrow
+    * assignment pass over the corpus, one equi-join on cell ids —
+    * O(N·Q·nProbe/nCells) score work instead of O(N·Q).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
+    val cb = spark.sparkContext.broadcast(cent)
+
+    val cells = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCells(cb.value, v, 1)(0), id, v) }
+      .toDF("cell", "neighbor_id", "c_vec")
+    val probes = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => nearestCells(cb.value, v, nProbe).map(c => (c, id, v)) }
+      .toDF("cell", "query_id", "q_vec")
+
+    val scored = cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (each pair reported once, a < b). Pairs are expanded inside each
     * bucket's member array rather than via a bucket self-join — the join

@@ -127,6 +127,38 @@ object TrainingDataQueries {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         ORDER BY id_a, id_b"""),
     ),
+    // Connected-components closure of the exact near-dup relation into
+    // canonical clusters, oracled against a DuckDB recursive-CTE transitive
+    // closure over the same deterministic edge set.
+    Q(
+      "d_embed_cc",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+        val edges = l.join(broadcast(r), col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.35)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(emb.select("vec_id"), edges)
+          .select(col("id").as("vec_id"), col("comp").as("component"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        ),
+        sym AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e),
+        r(a, b) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+        )
+        SELECT a AS vec_id, min(b) AS component
+        FROM r GROUP BY a ORDER BY vec_id"""),
+    ),
     // Embedding-cosine near-dup pairs via LSH buckets (D5).
     Q(
       "d_embed_neardup",
@@ -175,6 +207,23 @@ object TrainingDataQueries {
         val queries = emb.filter(col("vec_id") < 10)
         Similarity
           .lshTopK(emb, queries, k = 5, planes = 4)
+          .groupBy("query_id")
+          .agg(
+            array_join(transform(array_sort(collect_list(col("neighbor_id"))), _.cast("string")), ",")
+              .as("neighbors"))
+          .orderBy("query_id")
+      },
+      None,
+    ),
+    // IVF-bucketed ANN (the other scale path: trained coarse quantizer +
+    // nProbe cells) — rows-only; recall vs brute force in the unit spec.
+    Q(
+      "ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4)
           .groupBy("query_id")
           .agg(
             array_join(transform(array_sort(collect_list(col("neighbor_id"))), _.cast("string")), ",")

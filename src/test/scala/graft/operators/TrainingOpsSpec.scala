@@ -75,6 +75,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
 
+  test("ivf ann recall vs brute force on sf0.001 embeddings") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCells = 8, nProbe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // probing half the cells should catch most true neighbors
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 5.0
+    }
+    assert(recalls.nonEmpty && recalls.sum / recalls.size > 0.4,
+      s"mean recall too low: ${recalls.sum / recalls.size}")
+  }
+
+  test("connected components closes transitive near-dup chains") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4, pair 10-11, singleton 20
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = graft.operators.Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("multimodal decode stub is deterministic and batch-safe") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
