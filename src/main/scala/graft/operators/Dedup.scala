@@ -45,20 +45,34 @@ object Dedup {
   ): DataFrame = {
     val vCol = vertices.columns.head
     val (ea, eb) = (edges.columns(0), edges.columns(1))
+    // materialize the edge list ONCE — it joins into every round, and an
+    // expensive upstream (e.g. an O(N²) similarity join) must not re-run
+    // per iteration
     val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
       .union(edges.select(col(eb).as("src"), col(ea).as("dst")))
+      .localCheckpoint(true)
     var labels = vertices.select(col(vCol).as("id"), col(vCol).cast("long").as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // neighbor-min step: each vertex takes the min label in its closed
+      // neighborhood
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("comp").as("nbr_comp"))
-      val updated = labels
+      val stepped = labels
         .join(nbrMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("comp"), col("nbr_comp")).as("comp"),
-          (col("nbr_comp") < col("comp")).as("changed"))
+        .select(col("id"), col("comp").as("old_comp"),
+          least(col("comp"), col("nbr_comp")).as("mid"))
+      // pointer-jump step: comp := label(comp) — labels only decrease, so
+      // this contracts label chains and drops the round count from
+      // O(diameter) to O(log diameter)
+      val jump = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val updated = stepped
+        .join(jump, stepped("mid") === col("jid"), "left")
+        .select(col("id"), least(col("mid"), col("jcomp")).as("comp"),
+          (least(col("mid"), col("jcomp")) < col("old_comp")).as("changed"))
         .localCheckpoint(true)
       converged = updated.filter(col("changed")).limit(1).count() == 0
       labels = updated.select("id", "comp")

@@ -191,4 +191,33 @@ object MinHash {
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - inter)
   }
+
+  /** JVM-side exact Jaccard for typed-map pipelines. Semantically identical
+    * to [[exactJaccard]] (same tokenization, same < k fallback) but one
+    * tight pass with hash sets — the Column form's interpreted array
+    * lambdas re-evaluate the shingle arrays once per reference, which
+    * dominates bulk pair-verification jobs.
+    */
+  def exactJaccardJvm(textA: String, textB: String, k: Int = 3): Double = {
+    def shingleSet(t: String): collection.Set[String] = {
+      val words = t.trim.split("\\s+", -1)
+      val out = new scala.collection.mutable.HashSet[String]
+      if (words.length < k) out += words.mkString(" ")
+      else {
+        var i = 0
+        while (i + k <= words.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+          out += sb.toString
+          i += 1
+        }
+      }
+      out
+    }
+    val sa = shingleSet(textA)
+    val sb = shingleSet(textB)
+    val inter = sa.count(sb.contains)
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
 }

@@ -31,7 +31,10 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
-    * rows (excluding itself). Queries must be small (broadcast).
+    * rows (excluding itself). Queries must be small (collected + broadcast);
+    * scoring is a typed flatMap with tight JVM loops and per-row norms
+    * computed once — Spark's higher-order array lambdas are interpreted,
+    * which on an O(N·Q) pair stream is the dominant cost.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -40,16 +43,61 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => (id, v, norm(v)) }
+    val qb = spark.sparkContext.broadcast(q)
     val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (cid, cv) =>
+        val nc = norm(cv)
+        qb.value.iterator.filter(_._1 != cid).map { case (qid, qv, nq) =>
+          val d = nq * nc
+          (qid, cid, if (d == 0) 0.0 else dot(qv, cv) / d)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold — the exact O(N²)
+    * near-dup baseline. One side is collected + broadcast (norms
+    * precomputed), the other streams through a typed flatMap of tight
+    * loops; use the LSH/IVF variants when the corpus doesn't fit a
+    * broadcast.
+    */
+  def exactPairsAbove(
+      corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    val side = spark.sparkContext.broadcast(
+      ds.collect().map { case (id, v) => (id, v, norm(v)) }.sortBy(_._1))
+    ds.flatMap { case (ida, va) =>
+      val na = norm(va)
+      side.value.iterator
+        .filter(_._1 > ida)
+        .flatMap { case (idb, vb, nb) =>
+          val d = na * nb
+          val sim = if (d == 0) 0.0 else dot(va, vb) / d
+          if (sim >= threshold) Iterator.single((ida, idb)) else Iterator.empty
+        }
+    }.toDF("id_a", "id_b")
   }
 
   /** 16-bit random-hyperplane LSH bucket id for a vector. Hyperplanes are

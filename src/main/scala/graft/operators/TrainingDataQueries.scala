@@ -68,6 +68,7 @@ object TrainingDataQueries {
     Q(
       "d_jaccard_exact",
       (s, dir) => {
+        import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pmod(col("n_chars"), lit(16)))
           .orderBy("doc_id")
@@ -76,10 +77,17 @@ object TrainingDataQueries {
           .withColumn("next_id", lead("doc_id", 1).over(w))
           .withColumn("next_text", lead("text", 1).over(w))
           .filter(col("next_id").isNotNull)
-          .select(
-            col("doc_id"),
-            col("next_id"),
-            round(MinHash.exactJaccard(col("text"), col("next_text")), 4).as("jaccard"))
+          .select(col("doc_id"), col("next_id"), col("text"), col("next_text"))
+          .as[(Long, Long, String, String)]
+          .map { case (a, b, ta, tb) =>
+            // same rounding as Spark's round(col, 4) on doubles
+            val j = java.math.BigDecimal
+              .valueOf(MinHash.exactJaccardJvm(ta, tb))
+              .setScale(4, java.math.RoundingMode.HALF_UP)
+              .doubleValue()
+            (a, b, j)
+          }
+          .toDF("doc_id", "next_id", "jaccard")
           .orderBy("doc_id")
       },
       Some("""
@@ -111,15 +119,10 @@ object TrainingDataQueries {
     // in the last ulp can't flip the hash; threshold far from the sim bulk.
     Q(
       "d_embed_neardup_exact",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-        val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-        l.join(broadcast(r), col("id_a") < col("id_b"))
-          .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.35)
-          .select("id_a", "id_b")
-          .orderBy("id_a", "id_b")
-      },
+      (s, dir) =>
+        Similarity
+          .exactPairsAbove(Tables(s, dir, "embeddings"), threshold = 0.35)
+          .orderBy("id_a", "id_b"),
       Some("""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a, embeddings b
@@ -134,11 +137,7 @@ object TrainingDataQueries {
       "d_embed_cc",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val l = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-        val r = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
-        val edges = l.join(broadcast(r), col("id_a") < col("id_b"))
-          .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= 0.35)
-          .select("id_a", "id_b")
+        val edges = Similarity.exactPairsAbove(emb, threshold = 0.35)
         Dedup.connectedComponents(emb.select("vec_id"), edges)
           .select(col("id").as("vec_id"), col("comp").as("component"))
           .orderBy("vec_id")
