@@ -22,8 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine similarity between two float-array columns (double precision) */
-  def cosine(a: Column, b: Column): Column = {
+  /** cosine similarity between two `array<float>` columns — native
+    * codegen'd Catalyst expression (one fused loop inside whole-stage
+    * codegen; see [[graft.functions.CosineSimilarity]])
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
+
+  /** higher-order-function formulation of [[cosine]] — interpreted, kept as
+    * the composable reference implementation the native expression is
+    * spec-checked against
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
     val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))

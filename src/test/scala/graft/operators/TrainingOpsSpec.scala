@@ -101,6 +101,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("native cosine expression matches the HOF formulation bit-for-bit") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val l = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).limit(40)
+    val r = emb.select(col("vec_id").as("ib"), col("embedding").as("vb")).limit(40)
+    val pairs = l.crossJoin(r)
+    val diffs = pairs
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+    // null inputs propagate null
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(withNull.select(Similarity.cosine(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("multimodal decode stub is deterministic and batch-safe") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
