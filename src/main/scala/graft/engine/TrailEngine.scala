@@ -54,6 +54,31 @@ object TrailEngine {
     */
   final case class CtxCols(cookieCol: String, startCol: String, endCol: String)
 
+  /** Cluster + sort a trail events frame ONCE for repeated trail queries:
+    * `emits(..., prepared = true)` over the result skips its per-query
+    * shuffle+sort — the dominant cost of every trail query. Persist the
+    * result for within-session reuse, or write it out with
+    * `df.write.bucketBy(n, uuidCol).sortBy(uuidCol, tsCol).saveAsTable(t)`
+    * for a durable layout (read back with
+    * `spark.sql.sources.v2.bucketing.enabled` /
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` so the
+    * scan keeps one-partition-per-bucket).
+    *
+    * The guarantee emits needs is exactly: same-uuid rows contiguous per
+    * partition, ordered by (preOrder, ts, tiebreak) within each uuid run.
+    */
+  def prepare(
+      events: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      tiebreak: Seq[String] = Nil,
+      preOrderCols: Seq[String] = Nil,
+  ): DataFrame =
+    events
+      .repartition(col(uuidCol))
+      .sortWithinPartitions(
+        col(uuidCol) +: (preOrderCols ++ (tsCol +: tiebreak)).map(col): _*)
+
   /** Run `prog` over `events`, which must contain `uuidCol`, `tsCol`
     * (long seconds) and a column per program-referenced field (missing
     * columns read as ""). Extra columns participate in consecutive-dup
@@ -76,6 +101,12 @@ object TrailEngine {
         * per-trail state carry, src/match_traildb.c:384-390)
         */
       preOrderCols: Seq[String] = Nil,
+      /** true ⇒ `events` is already uuid-clustered and (uuid, preOrder, ts,
+        * tiebreak)-sorted within partitions (via [[prepare]] or an
+        * equivalent bucketed layout) — the per-query shuffle+sort is
+        * skipped entirely. Correctness depends on the caller's guarantee.
+        */
+      prepared: Boolean = false,
   ): DataFrame = {
     val spark = events.sparkSession
 
@@ -116,10 +147,13 @@ object TrailEngine {
         dedupCols.map(c => col(c).cast(StringType).as(c)): _*
     )
 
-    val sorted = projected
-      .repartition(col("__uuid"))
-      .sortWithinPartitions(
-        col("__uuid") +: (preOrderCols.map(col) ++ (col("__ts") +: tiebreak.map(col))): _*)
+    val sorted =
+      if (prepared) projected // layout guaranteed by the caller — no shuffle
+      else
+        projected
+          .repartition(col("__uuid"))
+          .sortWithinPartitions(
+            col("__uuid") +: (preOrderCols.map(col) ++ (col("__ts") +: tiebreak.map(col))): _*)
 
     val fieldBase = 2 + ctxSel.length
     val hasCtx = ctx.isDefined

@@ -72,6 +72,35 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Some(Ir.GroupBy(List("%a"), Some("@arr"), mergeResults = false)),
   )
 
+  test("prepared trail layout: emits skips the shuffle, results identical") {
+    val prog = Compiled.compile(program)
+    val db = randomDb(77L, nTrails = 25, nEvents = 30)
+    val tuples = eids.map(e => ForeachTuple(Vector(Left(e)))).toVector
+    val df = dbToDf(db)
+
+    def countersOf(em: org.apache.spark.sql.DataFrame) = em
+      .filter(col("kind") === "c")
+      .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val normal = TrailEngine.emits(prog, df, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples))
+
+    val preparedDf = TrailEngine.prepare(df, "uuid", "ts", Seq("seq")).persist()
+    preparedDf.count() // materialize the one-time shuffle
+    val fast = TrailEngine.emits(
+      prog, preparedDf, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), prepared = true)
+
+    assert(countersOf(fast) == countersOf(normal))
+
+    // the prepared run's plan must introduce no shuffle of its own
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    fast.count()
+    val shuffles = fast.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"unexpected shuffles: $shuffles")
+    preparedDf.unpersist()
+  }
+
   test("multi-source runs: min_ts cut + cross-DB state carry, Spark = local") {
     val prog = Compiled.compile(program)
     val db1 = randomDb(11L, nTrails = 20, nEvents = 25)
