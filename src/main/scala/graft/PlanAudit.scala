@@ -24,7 +24,11 @@ object PlanAudit {
       val schemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
       val broadcasts = plan.linesIterator.count(l => l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin"))
       val cartesian = plan.linesIterator.count(_.contains("CartesianProduct"))
-      val codegen = "codegen id : (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+      // whole-stage-codegen spans show as *(n) prefixes — but only on the
+      // FINAL adaptive plan, so execute first (AQE re-plans at runtime)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
       println(s">>> $n: pushedFilterScans=${pushed.size} broadcastJoins=$broadcasts cartesian=$cartesian codegenSpans=$codegen")
       schemas.foreach(s => println(s">>> $n: $s"))
     }
