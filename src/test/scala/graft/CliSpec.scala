@@ -1,0 +1,97 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end CLI coverage: run graft.Trck.main on the reference's JSON
+  * test format with each --output-format, capturing stdout. The JSON input
+  * path runs LocalRunner (no Spark session), so this is fast and checks
+  * the arg parsing + program loading + sink wiring as a black box.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private def withCapturedStdout[A](f: => A): (A, Array[Byte]) = {
+    val buf = new ByteArrayOutputStream()
+    val old = System.out
+    val ps = new PrintStream(buf, true, "UTF-8")
+    System.setOut(ps)
+    val oldScala = Console.out
+    try {
+      val r = Console.withOut(ps)(f)
+      ps.flush()
+      (r, buf.toByteArray)
+    } finally {
+      System.setOut(old)
+      Console.withOut(oldScala)(())
+    }
+  }
+
+  private def writeTemp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-cli")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private val trProgram =
+    """start ->
+      |    receive
+      |        event_type = "click" -> yield $clicks, repeat
+      |        * -> repeat
+      |""".stripMargin
+
+  private val eventsJson =
+    """{"u1": [{"timestamp": 100, "event_type": "click"},
+      |        {"timestamp": 200, "event_type": "view"},
+      |        {"timestamp": 300, "event_type": "click"}],
+      | "u2": [{"timestamp": 150, "event_type": "click"}]}""".stripMargin
+
+  test("CLI json output on the reference test format") {
+    val prog = writeTemp("count.tr", trProgram)
+    val input = writeTemp("db.json", eventsJson)
+    val (_, out) = withCapturedStdout(Trck.main(Array(prog, input)))
+    val text = new String(out, "UTF-8").trim
+    assert(text == "{\"$clicks\":3}", text)
+  }
+
+  test("CLI msgpack output") {
+    val prog = writeTemp("count.tr", trProgram)
+    val input = writeTemp("db.json", eventsJson)
+    val (_, out) = withCapturedStdout(
+      Trck.main(Array(prog, "--output-format", "msgpack", input)))
+    // {"$clicks": {"type":"int","value":3}}
+    val hex = out.map(b => f"${b & 0xff}%02x").mkString
+    val expected =
+      "81" + "a7" + "$clicks".getBytes.map(b => f"$b%02x").mkString +
+        "82" + "a4" + "type".getBytes.map(b => f"$b%02x").mkString +
+        "a3" + "int".getBytes.map(b => f"$b%02x").mkString +
+        "a5" + "value".getBytes.map(b => f"$b%02x").mkString + "03"
+    assert(hex == expected, hex)
+  }
+
+  test("CLI proto output") {
+    val prog = writeTemp("count.tr", trProgram)
+    val input = writeTemp("db.json", eventsJson)
+    val (_, out) = withCapturedStdout(
+      Trck.main(Array(prog, "--output-format", "proto", input)))
+    // 8-byte LE length (2) + counter_clicks=1 varint 3 -> 08 03
+    val hex = out.map(b => f"${b & 0xff}%02x").mkString
+    assert(hex == "0200000000000000" + "0803", hex)
+  }
+
+  test("CLI exclude-file and filter") {
+    val prog = writeTemp("count.tr", trProgram)
+    val input = writeTemp("db.json", eventsJson)
+    val exclude = writeTemp("ex.txt", "u2\n")
+    val (_, out) = withCapturedStdout(
+      Trck.main(Array(prog, "--exclude-file", exclude, input)))
+    assert(new String(out, "UTF-8").trim == "{\"$clicks\":2}")
+
+    val (_, out2) = withCapturedStdout(
+      Trck.main(Array(prog, "--filter",
+        """{"clauses":[[{"field":"event_type","value":"view","op":"notequal"}]]}""", input)))
+    assert(new String(out2, "UTF-8").trim == "{\"$clicks\":3}")
+  }
+}
