@@ -118,6 +118,10 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val withNull = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]])).toDF("a", "b")
     assert(withNull.select(Similarity.cosine(col("a"), col("b"))).head.isNullAt(0))
+    // registered with the SQL function registry via GraftExtensions
+    val sqlVal = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .createOrReplaceTempView("cos_probe")
+    assert(spark.sql("SELECT cosine_similarity(a, b) FROM cos_probe").head.getDouble(0) == 1.0)
   }
 
   test("multimodal decode stub is deterministic and batch-safe") {
