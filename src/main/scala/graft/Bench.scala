@@ -8,9 +8,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor threads + codegen + parquet footers + the FSM emit
     // path (RowEncoder, broadcast machinery) so the first measured query
-    // isn't charged session startup
-    Tables(spark, sfDir, "events").count()
-    SparkEntry.entry(spark).count()
+    // isn't charged session startup — on the SAME sf dir being benchmarked
+    try {
+      Tables(spark, sfDir, "events").count()
+      SparkEntry.queries("m1_fsm_count")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column — a bare count() would

@@ -25,8 +25,9 @@ object PlanAudit {
       val broadcasts = plan.linesIterator.count(l => l.contains("BroadcastHashJoin") || l.contains("BroadcastNestedLoopJoin"))
       val cartesian = plan.linesIterator.count(_.contains("CartesianProduct"))
       // whole-stage-codegen spans show as *(n) prefixes — but only on the
-      // FINAL adaptive plan, so execute first (AQE re-plans at runtime)
-      df.collect()
+      // FINAL adaptive plan, so execute first (via the RDD, not collect():
+      // a per-row query result would otherwise materialize on the driver)
+      df.queryExecution.toRdd.foreachPartition((_: Iterator[_]) => ())
       val finalPlan = df.queryExecution.executedPlan.toString
       val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
       println(s">>> $n: pushedFilterScans=${pushed.size} broadcastJoins=$broadcasts cartesian=$cartesian codegenSpans=$codegen")

@@ -45,15 +45,6 @@ object TrailEngine {
     StructField("n", LongType),
   ))
 
-  /** Per-trail context columns for window-file runs (reference window_set
-    * semantics, src/match_traildb.c:513-553): each window entry is its own
-    * ctx — `cookieCol` holds the ctx cookie (the window id, which `cookie`
-    * yields echo), `startCol`/`endCol` the Y5 filter bounds. The trail key
-    * (`uuidCol`) must then be unique per window entry, so one real cookie
-    * with several windows runs as several independent trails.
-    */
-  final case class CtxCols(cookieCol: String, startCol: String, endCol: String)
-
   /** Cluster + sort a trail events frame ONCE for repeated trail queries:
     * `emits(..., prepared = true)` over the result skips its per-query
     * shuffle+sort — the dominant cost of every trail query. Persist the
@@ -94,14 +85,26 @@ object TrailEngine {
       params: Bindings = Bindings(),
       foreachTuples: Option[Vector[ForeachTuple]] = None,
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
-      ctx: Option[CtxCols] = None,
-      /** columns sorted BEFORE ts within each trail — the multi-source path
-        * passes the source index here so each trail replays its sources
-        * sequentially (reference: DBs are processed in argument order with
-        * per-trail state carry, src/match_traildb.c:384-390)
+      /** window-file entries, in file order (reference window_set): each
+        * listed cookie's trail is matched once PER ENTRY — own ctx cookie
+        * (the id), own [start, end) bounds — while FSM state stays keyed by
+        * the real cookie (every entry of one DB starts from the state the
+        * previous DB left; the LAST entry's output state carries forward;
+        * finalization runs once per cookie) — exactly LocalRunner /
+        * src/match_traildb.c:513-560 + j128m keying at :570,:789.
+        * Unlisted trails must be dropped upstream (broadcast semi-join).
         */
-      preOrderCols: Seq[String] = Nil,
-      /** true ⇒ `events` is already uuid-clustered and (uuid, preOrder, ts,
+      windows: Option[Seq[LocalRunner.WindowEntry]] = None,
+      /** source-index column for multi-source runs (see
+        * [[TrckSparkRunner.unionSources]]): each trail replays its sources
+        * sequentially, and `srcCuts(i)` (the min_ts cut of source i) feeds
+        * the per-source ctx window start like LocalRunner's
+        * `max(windowStart, minTs)` (Local.scala) — so Y5
+        * cookie_timestamp_filter_start yields match.
+        */
+      srcCol: Option[String] = None,
+      srcCuts: Array[Long] = Array.empty,
+      /** true ⇒ `events` is already uuid-clustered and (uuid, src, ts,
         * tiebreak)-sorted within partitions (via [[prepare]] or an
         * equivalent bucketed layout) — the per-query shuffle+sort is
         * skipped entirely. Correctness depends on the caller's guarantee.
@@ -130,20 +133,17 @@ object TrailEngine {
         }
 
     // prune to what the FSM needs; all extra columns only matter for dedup,
-    // which by reference semantics uses the full input row
-    val ctxNames = ctx.toSeq.flatMap(c => Seq(c.cookieCol, c.startCol, c.endCol))
-    val ctxSel: Seq[Column] = ctx.toSeq.flatMap(c =>
-      Seq(
-        col(c.cookieCol).cast(StringType).as("__ctx"),
-        col(c.startCol).cast(LongType).as("__wstart"),
-        col(c.endCol).cast(LongType).as("__wend"),
-      ))
-    val reserved = (Seq(uuidCol, tsCol) ++ ctxNames).toSet
-    val dedupCols = events.columns.filterNot(reserved).toSeq // full row minus uuid/ts/ctx
+    // which by reference semantics uses the full input row. The src column
+    // is projected separately AS A NUMBER (a string cast would order source
+    // 10 before 2) and does not join the dedup compare — per-source
+    // segmentation already prevents cross-boundary elision.
+    val reserved = (Seq(uuidCol, tsCol) ++ srcCol).toSet
+    val dedupCols = events.columns.filterNot(reserved).toSeq
+    val srcSel: Seq[Column] = srcCol.map(c => col(c).cast(LongType).as("__srcord")).toSeq
     val projected = events.select(
       (col(uuidCol).cast(StringType).as("__uuid") +:
         col(tsCol).cast(LongType).as("__ts") +:
-        ctxSel) ++
+        srcSel) ++
         dedupCols.map(c => col(c).cast(StringType).as(c)): _*
     )
 
@@ -153,21 +153,29 @@ object TrailEngine {
         projected
           .repartition(col("__uuid"))
           .sortWithinPartitions(
-            col("__uuid") +: (preOrderCols.map(col) ++ (col("__ts") +: tiebreak.map(col))): _*)
+            col("__uuid") +: (srcSel.map(_ => col("__srcord")) ++ (col("__ts") +: tiebreak.map(col))): _*)
 
-    val fieldBase = 2 + ctxSel.length
-    val hasCtx = ctx.isDefined
+    val hasSrc = srcCol.isDefined
+    val fieldBase = 2 + (if (hasSrc) 1 else 0)
     val fieldIdxInRow: Array[Int] = prog.fields.map { f =>
       val i = dedupCols.indexOf(f)
       if (i >= 0) i + fieldBase else -1
     }
     val nDedup = dedupCols.length
 
+    // window entries per cookie, in window-file order
+    val winByCookie: Option[Map[String, IndexedSeq[LocalRunner.WindowEntry]]] =
+      windows.map(_.groupBy(_.cookie).view.mapValues(_.toIndexedSeq).toMap)
+
     val tuplesB = spark.sparkContext.broadcast(tuples)
+    val winB = spark.sparkContext.broadcast(winByCookie)
+    val cutsB = spark.sparkContext.broadcast(srcCuts)
     val enc = RowEncoder.encoderFor(emitSchema)
 
     val emitted = sorted.mapPartitions { rows =>
       val ts = tuplesB.value
+      val winMap = winB.value
+      val cuts = cutsB.value
       new Iterator[Row] {
         private val buf = scala.collection.mutable.ArrayBuffer[Row]()
         private var bufPos = 0
@@ -184,41 +192,46 @@ object TrailEngine {
           if (first == null) return
           pending = null
           val uuid = first.getString(0)
-          // ctx cookie + Y5 window bounds (constant per trail by construction)
-          val ctxCookie = if (hasCtx) first.getString(2) else uuid
-          val wStart = if (hasCtx) first.getLong(3) else 0L
-          val wEnd = if (hasCtx) first.getLong(4) else 0L
-          // collect this trail's events (consecutive same-uuid rows),
-          // applying consecutive-dup elision over the full row
-          val evs = scala.collection.mutable.ArrayBuffer[TrailEvent]()
-          var prev: Row = null
+
+          // buffer the whole trail (consecutive same-uuid rows): timestamps,
+          // source index, program fields, dedup-compare values. Dedup runs
+          // per (source, window-entry) pass below, like the reference's
+          // per-ctx trail reads.
+          val tsArr = scala.collection.mutable.ArrayBuffer[Long]()
+          val srcArr = scala.collection.mutable.ArrayBuffer[Long]()
+          val fieldRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
+          val dedupRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
           var cur = first
           var done = false
           while (!done && cur != null) {
             if (cur.getString(0) != uuid) { pending = cur; done = true }
             else {
-              val dup = prev != null && prev.getLong(1) == cur.getLong(1) && {
-                var i = fieldBase; var same = true
-                while (same && i < fieldBase + nDedup) { same = rowField(prev, i) == rowField(cur, i); i += 1 }
-                same
+              tsArr += cur.getLong(1)
+              srcArr += (if (hasSrc) cur.getLong(2) else 0L)
+              val fa = new Array[String](fieldIdxInRow.length)
+              var i = 0
+              while (i < fa.length) {
+                fa(i) = if (fieldIdxInRow(i) == -1) "" else rowField(cur, fieldIdxInRow(i))
+                i += 1
               }
-              if (!dup) {
-                val arr = new Array[String](fieldIdxInRow.length)
-                var i = 0
-                while (i < arr.length) {
-                  arr(i) = if (fieldIdxInRow(i) == -1) "" else rowField(cur, fieldIdxInRow(i))
-                  i += 1
-                }
-                evs += new TrailEvent(cur.getLong(1), arr)
-                prev = cur
-              }
+              fieldRows += fa
+              val da = new Array[String](nDedup)
+              i = 0
+              while (i < nDedup) { da(i) = rowField(cur, fieldBase + i); i += 1 }
+              dedupRows += da
               cur = if (rows.hasNext) rows.next() else null
             }
           }
+          val n = tsArr.length
 
-          val eventsArr = evs.toArray
-          val saved = Array.fill(ts.length)(FsmState.initial(prog))
-          def emit(j: Int, r: Results): Unit = {
+          val entriesOpt: Option[IndexedSeq[LocalRunner.WindowEntry]] = winMap match {
+            case Some(m) => m.get(uuid) // unlisted trails drop
+            case None    => Some(IndexedSeq(LocalRunner.WindowEntry(uuid, uuid, 0L, 0L)))
+          }
+          if (entriesOpt.isEmpty) return
+          val entries = entriesOpt.get
+
+          def emitAs(ctxCookie: String)(j: Int, r: Results): Unit = {
             r.counters.foreach { case (d, v) =>
               if (v != 0) buf += Row(ctxCookie, j, "c", d, null, v)
             }
@@ -233,9 +246,49 @@ object TrailEngine {
               buf += Row(ctxCookie, j, "h", d, h.registers, 1L)
             }
           }
-          val out = TrailMatcher.processTrail(
-            prog, ts, saved, eventsArr, ctxCookie, wStart, wEnd, params, fcalls, emit)
-          TrailMatcher.finalizeTrail(prog, ts, out, ctxCookie, params, fcalls, emit)
+
+          // per-source segments in replay order; per segment, every window
+          // entry runs from the state the previous source left and the LAST
+          // entry's output carries (LocalRunner dbStates overwrite)
+          var carried = Array.fill(ts.length)(FsmState.initial(prog))
+          var segLo = 0
+          while (segLo < n) {
+            val src = srcArr(segLo)
+            var segHi = segLo
+            while (segHi < n && srcArr(segHi) == src) segHi += 1
+            val cut = if (src >= 0 && src < cuts.length) cuts(src.toInt) else 0L
+
+            var lastOut = carried
+            var e = 0
+            while (e < entries.length) {
+              val entry = entries(e)
+              val ws = math.max(entry.start, cut)
+              val we = entry.end
+              // filter to the entry's bounds, then consecutive-dup elision
+              val evs = scala.collection.mutable.ArrayBuffer[TrailEvent]()
+              var prevIdx = -1
+              var i = segLo
+              while (i < segHi) {
+                val t = tsArr(i)
+                if ((ws == 0L || t >= ws) && (we == 0L || t < we)) {
+                  val dup = prevIdx >= 0 && tsArr(prevIdx) == t &&
+                    java.util.Arrays.equals(
+                      dedupRows(prevIdx).asInstanceOf[Array[AnyRef]],
+                      dedupRows(i).asInstanceOf[Array[AnyRef]])
+                  if (!dup) { evs += new TrailEvent(t, fieldRows(i)); prevIdx = i }
+                }
+                i += 1
+              }
+              lastOut = TrailMatcher.processTrail(
+                prog, ts, carried, evs.toArray, entry.id, ws, we, params, fcalls, emitAs(entry.id))
+              e += 1
+            }
+            carried = lastOut
+            segLo = segHi
+          }
+          // one finalization per cookie, ctx = the real cookie
+          // (reference: :899-944 iterates the cookie-keyed states map)
+          TrailMatcher.finalizeTrail(prog, ts, carried, uuid, params, fcalls, emitAs(uuid))
         }
 
         override def hasNext: Boolean = {

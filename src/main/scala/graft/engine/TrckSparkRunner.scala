@@ -87,29 +87,29 @@ object TrckSparkRunner {
     }.reduce(_ unionByName _)
   }
 
-  /** F2 window file: broadcast-join events to the window list — INNER, so
-    * unlisted trails drop — and key the result one trail per window ENTRY
-    * (`__wkey`), with the entry's id as ctx cookie and its bounds as the Y5
-    * yieldables. One cookie with several windows becomes several
-    * independent FSM runs, exactly the reference's per-entry ctx loop
-    * (reference: src/match_traildb.c:513-553, src/window_set.c:30-180).
+  /** The per-source min_ts cuts of a [[unionSources]] frame, reconstructed
+    * from the data: cuts(i) = running max of earlier sources' max
+    * timestamps. The reconstruction is exact because each source's
+    * surviving max IS its original max (the max always survives its own
+    * cut), and fully-cut sources can never raise the running max.
     */
-  def applyWindows(
-      events: DataFrame,
-      uuidCol: String,
-      tsCol: String,
-      ws: LocalRunner.WindowSet,
-  ): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val wdf = ws.entries.zipWithIndex
-      .map { case (w, i) => (i, w.id, w.cookie, w.start, w.end) }
-      .toDF("__wkey", "__ctx", uuidCol, "__wstart", "__wend")
-    events
-      .join(broadcast(wdf), Seq(uuidCol))
-      .filter(
-        (col("__wstart") === 0L || col(tsCol) >= col("__wstart")) &&
-          (col("__wend") === 0L || col(tsCol) < col("__wend")))
+  def sourceCuts(events: DataFrame, srcCol: String, tsCol: String): Array[Long] = {
+    val rows = events
+      .groupBy(col(srcCol).cast("int").as("s"))
+      .agg(max(col(tsCol).cast("long")).as("m"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val n = if (rows.isEmpty) 0 else rows.keys.max + 1
+    val cuts = new Array[Long](n)
+    var running = 0L
+    var i = 0
+    while (i < n) {
+      cuts(i) = running
+      running = math.max(running, rows.getOrElse(i, 0L))
+      i += 1
+    }
+    cuts
   }
 
   /** Run a program over a trail DataFrame and assemble reference-shaped
@@ -165,16 +165,24 @@ object TrckSparkRunner {
           ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
         }
 
-    val (trailDf, keyCol, ctx) = filters.windows match {
+    // F2 window file: drop unlisted trails before the shuffle (broadcast
+    // semi-join); the per-entry ctx loop runs inside the engine with the
+    // window list broadcast (reference window_set semantics incl. cookie-
+    // keyed state carry and one finalization per cookie)
+    val (trailDf, winEntries) = filters.windows match {
       case Some(ws) =>
-        (applyWindows(filtered, uuidCol, tsCol, ws), "__wkey",
-          Some(TrailEngine.CtxCols("__ctx", "__wstart", "__wend")))
-      case None => (filtered, uuidCol, None)
+        val spark = events.sparkSession
+        import spark.implicits._
+        val cookies = ws.entries.map(_.cookie).distinct.toDF(uuidCol)
+        (filtered.join(broadcast(cookies), Seq(uuidCol), "left_semi"), Some(ws.entries))
+      case None => (filtered, None)
     }
 
-    val preOrder = if (events.columns.contains("__src")) Seq("__src") else Nil
+    val srcCol = if (events.columns.contains("__src")) Some("__src") else None
+    val cuts = srcCol.map(c => sourceCuts(events, c, tsCol)).getOrElse(Array.empty[Long])
     val em = TrailEngine
-      .emits(prog, trailDf, keyCol, tsCol, tiebreak, params, Some(tuples), fcalls, ctx, preOrder)
+      .emits(prog, trailDf, uuidCol, tsCol, tiebreak, params, Some(tuples), fcalls,
+        winEntries, srcCol, cuts)
       .cache()
 
     val nSlots = if (prog.mergeResults) 1 else tuples.length

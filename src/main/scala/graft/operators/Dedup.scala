@@ -44,6 +44,14 @@ object Dedup {
       maxIter: Int = 50,
   ): DataFrame = {
     val vCol = vertices.columns.head
+    // comp labels are the min vertex id, carried as long — fail fast on
+    // non-integral ids (a silent cast would null every label and converge
+    // immediately to garbage)
+    require({
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(
+        vertices.schema(vCol).dataType)
+    }, s"vertex id column $vCol must be integral (got ${vertices.schema(vCol).dataType.simpleString})")
     val (ea, eb) = (edges.columns(0), edges.columns(1))
     // materialize the edge list ONCE — it joins into every round, and an
     // expensive upstream (e.g. an O(N²) similarity join) must not re-run

@@ -128,14 +128,21 @@ object MinHash {
     * wide operations are the signature aggregation, the bucket groupBy and
     * the final pair count — each a single shuffle.
     */
+  /** SQL lambda expanding a sorted array column into its ordered 2-element
+    * combinations as `named_struct('a', x, 'b', y)` with x before y —
+    * shared by every bucketed pair generator (the arrays are ≤ maxBucket
+    * elements, so the interpreted lambda is cheap).
+    */
+  def pairExpand(arrayCol: String): Column =
+    expr(
+      s"flatten(transform($arrayCol, (a, i) -> " +
+        s"transform(slice($arrayCol, i + 2, size($arrayCol)), b -> named_struct('a', a, 'b', b))))")
+
   def bucketPairCounts(sigs: DataFrame, idCol: String = "doc_id",
                        h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame =
     bucketMembers(sigs, idCol, h, bands, maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('id_a', a, 'id_b', b))))"
-      )).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(explode(pairExpand("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_bands"))
 
@@ -151,19 +158,22 @@ object MinHash {
       bands: Int = 16,
       maxBucket: Int = 50,
   ): DataFrame = {
-    // one pass, no joins: window over the bucket key attaches (size, min)
-    // to every membership row, then a per-doc min over non-hot buckets.
-    // Every doc has ≥ 1 shingle ⇒ all `bands` memberships exist, so docs
-    // whose every bucket is hot fall out of the conditional min as NULL
-    // and keep themselves as canonical.
+    // one pass over the signatures, no self-joins: window over the bucket
+    // key attaches (size, min) to every membership row, then a per-doc min
+    // over non-hot buckets. Docs whose every bucket is hot fall out of the
+    // conditional min as NULL; docs with NULL text have no shingles at all
+    // (explode of a null array) — the left join from the full id list keeps
+    // both as their own canonical.
     val rows = h / bands
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
-    signatures(docs, idCol, textCol, k, h)
+    val fromBuckets = signatures(docs, idCol, textCol, k, h)
       .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__bmin", min(col(idCol)).over(w))
       .groupBy(idCol)
       .agg(min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"))
+    docs.select(col(idCol))
+      .join(fromBuckets, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
   }
 

@@ -52,6 +52,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries
@@ -90,6 +92,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    requireIntegralId(corpus, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus
@@ -173,6 +176,16 @@ object Similarity {
   private def nearestCells(cent: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
     cent.indices.sortBy(i => -cos(cent(i), v)).take(n).toArray
 
+  /** The typed kernels cast `idCol` to long — fail fast on non-integral ids
+    * instead of surfacing as a null-decoding error mid-job.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(dt),
+      s"$idCol must be an integral type (got ${dt.simpleString})")
+  }
+
   /** Deterministic k-means-lite coarse quantizer: the nCells lowest-id
     * vectors seed the centroids, then `iters` rounds of assign (typed map,
     * tight JVM loops — no interpreted array lambdas in the hot path) +
@@ -222,6 +235,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     val cent = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
@@ -270,10 +285,7 @@ object Similarity {
       .filter(col("__n").between(2, maxBucket))
       .groupBy("bucket")
       .agg(array_sort(collect_list(struct(col("id"), col("vec")))).as("ms"))
-      .select(explode(expr(
-        "flatten(transform(ms, (a, i) -> " +
-          "transform(slice(ms, i + 2, size(ms)), b -> named_struct('a', a, 'b', b))))"
-      )).as("p"))
+      .select(explode(MinHash.pairExpand("ms")).as("p"))
       .select(
         col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         cosine(col("p.a.vec"), col("p.b.vec")).as("sim"))

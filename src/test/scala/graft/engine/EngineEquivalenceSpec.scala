@@ -133,19 +133,30 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((l, g) <- localOut.zip(gotOut)) assert(g == l)
   }
 
-  test("window-file runs: one ctx per window entry, id substitution, Spark = local") {
-    // every event counts and echoes the ctx cookie — sensitive to both the
-    // per-entry trail keying and the id→cookie substitution
+  test("window-file runs: per-entry ctx, cookie-keyed state, single finalization, Spark = local") {
+    // window rule + `after` yield: finalization fires per COOKIE, not per
+    // window entry; Y5 bound yields + ctx-cookie echoes pin the per-entry
+    // ctx values; the multiset counts per-entry replication exactly
     val program = Ir.Program(
       Vector(
         Ir.Rule(None, None, None, entrypoint = false,
           List(
-            Ir.Clause(Map.empty, negated = false, Some("repeat"),
+            Ir.Clause(Map("type" -> List("cli")), negated = false, Some("break"),
               List(
                 Ir.Yield("$n", Nil),
                 Ir.Yield("#cookies", List(Ir.FieldTerm("cookie"), Ir.FieldTerm("type"))),
+                Ir.Yield("#bounds", List(
+                  Ir.FieldTerm("cookie"),
+                  Ir.FieldTerm("cookie_timestamp_filter_start"),
+                  Ir.FieldTerm("cookie_timestamp_filter_end"))),
+                Ir.Yield("&seen", List(Ir.FieldTerm("type"))),
               )),
+            Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil),
           ), None),
+        Ir.Rule(None, Some(700L), None, entrypoint = false,
+          List(Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)),
+          Some(Ir.Clause(Map.empty, negated = false, Some("restart-from-here(0)"),
+            List(Ir.Yield("$expired", Nil), Ir.Yield("#excookie", List(Ir.FieldTerm("cookie"))))))),
       ),
       None,
     )
@@ -170,8 +181,55 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val localOut = local.toOutputs
     assert(sparkOut.length == localOut.length)
-    assert(sparkOut.head("$n") == localOut.head("$n"))
-    assert(sparkOut.head("#cookies") == localOut.head("#cookies"))
+    for (k <- localOut.head.keys) assert(sparkOut.head(k) == localOut.head(k), s"key $k")
+  }
+
+  test("window-file + multi-source: min_ts clamps the per-entry ctx, Spark = local") {
+    val program = Ir.Program(
+      Vector(
+        Ir.Rule(None, None, None, entrypoint = false,
+          List(
+            Ir.Clause(Map.empty, negated = false, Some("repeat"),
+              List(
+                Ir.Yield("$n", Nil),
+                Ir.Yield("#bounds", List(
+                  Ir.FieldTerm("cookie"),
+                  Ir.FieldTerm("cookie_timestamp_filter_start"),
+                  Ir.FieldTerm("cookie_timestamp_filter_end"))),
+              )),
+          ), None),
+      ),
+      None,
+    )
+    val prog = Compiled.compile(program)
+    val db1 = randomDb(55L, nTrails = 8, nEvents = 15)
+    val db1Max = db1.trails.flatMap(_._2.map(_.ts)).max
+    val rnd = new scala.util.Random(56L)
+    val db2 = Db(db1.trails.map { case (uuid, _) =>
+      var ts = db1Max - 200
+      uuid -> (0 until 12).map { _ =>
+        ts += rnd.nextInt(300).toLong
+        RawEvent(ts, Map(
+          "type" -> types(rnd.nextInt(types.length)),
+          "advertisable_eid" -> eids(rnd.nextInt(eids.length)),
+        ))
+      }
+    })
+    val db2Max = db2.trails.flatMap(_._2.map(_.ts)).max
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("w-a", "user0", 0L, db2Max),
+      LocalRunner.WindowEntry("w-b", "user1", 50L, db2Max - 100),
+      LocalRunner.WindowEntry("user2", "user2", 0L, 0L),
+    ))
+
+    val local = LocalRunner.run(prog, Seq(db1, db2), windows = Some(ws))
+    val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+    val sparkOut = TrckSparkRunner.run(
+      prog, unioned, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)))
+
+    val localOut = local.toOutputs
+    for (k <- localOut.head.keys) assert(sparkOut.head(k) == localOut.head(k), s"key $k")
   }
 
   for (seed <- Seq(1L, 7L, 42L)) {
