@@ -185,6 +185,59 @@ object TrailEngine {
           val v = r.get(i); if (v == null) "" else v.toString
         }
 
+        /** Fast path for the common case (no windows, single source): one
+          * streaming pass with inline consecutive-dup elision — no per-row
+          * dedup-value buffering (measurably faster on the 20M-event perf
+          * fixture).
+          */
+        private def processNextTrailSimple(first: Row, uuid: String): Unit = {
+          val evs = scala.collection.mutable.ArrayBuffer[TrailEvent]()
+          var prev: Row = null
+          var cur = first
+          var done = false
+          while (!done && cur != null) {
+            if (cur.getString(0) != uuid) { pending = cur; done = true }
+            else {
+              val dup = prev != null && prev.getLong(1) == cur.getLong(1) && {
+                var i = fieldBase; var same = true
+                while (same && i < fieldBase + nDedup) { same = rowField(prev, i) == rowField(cur, i); i += 1 }
+                same
+              }
+              if (!dup) {
+                val arr = new Array[String](fieldIdxInRow.length)
+                var i = 0
+                while (i < arr.length) {
+                  arr(i) = if (fieldIdxInRow(i) == -1) "" else rowField(cur, fieldIdxInRow(i))
+                  i += 1
+                }
+                evs += new TrailEvent(cur.getLong(1), arr)
+                prev = cur
+              }
+              cur = if (rows.hasNext) rows.next() else null
+            }
+          }
+          val saved = Array.fill(ts.length)(FsmState.initial(prog))
+          val out = TrailMatcher.processTrail(
+            prog, ts, saved, evs.toArray, uuid, 0L, 0L, params, fcalls, emitAs(uuid))
+          TrailMatcher.finalizeTrail(prog, ts, out, uuid, params, fcalls, emitAs(uuid))
+        }
+
+        private def emitAs(ctxCookie: String)(j: Int, r: Results): Unit = {
+          r.counters.foreach { case (d, v) =>
+            if (v != 0) buf += Row(ctxCookie, j, "c", d, null, v)
+          }
+          r.sets.foreach { case (d, m) =>
+            m.foreach { case (t, c) => buf += Row(ctxCookie, j, "s", d, t, c) }
+          }
+          r.msets.foreach { case (d, m) =>
+            m.foreach { case (t, c) => buf += Row(ctxCookie, j, "m", d, t, c) }
+          }
+          r.hlls.foreach { case (d, h) =>
+            // emit the trail-local sketch registers; merged upstream
+            buf += Row(ctxCookie, j, "h", d, h.registers, 1L)
+          }
+        }
+
         private def processNextTrail(): Unit = {
           buf.clear(); bufPos = 0
           var first = pending
@@ -192,11 +245,12 @@ object TrailEngine {
           if (first == null) return
           pending = null
           val uuid = first.getString(0)
+          if (winMap.isEmpty && !hasSrc) { processNextTrailSimple(first, uuid); return }
 
-          // buffer the whole trail (consecutive same-uuid rows): timestamps,
-          // source index, program fields, dedup-compare values. Dedup runs
-          // per (source, window-entry) pass below, like the reference's
-          // per-ctx trail reads.
+          // general path: buffer the whole trail (consecutive same-uuid
+          // rows): timestamps, source index, program fields, dedup-compare
+          // values. Dedup runs per (source, window-entry) pass below, like
+          // the reference's per-ctx trail reads.
           val tsArr = scala.collection.mutable.ArrayBuffer[Long]()
           val srcArr = scala.collection.mutable.ArrayBuffer[Long]()
           val fieldRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
@@ -230,22 +284,6 @@ object TrailEngine {
           }
           if (entriesOpt.isEmpty) return
           val entries = entriesOpt.get
-
-          def emitAs(ctxCookie: String)(j: Int, r: Results): Unit = {
-            r.counters.foreach { case (d, v) =>
-              if (v != 0) buf += Row(ctxCookie, j, "c", d, null, v)
-            }
-            r.sets.foreach { case (d, m) =>
-              m.foreach { case (t, c) => buf += Row(ctxCookie, j, "s", d, t, c) }
-            }
-            r.msets.foreach { case (d, m) =>
-              m.foreach { case (t, c) => buf += Row(ctxCookie, j, "m", d, t, c) }
-            }
-            r.hlls.foreach { case (d, h) =>
-              // emit the trail-local sketch registers; merged upstream
-              buf += Row(ctxCookie, j, "h", d, h.registers, 1L)
-            }
-          }
 
           // per-source segments in replay order; per segment, every window
           // entry runs from the state the previous source left and the LAST
