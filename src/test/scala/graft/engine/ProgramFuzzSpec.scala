@@ -133,6 +133,52 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  for (seed <- Seq(711L, 822L, 933L)) {
+    test(s"random program + window-file equivalence (seed=$seed)") {
+      val rnd = new scala.util.Random(seed)
+      val program = randomProgram(rnd)
+      val prog = Compiled.compile(program)
+      val db1 = randomDb(rnd, nTrails = 12, nEvents = 18, tsBase = 0L)
+      val db1Max = db1.trails.flatMap(_._2.map(_.ts)).max
+      val db2 = randomDb(rnd, nTrails = 12, nEvents = 12, tsBase = db1Max - 400)
+      val allMax = db2.trails.flatMap(_._2.map(_.ts)).max
+      // random window list: some cookies multi-window with ids, some plain,
+      // some unlisted, one ghost
+      val entries = (0 until 12).flatMap { u =>
+        val cookie = s"user$u"
+        rnd.nextInt(4) match {
+          case 0 => Nil // unlisted → dropped
+          case 1 => Seq(LocalRunner.WindowEntry(cookie, cookie,
+            rnd.nextInt(500).toLong, allMax - rnd.nextInt(500)))
+          case 2 => Seq(
+            LocalRunner.WindowEntry(s"w$u-a", cookie, 0L, (allMax * 2) / 3),
+            LocalRunner.WindowEntry(s"w$u-b", cookie, allMax / 3, allMax))
+          case 3 => Seq(LocalRunner.WindowEntry(s"w$u", cookie, 0L, 0L))
+        }
+      } :+ LocalRunner.WindowEntry("ghost", "ghost", 0L, allMax)
+      val ws = LocalRunner.WindowSet(entries)
+      val params = Fsm.Bindings(
+        scalars = Map("p" -> eids(rnd.nextInt(3))),
+        sets = Map("ts" -> Set(types(rnd.nextInt(types.length)))),
+      )
+      val tuples: Option[Vector[ForeachTuple]] =
+        if (prog.groupbyVars.isEmpty) None
+        else Some(Vector("a1", "zz").map(v => ForeachTuple(Vector(Left(v)))))
+
+      val local = LocalRunner.run(prog, Seq(db1, db2), params, tuples, windows = Some(ws))
+
+      val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+      val engine = TrckSparkRunner.runRaw(
+        prog, unioned, "uuid", "ts", Seq("seq"), params, tuples,
+        filters = TrckSparkRunner.EngineFilters(windows = Some(ws)))
+
+      val grouped = prog.groupbyVars.nonEmpty && !prog.mergeResults
+      val localJson = OutputJson.render(local.toOutputs, grouped)
+      val engineJson = OutputJson.render(engine.toOutputs, grouped)
+      assert(engineJson == localJson, s"seed=$seed program=${program.rules.mkString("; ")}")
+    }
+  }
+
   test("fuzz corpus was not vacuous") {
     // at least half the seeds must have produced a non-zero result value
     assert(ProgramFuzzSpec.nonTrivial >= 3, s"only ${ProgramFuzzSpec.nonTrivial} non-trivial runs")
