@@ -61,7 +61,67 @@ object TextAnalysis {
     when(best("s") > 0, best("l")).otherwise(lit("und"))
   }
 
+  /** Deterministic train/val/test assignment: bucket = first 4 hex chars of
+    * md5(key) mod 100 — reproducible across engines and runs, no RNG state
+    * to ship, stable under repartitioning (the standard hash-split for
+    * training corpora; md5 matches DuckDB's bit-for-bit).
+    */
+  def splitBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  def splitName(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(key)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
+
+  /** Vocabulary by document frequency: distinct tokens per doc → explode →
+    * count docs per token. Map-side partial aggregation collapses each
+    * partition's counts; the shuffle carries one row per distinct token per
+    * partition — the standard scalable shape for corpus vocabularies.
+    */
+  def vocabularyDf(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+
   val queries: Seq[Q] = Seq(
+    // deterministic hash split: per-split document counts + token sums
+    Q(
+      "t_split_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(splitName(col("doc_id")).as("split"), tokenCount(col("text")).as("n"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+          .orderBy("split"),
+      Some("""
+        WITH b AS (
+          SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+          FROM documents
+        )
+        SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1 ORDER BY split"""),
+    ),
+    // vocabulary: top-50 tokens by document frequency (ties by token)
+    Q(
+      "t_vocab_topk",
+      (s, dir) =>
+        vocabularyDf(Tables(s, dir, "documents"))
+          .orderBy(col("doc_freq").desc, col("token"))
+          .limit(50),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+          FROM documents
+        )
+        SELECT token, COUNT(*) AS doc_freq
+        FROM t WHERE token <> ''
+        GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50"""),
+    ),
     Q(
       "t_token_count",
       (s, dir) =>
