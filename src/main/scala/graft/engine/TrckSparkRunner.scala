@@ -180,40 +180,50 @@ object TrckSparkRunner {
 
     val srcCol = if (events.columns.contains("__src")) Some("__src") else None
     val cuts = srcCol.map(c => sourceCuts(events, c, tsCol)).getOrElse(Array.empty[Long])
-    val em = TrailEngine
+    // one aggregation pass per DECLARED yield family — most programs only
+    // count, so they get a single job; the emit stream is cached only when
+    // more than one family will traverse it
+    val needCounters = prog.yieldCounters.nonEmpty
+    val needSets = prog.yieldSets.nonEmpty || prog.yieldMultisets.nonEmpty
+    val needHlls = prog.yieldHlls.nonEmpty
+    val nPasses = Seq(needCounters, needSets, needHlls).count(identity)
+    val em0 = TrailEngine
       .emits(prog, trailDf, uuidCol, tsCol, tiebreak, params, Some(tuples), fcalls,
         winEntries, srcCol, cuts)
-      .cache()
+    val em = if (nPasses > 1) em0.cache() else em0
 
     val nSlots = if (prog.mergeResults) 1 else tuples.length
     val results = Vector.fill(nSlots)(new Results(prog))
     def slotIdx(i: Int) = if (prog.mergeResults) 0 else i
 
     // counters
-    em.filter(col("kind") === "c")
-      .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
-      .collect()
-      .foreach(r => results(slotIdx(r.getInt(0))).counters.updateWith(r.getString(1))(c => Some(c.getOrElse(0L) + r.getLong(2))))
+    if (needCounters)
+      em.filter(col("kind") === "c")
+        .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
+        .collect()
+        .foreach(r => results(slotIdx(r.getInt(0))).counters.updateWith(r.getString(1))(c => Some(c.getOrElse(0L) + r.getLong(2))))
     // sets + multisets: distinct encoded tuples with counts
-    em.filter(col("kind").isin("s", "m"))
-      .groupBy("tuple_idx", "kind", "dst", "item").agg(sum("n").as("v"))
-      .collect()
-      .foreach { r =>
-        val res = results(slotIdx(r.getInt(0)))
-        val m = if (r.getString(1) == "s") res.sets(r.getString(2)) else res.msets(r.getString(2))
-        val k = r.getAs[Array[Byte]]("item")
-        m.update(k, m.getOrElse(k, 0L) + r.getLong(4))
-      }
+    if (needSets)
+      em.filter(col("kind").isin("s", "m"))
+        .groupBy("tuple_idx", "kind", "dst", "item").agg(sum("n").as("v"))
+        .collect()
+        .foreach { r =>
+          val res = results(slotIdx(r.getInt(0)))
+          val m = if (r.getString(1) == "s") res.sets(r.getString(2)) else res.msets(r.getString(2))
+          val k = r.getAs[Array[Byte]]("item")
+          m.update(k, m.getOrElse(k, 0L) + r.getLong(4))
+        }
     // hlls: merge per-trail register arrays
-    em.filter(col("kind") === "h")
-      .groupBy("tuple_idx", "dst")
-      .agg(graft.functions.HllAggregator.trckHllMergeHex(col("item")).as("hex"))
-      .collect()
-      .foreach { r =>
-        val res = results(slotIdx(r.getInt(0)))
-        res.hlls.update(r.getString(1), Hll.fromHexString(r.getString(2)))
-      }
-    em.unpersist()
+    if (needHlls)
+      em.filter(col("kind") === "h")
+        .groupBy("tuple_idx", "dst")
+        .agg(graft.functions.HllAggregator.trckHllMergeHex(col("item")).as("hex"))
+        .collect()
+        .foreach { r =>
+          val res = results(slotIdx(r.getInt(0)))
+          res.hlls.update(r.getString(1), Hll.fromHexString(r.getString(2)))
+        }
+    if (nPasses > 1) em.unpersist()
 
     LocalRunner.RunOutput(prog, tuples, results, prog.mergeResults)
   }
