@@ -12,7 +12,12 @@ object Bench {
     try {
       Tables(spark, sfDir, "events").count()
       SparkEntry.queries("m1_fsm_count")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // surface it — a silently-skipped warmup re-charges startup cost to
+        // the first measured query
+        System.err.println(s"[bench] warmup failed: $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column — a bare count() would

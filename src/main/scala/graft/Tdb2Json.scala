@@ -19,17 +19,20 @@ object Tdb2Json {
     var uuidCol = "uuid"
     var tsCol = "ts"
     var limit = -1
+    var tiebreak: List[String] = Nil
     var path: String = null
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--uuid-col" => uuidCol = args(i + 1); i += 2
-        case "--ts-col"   => tsCol = args(i + 1); i += 2
-        case "--limit"    => limit = args(i + 1).toInt; i += 2
-        case p            => path = p; i += 1
+        case "--uuid-col"     => uuidCol = args(i + 1); i += 2
+        case "--ts-col"       => tsCol = args(i + 1); i += 2
+        case "--limit"        => limit = args(i + 1).toInt; i += 2
+        case "--tiebreak-col" => tiebreak ::= args(i + 1); i += 2
+        case p                => path = p; i += 1
       }
     }
-    require(path != null, "usage: Tdb2Json <events.parquet> [--uuid-col c] [--ts-col c] [--limit n]")
+    require(path != null,
+      "usage: Tdb2Json <events.parquet> [--uuid-col c] [--ts-col c] [--tiebreak-col c] [--limit n]")
 
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,13 +45,17 @@ object Tdb2Json {
         val keep = df0.select(col(uuidCol)).distinct().orderBy(uuidCol).limit(limit)
         df0.join(broadcast(keep), Seq(uuidCol), "left_semi")
       }
+    // sort BEFORE the string-cast projection so tiebreak columns order by
+    // their native types; the narrow select preserves intra-partition order
     val sorted = limited
+      .filter(col(uuidCol).isNotNull && col(tsCol).isNotNull) // undumpable rows
+      .repartition(col(uuidCol))
+      .sortWithinPartitions(
+        col(uuidCol).cast("string") +: col(tsCol).cast("long") +: tiebreak.reverse.map(col): _*)
       .select(
         col(uuidCol).cast("string").as("__uuid") +:
           col(tsCol).cast("long").as("__ts") +:
           fields.map(c => col(c).cast("string").as(c)): _*)
-      .repartition(col("__uuid"))
-      .sortWithinPartitions("__uuid", "__ts")
 
     // stream row by row to stdout; trails are contiguous per partition so
     // nothing beyond the current row lives on the driver

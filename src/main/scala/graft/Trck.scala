@@ -113,7 +113,7 @@ object Trck {
         spark.sparkContext.setLogLevel("WARN")
         val dfs = inputs.map(spark.read.parquet(_)).toSeq
         // sequential-DB semantics: min_ts cut + per-source replay order
-        val events = TrckSparkRunner.unionSources(dfs, tsCol)
+        val (events, srcCuts) = TrckSparkRunner.unionSources(dfs, tsCol)
         // the implicit-foreach lexicon sweeps the UNcut union
         val lexicon = if (dfs.lengthCompare(1) == 0) None else Some(dfs.reduce(_ unionByName _))
         val filters = TrckSparkRunner.EngineFilters(
@@ -128,7 +128,7 @@ object Trck {
         )
         val out = TrckSparkRunner.runRaw(
           prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters,
-          lexiconEvents = lexicon)
+          lexiconEvents = lexicon, srcCuts = srcCuts)
         spark.stop()
         out
       }

@@ -63,12 +63,17 @@ object TrailEngine {
       uuidCol: String,
       tsCol: String,
       tiebreak: Seq[String] = Nil,
-      preOrderCols: Seq[String] = Nil,
+      srcCol: Option[String] = None,
   ): DataFrame =
     events
       .repartition(col(uuidCol))
+      // sort on the SAME cast values emits sorts on — raw-typed string
+      // timestamps or src indices would order lexically ("1000" < "999")
+      // and prepared=true would silently trust the wrong order
       .sortWithinPartitions(
-        col(uuidCol) +: (preOrderCols ++ (tsCol +: tiebreak)).map(col): _*)
+        col(uuidCol) +:
+          (srcCol.map(c => col(c).cast(LongType)).toSeq ++
+            (col(tsCol).cast(LongType) +: tiebreak.map(col))): _*)
 
   /** Run `prog` over `events`, which must contain `uuidCol`, `tsCol`
     * (long seconds) and a column per program-referenced field (missing
@@ -140,11 +145,15 @@ object TrailEngine {
     val reserved = (Seq(uuidCol, tsCol) ++ srcCol).toSet
     val dedupCols = events.columns.filterNot(reserved).toSeq
     val srcSel: Seq[Column] = srcCol.map(c => col(c).cast(LongType).as("__srcord")).toSeq
+    // tiebreak columns keep their ORIGINAL types in dedicated sort columns —
+    // the dedup projection below casts everything to string, and a numeric
+    // tiebreak sorted lexically would order "10" before "9" under equal ts
+    val tbSel: Seq[Column] = tiebreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }
     val projected = events.select(
       (col(uuidCol).cast(StringType).as("__uuid") +:
         col(tsCol).cast(LongType).as("__ts") +:
         srcSel) ++
-        dedupCols.map(c => col(c).cast(StringType).as(c)): _*
+        dedupCols.map(c => col(c).cast(StringType).as(c)) ++ tbSel: _*
     )
 
     val sorted =
@@ -153,7 +162,8 @@ object TrailEngine {
         projected
           .repartition(col("__uuid"))
           .sortWithinPartitions(
-            col("__uuid") +: (srcSel.map(_ => col("__srcord")) ++ (col("__ts") +: tiebreak.map(col))): _*)
+            col("__uuid") +: (srcSel.map(_ => col("__srcord")) ++
+              (col("__ts") +: tiebreak.indices.map(i => col(s"__tb$i")))): _*)
 
     val hasSrc = srcCol.isDefined
     val fieldBase = 2 + (if (hasSrc) 1 else 0)

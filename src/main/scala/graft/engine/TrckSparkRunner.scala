@@ -62,54 +62,34 @@ object TrckSparkRunner {
     df
   }
 
-  /** Multiple sequential sources ("TrailDBs") → one tagged DataFrame with
-    * the reference's cross-DB semantics (src/match_traildb.c:384-390,
-    * 812-849): source i's events are dropped below the running max
-    * timestamp of sources 0..i-1 (the min_ts cut — one tiny max()
+  /** Multiple sequential sources ("TrailDBs") → one tagged DataFrame plus
+    * the per-source min_ts cuts, with the reference's cross-DB semantics
+    * (src/match_traildb.c:804 — `min_ts = tdb_max_timestamp(db)`, a plain
+    * OVERWRITE with the previous DB's max, NOT a running max): source i's
+    * events are dropped below source i-1's max timestamp (one tiny max()
     * aggregation per source), and a `__src` column orders each trail's
-    * replay by source before timestamp. `__src` also participates in
-    * consecutive-dup elision like any other column, so an event repeated
-    * across a DB boundary is NOT deduped — matching the per-DB trail reads.
-    * Pass `preOrderCols = Seq("__src")` to [[TrailEngine.emits]] (run/runRaw
-    * do this automatically when they see the column).
+    * replay by source before timestamp (run/runRaw pick the column up
+    * automatically; pass the cuts through so the per-source ctx window
+    * starts — Y5 yields — clamp like LocalRunner's max(start, minTs)).
+    * Cross-DB-boundary duplicate events are NOT deduped — the engine runs
+    * consecutive-dup elision per source segment, matching the per-DB trail
+    * reads. The cuts CANNOT be reconstructed from the cut data (a source
+    * whose max is below its own cut loses all rows yet still defines the
+    * next source's cut), hence the tuple return.
     */
-  def unionSources(sources: Seq[DataFrame], tsCol: String): DataFrame = {
+  def unionSources(sources: Seq[DataFrame], tsCol: String): (DataFrame, Array[Long]) = {
     require(sources.nonEmpty)
-    if (sources.lengthCompare(1) == 0) return sources.head
+    if (sources.lengthCompare(1) == 0) return (sources.head, Array.empty)
     val maxes = sources.map { df =>
       Option(df.agg(max(col(tsCol).cast("long"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     }
-    val cuts = maxes.scanLeft(0L)(math.max).init
-    sources.zipWithIndex.map { case (df, i) =>
+    val cuts = (0L +: maxes.init).toArray // cuts(i) = max of source i-1
+    val df = sources.zipWithIndex.map { case (df, i) =>
       val tagged = df.withColumn("__src", lit(i))
       if (cuts(i) == 0L) tagged else tagged.filter(col(tsCol).cast("long") >= cuts(i))
     }.reduce(_ unionByName _)
-  }
-
-  /** The per-source min_ts cuts of a [[unionSources]] frame, reconstructed
-    * from the data: cuts(i) = running max of earlier sources' max
-    * timestamps. The reconstruction is exact because each source's
-    * surviving max IS its original max (the max always survives its own
-    * cut), and fully-cut sources can never raise the running max.
-    */
-  def sourceCuts(events: DataFrame, srcCol: String, tsCol: String): Array[Long] = {
-    val rows = events
-      .groupBy(col(srcCol).cast("int").as("s"))
-      .agg(max(col(tsCol).cast("long")).as("m"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val n = if (rows.isEmpty) 0 else rows.keys.max + 1
-    val cuts = new Array[Long](n)
-    var running = 0L
-    var i = 0
-    while (i < n) {
-      cuts(i) = running
-      running = math.max(running, rows.getOrElse(i, 0L))
-      i += 1
-    }
-    cuts
+    (df, cuts)
   }
 
   /** Run a program over a trail DataFrame and assemble reference-shaped
@@ -126,9 +106,10 @@ object TrckSparkRunner {
       filters: EngineFilters = EngineFilters(),
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
       lexiconEvents: Option[DataFrame] = None,
+      srcCuts: Array[Long] = Array.empty,
   ): Vector[mutable.LinkedHashMap[String, Any]] =
     runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls,
-      lexiconEvents).toOutputs
+      lexiconEvents, srcCuts).toOutputs
 
   /** As [[run]] but returns the raw [[LocalRunner.RunOutput]] (for the
     * msgpack/proto sinks, which need the encoded tuples, not the rendered
@@ -148,6 +129,10 @@ object TrckSparkRunner {
         * reference sweeps the full DB lexicons, min_ts cut or not)
         */
       lexiconEvents: Option[DataFrame] = None,
+      /** per-source min_ts cuts from [[unionSources]] (required for Y5 /
+        * window-clamp parity whenever `events` carries a `__src` column)
+        */
+      srcCuts: Array[Long] = Array.empty,
   ): LocalRunner.RunOutput = {
     val filtered = applyFilters(events, uuidCol, tsCol, filters)
     val tuples: Vector[ForeachTuple] =
@@ -165,21 +150,42 @@ object TrckSparkRunner {
           ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
         }
 
-    // F2 window file: drop unlisted trails before the shuffle (broadcast
-    // semi-join); the per-entry ctx loop runs inside the engine with the
-    // window list broadcast (reference window_set semantics incl. cookie-
-    // keyed state carry and one finalization per cookie)
+    // F2 window file: drop unlisted trails AND events outside every window
+    // of their cookie before the shuffle (broadcast join on per-cookie
+    // coverage bounds — a 2-year trail with a 1-day window ships one day of
+    // events, like the old per-entry range join); the per-entry ctx loop
+    // runs inside the engine with the window list broadcast (reference
+    // window_set semantics incl. cookie-keyed state carry and one
+    // finalization per cookie). Safe because an event outside the union of
+    // its cookie's entry bounds can never enter any processTrail call.
     val (trailDf, winEntries) = filters.windows match {
       case Some(ws) =>
         val spark = events.sparkSession
         import spark.implicits._
-        val cookies = ws.entries.map(_.cookie).distinct.toDF(uuidCol)
-        (filtered.join(broadcast(cookies), Seq(uuidCol), "left_semi"), Some(ws.entries))
+        val bounds = ws.entries
+          .groupBy(_.cookie)
+          .map { case (cookie, es) =>
+            // 0 means unbounded on that side for ANY entry of the cookie
+            val lo = if (es.exists(_.start == 0L)) 0L else es.map(_.start).min
+            val hi = if (es.exists(_.end == 0L)) 0L else es.map(_.end).max
+            (cookie, lo, hi)
+          }
+          .toSeq
+          .toDF(uuidCol, "__wlo", "__whi")
+        val joined = filtered
+          .join(broadcast(bounds), Seq(uuidCol)) // inner: unlisted trails drop
+          .filter(
+            (col("__wlo") === 0L || col(tsCol).cast("long") >= col("__wlo")) &&
+              (col("__whi") === 0L || col(tsCol).cast("long") < col("__whi")))
+          .drop("__wlo", "__whi") // must not leak into the engine's dedup set
+        (joined, Some(ws.entries))
       case None => (filtered, None)
     }
 
     val srcCol = if (events.columns.contains("__src")) Some("__src") else None
-    val cuts = srcCol.map(c => sourceCuts(events, c, tsCol)).getOrElse(Array.empty[Long])
+    require(srcCol.isEmpty || srcCuts.nonEmpty,
+      "multi-source events (__src column) need the unionSources cuts passed as srcCuts")
+    val cuts = srcCuts
     // one aggregation pass per DECLARED yield family — most programs only
     // count, so they get a single job; the emit stream is cached only when
     // more than one family will traverse it

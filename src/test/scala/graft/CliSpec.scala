@@ -17,15 +17,11 @@ class CliSpec extends AnyFunSuite {
     val old = System.out
     val ps = new PrintStream(buf, true, "UTF-8")
     System.setOut(ps)
-    val oldScala = Console.out
     try {
-      val r = Console.withOut(ps)(f)
+      val r = Console.withOut(ps)(f) // withOut restores Console.out itself
       ps.flush()
       (r, buf.toByteArray)
-    } finally {
-      System.setOut(old)
-      Console.withOut(oldScala)(())
-    }
+    } finally System.setOut(old)
   }
 
   private def writeTemp(name: String, content: String): String = {

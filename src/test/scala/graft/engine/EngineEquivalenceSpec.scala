@@ -123,9 +123,46 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val local = LocalRunner.run(prog, Seq(db1, db2), foreachTuples = Some(tuples))
 
-    val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+    val (unioned, cuts) = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
     val sparkOut = TrckSparkRunner.runRaw(
-      prog, unioned, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples))
+      prog, unioned, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), srcCuts = cuts)
+
+    val localOut = local.toOutputs
+    val gotOut = sparkOut.toOutputs
+    assert(gotOut.length == localOut.length)
+    for ((l, g) <- localOut.zip(gotOut)) assert(g == l)
+  }
+
+  test("3 sources with non-monotonic maxes: min_ts is an overwrite, not a running max") {
+    // reference: min_ts = tdb_max_timestamp(previous db) — db2's max (LOW)
+    // replaces db1's (HIGH), so db3 events between them survive; a
+    // running-max cut would wrongly drop them
+    val prog = Compiled.compile(program)
+    def fixedDb(seed: Long, base: Long, span: Int): Db = {
+      val rnd = new scala.util.Random(seed)
+      Db((0 until 10).map { u =>
+        var ts = base
+        val evs = (0 until 12).map { _ =>
+          ts += 1 + rnd.nextInt(span)
+          RawEvent(ts, Map(
+            "type" -> types(rnd.nextInt(types.length)),
+            "advertisable_eid" -> eids(rnd.nextInt(eids.length)),
+          ))
+        }
+        s"user$u" -> evs
+      })
+    }
+    val db1 = fixedDb(1L, 0L, 800)      // max ≈ several thousand (HIGH)
+    val db2 = fixedDb(2L, 0L, 50)       // max ≈ few hundred (LOW) — mostly cut
+    val db3 = fixedDb(3L, 400L, 300)    // straddles db2's max, below db1's
+    val tuples = eids.map(e => ForeachTuple(Vector(Left(e)))).toVector
+
+    val local = LocalRunner.run(prog, Seq(db1, db2, db3), foreachTuples = Some(tuples))
+
+    val (unioned, cuts) = TrckSparkRunner.unionSources(
+      Seq(dbToDf(db1), dbToDf(db2), dbToDf(db3)), "ts")
+    val sparkOut = TrckSparkRunner.runRaw(
+      prog, unioned, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), srcCuts = cuts)
 
     val localOut = local.toOutputs
     val gotOut = sparkOut.toOutputs
@@ -223,10 +260,10 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     ))
 
     val local = LocalRunner.run(prog, Seq(db1, db2), windows = Some(ws))
-    val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+    val (unioned, cuts) = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
     val sparkOut = TrckSparkRunner.run(
       prog, unioned, "uuid", "ts", Seq("seq"),
-      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)))
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), srcCuts = cuts)
 
     val localOut = local.toOutputs
     for (k <- localOut.head.keys) assert(sparkOut.head(k) == localOut.head(k), s"key $k")

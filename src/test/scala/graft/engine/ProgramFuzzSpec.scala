@@ -120,9 +120,9 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val local = LocalRunner.run(prog, Seq(db1, db2), params, tuples)
 
-      val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+      val (unioned, cuts) = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
       val engine = TrckSparkRunner.runRaw(
-        prog, unioned, "uuid", "ts", Seq("seq"), params, tuples)
+        prog, unioned, "uuid", "ts", Seq("seq"), params, tuples, srcCuts = cuts)
 
       val grouped = prog.groupbyVars.nonEmpty && !prog.mergeResults
       val localJson = OutputJson.render(local.toOutputs, grouped)
@@ -167,10 +167,10 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
       val local = LocalRunner.run(prog, Seq(db1, db2), params, tuples, windows = Some(ws))
 
-      val unioned = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+      val (unioned, cuts) = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
       val engine = TrckSparkRunner.runRaw(
         prog, unioned, "uuid", "ts", Seq("seq"), params, tuples,
-        filters = TrckSparkRunner.EngineFilters(windows = Some(ws)))
+        filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), srcCuts = cuts)
 
       val grouped = prog.groupbyVars.nonEmpty && !prog.mergeResults
       val localJson = OutputJson.render(local.toOutputs, grouped)
