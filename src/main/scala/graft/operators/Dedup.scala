@@ -42,6 +42,13 @@ object Dedup {
       vertices: DataFrame, // one column: vertex id (long)
       edges: DataFrame,    // two columns: endpoint ids
       maxIter: Int = 50,
+      /** graphs whose edge AND vertex counts fit under this bound are
+        * solved with driver-side union-find (one collect, no iteration) —
+        * the iterative path costs ~4 Spark jobs per round, which dominates
+        * small graphs; large graphs take the distributed path. The same
+        * adaptive shape as broadcast-join thresholds.
+        */
+      collectThreshold: Long = 1000000L,
   ): DataFrame = {
     val vCol = vertices.columns.head
     // comp labels are the min vertex id, carried as long — fail fast on
@@ -56,10 +63,41 @@ object Dedup {
     // materialize the edge list ONCE — it joins into every round, and an
     // expensive upstream (e.g. an O(N²) similarity join) must not re-run
     // per iteration
-    val sym = edges.select(col(ea).as("src"), col(eb).as("dst"))
-      .union(edges.select(col(eb).as("src"), col(ea).as("dst")))
+    val spark = vertices.sparkSession
+    val vtx = vertices.select(col(vCol).cast("long").as("id")).localCheckpoint(true)
+    val edg = edges.select(col(ea).cast("long").as("a"), col(eb).cast("long").as("b"))
       .localCheckpoint(true)
-    var labels = vertices.select(col(vCol).as("id"), col(vCol).cast("long").as("comp"))
+    val nV = vtx.count()
+    val nE = edg.count()
+    if (nV <= collectThreshold && nE <= collectThreshold) {
+      // driver union-find with path compression; roots resolved to the
+      // component's min id
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edg.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = vtx.collect().map(_.getLong(0))
+      val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+      ids.foreach { id =>
+        val r = find(id)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), id)
+      }
+      import spark.implicits._
+      return ids.toSeq.map(id => (id, minOfRoot(find(id)))).toDF("id", "comp")
+    }
+
+    val sym = edg.select(col("a").as("src"), col("b").as("dst"))
+      .union(edg.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vtx.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

@@ -90,15 +90,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
 
-  test("connected components closes transitive near-dup chains") {
+  test("connected components closes transitive near-dup chains (both paths)") {
     val s = spark
     import s.implicits._
     // chain 1-2-3-4, pair 10-11, singleton 20
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val got = graft.operators.Dedup.connectedComponents(vertices, edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // driver union-find path (under the collect threshold)
+    val small = graft.operators.Dedup.connectedComponents(vertices, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(small == expected)
+    // distributed min-label + pointer-jumping path (threshold forced to 0)
+    val dist = graft.operators.Dedup.connectedComponents(vertices, edges, collectThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("native cosine expression matches the HOF formulation bit-for-bit") {
