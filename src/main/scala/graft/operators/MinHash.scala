@@ -38,11 +38,6 @@ object MinHash {
       )
   }
 
-  /** 64-bit hashes of the word k-shingles, built from ONE xxhash64 per word
-    * plus a polynomial combine over each k-window — the shingle strings are
-    * never materialized and each word is hashed once, not once per shingle
-    * position × hash function.
-    */
   /** left-rotate a 64-bit column by n (bitwise — safe under ANSI mode,
     * unlike multiply/add mixing which overflows LongType)
     */
@@ -52,6 +47,10 @@ object MinHash {
     else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
   }
 
+  /** Column-expression form of the shingle hashing (one xxhash64 per word +
+    * rotl-xor window combine) — for generic frames where the typed kernel
+    * in [[signatures]] doesn't apply.
+    */
   def shingleHashes(text: Column, k: Int = 3): Column = {
     val words = split(trim(text), "\\s+")
     val wh = transform(words, w => xxhash64(w))
@@ -71,14 +70,48 @@ object MinHash {
     * H string hashes. Partial aggregation collapses each doc's shingles
     * map-side; the shuffle carries one (H+1)-column row per doc.
     */
-  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3, h: Int = 64): DataFrame =
-    docs
-      .select(col(idCol), explode(shingleHashes(col(textCol), k)).as("__h1"))
+  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3, h: Int = 64): DataFrame = {
+    // shingle hashing as a typed flatMap — tight JVM loops, one murmur3-64
+    // per word + rotl-xor window combine, no interpreted array lambdas and
+    // no shingle-string materialization (ids must be integral for the
+    // typed row; the Column-based shingleHashes stays for generic frames)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val words = (if (text == null) "" else text).trim.split("\\s+", -1)
+        val wh = new Array[Long](words.length)
+        var i = 0
+        while (i < words.length) {
+          wh(i) = graft.trck.Murmur3.hash64(words(i).getBytes("UTF-8")); i += 1
+        }
+        if (words.length < k)
+          Iterator.single((id, graft.trck.Murmur3.hash64(words.mkString(" ").getBytes("UTF-8"))))
+        else {
+          val out = new Array[(Long, Long)](words.length - k + 1)
+          var s = 0
+          while (s + k <= words.length) {
+            var acc = wh(s)
+            var j = 1
+            while (j < k) {
+              acc = java.lang.Long.rotateLeft(acc, 13) ^ wh(s + j); j += 1
+            }
+            out(s) = (id, acc)
+            s += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF(idCol, "__h1")
+    hashed
       .select(col(idCol), col("__h1"), xxhash64(col("__h1")).as("__h2"))
       .groupBy(idCol)
       .agg(
         array((0 until h).map(i => min(col("__h1").bitwiseXOR(rotl(col("__h2"), i)))): _*).as("sig")
       )
+  }
 
   /** band keys: hash each of B slices of R signature values */
   def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column =
