@@ -63,11 +63,7 @@ object Tdb2Json {
       new java.io.OutputStreamWriter(System.out, "UTF-8"), 1 << 16))
     var curUuid: String = null
     val it = sorted.toLocalIterator()
-    def esc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      }
+    def esc(s: String): String = OutputJson.esc(s)
     w.print("{")
     while (it.hasNext) {
       val r = it.next()

@@ -81,8 +81,11 @@ object TrckSparkRunner {
     require(sources.nonEmpty)
     if (sources.lengthCompare(1) == 0) return (sources.head, Array.empty)
     val maxes = sources.map { df =>
-      Option(df.agg(max(col(tsCol).cast("long"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // floored at 0 like LocalRunner's foldLeft(0L)(max) — an all-negative
+      // source must not introduce a negative cut the oracle wouldn't apply
+      math.max(0L,
+        Option(df.agg(max(col(tsCol).cast("long"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     val cuts = (0L +: maxes.init).toArray // cuts(i) = max of source i-1
     val df = sources.zipWithIndex.map { case (df, i) =>

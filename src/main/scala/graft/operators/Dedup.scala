@@ -71,7 +71,12 @@ object Dedup {
     val nE = edg.count()
     if (nV <= collectThreshold && nE <= collectThreshold) {
       // driver union-find with path compression; roots resolved to the
-      // component's min id
+      // component's min id. Edges with an endpoint outside the vertex set
+      // are ignored — the same contract the distributed path enforces
+      // (label joins drop unknown endpoints), so results never depend on
+      // which path the size heuristic picks.
+      val ids = vtx.collect().map(_.getLong(0))
+      val known = ids.toSet
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -81,10 +86,12 @@ object Dedup {
         r
       }
       edg.collect().foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (known(a) && known(b)) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
       }
-      val ids = vtx.collect().map(_.getLong(0))
       val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
       ids.foreach { id =>
         val r = find(id)

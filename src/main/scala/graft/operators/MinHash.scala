@@ -47,9 +47,11 @@ object MinHash {
     else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
   }
 
-  /** Column-expression form of the shingle hashing (one xxhash64 per word +
-    * rotl-xor window combine) — for generic frames where the typed kernel
-    * in [[signatures]] doesn't apply.
+  /** Column-expression shingle hashing (one xxhash64 per word + rotl-xor
+    * window combine) for generic frames. NOTE: a DIFFERENT hash family
+    * than [[signatures]]' typed kernel (xxhash64 vs murmur3-64) — the two
+    * produce disjoint hash spaces and their outputs must never be banded
+    * or compared against each other.
     */
   def shingleHashes(text: Column, k: Int = 3): Column = {
     val words = split(trim(text), "\\s+")
@@ -73,36 +75,22 @@ object MinHash {
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3, h: Int = 64): DataFrame = {
     // shingle hashing as a typed flatMap — tight JVM loops, one murmur3-64
     // per word + rotl-xor window combine, no interpreted array lambdas and
-    // no shingle-string materialization (ids must be integral for the
-    // typed row; the Column-based shingleHashes stays for generic frames)
+    // no shingle-string materialization. NULL text emits no shingles (the
+    // doc stays its own canonical via nearDupCanonical's left join) —
+    // mapping null to "" would cluster every null-text doc together.
+    require({
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(
+        docs.schema(idCol).dataType)
+    }, s"$idCol must be an integral type (got ${docs.schema(idCol).dataType.simpleString})")
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val words = (if (text == null) "" else text).trim.split("\\s+", -1)
-        val wh = new Array[Long](words.length)
-        var i = 0
-        while (i < words.length) {
-          wh(i) = graft.trck.Murmur3.hash64(words(i).getBytes("UTF-8")); i += 1
-        }
-        if (words.length < k)
-          Iterator.single((id, graft.trck.Murmur3.hash64(words.mkString(" ").getBytes("UTF-8"))))
-        else {
-          val out = new Array[(Long, Long)](words.length - k + 1)
-          var s = 0
-          while (s + k <= words.length) {
-            var acc = wh(s)
-            var j = 1
-            while (j < k) {
-              acc = java.lang.Long.rotateLeft(acc, 13) ^ wh(s + j); j += 1
-            }
-            out(s) = (id, acc)
-            s += 1
-          }
-          out.iterator
-        }
+        if (text == null) Iterator.empty
+        else shingleHashIter(id, text, k)
       }
       .toDF(idCol, "__h1")
     hashed
@@ -111,6 +99,31 @@ object MinHash {
       .agg(
         array((0 until h).map(i => min(col("__h1").bitwiseXOR(rotl(col("__h2"), i)))): _*).as("sig")
       )
+  }
+
+  private def shingleHashIter(id: Long, text: String, k: Int): Iterator[(Long, Long)] = {
+    val words = text.trim.split("\\s+", -1)
+    val wh = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      wh(i) = graft.trck.Murmur3.hash64(words(i).getBytes("UTF-8")); i += 1
+    }
+    if (words.length < k)
+      Iterator.single((id, graft.trck.Murmur3.hash64(words.mkString(" ").getBytes("UTF-8"))))
+    else {
+      val out = new Array[(Long, Long)](words.length - k + 1)
+      var s = 0
+      while (s + k <= words.length) {
+        var acc = wh(s)
+        var j = 1
+        while (j < k) {
+          acc = java.lang.Long.rotateLeft(acc, 13) ^ wh(s + j); j += 1
+        }
+        out(s) = (id, acc)
+        s += 1
+      }
+      out.iterator
+    }
   }
 
   /** band keys: hash each of B slices of R signature values */

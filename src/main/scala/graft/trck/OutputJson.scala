@@ -16,7 +16,7 @@ object OutputJson {
     */
   final case class Mset(entries: Vector[(String, Long)])
 
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
