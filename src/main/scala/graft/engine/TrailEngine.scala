@@ -48,12 +48,15 @@ object TrailEngine {
   /** Cluster + sort a trail events frame ONCE for repeated trail queries:
     * `emits(..., prepared = true)` over the result skips its per-query
     * shuffle+sort — the dominant cost of every trail query. Persist the
-    * result for within-session reuse, or write it out with
-    * `df.write.bucketBy(n, uuidCol).sortBy(uuidCol, tsCol).saveAsTable(t)`
-    * for a durable layout (read back with
-    * `spark.sql.sources.v2.bucketing.enabled` /
+    * result for within-session reuse, or write a durable layout with
+    * `df.repartition(n, col(uuidCol)).write.bucketBy(n, uuidCol)
+    * .sortBy(uuidCol, tsCol, tiebreak…).saveAsTable(t)` — the repartition
+    * must align with the bucket count so each bucket is ONE sorted file
+    * (multi-file buckets concatenate per-file sorted runs and break the
+    * contract) — and read back with
     * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` so the
-    * scan keeps one-partition-per-bucket).
+    * scan keeps one-partition-per-bucket (validated end-to-end in
+    * EngineEquivalenceSpec's bucketed-table test).
     *
     * The guarantee emits needs is exactly: same-uuid rows contiguous per
     * partition, ordered by (preOrder, ts, tiebreak) within each uuid run.

@@ -101,6 +101,43 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     preparedDf.unpersist()
   }
 
+  test("bucketed-table layout: prepared emits over a saved bucketed table, no shuffle") {
+    val prog = Compiled.compile(program)
+    val db = randomDb(88L, nTrails = 30, nEvents = 25)
+    val tuples = eids.map(e => ForeachTuple(Vector(Left(e)))).toVector
+    val df = dbToDf(db)
+
+    def countersOf(em: org.apache.spark.sql.DataFrame) = em
+      .filter(col("kind") === "c")
+      .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val normal = TrailEngine.emits(prog, df, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples))
+
+    // durable layout: align write partitioning with the bucket hash so each
+    // bucket is ONE sorted file (multi-file buckets concatenate per-file
+    // sorted runs and would break the prepared contract), then force the
+    // bucketed scan on read
+    val nBuckets = 4
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS trails_bucketed")
+    df.repartition(nBuckets, col("uuid"))
+      .write.bucketBy(nBuckets, "uuid").sortBy("uuid", "ts", "seq")
+      .mode("overwrite").saveAsTable("trails_bucketed")
+    val table = spark.table("trails_bucketed")
+    val fast = TrailEngine.emits(
+      prog, table, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), prepared = true)
+
+    assert(countersOf(fast) == countersOf(normal))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    fast.count()
+    val shuffles = fast.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"unexpected shuffles: $shuffles")
+    spark.sql("DROP TABLE IF EXISTS trails_bucketed")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("multi-source runs: min_ts cut + cross-DB state carry, Spark = local") {
     val prog = Compiled.compile(program)
     val db1 = randomDb(11L, nTrails = 20, nEvents = 25)
