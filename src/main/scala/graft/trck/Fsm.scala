@@ -348,7 +348,24 @@ object Fsm {
       }
     }
 
+    // guard against non-consuming restart cycles: a program whose
+    // restart-from-here chain re-dispatches the same event forever (legal
+    // to WRITE in the reference's grammar — the generated C would spin
+    // identically) fails fast here instead of hanging the executor. The
+    // bound is far above any legitimate chain (≤ rules × clauses dispatches
+    // plus window pops per event).
+    val stallLimit = prog.rules.length * 8 + 64
+    var stallPos = -2
+    var stallCount = 0
+
     while (mode != STOP) {
+      if (ctx.pos == stallPos) {
+        stallCount += 1
+        if (stallCount > stallLimit)
+          throw new IllegalStateException(
+            s"FSM made $stallCount transitions without consuming an event " +
+              s"(rule ${ri}, ts=$timestamp) — non-terminating restart cycle in the program")
+      } else { stallPos = ctx.pos; stallCount = 0 }
       mode match {
         case START =>
           val r = prog.rules(ri)

@@ -41,7 +41,12 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       case 1 => if (ri + 1 < nRules) "break" else "repeat"
       case 2 => "quit"
       case 3 => s"restart-from-next(${rnd.nextInt(nRules)})"
-      case 4 => s"restart-from-here(${rnd.nextInt(nRules)})"
+      case 4 =>
+        // forward-only: a backward restart-from-here can re-dispatch the
+        // same event in a cycle (a non-terminating program — legal to
+        // write, guarded by the interpreter's stall check)
+        if (ri + 1 < nRules) s"restart-from-here(${ri + 1 + rnd.nextInt(nRules - ri - 1)})"
+        else "repeat"
     }
     def randomAttrs(): Map[String, List[String]] = rnd.nextInt(5) match {
       case 0 => Map.empty
@@ -102,7 +107,7 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toDF("uuid", "ts", "seq", "type", "advertisable_eid")
   }
 
-  for (seed <- Seq(101L, 202L, 303L, 404L, 505L, 606L)) {
+  for (seed <- Seq(101L, 202L, 303L, 404L, 505L, 606L, 1717L, 2828L, 3939L)) {
     test(s"random program equivalence, Spark == LocalRunner (seed=$seed)") {
       val rnd = new scala.util.Random(seed)
       val program = randomProgram(rnd)
