@@ -348,24 +348,44 @@ object Fsm {
       }
     }
 
-    // guard against non-consuming restart cycles: a program whose
+    // Guard against non-consuming restart cycles: a program whose
     // restart-from-here chain re-dispatches the same event forever (legal
     // to WRITE in the reference's grammar — the generated C would spin
-    // identically) fails fast here instead of hanging the executor. The
-    // bound is far above any legitimate chain (≤ rules × clauses dispatches
-    // plus window pops per event).
-    val stallLimit = prog.rules.length * 8 + 64
+    // identically) fails fast here instead of hanging the executor. At a
+    // fixed trail position the interpreter's control state (mode, ri,
+    // window expiry, outer-window stack) evolves DETERMINISTICALLY — item,
+    // binds and clause predicates are all fixed — so a non-terminating
+    // chain must revisit an exact state. Brent's cycle detection finds that
+    // with O(1) memory and zero false positives: a legitimate long
+    // after-yield sweep (e.g. `after -> restart-from-here` replayed across
+    // a gap of many window durations, reference fsm2c.py enter_rule's
+    // min(timestamp, window_expires)+d re-entry) strictly advances
+    // windowExpires every pass and therefore never repeats a state, no
+    // matter how many thousands of passes it makes.
     var stallPos = -2
-    var stallCount = 0
+    var cycPow = 1
+    var cycLam = 0
+    var snapMode = -1; var snapRi = -1; var snapWin = 0L
+    var snapOuterIds: Array[Int] = null
+    var snapOuterExp: Array[Long] = null
+    def cycleSnapshot(): Unit = {
+      snapMode = mode; snapRi = ri; snapWin = state.windowExpires
+      snapOuterIds = state.outerIds.clone(); snapOuterExp = state.outerExpires.clone()
+    }
+    def cycleRepeats: Boolean =
+      mode == snapMode && ri == snapRi && state.windowExpires == snapWin &&
+        java.util.Arrays.equals(state.outerIds, snapOuterIds) &&
+        java.util.Arrays.equals(state.outerExpires, snapOuterExp)
 
     while (mode != STOP) {
       if (ctx.pos == stallPos) {
-        stallCount += 1
-        if (stallCount > stallLimit)
+        if (cycleRepeats)
           throw new IllegalStateException(
-            s"FSM made $stallCount transitions without consuming an event " +
+            s"FSM control state repeated without consuming an event " +
               s"(rule ${ri}, ts=$timestamp) — non-terminating restart cycle in the program")
-      } else { stallPos = ctx.pos; stallCount = 0 }
+        cycLam += 1
+        if (cycLam == cycPow) { cycPow <<= 1; cycLam = 0; cycleSnapshot() }
+      } else { stallPos = ctx.pos; cycPow = 1; cycLam = 0; cycleSnapshot() }
       mode match {
         case START =>
           val r = prog.rules(ri)
