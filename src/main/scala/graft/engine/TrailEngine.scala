@@ -145,18 +145,26 @@ object TrailEngine {
     // is projected separately AS A NUMBER (a string cast would order source
     // 10 before 2) and does not join the dedup compare — per-source
     // segmentation already prevents cross-boundary elision.
-    val reserved = (Seq(uuidCol, tsCol) ++ srcCol).toSet
+    // "__ghost" marks zero-event sentinel rows (one per trail that exists
+    // in the source but lost every event to filters — see
+    // TrckSparkRunner.withSentinels): they assert the trail's presence per
+    // source so the per-entry loop and finalization still run, but are
+    // never materialized as events and never join the dedup compare.
+    val hasGhost = events.columns.contains("__ghost")
+    val reserved = (Seq(uuidCol, tsCol) ++ srcCol ++ (if (hasGhost) Seq("__ghost") else Nil)).toSet
     val dedupCols = events.columns.filterNot(reserved).toSeq
     val srcSel: Seq[Column] = srcCol.map(c => col(c).cast(LongType).as("__srcord")).toSeq
     // tiebreak columns keep their ORIGINAL types in dedicated sort columns —
     // the dedup projection below casts everything to string, and a numeric
     // tiebreak sorted lexically would order "10" before "9" under equal ts
     val tbSel: Seq[Column] = tiebreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }
+    val ghostSel: Seq[Column] =
+      if (hasGhost) Seq(col("__ghost").cast(IntegerType).as("__ghost")) else Nil
     val projected = events.select(
       (col(uuidCol).cast(StringType).as("__uuid") +:
         col(tsCol).cast(LongType).as("__ts") +:
         srcSel) ++
-        dedupCols.map(c => col(c).cast(StringType).as(c)) ++ tbSel: _*
+        dedupCols.map(c => col(c).cast(StringType).as(c)) ++ tbSel ++ ghostSel: _*
     )
 
     val sorted =
@@ -175,6 +183,7 @@ object TrailEngine {
       if (i >= 0) i + fieldBase else -1
     }
     val nDedup = dedupCols.length
+    val ghostIdx = if (hasGhost) fieldBase + nDedup + tiebreak.length else -1
 
     // window entries per cookie, in window-file order
     val winByCookie: Option[Map[String, IndexedSeq[LocalRunner.WindowEntry]]] =
@@ -210,7 +219,10 @@ object TrailEngine {
           var done = false
           while (!done && cur != null) {
             if (cur.getString(0) != uuid) { pending = cur; done = true }
-            else {
+            else if (ghostIdx >= 0 && cur.getInt(ghostIdx) == 1) {
+              // presence sentinel: establishes the trail, contributes no event
+              cur = if (rows.hasNext) rows.next() else null
+            } else {
               val dup = prev != null && prev.getLong(1) == cur.getLong(1) && {
                 var i = fieldBase; var same = true
                 while (same && i < fieldBase + nDedup) { same = rowField(prev, i) == rowField(cur, i); i += 1 }
@@ -266,6 +278,7 @@ object TrailEngine {
           // the reference's per-ctx trail reads.
           val tsArr = scala.collection.mutable.ArrayBuffer[Long]()
           val srcArr = scala.collection.mutable.ArrayBuffer[Long]()
+          val ghostArr = scala.collection.mutable.ArrayBuffer[Boolean]()
           val fieldRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
           val dedupRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
           var cur = first
@@ -273,6 +286,7 @@ object TrailEngine {
           while (!done && cur != null) {
             if (cur.getString(0) != uuid) { pending = cur; done = true }
             else {
+              ghostArr += (ghostIdx >= 0 && cur.getInt(ghostIdx) == 1)
               tsArr += cur.getLong(1)
               srcArr += (if (hasSrc) cur.getLong(2) else 0L)
               val fa = new Array[String](fieldIdxInRow.length)
@@ -321,7 +335,7 @@ object TrailEngine {
               var i = segLo
               while (i < segHi) {
                 val t = tsArr(i)
-                if ((ws == 0L || t >= ws) && (we == 0L || t < we)) {
+                if (!ghostArr(i) && (ws == 0L || t >= ws) && (we == 0L || t < we)) {
                   val dup = prevIdx >= 0 && tsArr(prevIdx) == t &&
                     java.util.Arrays.equals(
                       dedupRows(prevIdx).asInstanceOf[Array[AnyRef]],

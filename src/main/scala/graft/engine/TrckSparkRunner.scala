@@ -62,6 +62,32 @@ object TrckSparkRunner {
     df
   }
 
+  /** Union one zero-event `__ghost` sentinel row per trail (per source, for
+    * multi-source runs) present in `presentFrom`, so trails whose events
+    * are all filtered away still reach the engine's per-entry loop and
+    * MAX_TIMESTAMP finalization — the reference iterates DB trails
+    * regardless of how many events survive per-event filters
+    * (src/match_traildb.c:513-560). The engine never materializes sentinels
+    * as events (TrailEngine `__ghost` handling); for trails with surviving
+    * events the extra row is inert. Known residual gap (documented, rare):
+    * a source whose events all fall below the min_ts cut loses its
+    * presence row before this point (unionSources drops them), while the
+    * reference would still run that DB's empty per-entry loop.
+    */
+  private def withSentinels(
+      real: DataFrame, presentFrom: DataFrame, uuidCol: String, tsCol: String): DataFrame = {
+    val hasSrc = presentFrom.columns.contains("__src")
+    val keyCols = col(uuidCol) +: (if (hasSrc) Seq(col("__src")) else Nil)
+    val present = presentFrom.select(keyCols: _*).distinct()
+    val sentinel = present.select(real.schema.fields.map { f =>
+      if (f.name == uuidCol || (hasSrc && f.name == "__src")) col(f.name)
+      else if (f.name == tsCol) lit(0L).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    real.withColumn("__ghost", lit(0))
+      .unionByName(sentinel.withColumn("__ghost", lit(1)))
+  }
+
   /** Multiple sequential sources ("TrailDBs") → one tagged DataFrame plus
     * the per-source min_ts cuts, with the reference's cross-DB semantics
     * (src/match_traildb.c:804 — `min_ts = tdb_max_timestamp(db)`, a plain
@@ -137,7 +163,11 @@ object TrckSparkRunner {
         */
       srcCuts: Array[Long] = Array.empty,
   ): LocalRunner.RunOutput = {
-    val filtered = applyFilters(events, uuidCol, tsCol, filters)
+    // exclude first (excluded trails must not even run empty), CNF second —
+    // trail PRESENCE is judged pre-CNF, like the reference looking a cookie
+    // up in the DB before filtering its events (src/match_traildb.c:513-524)
+    val afterExclude = applyFilters(events, uuidCol, tsCol, filters.copy(cnf = None))
+    val filtered = filters.cnf.map(afterExclude.filter).getOrElse(afterExclude)
     val tuples: Vector[ForeachTuple] =
       if (prog.groupbyVars.isEmpty) Vector(ForeachTuple(Vector.empty))
       else
@@ -181,8 +211,22 @@ object TrckSparkRunner {
             (col("__wlo") === 0L || col(tsCol).cast("long") >= col("__wlo")) &&
               (col("__whi") === 0L || col(tsCol).cast("long") < col("__whi")))
           .drop("__wlo", "__whi") // must not leak into the engine's dedup set
-        (joined, Some(ws.entries))
-      case None => (filtered, None)
+        // A listed cookie whose events are all out-of-bounds (or all
+        // CNF-removed) must STILL run its per-entry loop and finalization —
+        // the reference iterates the window list against DB trails, not
+        // against surviving events — so keep a zero-event sentinel per
+        // listed cookie present in the pre-filter events.
+        val listed = afterExclude
+          .join(broadcast(bounds.select(uuidCol)), Seq(uuidCol), "left_semi")
+        (withSentinels(joined, listed, uuidCol, tsCol), Some(ws.entries))
+      case None =>
+        // Without windows the empty-trail run is observable only when the
+        // entrypoint chain mutates a fresh state (outer window-block entry:
+        // after-yields appear at finalization) — probe once and keep the
+        // common path sentinel-free (no extra distinct pass at scale).
+        if (TrailMatcher.emptyRunMutates(prog))
+          (withSentinels(filtered, afterExclude, uuidCol, tsCol), None)
+        else (filtered, None)
     }
 
     val srcCol = if (events.columns.contains("__src")) Some("__src") else None

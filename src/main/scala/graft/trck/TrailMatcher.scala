@@ -109,6 +109,23 @@ object TrailMatcher {
     out
   }
 
+  /** Does running the FSM over an EMPTY trail mutate a fresh state? True
+    * when the entrypoint chain immediately enters outer window-block rules
+    * (state.ri advances past the markers and outer expiries are pushed at
+    * ts 0), which makes zero-event trails observable at finalization
+    * (after-yields at MAX_TIMESTAMP). The reference runs the per-trail loop
+    * for every trail present in a DB — including trails whose events are
+    * all filtered away — so engines that drop empty trails early must use
+    * this probe to know when that shortcut is visible.
+    */
+  def emptyRunMutates(prog: CompiledProgram): Boolean = {
+    val st = FsmState.initial(prog)
+    Fsm.matchTrail(
+      prog, st, new TrailCtx("", Array.empty[TrailEvent], 0L, 0L),
+      Bindings(), new Results(prog))
+    !st.isInitial(prog.entrypoint)
+  }
+
   /** MAX_TIMESTAMP finalization for one trail's surviving states
     * (reference: src/match_traildb.c:899-944).
     */

@@ -1,0 +1,121 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.parser.TrParser
+import graft.trck._
+import graft.trck.LocalRunner.{Db, RawEvent}
+
+/** A listed cookie whose events are ALL outside its window bounds (or all
+  * CNF-removed) must still run the per-entry loop and finalization: the
+  * reference iterates the window list against DB trails, not surviving
+  * events (src/match_traildb.c:513-560), and an empty run mutates state
+  * whenever the entrypoint chain enters outer window-block rules — the
+  * outer expiry is pushed at ts 0, so finalization at MAX_TIMESTAMP fires
+  * the block's `after` yields. The Spark path keeps zero-event sentinels
+  * for exactly these trails (TrckSparkRunner.withSentinels).
+  */
+class WindowSentinelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("window-sentinel").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // entrypoint is a nested window block: an empty run falls through the
+  // outer marker and PUSHES mid's window at ts 0 → finalization fires
+  // mid's after-yield ($midexp)
+  private val nestedWindowProgram = TrParser.parse(
+    """start ->
+      |    window
+      |        mid ->
+      |            window
+      |                inner ->
+      |                    receive
+      |                        type = "conv" -> yield $conv, quit
+      |                        * -> repeat
+      |            after 100s -> yield $midexp, quit
+      |    after 300s -> yield $outerexp, quit
+      |""".stripMargin)
+
+  private def dbToDf(db: Db) = {
+    val s = spark
+    import s.implicits._
+    db.trails.flatMap { case (uuid, evs) =>
+      evs.zipWithIndex.map { case (e, i) => (uuid, e.ts, i.toLong, e.fields("type")) }
+    }.toDF("uuid", "ts", "seq", "type")
+  }
+
+  private def render(out: LocalRunner.RunOutput): String =
+    OutputJson.render(out.toOutputs, grouped = false)
+
+  test("emptyRunMutates probe: true for window-block entry, false for plain rules") {
+    assert(TrailMatcher.emptyRunMutates(Compiled.compile(nestedWindowProgram)))
+    val plain = Ir.Program(Vector(
+      Ir.Rule(None, None, None, entrypoint = false, List(
+        Ir.Clause(Map("type" -> List("conv")), negated = false, Some("repeat"),
+          List(Ir.Yield("$conv", Nil))),
+        Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)), None)), None)
+    assert(!TrailMatcher.emptyRunMutates(Compiled.compile(plain)))
+  }
+
+  test("window run: listed cookie with zero in-bounds events still finalizes") {
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db = Db(Seq(
+      "u1" -> Seq(RawEvent(500L, Map("type" -> "x")), RawEvent(600L, Map("type" -> "conv"))),
+      "u2" -> Seq(RawEvent(5000L, Map("type" -> "x")), RawEvent(6000L, Map("type" -> "conv"))),
+    ))
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("u1", "u1", 100L, 1000L),
+      LocalRunner.WindowEntry("u2", "u2", 100L, 1000L), // u2: everything out of bounds
+    ))
+    val local = LocalRunner.run(prog, Seq(db), windows = Some(ws))
+    // u2's empty per-entry run must be visible in the output
+    assert(local.results.head.counters("midexp") >= 1L)
+    val engine = TrckSparkRunner.runRaw(
+      prog, dbToDf(db), "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)))
+    assert(render(engine) == render(local))
+  }
+
+  test("CNF filtering away every event of a trail still finalizes (no windows)") {
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db = Db(Seq(
+      "u1" -> Seq(RawEvent(500L, Map("type" -> "conv"))),
+      "u2" -> Seq(RawEvent(500L, Map("type" -> "x")), RawEvent(900L, Map("type" -> "y"))),
+    ))
+    val cnf = LocalRunner.CnfFilter(Seq(Seq(("type", "conv", true))))
+    val local = LocalRunner.run(prog, Seq(db), cnf = Some(cnf))
+    assert(local.results.head.counters("midexp") >= 1L) // u2 empty-run contribution
+    val df = dbToDf(db)
+    val engine = TrckSparkRunner.runRaw(
+      prog, df, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(cnf = TrckSparkRunner.cnfColumn(cnf.clauses, df)))
+    assert(render(engine) == render(local))
+  }
+
+  test("multi-source window run keeps per-source presence for empty segments") {
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db1 = Db(Seq(
+      "u1" -> Seq(RawEvent(500L, Map("type" -> "conv"))),
+      "u2" -> Seq(RawEvent(5000L, Map("type" -> "x"))),
+    ))
+    val db2 = Db(Seq(
+      "u1" -> Seq(RawEvent(6000L, Map("type" -> "x"))),
+      "u2" -> Seq(RawEvent(7000L, Map("type" -> "x"))),
+    ))
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("u1", "u1", 100L, 1000L),
+      LocalRunner.WindowEntry("u2", "u2", 100L, 1000L),
+    ))
+    val local = LocalRunner.run(prog, Seq(db1, db2), windows = Some(ws))
+    val (unioned, cuts) = TrckSparkRunner.unionSources(Seq(dbToDf(db1), dbToDf(db2)), "ts")
+    val engine = TrckSparkRunner.runRaw(
+      prog, unioned, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), srcCuts = cuts)
+    assert(render(engine) == render(local))
+  }
+}
