@@ -8,11 +8,9 @@ import org.apache.spark.sql.functions._
   * column.
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * one narrow pass over the corpus computing dot products with built-in
-  * higher-order functions (codegen'd, no UDF), then a per-query top-k via
-  * window rank (partial top-k per partition would be the next optimization
-  * at scale; the shuffle is already only (n_queries × corpus) slim rows of
-  * (query_id, vec_id, sim)).
+  * one narrow pass over the corpus with partition-local bounded top-k
+  * heaps, then a global per-query top-k via window rank over the
+  * ≤ partitions × Q × k surviving rows.
   *
   * Scale path: random-hyperplane LSH — 16 sign bits from fixed pseudo-
   * random hyperplanes bucket the corpus; queries search only their bucket
@@ -62,14 +60,35 @@ object Similarity {
       .collect()
       .map { case (id, v) => (id, v, norm(v)) }
     val qb = spark.sparkContext.broadcast(q)
+    // partition-local top-k per query (bounded heaps, same total order as
+    // the final rank) so the shuffle into the window carries at most
+    // partitions × Q × k rows instead of N × Q — the pruning is lossless
+    // because any global top-k candidate is a partition top-k candidate
+    // under the same (sim desc, neighbor_id asc) ordering
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (sim, id) => (-sim, id) }
     val scored = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-      .flatMap { case (cid, cv) =>
-        val nc = norm(cv)
-        qb.value.iterator.filter(_._1 != cid).map { case (qid, qv, nq) =>
-          val d = nq * nc
-          (qid, cid, if (d == 0) 0.0 else dot(qv, cv) / d)
+      .mapPartitions { it =>
+        val qs = qb.value
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        it.foreach { case (cid, cv) =>
+          val nc = norm(cv)
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv, nq) = qs(i)
+            if (qid != cid) {
+              val d = nq * nc
+              val sim = if (d == 0) 0.0 else dot(qv, cv) / d
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((sim, cid))
+              else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (sim, cid) => (qs(i)._1, cid, sim) }
         }
       }
       .toDF("query_id", "neighbor_id", "sim")
@@ -81,12 +100,80 @@ object Similarity {
   }
 
   /** All pairs (id_a < id_b) with cosine ≥ threshold — the exact O(N²)
-    * near-dup baseline. One side is collected + broadcast (norms
-    * precomputed), the other streams through a typed flatMap of tight
-    * loops; use the LSH/IVF variants when the corpus doesn't fit a
-    * broadcast.
+    * near-dup baseline as a BLOCK-PARTITIONED nested loop, with no driver
+    * state: ids hash into `blocks` blocks, every unordered block pair
+    * (i ≤ j) becomes one shuffle group holding blocks i and j, and each
+    * group cross-scores its two sides with tight JVM loops (norms computed
+    * once per replica). Each row is shipped to exactly `blocks` groups, so
+    * the shuffle is O(N·blocks) slim rows and task memory is O(2N/blocks)
+    * vectors — pick `blocks` so a block fits an executor; the O(N²) score
+    * work itself is inherent to the exact variant and spreads evenly over
+    * the B(B+1)/2 groups. Use the LSH/IVF variants when a recall trade is
+    * acceptable.
     */
   def exactPairsAbove(
+      corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      blocks: Int = 16,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    require(blocks >= 1, "blocks must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = blocks
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val blk = ((id % b) + b).toInt % b
+        val n = norm(v)
+        // one replica per group this block participates in: (blk, j≥blk)
+        // as the left side, (i<blk, blk) as the right side
+        Iterator.range(blk, b).map(j => (blk * b + j, id, v, n)) ++
+          Iterator.range(0, blk).map(i => (i * b + blk, id, v, n))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Long, Array[Float], Double)]) =>
+        val i = key / b; val j = key % b
+        val items = it.map { case (_, id, v, n) => (id, v, n) }.toArray
+        val out = Iterator.newBuilder[(Long, Long)]
+        def score(a: (Long, Array[Float], Double), c: (Long, Array[Float], Double)): Unit =
+          if (a._1 != c._1) { // ids assumed unique; never emit a self-pair
+            val d = a._3 * c._3
+            val sim = if (d == 0) 0.0 else dot(a._2, c._2) / d
+            if (sim >= threshold)
+              out += (if (a._1 < c._1) (a._1, c._1) else (c._1, a._1))
+          }
+        if (i == j) {
+          var x = 0
+          while (x < items.length) {
+            var y = x + 1
+            while (y < items.length) { score(items(x), items(y)); y += 1 }
+            x += 1
+          }
+        } else {
+          val left = items.filter(t => (((t._1 % b) + b).toInt % b) == i)
+          val right = items.filter(t => (((t._1 % b) + b).toInt % b) == j)
+          var x = 0
+          while (x < left.length) {
+            var y = 0
+            while (y < right.length) { score(left(x), right(y)); y += 1 }
+            x += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b")
+  }
+
+  /** Broadcast formulation of [[exactPairsAbove]] — collects the corpus to
+    * the driver, so only usable when it fits a broadcast. Kept as the
+    * reference implementation the block-partitioned kernel is spec-checked
+    * against.
+    */
+  def exactPairsAboveBroadcast(
       corpus: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",

@@ -59,6 +59,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) != m(3L))
   }
 
+  test("block-partitioned exact pairs == broadcast exact pairs (and never collects the corpus)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // the block kernel must be lazy: the old implementation ran a
+    // corpus-collect job at CALL time — assert plan construction runs no job
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val block = Similarity.exactPairsAbove(emb, threshold = 0.35, blocks = 7)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter == jobsBefore, "building the block-pairs plan must not run a driver collect")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockPairs = pairs(block)
+    val broadcastPairs = pairs(Similarity.exactPairsAboveBroadcast(emb, threshold = 0.35))
+    assert(blockPairs == broadcastPairs)
+    assert(blockPairs.nonEmpty, "sf0.001 embeddings should contain planted near-dup pairs")
+    assert(blockPairs.forall { case (a, bb) => a < bb })
+    // equivalence must hold for every block count, including degenerate B=1
+    assert(pairs(Similarity.exactPairsAbove(emb, threshold = 0.35, blocks = 1)) == broadcastPairs)
+  }
+
   test("lsh ann recall vs brute force on sf0.001 embeddings") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
