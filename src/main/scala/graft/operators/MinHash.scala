@@ -130,6 +130,99 @@ object MinHash {
   def bandKeys(sig: Column, bands: Int = 16, rows: Int = 4): Column =
     array((0 until bands).map(b => hash(lit(b), slice(sig, b * rows + 1, rows))): _*)
 
+  // ------------------------------------------------- md5 oracle hash family
+  //
+  // A second, slower hash family whose every step is bit-identical in
+  // DuckDB, so the LSH pipelines become SQL-oracle-able end-to-end: md5 is
+  // the one 64-bit-quality hash both engines share (proven end-to-end by
+  // the t_fingerprint / t_split_stats oracles), and 15 hex chars (60 bits)
+  // fit signed BIGINT in both. Production paths keep the codegen'd
+  // xxhash64/murmur3 family; the md5 twins pin the *algorithm* (banding,
+  // hot-bucket policy, canonicalization) against an independent engine.
+
+  /** md5-derived 60-bit hash: first 15 hex chars of md5 as a long.
+    * DuckDB mirror: `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`.
+    */
+  def md5Hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** md5-family minhash signatures: g_i(shingle) = md5_60(i || ':' ||
+    * shingle) — H independent md5s per shingle instead of the double-hash
+    * trick, because rotl on BIGINT overflows in DuckDB. Explode +
+    * hash-aggregate like [[signatures]]; null-text docs emit no rows.
+    */
+  def signaturesMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 3, h: Int = 16): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("__s"))
+      .groupBy(idCol)
+      .agg(array((0 until h).map(i => min(md5Hash60(concat(lit(s"$i:"), col("__s"))))): _*).as("sig"))
+
+  /** md5-family band keys: md5_60 of "band,v1,...,vR" over decimal-rendered
+    * signature values.
+    */
+  def bandKeysMd5(sig: Column, bands: Int = 8, rows: Int = 2): Column =
+    array((0 until bands).map { b =>
+      md5Hash60(concat_ws(",",
+        lit(b.toString) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1).cast("string")): _*))
+    }: _*)
+
+  /** (id, band, bk) membership rows → (id, canonical_id) with the shared
+    * single-pass window shape: per-bucket (size, min) attached to each
+    * membership row, per-doc min over non-hot buckets, docs with no
+    * eligible bucket (or no memberships at all) self-canonical via the
+    * left join from the full id list.
+    */
+  private def canonicalFromMemberships(docs: DataFrame, memberships: DataFrame,
+                                       idCol: String, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
+    val fromBuckets = memberships
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
+      .groupBy(idCol)
+      .agg(min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"))
+    docs.select(col(idCol))
+      .join(fromBuckets, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
+  }
+
+  /** [[nearDupCanonical]] in the md5 oracle family (small H/bands defaults
+    * keep the generated SQL twin tractable; still a true MinHash-LSH).
+    */
+  def nearDupCanonicalMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                          k: Int = 3, h: Int = 16, bands: Int = 8, maxBucket: Int = 50): DataFrame = {
+    val rows = h / bands
+    val memberships = signaturesMd5(docs, idCol, textCol, k, h)
+      .select(col(idCol), posexplode(bandKeysMd5(col("sig"), bands, rows)).as(Seq("band", "bk")))
+    canonicalFromMemberships(docs, memberships, idCol, maxBucket)
+  }
+
+  /** [[bucketPairCounts]] in the md5 oracle family. */
+  def bucketPairCountsMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                          k: Int = 3, h: Int = 16, bands: Int = 8, maxBucket: Int = 20): DataFrame = {
+    val rows = h / bands
+    val sigs = signaturesMd5(docs, idCol, textCol, k, h)
+    bucketMembersFrom(
+      sigs.select(col(idCol), posexplode(bandKeysMd5(col("sig"), bands, rows)).as(Seq("band", "bk"))),
+      idCol, maxBucket)
+      .select(explode(pairExpand("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** membership rows → per-bucket sorted member lists (hot buckets dropped),
+    * shared by both hash families.
+    */
+  private def bucketMembersFrom(memberships: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
+    memberships
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .groupBy("band", "bk")
+      .agg(array_sort(collect_list(idCol)).as("ids"))
+  }
+
   /** (idCol, band, bk) — exploded LSH bucket memberships, hot buckets
     * (> maxBucket members) dropped. `sigs` = output of [[signatures]]
     * (pass a cached frame when also using the signatures downstream).
@@ -159,13 +252,9 @@ object MinHash {
   def bucketMembers(sigs: DataFrame, idCol: String = "doc_id",
                     h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame = {
     val rows = h / bands
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
-    sigs
-      .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n").between(2, maxBucket))
-      .groupBy("band", "bk")
-      .agg(array_sort(collect_list(idCol)).as("ids"))
+    bucketMembersFrom(
+      sigs.select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk"))),
+      idCol, maxBucket)
   }
 
   /** (id_a, id_b, shared_bands) with id_a < id_b — candidate pairs counted
@@ -211,16 +300,9 @@ object MinHash {
     // (explode of a null array) — the left join from the full id list keeps
     // both as their own canonical.
     val rows = h / bands
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
-    val fromBuckets = signatures(docs, idCol, textCol, k, h)
+    val memberships = signatures(docs, idCol, textCol, k, h)
       .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__bmin", min(col(idCol)).over(w))
-      .groupBy(idCol)
-      .agg(min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"))
-    docs.select(col(idCol))
-      .join(fromBuckets, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
+    canonicalFromMemberships(docs, memberships, idCol, maxBucket)
   }
 
   /** candidate near-dup pairs (id_a < id_b), deduped across bands */

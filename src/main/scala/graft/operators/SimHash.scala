@@ -75,6 +75,64 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------------- md5 oracle hash family
+
+  /** [[simhashOf]] in the md5 oracle family (see MinHash.md5Hash60): token
+    * hash = md5_60(token), fingerprint over the low `bits` bits — every
+    * step bit-identical in DuckDB SQL, so the whole pipeline hash-matches
+    * an independent engine. Production stays on the xxhash64 64-bit path.
+    */
+  def simhashOfMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   bits: Int = 32): DataFrame = {
+    val hashed = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+      .select(col(idCol), MinHash.md5Hash60(col("__t")).as("__h"))
+    val sums = hashed
+      .groupBy(idCol)
+      .agg(
+        (0 until bits).map { j =>
+          sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$j")
+        }.head,
+        (1 until bits).map { j =>
+          sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$j")
+        }: _*
+      )
+    val fp = (0 until bits)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** [[nearDupCanonical]] in the md5 oracle family: 4 × (bits/4)-bit chunks
+    * (Hamming ≤ 3 complete filter by pigeonhole), same hot-bucket window
+    * shape, docs with no memberships (null text) self-canonical.
+    */
+  def nearDupCanonicalMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                          bits: Int = 32, maxBucket: Int = 100): DataFrame = {
+    val chunkBits = bits / 4
+    val mask = (1L << chunkBits) - 1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")
+    val fromChunks = simhashOfMd5(docs, idCol, textCol, bits)
+      .select(
+        col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * chunkBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk_idx", "chunk")),
+      )
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
+      .groupBy(idCol)
+      .agg(
+        first("simhash").as("simhash"),
+        min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"),
+      )
+    docs.select(col(idCol))
+      .join(fromChunks, Seq(idCol), "left")
+      .select(col(idCol), col("simhash"),
+        coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
+  }
+
   /** docs → (doc_id, simhash, canonical_id) where canonical is the min
     * doc_id sharing any 16-bit chunk (Hamming ≤ 3 complete filter).
     */

@@ -5,36 +5,41 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Registered queries for the training-data pipeline operators over the
-  * `documents` and `embeddings` tables. Hash-based ops (minhash/simhash/
-  * LSH) have no SQL oracle (xxhash64 is Spark-specific) → rows-only
-  * checks + unit specs; the brute-force ANN and the multimodal decode
-  * stub are deterministic enough to oracle.
+  * `documents` and `embeddings` tables. The text-hash pipelines
+  * (minhash-LSH, simhash, n-gram candidate ranking) run in the md5 oracle
+  * family (MinHash.md5Hash60 — bit-identical in DuckDB), so banding,
+  * hot-bucket policy and canonicalization hash-match a generated SQL twin;
+  * production keeps the faster xxhash64/murmur3 family, whose kernels are
+  * pinned by unit specs. Embedding-space LSH/IVF stay rows-only: their
+  * bucketing hinges on float dot-product SIGNS, which no cross-engine SQL
+  * can reproduce bit-for-bit (the exact twins d_embed_neardup_exact /
+  * d_embed_cc ARE oracled).
   */
 object TrainingDataQueries {
 
   val queries: Seq[Q] = Seq(
-    // MinHash+LSH near-dup canonicalization (D2). Deterministic (fixed
-    // seeds) but not SQL-expressible → rows-only.
+    // MinHash+LSH near-dup canonicalization (D2), md5 oracle family —
+    // full hash-match against the generated DuckDB twin.
     Q(
       "d_minhash_lsh",
       (s, dir) =>
         MinHash
-          .nearDupCanonical(Tables(s, dir, "documents"))
+          .nearDupCanonicalMd5(Tables(s, dir, "documents"))
           .orderBy("doc_id"),
-      None,
+      Some(minhashLshOracleSql),
     ),
-    // SimHash fingerprints + chunk-bucket canonicalization (D3).
+    // SimHash fingerprints + chunk-bucket canonicalization (D3), md5
+    // oracle family (32-bit fingerprint, 4 × 8-bit chunks).
     Q(
       "d_simhash",
       (s, dir) =>
         SimHash
-          .nearDupCanonical(Tables(s, dir, "documents"))
-          .select(col("doc_id"), hex(col("simhash")).as("simhash_hex"), col("canonical_id"))
+          .nearDupCanonicalMd5(Tables(s, dir, "documents"))
           .orderBy("doc_id"),
-      None,
+      Some(simhashOracleSql),
     ),
     // n-gram Jaccard verification of LSH candidates (D4): top-20 candidate
-    // pairs by exact 3-gram Jaccard.
+    // pairs by exact 3-gram Jaccard, candidates from the md5-family bands.
     Q(
       "d_ngram_jaccard",
       (s, dir) => {
@@ -45,7 +50,7 @@ object TrainingDataQueries {
         // shingle-set Jaccard only on the top slice. At scale exact
         // verification of every candidate dominates the job.
         val estimated = MinHash
-          .bucketPairCounts(MinHash.signatures(docs, "doc_id", "text"), maxBucket = 20)
+          .bucketPairCountsMd5(docs)
           .orderBy(col("shared_bands").desc, col("id_a"), col("id_b"))
           .limit(100)
         // 100 candidate rows — broadcast them (and the first join's output)
@@ -58,7 +63,7 @@ object TrainingDataQueries {
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)
       },
-      None,
+      Some(ngramJaccardOracleSql),
     ),
     // Exact 3-gram Jaccard with a full DuckDB oracle: deterministic pair
     // selection (each doc vs the next doc_id inside its n_chars%16 bucket —
@@ -258,4 +263,104 @@ object TrainingDataQueries {
         FROM documents ORDER BY doc_id"""),
     ),
   )
+
+  // --------------------------------------------- generated md5-family SQL
+  // DuckDB twins of the md5-family pipelines, generated from the same
+  // parameters as the Scala defaults (k=3, H=16, 8 bands × 2 rows for
+  // minhash; 32 bits / 4 chunks for simhash) so the hash-match compares
+  // the full algorithm, not a reimplementation drifted by hand.
+
+  /** `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)` ≡ MinHash.md5Hash60 */
+  private def md5_60(x: String): String =
+    s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
+  /** CTEs w→bk computing md5-family band memberships (mirrors
+    * MinHash.signaturesMd5 + bandKeysMd5 with k=3, h=16, bands=8, rows=2).
+    */
+  private def md5BandCtes: String = {
+    val h = 16; val bands = 8; val rows = 2
+    val gs = (0 until h).map(i =>
+      s"min(${md5_60(s"'$i:' || s")}) AS g$i").mkString(",\n             ")
+    val bandRows = (0 until bands).map { b =>
+      val vals = (0 until rows).map(r => s"CAST(g${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, '$b,' || $vals AS bs FROM m"
+    }.mkString("\n             UNION ALL ")
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |          FROM documents WHERE text IS NOT NULL),
+       |     sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |              ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END AS shs
+       |            FROM w),
+       |     e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |     m AS (SELECT doc_id,
+       |             $gs
+       |           FROM e GROUP BY doc_id),
+       |     bk AS (SELECT doc_id, band, ${md5_60("bs")} AS bkv
+       |            FROM ($bandRows))""".stripMargin
+  }
+
+  /** ≡ MinHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */
+  private def minhashLshOracleSql: String =
+    s"""
+      WITH $md5BandCtes,
+      sz AS (SELECT band, bkv, COUNT(*) AS n, MIN(doc_id) AS bmin FROM bk GROUP BY band, bkv),
+      cm AS (SELECT bk.doc_id, MIN(CASE WHEN sz.n <= 50 THEN sz.bmin END) AS cmin
+             FROM bk JOIN sz USING (band, bkv) GROUP BY bk.doc_id)
+      SELECT d.doc_id, COALESCE(cm.cmin, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN cm ON d.doc_id = cm.doc_id
+      ORDER BY d.doc_id"""
+
+  /** ≡ the d_ngram_jaccard Spark pipeline: md5-family band co-occurrence
+    * counts → top-100 candidates → exact 3-gram Jaccard → top-20.
+    */
+  private def ngramJaccardOracleSql: String = {
+    def grams(t: String) =
+      s"""list_distinct(CASE WHEN len(string_split_regex(trim($t), '\\s+')) < 3
+         |                THEN [array_to_string(string_split_regex(trim($t), '\\s+'), ' ')]
+         |                ELSE list_transform(range(1, len(string_split_regex(trim($t), '\\s+')) - 1),
+         |                     i -> array_to_string(string_split_regex(trim($t), '\\s+')[i:i+2], ' ')) END)""".stripMargin
+    s"""
+      WITH $md5BandCtes,
+      sz AS (SELECT band, bkv, COUNT(*) AS n FROM bk GROUP BY band, bkv),
+      ok AS (SELECT bk.doc_id, bk.band, bk.bkv FROM bk JOIN sz USING (band, bkv)
+             WHERE sz.n BETWEEN 2 AND 20),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_bands
+             FROM ok a JOIN ok b ON a.band = b.band AND a.bkv = b.bkv AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+      top AS (SELECT id_a, id_b FROM pr ORDER BY shared_bands DESC, id_a, id_b LIMIT 100),
+      tx AS (SELECT t.id_a, t.id_b, da.text AS ta, db.text AS tb
+             FROM top t JOIN documents da ON t.id_a = da.doc_id
+                        JOIN documents db ON t.id_b = db.doc_id),
+      g AS (SELECT id_a, id_b, ${grams("ta")} AS sa, ${grams("tb")} AS sb FROM tx)
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa, sb)) * 1.0
+                   / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
+      FROM g ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""
+  }
+
+  /** ≡ SimHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */
+  private def simhashOracleSql: String = {
+    val bits = 32; val chunkBits = 8; val maxBucket = 100
+    val cs = (0 until bits).map(j =>
+      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(",\n             ")
+    val fp = (0 until bits).map(j => s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString("\n             + ")
+    val chunkVals = (0 until 4).map(i => s"($i, ${i * chunkBits})").mkString(", ")
+    s"""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                 FROM documents WHERE text IS NOT NULL),
+      hh AS (SELECT doc_id, ${md5_60("tok")} AS hv FROM t),
+      c AS (SELECT doc_id,
+             $cs
+            FROM hh GROUP BY doc_id),
+      f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM c),
+      ch AS (SELECT f.doc_id, v.ci AS chunk_idx, (f.fp >> v.sh) & ${(1L << chunkBits) - 1} AS chunk
+             FROM f, (VALUES $chunkVals) v(ci, sh)),
+      sz AS (SELECT chunk_idx, chunk, COUNT(*) AS n, MIN(doc_id) AS bmin
+             FROM ch GROUP BY chunk_idx, chunk),
+      cm AS (SELECT ch.doc_id, MIN(CASE WHEN sz.n <= $maxBucket THEN sz.bmin END) AS cmin
+             FROM ch JOIN sz USING (chunk_idx, chunk) GROUP BY ch.doc_id)
+      SELECT d.doc_id, f.fp AS simhash, COALESCE(cm.cmin, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+                       LEFT JOIN cm ON d.doc_id = cm.doc_id
+      ORDER BY d.doc_id"""
+  }
 }

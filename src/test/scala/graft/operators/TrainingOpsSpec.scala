@@ -33,6 +33,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(3L) == 3L, "unrelated doc should stay its own canonical")
   }
 
+  test("md5 oracle family: minhash lsh still finds planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val unrelated = "completely different content about spark query engines and column pruning"
+    val docs = docsDf(Seq(1L -> base, 2L -> nearDup, 3L -> unrelated))
+    val canon = MinHash.nearDupCanonicalMd5(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(2L) == 1L)
+    assert(canon(3L) == 3L)
+  }
+
+  test("md5 oracle family: simhash small edits cluster, unrelated docs don't") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val edited = base.replace("twelve", "thirteen")
+    val unrelated = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = docsDf(Seq(1L -> base, 2L -> edited, 3L -> unrelated))
+    val out = SimHash.nearDupCanonicalMd5(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L)._1, out(2L)._1) < ham(out(1L)._1, out(3L)._1))
+    assert(out(2L)._2 == 1L, "edited doc should canonicalize to the base doc")
+  }
+
   test("exact jaccard is 1 for identical and low for unrelated") {
     val docs = docsDf(Seq(1L -> "a b c d e f g", 2L -> "a b c d e f g", 3L -> "x y z w q r t"))
     val j = docs.as("l")
