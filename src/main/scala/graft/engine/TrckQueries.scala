@@ -78,6 +78,32 @@ object TrckQueries {
     None,
   )
 
+  /** F4 dedicated: clause predicate `field = "literal"` (reference:
+    * src/fsm2c.py:120-123 compile_attr_equality, literal arm).
+    */
+  val eqLitProgram: Program = Program(
+    Vector(
+      rule(List(
+        clause(Map("event_type" -> List("view")), "repeat", List(Yield("$views", Nil))),
+        clause(Map.empty, "repeat"),
+      ))
+    ),
+    None,
+  )
+
+  /** F5 dedicated: clause predicate `field = %param` with a bound scalar
+    * (reference: src/fsm2c.py:124-127, param arm — no foreach involved).
+    */
+  val eqParamProgram: Program = Program(
+    Vector(
+      rule(List(
+        clause(Map("event_type" -> List("%t")), "repeat", List(Yield("$matched", Nil))),
+        clause(Map.empty, "repeat"),
+      ))
+    ),
+    None,
+  )
+
   /** foreach %t over an explicit param array (G1). */
   val foreachProgram: Program = Program(
     Vector(
@@ -125,6 +151,30 @@ object TrckQueries {
           .agg(sum("n").cast("long").as("n_clicks"))
       },
       Some("SELECT COUNT(*) AS n_clicks FROM events WHERE event_type = 'click'"),
+    ),
+    // F4 by the letter: the literal-equality predicate alone drives the count.
+    Q(
+      "f4_eq_lit",
+      (s, dir) => {
+        val prog = Compiled.compile(eqLitProgram)
+        val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        em.filter(col("kind") === "c")
+          .agg(sum("n").cast("long").as("n_views"))
+      },
+      Some("SELECT COUNT(*) AS n_views FROM events WHERE event_type = 'view'"),
+    ),
+    // F5 by the letter: the same predicate through a BOUND scalar param.
+    Q(
+      "f5_eq_param",
+      (s, dir) => {
+        val prog = Compiled.compile(eqParamProgram)
+        val em = TrailEngine.emits(
+          prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          params = Fsm.Bindings(scalars = Map("t" -> "purchase")))
+        em.filter(col("kind") === "c")
+          .agg(sum("n").cast("long").as("n_matched"))
+      },
+      Some("SELECT COUNT(*) AS n_matched FROM events WHERE event_type = 'purchase'"),
     ),
     Q(
       "m1_fsm_funnel",
