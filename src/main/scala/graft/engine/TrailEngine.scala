@@ -35,6 +35,39 @@ import graft.trck.LocalRunner.ForeachTuple
   */
 object TrailEngine {
 
+  /** Spark conf key bounding the implicit-foreach lexicon sweep. */
+  val MaxImplicitForeachKey = "spark.graft.maxImplicitForeach"
+  val MaxImplicitForeachDefault = 100000L
+
+  /** Implicit-foreach lexicon sweep: the distinct non-empty values of
+    * `field`, driver-collected and sorted. The collect itself is
+    * reference-sanctioned (the reference sweeps the DB lexicons the same
+    * way, src/match_traildb.c:188-236) and fine for enum-like fields — but
+    * a user pointing `foreach %x` at a high-cardinality field must get a
+    * clear error, not a driver OOM, so an approx_count_distinct pre-check
+    * fails fast above the configurable bound.
+    */
+  def lexiconSweep(events: DataFrame, field: String): Vector[String] = {
+    val spark = events.sparkSession
+    val bound = spark.conf.getOption(MaxImplicitForeachKey)
+      .map(_.toLong).getOrElse(MaxImplicitForeachDefault)
+    val approx = events.agg(approx_count_distinct(col(field)).as("n")).head.getLong(0)
+    if (approx > bound)
+      throw new IllegalArgumentException(
+        s"implicit foreach over '$field' would sweep ~$approx distinct values " +
+          s"(bound $bound): the lexicon is collected to the driver, so this " +
+          s"field is too high-cardinality for an implicit sweep — bind an " +
+          s"explicit foreach array, or raise $MaxImplicitForeachKey")
+    events
+      .select(coalesce(col(field).cast(StringType), lit("")).as("v"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .filter(_.nonEmpty)
+      .sorted
+      .toVector
+  }
+
   /** Emitted row schema: one row per (trail × tuple × yield-item). */
   private val emitSchema = StructType(Seq(
     StructField("uuid", StringType),
@@ -129,15 +162,7 @@ object TrailEngine {
           // (reference: src/match_traildb.c:188-236)
           require(prog.groupbyVars.size == 1, "implicit foreach requires exactly one var")
           val field = prog.varFields(prog.groupbyVars.head)
-          val values = events
-            .select(col(field).cast(StringType))
-            .na.fill("")
-            .distinct()
-            .collect()
-            .map(_.getString(0))
-            .filter(_.nonEmpty)
-            .sorted
-          ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
+          ("" +: lexiconSweep(events, field)).map(v => ForeachTuple(Vector(Left(v))))
         }
 
     // prune to what the FSM needs; all extra columns only matter for dedup,

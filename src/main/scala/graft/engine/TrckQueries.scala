@@ -243,8 +243,8 @@ object TrckQueries {
       (s, dir) => {
         val prog = Compiled.compile(implicitForeachProgram)
         val ev = trailEvents(s, dir)
-        val values = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
-        val tuples = ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
+        val values = TrailEngine.lexiconSweep(ev, "event_type")
+        val tuples = ("" +: values).map(v => ForeachTuple(Vector(Left(v))))
         val em = TrailEngine.emits(
           prog, ev, "uuid", "ts_sec", Seq("event_id"), foreachTuples = Some(tuples))
         TrailEngine

@@ -176,11 +176,10 @@ object TrckSparkRunner {
           val field = prog.varFields(prog.groupbyVars.head)
           // lexicon sweep over the UNfiltered input: the reference reads the
           // DB lexicon, not the filtered event stream
-          // (src/match_traildb.c:188-236; LocalRunner matches)
-          val values = lexiconEvents.getOrElse(events)
-            .select(coalesce(col(field).cast("string"), lit("")))
-            .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted
-          ("" +: values.toVector).map(v => ForeachTuple(Vector(Left(v))))
+          // (src/match_traildb.c:188-236; LocalRunner matches). Guarded
+          // against high-cardinality fields (TrailEngine.lexiconSweep).
+          val values = TrailEngine.lexiconSweep(lexiconEvents.getOrElse(events), field)
+          ("" +: values).map(v => ForeachTuple(Vector(Left(v))))
         }
 
     // F2 window file: drop unlisted trails AND events outside every window
