@@ -145,18 +145,26 @@ object MinHash {
     */
   def md5Hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** md5-family minhash signatures: g_i(shingle) = md5_60(i || ':' ||
-    * shingle) — H independent md5s per shingle instead of the double-hash
-    * trick, because rotl on BIGINT overflows in DuckDB. Explode +
-    * hash-aggregate like [[signatures]]; null-text docs emit no rows.
+  /** md5-family minhash signatures: ONE md5 per shingle split into two
+    * 28-bit halves (hex chars 1-7 and 8-14), then the Kirsch–Mitzenmacher
+    * family g_i = h1 + i·h2 — max value 2^28 + (H-1)·2^28 ≪ 2^63, so the
+    * arithmetic neither wraps in Spark's ANSI mode nor errors in DuckDB
+    * (whose BIGINT ops reject overflow, ruling out the rotl-xor family).
+    * Explode + hash-aggregate like [[signatures]]; null-text docs emit no
+    * rows.
     */
   def signaturesMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                     k: Int = 3, h: Int = 16): DataFrame =
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(shingles(col(textCol), k)).as("__s"))
+      .select(col(idCol), md5(col("__s")).as("__m"))
+      .select(
+        col(idCol),
+        conv(substring(col("__m"), 1, 7), 16, 10).cast("long").as("__h1"),
+        conv(substring(col("__m"), 8, 7), 16, 10).cast("long").as("__h2"))
       .groupBy(idCol)
-      .agg(array((0 until h).map(i => min(md5Hash60(concat(lit(s"$i:"), col("__s"))))): _*).as("sig"))
+      .agg(array((0 until h).map(i => min(col("__h1") + lit(i.toLong) * col("__h2"))): _*).as("sig"))
 
   /** md5-family band keys: md5_60 of "band,v1,...,vR" over decimal-rendered
     * signature values.

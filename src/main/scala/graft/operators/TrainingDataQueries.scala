@@ -280,7 +280,7 @@ object TrainingDataQueries {
   private def md5BandCtes: String = {
     val h = 16; val bands = 8; val rows = 2
     val gs = (0 until h).map(i =>
-      s"min(${md5_60(s"'$i:' || s")}) AS g$i").mkString(",\n             ")
+      s"min(h1 + $i * h2) AS g$i").mkString(",\n             ")
     val bandRows = (0 until bands).map { b =>
       val vals = (0 until rows).map(r => s"CAST(g${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, '$b,' || $vals AS bs FROM m"
@@ -290,10 +290,14 @@ object TrainingDataQueries {
        |     sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
        |              ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END AS shs
        |            FROM w),
-       |     e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |     e AS (SELECT doc_id, md5(unnest(shs)) AS sm FROM sh),
+       |     e2 AS (SELECT doc_id,
+       |              CAST('0x' || substring(sm, 1, 7) AS BIGINT) AS h1,
+       |              CAST('0x' || substring(sm, 8, 7) AS BIGINT) AS h2
+       |            FROM e),
        |     m AS (SELECT doc_id,
        |             $gs
-       |           FROM e GROUP BY doc_id),
+       |           FROM e2 GROUP BY doc_id),
        |     bk AS (SELECT doc_id, band, ${md5_60("bs")} AS bkv
        |            FROM ($bandRows))""".stripMargin
   }
