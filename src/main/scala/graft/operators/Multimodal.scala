@@ -75,18 +75,22 @@ object Multimodal {
 
   /** Frame-sample stub for video-like blobs: every nth 1 KiB slice as a
     * "frame" (one row per frame — the exploding-fanout shape a real frame
-    * sampler has; fanout bounded by maxFrames).
+    * sampler has; fanout bounded by maxFrames). Pure column expressions
+    * (sequence → substr slices, codegen'd — no UDF), and `frame_idx` is
+    * the PER-BLOB source slice ordinal emitted by the generator itself, so
+    * it is deterministic under any partitioning. Blobs shorter than one
+    * slice yield their single short frame; null blobs yield no rows.
     */
-  def frameSample(df: DataFrame, blobCol: String, everyNth: Int = 4, maxFrames: Int = 8): DataFrame = {
-    val frames = udf { (blob: Array[Byte]) =>
-      if (blob == null) Seq.empty[Array[Byte]]
-      else blob.grouped(1024).zipWithIndex
-        .filter(_._2 % everyNth == 0)
-        .take(maxFrames)
-        .map(_._1)
-        .toSeq
-    }
-    df.withColumn("frame", explode(frames(col(blobCol))))
-      .withColumn("frame_idx", monotonically_increasing_id())
+  def frameSample(df: DataFrame, blobCol: String, everyNth: Int = 4, maxFrames: Int = 8,
+                  frameBytes: Int = 1024): DataFrame = {
+    require(everyNth >= 1 && maxFrames >= 1 && frameBytes >= 1)
+    val blob = col(blobCol)
+    val nSlices = ceil(length(blob) / lit(frameBytes.toDouble)).cast("int")
+    val lastIdx = least(nSlices - 1, lit((maxFrames - 1) * everyNth))
+    val idxs = when(blob.isNull || nSlices <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), lastIdx, lit(everyNth)))
+    df.select(col("*"), explode(idxs).as("frame_idx"))
+      .withColumn("frame", blob.substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
   }
 }

@@ -262,6 +262,39 @@ object TrainingDataQueries {
                CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         FROM documents ORDER BY doc_id"""),
     ),
+    // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4
+    // frames per blob, per-blob frame_idx from the generator. Frames are
+    // compared as md5-of-hex (DuckDB cannot slice BLOBs, but hex strings
+    // slice on exact byte boundaries at 2 chars/byte; hex is uppercase in
+    // both engines).
+    Q(
+      "mm_frame_sample",
+      (s, dir) => {
+        val blobs = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        Multimodal
+          .frameSample(blobs, "blob", everyNth = 2, maxFrames = 4)
+          .select(
+            col("doc_id"), col("frame_idx"),
+            md5(hex(col("frame"))).as("frame_md5"),
+            length(col("frame")).cast("long").as("frame_len"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        i AS (
+          SELECT doc_id, hx,
+                 unnest(range(0, LEAST(CAST(ceil(n / 1024.0) AS INT), 7), 2)) AS frame_idx
+          FROM b WHERE n > 0
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               md5(substring(hx, frame_idx * 2048 + 1, 2048)) AS frame_md5,
+               CAST(len(substring(hx, frame_idx * 2048 + 1, 2048)) // 2 AS BIGINT) AS frame_len
+        FROM i ORDER BY doc_id, frame_idx"""),
+    ),
   )
 
   // --------------------------------------------- generated md5-family SQL

@@ -101,6 +101,33 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(Similarity.exactPairsAbove(emb, threshold = 0.35, blocks = 1)) == broadcastPairs)
   }
 
+  test("frame sample: per-blob frame_idx, bounded fanout, stable under repartitioning") {
+    val s = spark
+    import s.implicits._
+    // blob sizes chosen around the slice boundaries: 0.5, 1, 2.5, 9 KiB
+    val blobs = Seq(
+      (1L, Array.fill[Byte](512)(1)),
+      (2L, Array.fill[Byte](1024)(2)),
+      (3L, Array.fill[Byte](2560)(3)),
+      (4L, Array.fill[Byte](9216)(4)),
+      (5L, null: Array[Byte]),
+    ).toDF("id", "blob")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.frameSample(df, "blob", everyNth = 2, maxFrames = 3)
+        .select(col("id"), col("frame_idx"), length(col("frame")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val out = run(blobs)
+    assert(out == Set(
+      (1L, 0L, 512),           // single short slice
+      (2L, 0L, 1024),          // exactly one slice
+      (3L, 0L, 1024), (3L, 2L, 512),  // 3 slices → idx 0, 2
+      (4L, 0L, 1024), (4L, 2L, 1024), (4L, 4L, 1024), // 9 slices, capped at 3 frames
+    ))
+    // frame_idx comes from the generator, not a global id — any partitioning
+    // must produce the identical set
+    assert(run(blobs.repartition(7)) == out)
+  }
+
   test("lsh ann recall vs brute force on sf0.001 embeddings") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
