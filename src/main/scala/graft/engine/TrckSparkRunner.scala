@@ -140,6 +140,31 @@ object TrckSparkRunner {
     runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls,
       lexiconEvents, srcCuts).toOutputs
 
+  /** [[runRaw]] with a full fcall module: initialize fires on the driver
+    * before the query plan is built, finalize after the aggregated results
+    * are collected (runRaw is eager — the collects happen inside it), once
+    * per query run like the reference's main-scope calls
+    * (src/match_traildb.c:1248,1256).
+    */
+  def runRawModule(
+      module: Fsm.FcallModule,
+      prog: CompiledProgram,
+      events: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      tiebreak: Seq[String] = Nil,
+      params: Bindings = Bindings(),
+      foreachTuples: Option[Vector[ForeachTuple]] = None,
+      filters: EngineFilters = EngineFilters(),
+      lexiconEvents: Option[DataFrame] = None,
+      srcCuts: Array[Long] = Array.empty,
+  ): LocalRunner.RunOutput = {
+    module.onInitialize()
+    try runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters,
+      module.fcalls, lexiconEvents, srcCuts)
+    finally module.onFinalize()
+  }
+
   /** As [[run]] but returns the raw [[LocalRunner.RunOutput]] (for the
     * msgpack/proto sinks, which need the encoded tuples, not the rendered
     * strings).

@@ -160,6 +160,21 @@ object Fsm {
 
   type Fcall = Seq[String] => String
 
+  /** User fcall module: named external functions plus run-scoped lifecycle
+    * hooks (≙ reference src/match_traildb.c:1221-1229 — weak initialize()/
+    * finalize() overridable by the linked .tr.c module, invoked once
+    * around the whole query run at :1248/:1256). On Spark the hooks run on
+    * the DRIVER around the query; per-executor setup belongs inside the
+    * function closures themselves (initialized lazily per JVM), since
+    * executors have no run-scoped lifecycle the reference's single-process
+    * model could promise.
+    */
+  final case class FcallModule(
+      fcalls: Map[String, Fcall],
+      onInitialize: () => Unit = () => (),
+      onFinalize: () => Unit = () => (),
+  )
+
   // control-flow modes of the interpreter loop
   private final val START = 0
   private final val CONT = 1

@@ -179,6 +179,25 @@ object LocalRunner {
         }
   }
 
+  /** [[run]] with a full fcall module: the initialize hook fires before any
+    * trail is read, the finalize hook after the run completes (or fails) —
+    * once per query run, like the reference's main-scope calls.
+    */
+  def runModule(
+      module: Fsm.FcallModule,
+      prog: CompiledProgram,
+      dbs: Seq[Db],
+      params: Bindings = Bindings(),
+      foreachTuples: Option[Vector[ForeachTuple]] = None,
+      cnf: Option[CnfFilter] = None,
+      windows: Option[WindowSet] = None,
+      exclude: Set[String] = Set.empty,
+  ): RunOutput = {
+    module.onInitialize()
+    try run(prog, dbs, params, foreachTuples, cnf, windows, exclude, module.fcalls)
+    finally module.onFinalize()
+  }
+
   def run(
       prog: CompiledProgram,
       dbs: Seq[Db],
