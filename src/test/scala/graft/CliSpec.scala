@@ -24,6 +24,20 @@ class CliSpec extends AnyFunSuite {
     } finally System.setOut(old)
   }
 
+  test("Tr2Dot dumps the reference window program as DOT") {
+    val (_, bytes) = withCapturedStdout {
+      graft.Tr2Dot.main(Array("/root/reference/test/tr/test_set_result_tuple_window.tr"))
+    }
+    val out = new String(bytes, "UTF-8")
+    assert(out.startsWith("digraph trck {"))
+    assert(out.contains("foreach %aeid in @arr"))
+    assert(out.contains("window 600s"), out) // after 10m
+    assert(out.contains("r0 -> r1"), "named transition resolves to the target rule")
+    assert(out.contains("style=dashed"), "window-block rules render dashed")
+    assert(out.contains("style=dotted"), "after edges render dotted")
+    assert(!out.contains("\\\\n"), "DOT newline escapes must not be double-escaped")
+  }
+
   private def writeTemp(name: String, content: String): String = {
     val dir = Files.createTempDirectory("graft-cli")
     val p = dir.resolve(name)
