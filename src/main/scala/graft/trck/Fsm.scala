@@ -381,11 +381,12 @@ object Fsm {
     var cycPow = 1
     var cycLam = 0
     var snapMode = -1; var snapRi = -1; var snapWin = 0L
-    var snapOuterIds: Array[Int] = null
-    var snapOuterExp: Array[Long] = null
+    val snapOuterIds: Array[Int] = new Array[Int](state.outerIds.length)
+    val snapOuterExp: Array[Long] = new Array[Long](state.outerExpires.length)
     def cycleSnapshot(): Unit = {
       snapMode = mode; snapRi = ri; snapWin = state.windowExpires
-      snapOuterIds = state.outerIds.clone(); snapOuterExp = state.outerExpires.clone()
+      System.arraycopy(state.outerIds, 0, snapOuterIds, 0, snapOuterIds.length)
+      System.arraycopy(state.outerExpires, 0, snapOuterExp, 0, snapOuterExp.length)
     }
     def cycleRepeats: Boolean =
       mode == snapMode && ri == snapRi && state.windowExpires == snapWin &&
@@ -393,14 +394,19 @@ object Fsm {
         java.util.Arrays.equals(state.outerExpires, snapOuterExp)
 
     while (mode != STOP) {
+      // consuming fast path pays only the pos compare; the first repeat
+      // iteration at a position arms the detector (snapMode == -1)
       if (ctx.pos == stallPos) {
-        if (cycleRepeats)
+        if (snapMode == -1) cycleSnapshot()
+        else if (cycleRepeats)
           throw new IllegalStateException(
             s"FSM control state repeated without consuming an event " +
               s"(rule ${ri}, ts=$timestamp) — non-terminating restart cycle in the program")
-        cycLam += 1
-        if (cycLam == cycPow) { cycPow <<= 1; cycLam = 0; cycleSnapshot() }
-      } else { stallPos = ctx.pos; cycPow = 1; cycLam = 0; cycleSnapshot() }
+        else {
+          cycLam += 1
+          if (cycLam == cycPow) { cycPow <<= 1; cycLam = 0; cycleSnapshot() }
+        }
+      } else { stallPos = ctx.pos; cycPow = 1; cycLam = 0; snapMode = -1 }
       mode match {
         case START =>
           val r = prog.rules(ri)
