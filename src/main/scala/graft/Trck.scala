@@ -112,8 +112,17 @@ object Trck {
         val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val dfs = inputs.map(spark.read.parquet(_)).toSeq
-        // sequential-DB semantics: min_ts cut + per-source replay order
-        val (events, srcCuts) = TrckSparkRunner.unionSources(dfs, tsCol)
+        // sequential-DB semantics: min_ts cut + per-source replay order;
+        // window runs additionally need pre-cut per-source trail presence so
+        // a fully-cut source still runs its empty per-entry loop
+        val (events, srcCuts, presence) =
+          if (windows.isDefined && dfs.lengthCompare(1) > 0) {
+            val (e, c, p) = TrckSparkRunner.unionSourcesWithPresence(dfs, tsCol, uuidCol)
+            (e, c, Some(p))
+          } else {
+            val (e, c) = TrckSparkRunner.unionSources(dfs, tsCol)
+            (e, c, None)
+          }
         // the implicit-foreach lexicon sweeps the UNcut union
         val lexicon = if (dfs.lengthCompare(1) == 0) None else Some(dfs.reduce(_ unionByName _))
         val filters = TrckSparkRunner.EngineFilters(
@@ -128,7 +137,7 @@ object Trck {
         )
         val out = TrckSparkRunner.runRaw(
           prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters,
-          lexiconEvents = lexicon, srcCuts = srcCuts)
+          lexiconEvents = lexicon, srcCuts = srcCuts, presence = presence)
         spark.stop()
         out
       }

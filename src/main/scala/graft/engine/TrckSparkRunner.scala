@@ -69,10 +69,11 @@ object TrckSparkRunner {
     * regardless of how many events survive per-event filters
     * (src/match_traildb.c:513-560). The engine never materializes sentinels
     * as events (TrailEngine `__ghost` handling); for trails with surviving
-    * events the extra row is inert. Known residual gap (documented, rare):
-    * a source whose events all fall below the min_ts cut loses its
-    * presence row before this point (unionSources drops them), while the
-    * reference would still run that DB's empty per-entry loop.
+    * events the extra row is inert. By default presence is judged from the
+    * post-cut events; pass [[unionSourcesWithPresence]]'s frame through
+    * runRaw's `presence` to also cover a source whose events all fall
+    * below its min_ts cut (the reference still runs that DB's empty
+    * per-entry loop).
     */
   private def withSentinels(
       real: DataFrame, presentFrom: DataFrame, uuidCol: String, tsCol: String): DataFrame = {
@@ -121,6 +122,23 @@ object TrckSparkRunner {
     (df, cuts)
   }
 
+  /** [[unionSources]] plus a PRE-CUT presence frame: one (uuid, __src) row
+    * per trail per source it appears in, computed BEFORE the min_ts cut
+    * drops rows. Feed it to [[runRaw]]'s `presence` for window runs so a
+    * trail whose source-i events all fall below the cut still runs that
+    * source's per-entry loop with zero events, exactly like the reference
+    * iterating every DB's trail list. Costs one distinct pass per source —
+    * only pay it when the run needs reference-exact empty-trail semantics.
+    */
+  def unionSourcesWithPresence(
+      sources: Seq[DataFrame], tsCol: String, uuidCol: String): (DataFrame, Array[Long], DataFrame) = {
+    val (df, cuts) = unionSources(sources, tsCol)
+    val presence = sources.zipWithIndex
+      .map { case (s, i) => s.select(col(uuidCol)).distinct().withColumn("__src", lit(i)) }
+      .reduce(_ unionByName _)
+    (df, cuts, presence)
+  }
+
   /** Run a program over a trail DataFrame and assemble reference-shaped
     * results (one map per foreach tuple, or one for merged/no-groupby).
     */
@@ -136,9 +154,10 @@ object TrckSparkRunner {
       fcalls: Map[String, Fsm.Fcall] = Map.empty,
       lexiconEvents: Option[DataFrame] = None,
       srcCuts: Array[Long] = Array.empty,
+      presence: Option[DataFrame] = None,
   ): Vector[mutable.LinkedHashMap[String, Any]] =
     runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls,
-      lexiconEvents, srcCuts).toOutputs
+      lexiconEvents, srcCuts, presence).toOutputs
 
   /** [[runRaw]] with a full fcall module: initialize fires on the driver
     * before the query plan is built, finalize after the aggregated results
@@ -187,12 +206,21 @@ object TrckSparkRunner {
         * window-clamp parity whenever `events` carries a `__src` column)
         */
       srcCuts: Array[Long] = Array.empty,
+      /** pre-cut per-source trail presence from
+        * [[unionSourcesWithPresence]] — when given, zero-event sentinels
+        * are derived from it instead of the post-cut events, closing the
+        * last empty-trail gap (a source fully below its min_ts cut)
+        */
+      presence: Option[DataFrame] = None,
   ): LocalRunner.RunOutput = {
     // exclude first (excluded trails must not even run empty), CNF second —
     // trail PRESENCE is judged pre-CNF, like the reference looking a cookie
     // up in the DB before filtering its events (src/match_traildb.c:513-524)
     val afterExclude = applyFilters(events, uuidCol, tsCol, filters.copy(cnf = None))
     val filtered = filters.cnf.map(afterExclude.filter).getOrElse(afterExclude)
+    val presentBase = presence
+      .map(p => applyFilters(p, uuidCol, tsCol, filters.copy(cnf = None)))
+      .getOrElse(afterExclude)
     val tuples: Vector[ForeachTuple] =
       if (prog.groupbyVars.isEmpty) Vector(ForeachTuple(Vector.empty))
       else
@@ -240,7 +268,7 @@ object TrckSparkRunner {
         // the reference iterates the window list against DB trails, not
         // against surviving events — so keep a zero-event sentinel per
         // listed cookie present in the pre-filter events.
-        val listed = afterExclude
+        val listed = presentBase
           .join(broadcast(bounds.select(uuidCol)), Seq(uuidCol), "left_semi")
         (withSentinels(joined, listed, uuidCol, tsCol), Some(ws.entries))
       case None =>
@@ -249,7 +277,7 @@ object TrckSparkRunner {
         // after-yields appear at finalization) — probe once and keep the
         // common path sentinel-free (no extra distinct pass at scale).
         if (TrailMatcher.emptyRunMutates(prog))
-          (withSentinels(filtered, afterExclude, uuidCol, tsCol), None)
+          (withSentinels(filtered, presentBase, uuidCol, tsCol), None)
         else (filtered, None)
     }
 

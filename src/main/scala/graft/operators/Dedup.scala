@@ -11,17 +11,16 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** Exact dedup: canonical id per identical text. Group on the md5
-    * fingerprint, not the full text — at 100 TB you shuffle 16-byte keys,
-    * not document bodies.
+  /** Exact dedup: canonical id per identical text. One scan, one shuffle:
+    * project to (doc_id, md5 fingerprint) — at 100 TB you shuffle 16-byte
+    * keys, not document bodies — and take the per-fingerprint min via a
+    * window (the groupBy+join-back formulation read the corpus twice).
     */
   def exactCanonical(docs: DataFrame): DataFrame = {
-    val canon = docs
-      .groupBy(md5(col("text")).as("fp"))
-      .agg(min("doc_id").as("canonical_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(canon, "fp")
+      .withColumn("canonical_id", min("doc_id").over(w))
       .select("doc_id", "canonical_id")
   }
 

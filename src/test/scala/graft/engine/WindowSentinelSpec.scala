@@ -97,6 +97,39 @@ class WindowSentinelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(render(engine) == render(local))
   }
 
+  test("pre-cut presence covers a source fully below its min_ts cut") {
+    // u2 exists ONLY in source 2, and all its source-2 events fall below
+    // source 1's max timestamp (the min_ts cut) — the reference still runs
+    // db2's empty per-entry loop for u2 (state mutates, finalization
+    // emits). Post-cut events carry no trace of u2, so only the pre-cut
+    // presence frame can restore it.
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db1 = Db(Seq("u1" -> Seq(RawEvent(5000L, Map("type" -> "x")))))
+    val db2 = Db(Seq(
+      "u1" -> Seq(RawEvent(6000L, Map("type" -> "x"))),
+      "u2" -> Seq(RawEvent(1000L, Map("type" -> "x"))), // all below the 5000 cut
+    ))
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("u1", "u1", 0L, 0L),
+      LocalRunner.WindowEntry("u2", "u2", 0L, 0L),
+    ))
+    val local = LocalRunner.run(prog, Seq(db1, db2), windows = Some(ws))
+    assert(local.results.head.counters("midexp") >= 2L, "u2's empty run must contribute")
+    val (unioned, cuts, presence) = TrckSparkRunner.unionSourcesWithPresence(
+      Seq(dbToDf(db1), dbToDf(db2)), "ts", "uuid")
+    val engine = TrckSparkRunner.runRaw(
+      prog, unioned, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)),
+      srcCuts = cuts, presence = Some(presence))
+    assert(render(engine) == render(local))
+    // without the presence frame the u2 segment is unrecoverable — the gap
+    // this feature closes
+    val engineNoP = TrckSparkRunner.runRaw(
+      prog, unioned, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), srcCuts = cuts)
+    assert(render(engineNoP) != render(local))
+  }
+
   test("multi-source window run keeps per-source presence for empty segments") {
     val prog = Compiled.compile(nestedWindowProgram)
     val db1 = Db(Seq(
