@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Asserted plan properties for representative registered queries — the
+  * invariants that keep the 100 TB posture honest, pinned so a refactor
+  * that silently reintroduces a cartesian product, drops a broadcast, or
+  * loses parquet pushdown fails CI instead of only showing up in a manual
+  * PlanAudit run.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("plan-audit").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("f1_filter_cnf pushes its predicate into the parquet scan") {
+    val p = plan("f1_filter_cnf")
+    assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))
+  }
+
+  test("q5_join_broadcast broadcasts the dimension side, no cartesian") {
+    val p = plan("q5_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("exact near-dup pair queries contain no cartesian product or corpus broadcast") {
+    for (q <- Seq("d_embed_neardup_exact", "d_embed_cc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a broadcast nested loop")
+    }
+  }
+
+  test("trail queries read only the columns the program needs") {
+    val p = plan("m1_fsm_count")
+    val schemas = "ReadSchema: [^\n]+".r.findAllIn(p).toList
+    assert(schemas.nonEmpty)
+    // the events scan must not drag payload/properties columns through the
+    // shuffle for a count-only program
+    assert(schemas.forall(!_.contains("payload")), schemas.mkString("\n"))
+  }
+
+  test("d_exact_dup shuffles fingerprints, not document bodies") {
+    val p = plan("d_exact_dup")
+    val exchangeSchemas = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!exchangeSchemas.exists(_.contains("text#")),
+      "the md5-fingerprint shuffle must not carry the text column:\n" + exchangeSchemas.mkString("\n"))
+  }
+}
