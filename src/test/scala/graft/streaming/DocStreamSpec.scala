@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Streaming document-pipeline front-end: watermark-bounded exact dedup,
+  * windowed quality aggregation, and batch-identical split routing.
+  */
+class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("2").appName("doc-stream-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("streaming dedup keeps the first arrival of each fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.dedupByFingerprint(docs)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(10), "alpha beta"), (2L, ts(11), "gamma delta"))
+      query.processAllAvailable()
+      // same text again (different id) + a new doc
+      input.addData((3L, ts(12), "alpha beta"), (4L, ts(13), "epsilon zeta"))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"duplicate text must be dropped, got $ids")
+    } finally query.stop()
+  }
+
+  test("windowed quality stats emit once the watermark passes the window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.qualityByWindow(
+      docs, windowDuration = "1 minute", watermarkDelay = "1 minute", minTokens = 3)
+      .writeStream.format("memory").queryName("quality_out").outputMode("append").start()
+    try {
+      // window [0, 60): 2 docs, one passing the 3-token gate
+      input.addData((1L, ts(10), "one two three four"), (2L, ts(20), "too short"))
+      query.processAllAvailable()
+      // advance the watermark well past the first window
+      input.addData((3L, ts(300), "later doc entirely"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_docs, n_tokens, n_quality FROM quality_out WHERE window_start = timestamp'1970-01-01 00:00:00'")
+        .collect()
+      assert(rows.length == 1, "first window must have closed exactly once")
+      assert(rows.head.getLong(0) == 2 && rows.head.getLong(1) == 6 && rows.head.getLong(2) == 1)
+    } finally query.stop()
+  }
+
+  test("streaming split routing matches the batch splitBucket exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.withSplit(docs, org.apache.spark.sql.functions.col("doc_id"))
+      .writeStream.format("memory").queryName("split_out").outputMode("append").start()
+    try {
+      input.addData((0 until 50).map(i => (i.toLong, ts(i), s"doc $i")): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, split FROM split_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = (0 until 50).map(_.toLong).toDF("doc_id")
+        .select($"doc_id", graft.operators.TextAnalysis.splitName($"doc_id").as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+}
