@@ -154,10 +154,18 @@ object MinHash {
     * rows.
     */
   def signaturesMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                    k: Int = 3, h: Int = 16): DataFrame =
+                    k: Int = 3, h: Int = 16): DataFrame = {
+    // shingle strings via a typed flatMap (tight loops; the Column
+    // `shingles()` form is interpreted lambda-per-window) — the md5/conv
+    // hashing stays in codegen'd column expressions
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(shingles(col(textCol), k)).as("__s"))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleStrings(id, t, k) }
+      .toDF(idCol, "__s")
       .select(col(idCol), md5(col("__s")).as("__m"))
       .select(
         col(idCol),
@@ -165,6 +173,21 @@ object MinHash {
         conv(substring(col("__m"), 8, 7), 16, 10).cast("long").as("__h2"))
       .groupBy(idCol)
       .agg(array((0 until h).map(i => min(col("__h1") + lit(i.toLong) * col("__h2"))): _*).as("sig"))
+  }
+
+  /** shingle strings, byte-identical to [[shingles]]' Column form
+    * (including the < k single-shingle fallback)
+    */
+  private def shingleStrings(id: Long, text: String, k: Int): Iterator[(Long, String)] = {
+    val words = text.trim.split("\\s+", -1)
+    if (words.length < k) Iterator.single((id, words.mkString(" ")))
+    else Iterator.tabulate(words.length - k + 1) { i =>
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+      (id, sb.toString)
+    }
+  }
 
   /** md5-family band keys: md5_60 of "band,v1,...,vR" over decimal-rendered
     * signature values.
