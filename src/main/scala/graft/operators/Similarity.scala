@@ -199,6 +199,80 @@ object Similarity {
     }.toDF("id_a", "id_b")
   }
 
+  /** Integer-quantized embeddings: floor(x·scale) per component as long —
+    * the standard compression for large-scale similarity search, and the
+    * key to cross-engine verifiability: integer dot products are EXACT, so
+    * any engine computes identical scores, where the float paths differ in
+    * the last ulp (which is what makes them structurally un-oracle-able).
+    */
+  def quantize(vec: Column, scale: Double = 1e6): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Top-k by quantized inner product (MIPS over floor(x·scale) integer
+    * vectors): exact integer scores, total (score desc, neighbor_id)
+    * order — fully deterministic across engines and partitionings. Same
+    * physical shape as [[bruteForceTopK]]: broadcast queries,
+    * partition-local bounded top-k heaps, global window rank over
+    * ≤ partitions × Q × k survivors.
+    */
+  def quantizedMipsTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def quant(v: Array[Float]): Array[Long] = {
+      val out = new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = math.floor(v(i).toDouble * scale).toLong; i += 1 }
+      out
+    }
+    val q = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => (id, quant(v)) }
+    val qb = spark.sparkContext.broadcast(q)
+    val worstFirst = Ordering.by[(Long, Long), (Long, Long)] { case (sc, id) => (-sc, id) }
+    val scored = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstFirst))
+        it.foreach { case (cid, cv) =>
+          val cq = quant(cv)
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv) = qs(i)
+            if (qid != cid) {
+              var s = 0L; var j = 0
+              while (j < cq.length) { s += qv(j) * cq(j); j += 1 }
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((s, cid))
+              else if (worstFirst.lt((s, cid), h.head)) { h.dequeue(); h.enqueue((s, cid)) }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (s, cid) => (qs(i)._1, cid, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** 16-bit random-hyperplane LSH bucket id for a vector. Hyperplanes are
     * pseudo-random but fixed: plane p's component i is derived from
     * xxhash64(p, i) mapped to [-1, 1) — deterministic across executors

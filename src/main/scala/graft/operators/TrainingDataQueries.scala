@@ -202,6 +202,39 @@ object TrainingDataQueries {
                string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY neighbor_id) AS neighbors
         FROM r WHERE rk <= 5 GROUP BY query_id ORDER BY query_id"""),
     ),
+    // Quantized integer MIPS top-k: floor(x·1e6) per component, exact
+    // integer dot products, total (score desc, id) order — the quantized
+    // retrieval variant IS fully oracle-able, unlike the float paths
+    // whose last-ulp differences flip ranks across engines. Full rank
+    // list in the output, not just the id set.
+    Q(
+      "ann_quant_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedMipsTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                       i -> q.qv[i] * c.qv[i])) AS BIGINT) AS score
+              FROM qz c, q WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+    ),
     // LSH-bucketed ANN (the scale path) — rows-only; recall vs brute force
     // is asserted in the unit spec.
     Q(
