@@ -168,6 +168,86 @@ object Similarity {
       .toDF("id_a", "id_b")
   }
 
+  /** All pairs with quantized-cosine ≥ tNum/tDen, in EXACT integer
+    * arithmetic: over qa = floor(a·scale) vectors, cos(qa,qb) ≥ n/d ⟺
+    * dot > 0 ∧ d²·dot² ≥ n²·|qa|²·|qb|² — no square roots, no floats, so
+    * every engine computes the identical pair set (the property the float
+    * formulation can't give). Same block-partitioned shuffle scheme as
+    * [[exactPairsAbove]]: O(N·blocks) shuffle, O(2N/blocks) task memory,
+    * no driver state. The squared compare needs ~2×63-bit products, done
+    * in BigInt (DuckDB mirrors with HUGEINT).
+    */
+  def quantizedPairsAbove(
+      corpus: DataFrame,
+      tNum: Int,
+      tDen: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+      blocks: Int = 16,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(blocks >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = blocks
+    val n2 = BigInt(tNum) * tNum
+    val d2 = BigInt(tDen) * tDen
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = new Array[Long](v.length)
+        var i = 0
+        var nn = 0L
+        while (i < v.length) {
+          q(i) = math.floor(v(i).toDouble * scale).toLong
+          nn += q(i) * q(i)
+          i += 1
+        }
+        (id, q, nn)
+      }
+      .flatMap { case (id, q, nn) =>
+        val blk = ((id % b) + b).toInt % b
+        Iterator.range(blk, b).map(j => (blk * b + j, id, q, nn)) ++
+          Iterator.range(0, blk).map(i => (i * b + blk, id, q, nn))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Long, Array[Long], Long)]) =>
+        val i = key / b; val j = key % b
+        val items = it.map { case (_, id, q, nn) => (id, q, nn) }.toArray
+        val out = Iterator.newBuilder[(Long, Long)]
+        def score(a: (Long, Array[Long], Long), c: (Long, Array[Long], Long)): Unit =
+          if (a._1 != c._1) {
+            var dot = 0L; var x = 0
+            val qa = a._2; val qc = c._2
+            while (x < qa.length) { dot += qa(x) * qc(x); x += 1 }
+            if (dot > 0 && d2 * (BigInt(dot) * dot) >= n2 * (BigInt(a._3) * c._3))
+              out += (if (a._1 < c._1) (a._1, c._1) else (c._1, a._1))
+          }
+        if (i == j) {
+          var x = 0
+          while (x < items.length) {
+            var y = x + 1
+            while (y < items.length) { score(items(x), items(y)); y += 1 }
+            x += 1
+          }
+        } else {
+          val left = items.filter(t => (((t._1 % b) + b).toInt % b) == i)
+          val right = items.filter(t => (((t._1 % b) + b).toInt % b) == j)
+          var x = 0
+          while (x < left.length) {
+            var y = 0
+            while (y < right.length) { score(left(x), right(y)); y += 1 }
+            x += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Broadcast formulation of [[exactPairsAbove]] — collects the corpus to
     * the driver, so only usable when it fits a broadcast. Kept as the
     * reference implementation the block-partitioned kernel is spec-checked

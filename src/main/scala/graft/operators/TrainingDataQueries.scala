@@ -163,6 +163,35 @@ object TrainingDataQueries {
         SELECT a AS vec_id, min(b) AS component
         FROM r GROUP BY a ORDER BY vec_id"""),
     ),
+    // Quantized-integer near-dup pairs: cos ≥ 7/20 over floor(x·1e6)
+    // vectors via the cross-multiplied squared compare — exact integer
+    // arithmetic end-to-end (BigInt / HUGEINT), so the pair set
+    // hash-matches across engines with no float threshold jitter.
+    Q(
+      "d_embed_neardup_quant",
+      (s, dir) =>
+        Similarity
+          .quantizedPairsAbove(Tables(s, dir, "embeddings"), tNum = 7, tDen = 20)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, qv,
+                     CAST(list_sum(list_transform(qv, x -> x * x)) AS HUGEINT) AS n2
+              FROM qz),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                       i -> a.qv[i] * b.qv[i])) AS HUGEINT) AS dot,
+                     a.n2 AS na2, b.n2 AS nb2
+              FROM n a, n b WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b FROM p
+        WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
+        ORDER BY id_a, id_b"""),
+    ),
     // Embedding-cosine near-dup pairs via LSH buckets (D5).
     Q(
       "d_embed_neardup",
