@@ -112,11 +112,16 @@ object Trck {
         val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val dfs = inputs.map(spark.read.parquet(_)).toSeq
-        // sequential-DB semantics: min_ts cut + per-source replay order;
-        // window runs additionally need pre-cut per-source trail presence so
-        // a fully-cut source still runs its empty per-entry loop
+        // sequential-DB semantics: min_ts cut + per-source replay order.
+        // Pre-cut per-source trail presence is needed whenever empty
+        // per-entry runs are observable — window runs always, non-window
+        // runs when the program's entrypoint chain mutates a fresh state —
+        // so a fully-cut source still runs its empty loop like the
+        // reference iterating every DB's trail list.
+        val needsPresence = dfs.lengthCompare(1) > 0 &&
+          (windows.isDefined || graft.trck.TrailMatcher.emptyRunMutates(prog))
         val (events, srcCuts, presence) =
-          if (windows.isDefined && dfs.lengthCompare(1) > 0) {
+          if (needsPresence) {
             val (e, c, p) = TrckSparkRunner.unionSourcesWithPresence(dfs, tsCol, uuidCol)
             (e, c, Some(p))
           } else {

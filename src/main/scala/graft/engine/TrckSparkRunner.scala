@@ -177,10 +177,11 @@ object TrckSparkRunner {
       filters: EngineFilters = EngineFilters(),
       lexiconEvents: Option[DataFrame] = None,
       srcCuts: Array[Long] = Array.empty,
+      presence: Option[DataFrame] = None,
   ): LocalRunner.RunOutput = {
     module.onInitialize()
     try runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters,
-      module.fcalls, lexiconEvents, srcCuts)
+      module.fcalls, lexiconEvents, srcCuts, presence)
     finally module.onFinalize()
   }
 

@@ -52,51 +52,70 @@ object Similarity {
   ): DataFrame = {
     requireIntegralId(corpus, idCol)
     requireIntegralId(queries, idCol)
+    require(k >= 1, "k must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .collect()
-      .map { case (id, v) => (id, v, norm(v)) }
-    val qb = spark.sparkContext.broadcast(q)
-    // partition-local top-k per query (bounded heaps, same total order as
-    // the final rank) so the shuffle into the window carries at most
-    // partitions × Q × k rows instead of N × Q — the pruning is lossless
-    // because any global top-k candidate is a partition top-k candidate
-    // under the same (sim desc, neighbor_id asc) ordering
+      .map { case (id, v) => (id, (v, norm(v))) }
     val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (sim, id) => (-sim, id) }
-    val scored = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = qb.value
-        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
-        it.foreach { case (cid, cv) =>
-          val nc = norm(cv)
-          var i = 0
-          while (i < qs.length) {
-            val (qid, qv, nq) = qs(i)
-            if (qid != cid) {
-              val d = nq * nc
-              val sim = if (d == 0) 0.0 else dot(qv, cv) / d
-              val h = heaps(i)
-              if (h.size < k) h.enqueue((sim, cid))
-              else if (worstFirst.lt((sim, cid), h.head)) { h.dequeue(); h.enqueue((sim, cid)) }
-            }
-            i += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.iterator.map { case (sim, cid) => (qs(i)._1, cid, sim) }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "sim")
+    val scored = broadcastHeapTopK[(Array[Float], Double), (Array[Float], Double), Double](
+      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
+      q, k,
+      prep = cv => (cv, norm(cv)),
+      scoreOf = { case ((qv, nq), (cv, nc)) =>
+        val d = nq * nc
+        if (d == 0) 0.0 else dot(qv, cv) / d
+      },
+      worstFirst, "sim")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Shared broadcast + partition-local-heap top-k scaffold: per corpus
+    * row, `prep` runs once, then every query scores it and a bounded
+    * per-query heap keeps the k best under `worstFirst` — the same total
+    * order the caller's final window rank uses, which is what makes the
+    * pruning lossless. The shuffle out carries ≤ partitions × Q × k rows.
+    */
+  private def broadcastHeapTopK[Q, P, S](
+      corpus: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Q)],
+      k: Int,
+      prep: Array[Float] => P,
+      scoreOf: (Q, P) => S,
+      worstFirst: Ordering[(S, Long)],
+      scoreCol: String,
+  )(implicit encOut: org.apache.spark.sql.Encoder[(Long, Long, S)]): DataFrame = {
+    val qb = corpus.sparkSession.sparkContext.broadcast(queries)
+    corpus
+      .mapPartitions { it =>
+        val qs = qb.value
+        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(S, Long)]()(worstFirst))
+        it.foreach { case (cid, cv) =>
+          val p = prep(cv)
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qpayload) = qs(i)
+            if (qid != cid) {
+              val s = scoreOf(qpayload, p)
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((s, cid))
+              else if (worstFirst.lt((s, cid), h.head)) { h.dequeue(); h.enqueue((s, cid)) }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (s, cid) => (qs(i)._1, cid, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", scoreCol)
   }
 
   /** All pairs (id_a < id_b) with cosine ≥ threshold — the exact O(N²)
@@ -122,35 +141,53 @@ object Similarity {
     require(blocks >= 1, "blocks must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val b = blocks
-    corpus
+    val ds = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
+      .map { case (id, v) => (id, (v, norm(v))) }
+    blockPairsDF[(Array[Float], Double)](ds, blocks, { (a, c) =>
+      val d = a._2 * c._2
+      val sim = if (d == 0) 0.0 else dot(a._1, c._1) / d
+      sim >= threshold
+    })
+  }
+
+  /** Shared block-partitioned unordered-pair scheme: ids hash into `b`
+    * blocks, every unordered block pair (i ≤ j) is one shuffle group
+    * holding both blocks, and `keep` decides emission per candidate pair
+    * (ids assumed unique; self-pairs never emitted; each unordered pair
+    * visited exactly once, output ordered id_a < id_b). Each row ships to
+    * exactly `b` groups → O(N·b) slim-row shuffle, O(2N/b) task memory,
+    * no driver state.
+    */
+  private def blockPairsDF[T](
+      ds: org.apache.spark.sql.Dataset[(Long, T)],
+      b: Int,
+      keep: (T, T) => Boolean,
+  )(implicit
+    encRep: org.apache.spark.sql.Encoder[(Int, Long, T)],
+    encOut: org.apache.spark.sql.Encoder[(Long, Long)]): DataFrame = {
+    ds
+      .flatMap { case (id, payload) =>
         val blk = ((id % b) + b).toInt % b
-        val n = norm(v)
         // one replica per group this block participates in: (blk, j≥blk)
         // as the left side, (i<blk, blk) as the right side
-        Iterator.range(blk, b).map(j => (blk * b + j, id, v, n)) ++
-          Iterator.range(0, blk).map(i => (i * b + blk, id, v, n))
+        Iterator.range(blk, b).map(j => (blk * b + j, id, payload)) ++
+          Iterator.range(0, blk).map(i => (i * b + blk, id, payload))
       }
-      .groupByKey(_._1)
-      .flatMapGroups { (key: Int, it: Iterator[(Int, Long, Array[Float], Double)]) =>
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaInt)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Long, T)]) =>
         val i = key / b; val j = key % b
-        val items = it.map { case (_, id, v, n) => (id, v, n) }.toArray
+        val items = it.map { case (_, id, p) => (id, p) }.toArray
         val out = Iterator.newBuilder[(Long, Long)]
-        def score(a: (Long, Array[Float], Double), c: (Long, Array[Float], Double)): Unit =
-          if (a._1 != c._1) { // ids assumed unique; never emit a self-pair
-            val d = a._3 * c._3
-            val sim = if (d == 0) 0.0 else dot(a._2, c._2) / d
-            if (sim >= threshold)
-              out += (if (a._1 < c._1) (a._1, c._1) else (c._1, a._1))
-          }
+        def emit(a: (Long, T), c: (Long, T)): Unit =
+          if (a._1 != c._1 && keep(a._2, c._2))
+            out += (if (a._1 < c._1) (a._1, c._1) else (c._1, a._1))
         if (i == j) {
           var x = 0
           while (x < items.length) {
             var y = x + 1
-            while (y < items.length) { score(items(x), items(y)); y += 1 }
+            while (y < items.length) { emit(items(x), items(y)); y += 1 }
             x += 1
           }
         } else {
@@ -159,7 +196,7 @@ object Similarity {
           var x = 0
           while (x < left.length) {
             var y = 0
-            while (y < right.length) { score(left(x), right(y)); y += 1 }
+            while (y < right.length) { emit(left(x), right(y)); y += 1 }
             x += 1
           }
         }
@@ -191,61 +228,45 @@ object Similarity {
     require(blocks >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val b = blocks
     val n2 = BigInt(tNum) * tNum
     val d2 = BigInt(tDen) * tDen
-    corpus
+    val ds = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        val q = new Array[Long](v.length)
-        var i = 0
-        var nn = 0L
-        while (i < v.length) {
-          q(i) = math.floor(v(i).toDouble * scale).toLong
-          nn += q(i) * q(i)
-          i += 1
-        }
-        (id, q, nn)
+        val q = quantizeChecked(v, scale)
+        var nn = 0L; var i = 0
+        while (i < q.length) { nn += q(i) * q(i); i += 1 }
+        (id, (q, nn))
       }
-      .flatMap { case (id, q, nn) =>
-        val blk = ((id % b) + b).toInt % b
-        Iterator.range(blk, b).map(j => (blk * b + j, id, q, nn)) ++
-          Iterator.range(0, blk).map(i => (i * b + blk, id, q, nn))
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (key: Int, it: Iterator[(Int, Long, Array[Long], Long)]) =>
-        val i = key / b; val j = key % b
-        val items = it.map { case (_, id, q, nn) => (id, q, nn) }.toArray
-        val out = Iterator.newBuilder[(Long, Long)]
-        def score(a: (Long, Array[Long], Long), c: (Long, Array[Long], Long)): Unit =
-          if (a._1 != c._1) {
-            var dot = 0L; var x = 0
-            val qa = a._2; val qc = c._2
-            while (x < qa.length) { dot += qa(x) * qc(x); x += 1 }
-            if (dot > 0 && d2 * (BigInt(dot) * dot) >= n2 * (BigInt(a._3) * c._3))
-              out += (if (a._1 < c._1) (a._1, c._1) else (c._1, a._1))
-          }
-        if (i == j) {
-          var x = 0
-          while (x < items.length) {
-            var y = x + 1
-            while (y < items.length) { score(items(x), items(y)); y += 1 }
-            x += 1
-          }
-        } else {
-          val left = items.filter(t => (((t._1 % b) + b).toInt % b) == i)
-          val right = items.filter(t => (((t._1 % b) + b).toInt % b) == j)
-          var x = 0
-          while (x < left.length) {
-            var y = 0
-            while (y < right.length) { score(left(x), right(y)); y += 1 }
-            x += 1
-          }
-        }
-        out.result()
-      }
-      .toDF("id_a", "id_b")
+    blockPairsDF[(Array[Long], Long)](ds, blocks, { (a, c) =>
+      var d = 0L; var x = 0
+      val qa = a._1; val qc = c._1
+      while (x < qa.length) { d += qa(x) * qc(x); x += 1 }
+      d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(a._2) * c._2)
+    })
+  }
+
+  /** floor(x·scale) with the exact-arithmetic magnitude bound: components
+    * are capped so squared norms, dot products and their running partial
+    * sums all stay ≤ Long.MaxValue/2 (|q_i| ≤ √(Long.MaxValue/2/dim)) —
+    * beyond that the JVM would silently wrap while the DuckDB HUGEINT
+    * oracle stays exact, breaking the exact-cross-engine contract. Fails
+    * fast with a pointer to lower the scale instead.
+    */
+  private def quantizeChecked(v: Array[Float], scale: Double): Array[Long] = {
+    val limit = math.sqrt(Long.MaxValue.toDouble / 2 / math.max(1, v.length)).toLong
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble * scale).toLong
+      if (math.abs(out(i)) > limit)
+        throw new IllegalArgumentException(
+          s"quantized component ${out(i)} exceeds the exact-arithmetic bound ±$limit " +
+            s"for ${v.length} dims — lower the quantization scale")
+      i += 1
+    }
+    out
   }
 
   /** Broadcast formulation of [[exactPairsAbove]] — collects the corpus to
@@ -305,47 +326,25 @@ object Similarity {
   ): DataFrame = {
     requireIntegralId(corpus, idCol)
     requireIntegralId(queries, idCol)
+    require(k >= 1, "k must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    def quant(v: Array[Float]): Array[Long] = {
-      val out = new Array[Long](v.length)
-      var i = 0
-      while (i < v.length) { out(i) = math.floor(v(i).toDouble * scale).toLong; i += 1 }
-      out
-    }
     val q = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .collect()
-      .map { case (id, v) => (id, quant(v)) }
-    val qb = spark.sparkContext.broadcast(q)
+      .map { case (id, v) => (id, quantizeChecked(v, scale)) }
     val worstFirst = Ordering.by[(Long, Long), (Long, Long)] { case (sc, id) => (-sc, id) }
-    val scored = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = qb.value
-        val heaps = Array.fill(qs.length)(new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstFirst))
-        it.foreach { case (cid, cv) =>
-          val cq = quant(cv)
-          var i = 0
-          while (i < qs.length) {
-            val (qid, qv) = qs(i)
-            if (qid != cid) {
-              var s = 0L; var j = 0
-              while (j < cq.length) { s += qv(j) * cq(j); j += 1 }
-              val h = heaps(i)
-              if (h.size < k) h.enqueue((s, cid))
-              else if (worstFirst.lt((s, cid), h.head)) { h.dequeue(); h.enqueue((s, cid)) }
-            }
-            i += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
-          h.iterator.map { case (s, cid) => (qs(i)._1, cid, s) }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "score")
+    val scored = broadcastHeapTopK[Array[Long], Array[Long], Long](
+      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
+      q, k,
+      prep = cv => quantizeChecked(cv, scale),
+      scoreOf = { (qv, cq) =>
+        var s = 0L; var j = 0
+        while (j < cq.length) { s += qv(j) * cq(j); j += 1 }
+        s
+      },
+      worstFirst, "score")
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))

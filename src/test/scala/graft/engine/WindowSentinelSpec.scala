@@ -130,6 +130,25 @@ class WindowSentinelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(render(engineNoP) != render(local))
   }
 
+  test("pre-cut presence also covers NON-window multi-source runs (empty-run programs)") {
+    // same fully-cut-source shape, no window file: the reference still
+    // iterates db2's trail list and runs u2's empty trail, whose state
+    // mutation is observable because the entrypoint enters window blocks
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db1 = Db(Seq("u1" -> Seq(RawEvent(5000L, Map("type" -> "x")))))
+    val db2 = Db(Seq(
+      "u1" -> Seq(RawEvent(6000L, Map("type" -> "x"))),
+      "u2" -> Seq(RawEvent(1000L, Map("type" -> "x"))),
+    ))
+    val local = LocalRunner.run(prog, Seq(db1, db2))
+    assert(local.results.head.counters("midexp") >= 2L)
+    val (unioned, cuts, presence) = TrckSparkRunner.unionSourcesWithPresence(
+      Seq(dbToDf(db1), dbToDf(db2)), "ts", "uuid")
+    val engine = TrckSparkRunner.runRaw(
+      prog, unioned, "uuid", "ts", Seq("seq"), srcCuts = cuts, presence = Some(presence))
+    assert(render(engine) == render(local))
+  }
+
   test("multi-source window run keeps per-source presence for empty segments") {
     val prog = Compiled.compile(nestedWindowProgram)
     val db1 = Db(Seq(
