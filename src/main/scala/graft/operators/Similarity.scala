@@ -426,36 +426,48 @@ object Similarity {
       s"$idCol must be an integral type (got ${dt.simpleString})")
   }
 
-  /** Deterministic k-means-lite coarse quantizer: the nCells lowest-id
-    * vectors seed the centroids, then `iters` rounds of assign (typed map,
-    * tight JVM loops — no interpreted array lambdas in the hot path) +
-    * per-dimension mean (posexplode → groupBy(cell, pos) with map-side
-    * partial agg). Centroids are tiny (nCells × dim) and live on the
-    * driver/broadcast; at 100 TB you train on a sample and reuse.
+  /** Deterministic k-means-lite coarse quantizer, trained on a bounded
+    * driver-side sample — the standard IVF recipe at scale: quantizer
+    * quality needs a REPRESENTATIVE sample, not the full corpus, so one
+    * ordered `limit(sampleCap)` collect replaces `iters` full distributed
+    * passes (each with its own shuffle + collect). The nCells lowest-id
+    * sample vectors seed the centroids; iterations then run in tight JVM
+    * loops on the driver. Deterministic: ordered sample, sequential
+    * accumulation.
     */
   def ivfCentroids(corpus: DataFrame, nCells: Int, iters: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   sampleCap: Int = 65536): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val ds = corpus
+    val sample = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-    var cent = ds.orderBy("id").limit(nCells).collect().map(_._2)
+      .orderBy("id")
+      .limit(sampleCap)
+      .collect()
+      .map(_._2)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    var cent = sample.take(nCells).map(_.clone())
     for (_ <- 0 until iters) {
-      val cb = spark.sparkContext.broadcast(cent)
-      val means = ds
-        .map { case (_, v) => (nearestCells(cb.value, v, 1)(0), v) }
-        .toDF("cell", "vec")
-        .select(col("cell"), posexplode(col("vec")))
-        .groupBy("cell", "pos")
-        .agg(avg("col").as("m"))
-        .collect()
-      val next = cent.map(_.clone())
-      means.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
-        val arr = next(cell)
-        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+      val dim = cent(0).length
+      val sums = Array.ofDim[Double](cent.length, dim)
+      val counts = new Array[Long](cent.length)
+      sample.foreach { v =>
+        val c = nearestCells(cent, v, 1)(0)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
       }
-      cent = next
+      cent = cent.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old.clone()
+        else {
+          val m = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          m
+        }
+      }
     }
     cent
   }
