@@ -286,4 +286,52 @@ class TrickSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkCase("buy", buyConstraints, buyProgram, "%it", "bought",
       Fsm.Bindings(), Seq("type", "item"))
   }
+
+  test("window-straddling deltas: per-trail expectations follow the M2 expiry exactly") {
+    // the funnel's window (1 day) sits INSIDE the generated time-delta
+    // range (1s .. ~2.25 days), so each positive trail's expectation
+    // depends on whether ITS delta beats the expiry — the computed-
+    // expectation analog of trick's -Params alternative cases, aimed
+    // squarely at the M2 window semantics
+    val window = DAY
+    val program = Ir.Program(
+      Vector(
+        Ir.Rule(None, None, None, entrypoint = false, List(
+          Ir.Clause(Map("type" -> List("imp"), "campaign_id" -> List("%camp")), negated = false,
+            Some("break"), Nil),
+          Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)), None),
+        Ir.Rule(None, Some(window), None, entrypoint = false, List(
+          Ir.Clause(Map("type" -> List("pxl"), "segment_id" -> List("#segs")), negated = false,
+            Some("quit"), List(Ir.Yield("$conv", Nil))),
+          Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)),
+          Some(Ir.Clause(Map.empty, negated = false, Some("quit"), Nil))),
+      ),
+      Some(Ir.GroupBy(List("%camp"), Some("@arr"), mergeResults = false)),
+    )
+    val trails = generateTrails(engagedConstraints, Vector("%camp"), stayPositive = false)
+    val prog = Compiled.compile(program)
+    val db = toDb(trails)
+    val tuples = trails.map(t => ForeachTuple(Vector(Left(t._1("%camp")))))
+    val params = Fsm.Bindings(sets = Map("segs" -> segs.toSet))
+    val local = LocalRunner.run(prog, Seq(db), params, Some(tuples))
+    var inWindow = 0; var expired = 0
+    trails.zipWithIndex.foreach { case ((inputs, evs, positive), i) =>
+      // the positive pxl (if any) is the last event; its ts is the trail's
+      // time delta (imp sits at ts 0). Window entry happens AT the imp, so
+      // conversion requires delta < window.
+      val delta = evs.last.ts
+      val expect = if (positive && delta < window) 1L else 0L
+      if (positive && delta < window) inWindow += 1
+      if (positive && delta >= window) expired += 1
+      assert(local.results(i).counters("conv") == expect,
+        s"tuple ${inputs("%camp")} delta=$delta positive=$positive")
+    }
+    assert(inWindow > 0 && expired > 0, "deltas must straddle the window for this test to bite")
+    // distributed engine agrees byte-for-byte
+    val engine = TrckSparkRunner.runRaw(
+      prog, dbToDf(db, Seq("type", "campaign_id", "segment_id")), "uuid", "ts", Seq("seq"),
+      params, Some(tuples))
+    assert(OutputJson.render(engine.toOutputs, grouped = true) ==
+      OutputJson.render(local.toOutputs, grouped = true))
+  }
 }
