@@ -34,8 +34,9 @@ object Dedup {
     * changes. O(diameter) rounds of two shuffles each; `localCheckpoint`
     * truncates the lineage so 50 rounds don't build a 100-stage plan. At
     * 100 TB diameters are small for near-dup graphs (clusters are dense);
-    * for adversarial chain graphs switch to large-star/small-star, which
-    * contracts in O(log n) rounds on the same join primitive.
+    * for adversarial chain graphs use [[connectedComponentsStars]], which
+    * contracts in O(log n) rounds regardless of diameter (spec-checked
+    * equivalent on chain/random/isolated graphs).
     */
   def connectedComponents(
       vertices: DataFrame, // one column: vertex id (long)
@@ -131,6 +132,85 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — a published algorithm, re-expressed on DataFrames):
+    *
+    *   large-star: per node u, attach every neighbor v > u to
+    *     m = min(N(u) ∪ {u});
+    *   small-star: attach every neighbor v ≤ u (and u itself) to m.
+    *
+    * Converges in O(log n) rounds on ANY graph — including the long-chain
+    * adversarial case where plain min-label propagation needs O(diameter)
+    * rounds — with each round two groupBy shuffles over the (shrinking)
+    * edge list. Use this over [[connectedComponents]]' neighbor-min +
+    * pointer-jump when the graph may be chain-like; both return
+    * (id, comp = component's min vertex id) and drop edges with endpoints
+    * outside the vertex set.
+    */
+  def connectedComponentsStars(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 50,
+  ): DataFrame = {
+    val vCol = vertices.columns.head
+    require({
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(
+        vertices.schema(vCol).dataType)
+    }, s"vertex id column $vCol must be integral (got ${vertices.schema(vCol).dataType.simpleString})")
+    val (ea, eb) = (edges.columns(0), edges.columns(1))
+    val vtx = vertices.select(col(vCol).cast("long").as("id")).localCheckpoint(true)
+    // drop unknown endpoints (same contract as connectedComponents), then
+    // orient (u, v) arbitrarily — the stars re-orient every round
+    var e = edges
+      .select(col(ea).cast("long").as("a"), col(eb).cast("long").as("b"))
+      .join(vtx.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(vtx.select(col("id").as("b")), Seq("b"), "left_semi")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def neighborhoods(edgeList: DataFrame): DataFrame =
+      edgeList.select(col("a").as("u"), col("b").as("v"))
+        .union(edgeList.select(col("b").as("u"), col("a").as("v")))
+        .groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: (v, m) for v ∈ N(u), v > u
+      val large = neighborhoods(e)
+        .select(col("m"), explode(col("nbrs")).as("v"), col("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: (v, m) for v ∈ N(u), v ≤ u — plus (u, m)
+      val nh = neighborhoods(large)
+      val small = nh
+        .select(col("m"), explode(col("nbrs")).as("v"), col("u"))
+        .filter(col("v") <= col("u"))
+        .select(col("v").as("x"), col("m"))
+        .union(nh.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("a"), greatest(col("x"), col("m")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.exceptAll(e).limit(1).count() == 0 && e.exceptAll(small).limit(1).count() == 0
+      e = small
+      iter += 1
+    }
+    // after convergence every edge is (root=min, member): components read
+    // off directly; isolated vertices are their own component
+    val comp = e.select(col("b").as("id"), col("a").as("comp"))
+    vtx
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   val queries: Seq[Q] = Seq(

@@ -101,6 +101,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(Similarity.exactPairsAbove(emb, threshold = 0.35, blocks = 1)) == broadcastPairs)
   }
 
+  test("star-contraction CC == union-find CC on random, chain and isolated graphs") {
+    val s = spark
+    import s.implicits._
+    def check(vs: Seq[Long], es: Seq[(Long, Long)], clue: String): Unit = {
+      val vdf = vs.toDF("id")
+      val edf = es.toDF("x", "y")
+      val stars = Dedup.connectedComponentsStars(vdf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val baseline = Dedup.connectedComponents(vdf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == baseline, clue)
+    }
+    // long chain — the adversarial case for min-label propagation
+    check(1L to 400L, (1L until 400L).map(i => (i, i + 1)), "chain")
+    // isolated vertices + an edge with an unknown endpoint (must drop)
+    check(Seq(1L, 2L, 3L, 10L), Seq((1L, 2L), (2L, 999L)), "isolated+unknown")
+    // random graphs
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val es = Seq.fill(100)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      check(1L to n.toLong, es, s"random seed=$seed")
+    }
+  }
+
   test("frame sample: per-blob frame_idx, bounded fanout, stable under repartitioning") {
     val s = spark
     import s.implicits._
