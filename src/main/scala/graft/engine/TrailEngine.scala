@@ -149,6 +149,12 @@ object TrailEngine {
         * tiebreak)-sorted within partitions (via [[prepare]] or an
         * equivalent bucketed layout) — the per-query shuffle+sort is
         * skipped entirely. Correctness depends on the caller's guarantee.
+        * NOTE: prepared layouts bypass TrckSparkRunner's `__ghost`
+        * presence sentinels — a prepared window run whose listed cookie
+        * lost every event to filters will skip that cookie's empty
+        * per-entry loop; include sentinel rows in the prepared layout if
+        * that matters for your programs (runRaw handles it automatically
+        * on the unprepared path).
         */
       prepared: Boolean = false,
   ): DataFrame = {
