@@ -107,7 +107,8 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toDF("uuid", "ts", "seq", "type", "advertisable_eid")
   }
 
-  for (seed <- Seq(101L, 202L, 303L, 404L, 505L, 606L, 1717L, 2828L, 3939L)) {
+  for (seed <- Seq(101L, 202L, 303L, 404L, 505L, 606L, 1717L, 2828L, 3939L,
+    4041L, 5152L, 6263L, 7374L)) {
     test(s"random program equivalence, Spark == LocalRunner (seed=$seed)") {
       val rnd = new scala.util.Random(seed)
       val program = randomProgram(rnd)
@@ -138,7 +139,7 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  for (seed <- Seq(711L, 822L, 933L)) {
+  for (seed <- Seq(711L, 822L, 933L, 1044L, 1155L)) {
     test(s"random program + window-file equivalence (seed=$seed)") {
       val rnd = new scala.util.Random(seed)
       val program = randomProgram(rnd)
