@@ -352,6 +352,85 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Deterministic integer hyperplane component for the quantized LSH
+    * family: splitmix-style mix of (plane, dim) → [-500, 500]. A pure
+    * function with no engine arithmetic involved — oracle SQL embeds the
+    * VALUES as literals, so cross-engine parity is by construction.
+    */
+  def lshPlaneComponent(p: Int, i: Int): Long = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 29
+    Math.floorMod(z, 1001L) - 500L
+  }
+
+  /** bucket id = one sign bit per integer hyperplane (object-level so
+    * executor closures call it statically — no module capture)
+    */
+  private def quantizedLshBucket(q: Array[Long], planes: Int): Long = {
+    var bkt = 0L; var p = 0
+    while (p < planes) {
+      var d = 0L; var i = 0
+      while (i < q.length) { d += q(i) * lshPlaneComponent(p, i); i += 1 }
+      if (d > 0) bkt |= 1L << p
+      p += 1
+    }
+    bkt
+  }
+
+  /** LSH-bucketed ANN in exact integer arithmetic: bucket bit p = sign of
+    * the quantized vector's dot product with integer hyperplane p — no
+    * float signs anywhere, so the bucketing (and therefore the candidate
+    * set and the final ranks) is bit-identical across engines, unlike
+    * [[lshTopK]]'s float hyperplanes. Same scale shape: one narrow
+    * bucketing pass over the corpus, broadcast queries, equi-join on the
+    * bucket id, O(N·Q/2^planes) scoring work.
+    */
+  def quantizedLshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1 && planes >= 1 && planes <= 62)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nPlanes = planes
+    val cb = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        (id, q, quantizedLshBucket(q, nPlanes))
+      }
+      .toDF("neighbor_id", "c_q", "bucket")
+    val qArr = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        (id, q, quantizedLshBucket(q, nPlanes))
+      }
+    val qdf = spark.createDataset(qArr.toSeq).toDF("query_id", "q_q", "bucket")
+    // candidate volume is bucketed-small, so the interpreted zip_with dot
+    // is fine here; quantizeChecked's bound keeps the sum within Long
+    val scored = cb
+      .join(broadcast(qdf), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("c_q"), col("q_q"), (x, y) => x * y), lit(0L), _ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** 16-bit random-hyperplane LSH bucket id for a vector. Hyperplanes are
     * pseudo-random but fixed: plane p's component i is derived from
     * xxhash64(p, i) mapped to [-1, 1) — deterministic across executors

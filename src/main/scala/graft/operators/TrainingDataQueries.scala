@@ -264,6 +264,23 @@ object TrainingDataQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
     ),
+    // Quantized-integer LSH ANN: bucket bit = sign of the quantized
+    // vector's dot with an INTEGER hyperplane (literal-embedded in the
+    // oracle SQL), so the bucketing itself — not just the scoring — is
+    // bit-identical across engines. The float-hyperplane lshTopK below
+    // stays rows-only; this is its verifiable twin.
+    Q(
+      "ann_quant_lsh_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedLshTopK(emb, queries, k = 5, planes = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(quantLshOracleSql),
+    ),
     // LSH-bucketed ANN (the scale path) — rows-only; recall vs brute force
     // is asserted in the unit spec.
     Q(
@@ -434,6 +451,41 @@ object TrainingDataQueries {
              round(len(list_intersect(sa, sb)) * 1.0
                    / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 4) AS jaccard
       FROM g ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""
+  }
+
+  /** ≡ Similarity.quantizedLshTopK(embeddings, vec_id<10, k=5, planes=8):
+    * integer hyperplane components embedded as literals (computed by the
+    * same Scala function the kernel uses — parity by construction), dim
+    * fixed at 64 to match the test corpus (a dim change fails loudly as a
+    * hash mismatch, never silently).
+    */
+  private def quantLshOracleSql: String = {
+    val planes = 8; val dim = 64
+    def planeLit(p: Int): String =
+      (0 until dim).map(i => Similarity.lshPlaneComponent(p, i)).mkString("[", ", ", "]")
+    val bucketExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * (${planeLit(p)})[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ),
+      bk AS (SELECT vec_id, qv,
+               $bucketExpr AS bucket
+             FROM qz),
+      q AS (SELECT vec_id AS query_id, qv AS q_qv, bucket FROM bk WHERE vec_id < 10),
+      s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, ${dim + 1}),
+                     i -> q.q_qv[i] * c.qv[i])) AS BIGINT) AS score
+            FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
   /** ≡ SimHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */
