@@ -54,11 +54,7 @@ object Dedup {
     // comp labels are the min vertex id, carried as long — fail fast on
     // non-integral ids (a silent cast would null every label and converge
     // immediately to garbage)
-    require({
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(
-        vertices.schema(vCol).dataType)
-    }, s"vertex id column $vCol must be integral (got ${vertices.schema(vCol).dataType.simpleString})")
+    OpChecks.requireIntegralId(vertices, vCol)
     val (ea, eb) = (edges.columns(0), edges.columns(1))
     // materialize the edge list ONCE — it joins into every round, and an
     // expensive upstream (e.g. an O(N²) similarity join) must not re-run
@@ -142,13 +138,16 @@ object Dedup {
     *     m = min(N(u) ∪ {u});
     *   small-star: attach every neighbor v ≤ u (and u itself) to m.
     *
-    * Converges in O(log n) rounds on ANY graph — including the long-chain
-    * adversarial case where plain min-label propagation needs O(diameter)
-    * rounds — with each round two groupBy shuffles over the (shrinking)
-    * edge list. Use this over [[connectedComponents]]' neighbor-min +
-    * pointer-jump when the graph may be chain-like; both return
-    * (id, comp = component's min vertex id) and drop edges with endpoints
-    * outside the vertex set.
+    * Converges in O(log² n) rounds (the paper's proven bound; ~log n in
+    * practice) on ANY graph — including the long-chain adversarial case
+    * where plain min-label propagation needs O(diameter) rounds — each
+    * round two groupBy shuffles over the (shrinking) edge list. Throws if
+    * `maxIter` is exhausted before the star-forest fixpoint (the read-off
+    * assumes one root per member; returning the unconverged edge set would
+    * silently emit duplicate vertex rows). Use this over
+    * [[connectedComponents]]' neighbor-min + pointer-jump when the graph
+    * may be chain-like; both return (id, comp = component's min vertex id)
+    * and drop edges with endpoints outside the vertex set.
     */
   def connectedComponentsStars(
       vertices: DataFrame,
@@ -156,11 +155,7 @@ object Dedup {
       maxIter: Int = 50,
   ): DataFrame = {
     val vCol = vertices.columns.head
-    require({
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(
-        vertices.schema(vCol).dataType)
-    }, s"vertex id column $vCol must be integral (got ${vertices.schema(vCol).dataType.simpleString})")
+    OpChecks.requireIntegralId(vertices, vCol)
     val (ea, eb) = (edges.columns(0), edges.columns(1))
     val vtx = vertices.select(col(vCol).cast("long").as("id")).localCheckpoint(true)
     // drop unknown endpoints (same contract as connectedComponents), then
@@ -180,18 +175,21 @@ object Dedup {
         .groupBy("u")
         .agg(min(least(col("v"), col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
 
+    var eCount = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // large-star: (v, m) for v ∈ N(u), v > u
+      // large-star: (v, m) for v ∈ N(u), v > u — checkpointed because the
+      // small-star stage reads its neighborhoods twice
       val large = neighborhoods(e)
         .select(col("m"), explode(col("nbrs")).as("v"), col("u"))
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
+        .localCheckpoint(true)
       // small-star: (v, m) for v ∈ N(u), v ≤ u — plus (u, m)
-      val nh = neighborhoods(large)
+      val nh = neighborhoods(large).localCheckpoint(true)
       val small = nh
         .select(col("m"), explode(col("nbrs")).as("v"), col("u"))
         .filter(col("v") <= col("u"))
@@ -201,10 +199,19 @@ object Dedup {
         .select(least(col("x"), col("m")).as("a"), greatest(col("x"), col("m")).as("b"))
         .distinct()
         .localCheckpoint(true)
-      converged = small.exceptAll(e).limit(1).count() == 0 && e.exceptAll(small).limit(1).count() == 0
+      // both sides are canonical distinct sets → equal counts plus an
+      // empty one-direction difference proves set equality (one job fewer
+      // than a two-direction exceptAll check)
+      val smallCount = small.count()
+      converged = smallCount == eCount && small.exceptAll(e).limit(1).count() == 0
       e = small
+      eCount = smallCount
       iter += 1
     }
+    require(converged,
+      s"star contraction did not converge within $maxIter rounds — raise maxIter " +
+        "(the read-off below assumes a star forest; an unconverged edge set would " +
+        "silently emit duplicate vertex rows)")
     // after convergence every edge is (root=min, member): components read
     // off directly; isolated vertices are their own component
     val comp = e.select(col("b").as("id"), col("a").as("comp"))

@@ -78,11 +78,7 @@ object MinHash {
     // no shingle-string materialization. NULL text emits no shingles (the
     // doc stays its own canonical via nearDupCanonical's left join) —
     // mapping null to "" would cluster every null-text doc together.
-    require({
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(
-        docs.schema(idCol).dataType)
-    }, s"$idCol must be an integral type (got ${docs.schema(idCol).dataType.simpleString})")
+    OpChecks.requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs
@@ -102,7 +98,7 @@ object MinHash {
   }
 
   private def shingleHashIter(id: Long, text: String, k: Int): Iterator[(Long, Long)] = {
-    val words = text.trim.split("\\s+", -1)
+    val words = OpChecks.sqlTrim(text).split("\\s+", -1)
     val wh = new Array[Long](words.length)
     var i = 0
     while (i < words.length) {
@@ -158,6 +154,7 @@ object MinHash {
     // shingle strings via a typed flatMap (tight loops; the Column
     // `shingles()` form is interpreted lambda-per-window) — the md5/conv
     // hashing stays in codegen'd column expressions
+    OpChecks.requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -179,7 +176,7 @@ object MinHash {
     * (including the < k single-shingle fallback)
     */
   private def shingleStrings(id: Long, text: String, k: Int): Iterator[(Long, String)] = {
-    val words = text.trim.split("\\s+", -1)
+    val words = OpChecks.sqlTrim(text).split("\\s+", -1)
     if (words.length < k) Iterator.single((id, words.mkString(" ")))
     else Iterator.tabulate(words.length - k + 1) { i =>
       val sb = new java.lang.StringBuilder
@@ -369,7 +366,7 @@ object MinHash {
     */
   def exactJaccardJvm(textA: String, textB: String, k: Int = 3): Double = {
     def shingleSet(t: String): collection.Set[String] = {
-      val words = t.trim.split("\\s+", -1)
+      val words = OpChecks.sqlTrim(t).split("\\s+", -1)
       val out = new scala.collection.mutable.HashSet[String]
       if (words.length < k) out += words.mkString(" ")
       else {

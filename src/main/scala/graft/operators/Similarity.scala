@@ -225,6 +225,8 @@ object Similarity {
   ): DataFrame = {
     requireIntegralId(corpus, idCol)
     require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(tDen <= 128, "threshold denominators above 128 can push the " +
+      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
     require(blocks >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -248,14 +250,18 @@ object Similarity {
   }
 
   /** floor(x·scale) with the exact-arithmetic magnitude bound: components
-    * are capped so squared norms, dot products and their running partial
-    * sums all stay ≤ Long.MaxValue/2 (|q_i| ≤ √(Long.MaxValue/2/dim)) —
-    * beyond that the JVM would silently wrap while the DuckDB HUGEINT
-    * oracle stays exact, breaking the exact-cross-engine contract. Fails
-    * fast with a pointer to lower the scale instead.
+    * are capped at |q_i| ≤ √(2^56/dim), so squared norms and dot products
+    * stay ≤ 2^56 (no Long wrap anywhere, including running partial sums)
+    * AND the oracle's cross-multiplied compare d²·dot² vs n²·|a|²·|b|²
+    * stays ≤ d²·2^112 < 2^126 for rational thresholds with denominators up
+    * to 128 — inside DuckDB's 127-bit HUGEINT, which ERRORS on overflow
+    * where BigInt on the JVM would keep going, silently breaking the
+    * exact-cross-engine contract near the bound. Fails fast with a pointer
+    * to lower the scale instead. (At the default scale 1e6 and dim 64 the
+    * bound admits |x| ≤ ~33 — far above real embedding magnitudes.)
     */
   private def quantizeChecked(v: Array[Float], scale: Double): Array[Long] = {
-    val limit = math.sqrt(Long.MaxValue.toDouble / 2 / math.max(1, v.length)).toLong
+    val limit = math.sqrt((1L << 56).toDouble / math.max(1, v.length)).toLong
     val out = new Array[Long](v.length)
     var i = 0
     while (i < v.length) {
@@ -299,15 +305,6 @@ object Similarity {
         }
     }.toDF("id_a", "id_b")
   }
-
-  /** Integer-quantized embeddings: floor(x·scale) per component as long —
-    * the standard compression for large-scale similarity search, and the
-    * key to cross-engine verifiability: integer dot products are EXACT, so
-    * any engine computes identical scores, where the float paths differ in
-    * the last ulp (which is what makes them structurally un-oracle-able).
-    */
-  def quantize(vec: Column, scale: Double = 1e6): Column =
-    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
   /** Top-k by quantized inner product (MIPS over floor(x·scale) integer
     * vectors): exact integer scores, total (score desc, neighbor_id)
@@ -495,15 +492,8 @@ object Similarity {
   private def nearestCells(cent: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
     cent.indices.sortBy(i => -cos(cent(i), v)).take(n).toArray
 
-  /** The typed kernels cast `idCol` to long — fail fast on non-integral ids
-    * instead of surfacing as a null-decoding error mid-job.
-    */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(idCol).dataType
-    require(Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)(dt),
-      s"$idCol must be an integral type (got ${dt.simpleString})")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit =
+    OpChecks.requireIntegralId(df, idCol)
 
   /** Deterministic k-means-lite coarse quantizer, trained on a bounded
     * driver-side sample — the standard IVF recipe at scale: quantizer

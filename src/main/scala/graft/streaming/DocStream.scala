@@ -22,13 +22,18 @@ object DocStream {
     * dropped, and fingerprint state is evicted once the watermark passes —
     * bounded state, the standard trade for unbounded streams (an exact
     * forever-dedup needs an external store; the batch `Dedup` operators
-    * cover the at-rest corpus).
+    * cover the at-rest corpus). NULL-text documents are never deduped
+    * against each other: md5(null) is null and dropDuplicates treats null
+    * keys as equal, which would collapse every null-text doc to one — a
+    * unique sentinel fingerprint keeps them all (mirroring the batch
+    * pipeline's null-text stance).
     */
   def dedupByFingerprint(docs: DataFrame, textCol: String = "text",
                          eventTimeCol: String = "event_time",
                          watermarkDelay: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("fp",
+        coalesce(TextAnalysis.fingerprint(col(textCol)), concat(lit("null:"), expr("uuid()"))))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 

@@ -33,6 +33,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(3L) == 3L, "unrelated doc should stay its own canonical")
   }
 
+  test("typed md5 shingle kernel == Column shingles() on non-space whitespace") {
+    // Java String.trim strips \t/\n, SQL trim strips spaces only — the
+    // typed kernel must follow SQL semantics or texts with leading/trailing
+    // tabs/newlines silently diverge from the DuckDB oracle
+    val docs = docsDf(Seq(
+      1L -> "\tleading tab here and newline\ntext today now",
+      2L -> "  double  spaced  words  here  now  then  ",
+      3L -> "plain text with no whitespace games at all",
+    ))
+    val typed = MinHash.signaturesMd5(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // Column-form twin of signaturesMd5, built from shingles() directly
+    val columnForm = docs
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(MinHash.shingles(col("text"))).as("__s"))
+      .select(col("doc_id"), md5(col("__s")).as("__m"))
+      .select(col("doc_id"),
+        conv(substring(col("__m"), 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(col("__m"), 8, 7), 16, 10).cast("long").as("h2"))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.array(
+        (0 until 16).map(i => org.apache.spark.sql.functions.min(col("h1") + lit(i.toLong) * col("h2"))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(typed == columnForm)
+  }
+
   test("md5 oracle family: minhash lsh still finds planted near-duplicates") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val nearDup = base.replace("today", "tonight")

@@ -32,11 +32,14 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       input.addData((1L, ts(10), "alpha beta"), (2L, ts(11), "gamma delta"))
       query.processAllAvailable()
-      // same text again (different id) + a new doc
-      input.addData((3L, ts(12), "alpha beta"), (4L, ts(13), "epsilon zeta"))
+      // same text again (different id) + a new doc + TWO null-text docs
+      // (null fingerprints must NOT dedup against each other)
+      input.addData((3L, ts(12), "alpha beta"), (4L, ts(13), "epsilon zeta"),
+        (5L, ts(14), null), (6L, ts(15), null))
       query.processAllAvailable()
       val ids = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
-      assert(ids == Set(1L, 2L, 4L), s"duplicate text must be dropped, got $ids")
+      assert(ids == Set(1L, 2L, 4L, 5L, 6L),
+        s"duplicate text dropped, null-text docs all kept — got $ids")
     } finally query.stop()
   }
 
