@@ -25,15 +25,20 @@ object DocStream {
     * cover the at-rest corpus). NULL-text documents are never deduped
     * against each other: md5(null) is null and dropDuplicates treats null
     * keys as equal, which would collapse every null-text doc to one — a
-    * unique sentinel fingerprint keeps them all (mirroring the batch
-    * pipeline's null-text stance).
+    * per-document sentinel fingerprint keeps them all (mirroring the batch
+    * pipeline's null-text stance). The sentinel derives from `idCol`, not
+    * a random value: streaming replay/retry re-evaluates the projection,
+    * and a nondeterministic sentinel would re-fingerprint the same row
+    * differently across attempts.
     */
   def dedupByFingerprint(docs: DataFrame, textCol: String = "text",
                          eventTimeCol: String = "event_time",
-                         watermarkDelay: String = "10 minutes"): DataFrame =
+                         watermarkDelay: String = "10 minutes",
+                         idCol: String = "doc_id"): DataFrame =
     docs
       .withColumn("fp",
-        coalesce(TextAnalysis.fingerprint(col(textCol)), concat(lit("null:"), expr("uuid()"))))
+        coalesce(TextAnalysis.fingerprint(col(textCol)),
+          concat(lit("null:"), col(idCol).cast("string"))))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 

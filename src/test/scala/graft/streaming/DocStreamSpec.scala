@@ -40,6 +40,13 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ids = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
       assert(ids == Set(1L, 2L, 4L, 5L, 6L),
         s"duplicate text dropped, null-text docs all kept — got $ids")
+      // null-text sentinels must be deterministic (id-derived, not random):
+      // replay/retry re-evaluates the projection and a random sentinel would
+      // re-fingerprint the same row differently across attempts
+      val nullFps = spark.sql("SELECT doc_id, fp FROM dedup_out WHERE doc_id IN (5, 6)")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(nullFps == Map(5L -> "null:5", 6L -> "null:6"),
+        s"sentinel fingerprints must derive from doc_id — got $nullFps")
     } finally query.stop()
   }
 
