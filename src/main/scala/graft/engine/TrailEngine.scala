@@ -78,11 +78,43 @@ object TrailEngine {
     StructField("n", LongType),
   ))
 
+  /** Union one zero-event `__ghost=1` sentinel row per trail (per source
+    * when `srcCol` is set) present in `presentFrom` onto `real` (whose rows
+    * get `__ghost=0`). Sentinels assert a trail's existence independently
+    * of how many events survive downstream filters — the reference iterates
+    * DB trail lists regardless of per-event filters
+    * (src/match_traildb.c:513-560) — so the engine still runs the per-entry
+    * loop and MAX_TIMESTAMP finalization for a trail filtered to zero
+    * events. The engine never materializes sentinels as events and they
+    * never join the consecutive-dup compare; for trails with surviving
+    * events the extra row is inert. Sentinel ts is 0 and every other
+    * column null — position inside the trail's run is irrelevant.
+    */
+  def withPresenceSentinels(
+      real: DataFrame,
+      presentFrom: DataFrame,
+      uuidCol: String,
+      tsCol: String,
+      srcCol: Option[String] = None,
+  ): DataFrame = {
+    require(!real.columns.contains("__ghost"),
+      "frame already carries __ghost presence sentinels")
+    val keyCols = (uuidCol +: srcCol.toSeq).map(col)
+    val present = presentFrom.select(keyCols: _*).distinct()
+    val sentinel = present.select(real.schema.fields.map { f =>
+      if (f.name == uuidCol || srcCol.contains(f.name)) col(f.name)
+      else if (f.name == tsCol) lit(0L).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    real.withColumn("__ghost", lit(0))
+      .unionByName(sentinel.withColumn("__ghost", lit(1)))
+  }
+
   /** Cluster + sort a trail events frame ONCE for repeated trail queries:
     * `emits(..., prepared = true)` over the result skips its per-query
     * shuffle+sort — the dominant cost of every trail query. Persist the
     * result for within-session reuse, or write a durable layout with
-    * `df.repartition(n, col(uuidCol)).write.bucketBy(n, uuidCol)
+    * `prepare(df, …).repartition(n, col(uuidCol)).write.bucketBy(n, uuidCol)
     * .sortBy(uuidCol, tsCol, tiebreak…).saveAsTable(t)` — the repartition
     * must align with the bucket count so each bucket is ONE sorted file
     * (multi-file buckets concatenate per-file sorted runs and break the
@@ -93,6 +125,17 @@ object TrailEngine {
     *
     * The guarantee emits needs is exactly: same-uuid rows contiguous per
     * partition, ordered by (preOrder, ts, tiebreak) within each uuid run.
+    *
+    * The layout bakes in `__ghost` presence sentinels
+    * ([[withPresenceSentinels]]): one zero-event row per trail (per source)
+    * so downstream filters that empty a trail still leave its per-entry
+    * loop and finalization running — the same empty-trail parity
+    * TrckSparkRunner maintains on the unprepared path, now durable in the
+    * layout (filters over a prepared frame keep `__ghost=1` rows;
+    * runRaw(prepared = true) does so automatically). For multi-source
+    * frames built by unionSources, pass `presence` from
+    * [[TrckSparkRunner.unionSourcesWithPresence]] so a source fully below
+    * its min_ts cut keeps its (uuid, src) sentinel.
     */
   def prepare(
       events: DataFrame,
@@ -100,8 +143,12 @@ object TrailEngine {
       tsCol: String,
       tiebreak: Seq[String] = Nil,
       srcCol: Option[String] = None,
-  ): DataFrame =
-    events
+      presence: Option[DataFrame] = None,
+  ): DataFrame = {
+    val withGhosts =
+      if (events.columns.contains("__ghost")) events // already sentinel-bearing
+      else withPresenceSentinels(events, presence.getOrElse(events), uuidCol, tsCol, srcCol)
+    withGhosts
       .repartition(col(uuidCol))
       // sort on the SAME cast values emits sorts on — raw-typed string
       // timestamps or src indices would order lexically ("1000" < "999")
@@ -110,6 +157,7 @@ object TrailEngine {
         col(uuidCol) +:
           (srcCol.map(c => col(c).cast(LongType)).toSeq ++
             (col(tsCol).cast(LongType) +: tiebreak.map(col))): _*)
+  }
 
   /** Run `prog` over `events`, which must contain `uuidCol`, `tsCol`
     * (long seconds) and a column per program-referenced field (missing
@@ -149,12 +197,12 @@ object TrailEngine {
         * tiebreak)-sorted within partitions (via [[prepare]] or an
         * equivalent bucketed layout) — the per-query shuffle+sort is
         * skipped entirely. Correctness depends on the caller's guarantee.
-        * NOTE: prepared layouts bypass TrckSparkRunner's `__ghost`
-        * presence sentinels — a prepared window run whose listed cookie
-        * lost every event to filters will skip that cookie's empty
-        * per-entry loop; include sentinel rows in the prepared layout if
-        * that matters for your programs (runRaw handles it automatically
-        * on the unprepared path).
+        * [[prepare]] layouts bake in `__ghost` presence sentinels, so
+        * empty-trail parity (a listed cookie filtered to zero events still
+        * runs its per-entry loop + finalization) holds on the prepared
+        * path too — provided filters applied between prepare and emits
+        * keep `__ghost=1` rows (runRaw(prepared = true) does, and rejects
+        * sentinel-less hand-rolled layouts when the program needs them).
         */
       prepared: Boolean = false,
   ): DataFrame = {

@@ -76,18 +76,17 @@ object TrckSparkRunner {
     * per-entry loop).
     */
   private def withSentinels(
-      real: DataFrame, presentFrom: DataFrame, uuidCol: String, tsCol: String): DataFrame = {
-    val hasSrc = presentFrom.columns.contains("__src")
-    val keyCols = col(uuidCol) +: (if (hasSrc) Seq(col("__src")) else Nil)
-    val present = presentFrom.select(keyCols: _*).distinct()
-    val sentinel = present.select(real.schema.fields.map { f =>
-      if (f.name == uuidCol || (hasSrc && f.name == "__src")) col(f.name)
-      else if (f.name == tsCol) lit(0L).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-    real.withColumn("__ghost", lit(0))
-      .unionByName(sentinel.withColumn("__ghost", lit(1)))
-  }
+      real: DataFrame, presentFrom: DataFrame, uuidCol: String, tsCol: String): DataFrame =
+    TrailEngine.withPresenceSentinels(real, presentFrom, uuidCol, tsCol,
+      srcCol = if (presentFrom.columns.contains("__src")) Some("__src") else None)
+
+  /** Widen a row predicate so `__ghost=1` presence sentinels survive it:
+    * sentinel rows carry null fields and ts 0, so any CNF/bounds predicate
+    * would silently drop them — losing exactly the empty-trail parity they
+    * exist for. No-op on frames without the column.
+    */
+  private def keepGhosts(df: DataFrame, c: Column): Column =
+    if (df.columns.contains("__ghost")) c || col("__ghost") === 1 else c
 
   /** Multiple sequential sources ("TrailDBs") → one tagged DataFrame plus
     * the per-source min_ts cuts, with the reference's cross-DB semantics
@@ -155,9 +154,10 @@ object TrckSparkRunner {
       lexiconEvents: Option[DataFrame] = None,
       srcCuts: Array[Long] = Array.empty,
       presence: Option[DataFrame] = None,
+      prepared: Boolean = false,
   ): Vector[mutable.LinkedHashMap[String, Any]] =
     runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters, fcalls,
-      lexiconEvents, srcCuts, presence).toOutputs
+      lexiconEvents, srcCuts, presence, prepared).toOutputs
 
   /** [[runRaw]] with a full fcall module: initialize fires on the driver
     * before the query plan is built, finalize after the aggregated results
@@ -178,10 +178,11 @@ object TrckSparkRunner {
       lexiconEvents: Option[DataFrame] = None,
       srcCuts: Array[Long] = Array.empty,
       presence: Option[DataFrame] = None,
+      prepared: Boolean = false,
   ): LocalRunner.RunOutput = {
     module.onInitialize()
     try runRaw(prog, events, uuidCol, tsCol, tiebreak, params, foreachTuples, filters,
-      module.fcalls, lexiconEvents, srcCuts, presence)
+      module.fcalls, lexiconEvents, srcCuts, presence, prepared)
     finally module.onFinalize()
   }
 
@@ -213,12 +214,35 @@ object TrckSparkRunner {
         * last empty-trail gap (a source fully below its min_ts cut)
         */
       presence: Option[DataFrame] = None,
+      /** true ⇒ `events` is a [[TrailEngine.prepare]] layout (or an
+        * equivalent bucketed table): uuid-clustered, (uuid, src, ts,
+        * tiebreak)-sorted, `__ghost` sentinels baked in — the per-query
+        * shuffle+sort is skipped and sentinels come from the layout
+        * instead of a presence union. All filters here are
+        * order-preserving narrow ops (filter / broadcast joins), so the
+        * layout contract survives them.
+        */
+      prepared: Boolean = false,
   ): LocalRunner.RunOutput = {
+    // a sentinel-bearing frame (prepare layout) is its own presence source:
+    // CNF/bounds predicates are widened to keep __ghost rows, and the
+    // sentinel-union below is skipped
+    val hasGhostCol = events.columns.contains("__ghost")
+    require(
+      !prepared || hasGhostCol ||
+        (filters.windows.isEmpty && !TrailMatcher.emptyRunMutates(prog)),
+      "prepared layout lacks __ghost presence sentinels, but this run's " +
+        "empty-trail semantics are observable (window file, or the " +
+        "entrypoint chain mutates a fresh state): a listed cookie filtered " +
+        "to zero events would silently skip its per-entry loop — rebuild " +
+        "the layout with TrailEngine.prepare (it bakes sentinels in) or " +
+        "run unprepared")
     // exclude first (excluded trails must not even run empty), CNF second —
     // trail PRESENCE is judged pre-CNF, like the reference looking a cookie
     // up in the DB before filtering its events (src/match_traildb.c:513-524)
     val afterExclude = applyFilters(events, uuidCol, tsCol, filters.copy(cnf = None))
-    val filtered = filters.cnf.map(afterExclude.filter).getOrElse(afterExclude)
+    val filtered =
+      filters.cnf.map(c => afterExclude.filter(keepGhosts(afterExclude, c))).getOrElse(afterExclude)
     val presentBase = presence
       .map(p => applyFilters(p, uuidCol, tsCol, filters.copy(cnf = None)))
       .getOrElse(afterExclude)
@@ -260,24 +284,30 @@ object TrckSparkRunner {
           .toDF(uuidCol, "__wlo", "__whi")
         val joined = filtered
           .join(broadcast(bounds), Seq(uuidCol)) // inner: unlisted trails drop
-          .filter(
+          .filter(keepGhosts(filtered,
             (col("__wlo") === 0L || col(tsCol).cast("long") >= col("__wlo")) &&
-              (col("__whi") === 0L || col(tsCol).cast("long") < col("__whi")))
+              (col("__whi") === 0L || col(tsCol).cast("long") < col("__whi"))))
           .drop("__wlo", "__whi") // must not leak into the engine's dedup set
         // A listed cookie whose events are all out-of-bounds (or all
         // CNF-removed) must STILL run its per-entry loop and finalization —
         // the reference iterates the window list against DB trails, not
         // against surviving events — so keep a zero-event sentinel per
-        // listed cookie present in the pre-filter events.
-        val listed = presentBase
-          .join(broadcast(bounds.select(uuidCol)), Seq(uuidCol), "left_semi")
-        (withSentinels(joined, listed, uuidCol, tsCol), Some(ws.entries))
+        // listed cookie present in the pre-filter events. A sentinel-bearing
+        // layout already carries them (the inner bounds join keeps listed
+        // cookies' ghosts, keepGhosts saved them from the ts filter).
+        if (hasGhostCol) (joined, Some(ws.entries))
+        else {
+          val listed = presentBase
+            .join(broadcast(bounds.select(uuidCol)), Seq(uuidCol), "left_semi")
+          (withSentinels(joined, listed, uuidCol, tsCol), Some(ws.entries))
+        }
       case None =>
         // Without windows the empty-trail run is observable only when the
         // entrypoint chain mutates a fresh state (outer window-block entry:
         // after-yields appear at finalization) — probe once and keep the
         // common path sentinel-free (no extra distinct pass at scale).
-        if (TrailMatcher.emptyRunMutates(prog))
+        if (hasGhostCol) (filtered, None)
+        else if (TrailMatcher.emptyRunMutates(prog))
           (withSentinels(filtered, presentBase, uuidCol, tsCol), None)
         else (filtered, None)
     }
@@ -295,7 +325,7 @@ object TrckSparkRunner {
     val nPasses = Seq(needCounters, needSets, needHlls).count(identity)
     val em0 = TrailEngine
       .emits(prog, trailDf, uuidCol, tsCol, tiebreak, params, Some(tuples), fcalls,
-        winEntries, srcCol, cuts)
+        winEntries, srcCol, cuts, prepared)
     val em = if (nPasses > 1) em0.cache() else em0
 
     val nSlots = if (prog.mergeResults) 1 else tuples.length

@@ -149,6 +149,125 @@ class WindowSentinelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(render(engine) == render(local))
   }
 
+  test("prepared layout: window run with zero in-bounds events matches LocalRunner") {
+    // same shape as the unprepared window test, but through a
+    // TrailEngine.prepare layout — the baked-in __ghost sentinels must keep
+    // u2's empty per-entry loop + finalization running (byte-identical
+    // output), with no per-query shuffle
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db = Db(Seq(
+      "u1" -> Seq(RawEvent(500L, Map("type" -> "x")), RawEvent(600L, Map("type" -> "conv"))),
+      "u2" -> Seq(RawEvent(5000L, Map("type" -> "x")), RawEvent(6000L, Map("type" -> "conv"))),
+    ))
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("u1", "u1", 100L, 1000L),
+      LocalRunner.WindowEntry("u2", "u2", 100L, 1000L), // u2: everything out of bounds
+    ))
+    val local = LocalRunner.run(prog, Seq(db), windows = Some(ws))
+    assert(local.results.head.counters("midexp") >= 1L)
+    val preparedDf = TrailEngine.prepare(dbToDf(db), "uuid", "ts", Seq("seq")).persist()
+    preparedDf.count()
+    val engine = TrckSparkRunner.runRaw(
+      prog, preparedDf, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), prepared = true)
+    assert(render(engine) == render(local))
+    preparedDf.unpersist()
+  }
+
+  test("prepared layout: CNF filtering away every event still finalizes") {
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db = Db(Seq(
+      "u1" -> Seq(RawEvent(500L, Map("type" -> "conv"))),
+      "u2" -> Seq(RawEvent(500L, Map("type" -> "x")), RawEvent(900L, Map("type" -> "y"))),
+    ))
+    val cnf = LocalRunner.CnfFilter(Seq(Seq(("type", "conv", true))))
+    val local = LocalRunner.run(prog, Seq(db), cnf = Some(cnf))
+    assert(local.results.head.counters("midexp") >= 1L)
+    val preparedDf = TrailEngine.prepare(dbToDf(db), "uuid", "ts", Seq("seq")).persist()
+    preparedDf.count()
+    val engine = TrckSparkRunner.runRaw(
+      prog, preparedDf, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(
+        cnf = TrckSparkRunner.cnfColumn(cnf.clauses, preparedDf)),
+      prepared = true)
+    assert(render(engine) == render(local))
+    preparedDf.unpersist()
+  }
+
+  test("prepared multi-source layout with pre-cut presence matches LocalRunner") {
+    // the fully-cut-source case through a prepared layout: presence must be
+    // supplied at PREPARE time (the post-cut union has no trace of u2)
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db1 = Db(Seq("u1" -> Seq(RawEvent(5000L, Map("type" -> "x")))))
+    val db2 = Db(Seq(
+      "u1" -> Seq(RawEvent(6000L, Map("type" -> "x"))),
+      "u2" -> Seq(RawEvent(1000L, Map("type" -> "x"))), // all below the 5000 cut
+    ))
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("u1", "u1", 0L, 0L),
+      LocalRunner.WindowEntry("u2", "u2", 0L, 0L),
+    ))
+    val local = LocalRunner.run(prog, Seq(db1, db2), windows = Some(ws))
+    val (unioned, cuts, presence) = TrckSparkRunner.unionSourcesWithPresence(
+      Seq(dbToDf(db1), dbToDf(db2)), "ts", "uuid")
+    val preparedDf = TrailEngine.prepare(
+      unioned, "uuid", "ts", Seq("seq"), srcCol = Some("__src"),
+      presence = Some(presence)).persist()
+    preparedDf.count()
+    val engine = TrckSparkRunner.runRaw(
+      prog, preparedDf, "uuid", "ts", Seq("seq"),
+      filters = TrckSparkRunner.EngineFilters(windows = Some(ws)),
+      srcCuts = cuts, prepared = true)
+    assert(render(engine) == render(local))
+    preparedDf.unpersist()
+  }
+
+  test("durable bucketed ghost-bearing layout: window run matches LocalRunner") {
+    // the docstring recipe end-to-end: prepare → bucketed table → runRaw
+    // prepared window run, empty-trail cookie included
+    val prog = Compiled.compile(nestedWindowProgram)
+    val db = Db(Seq(
+      "u1" -> Seq(RawEvent(500L, Map("type" -> "x")), RawEvent(600L, Map("type" -> "conv"))),
+      "u2" -> Seq(RawEvent(5000L, Map("type" -> "conv"))), // out of bounds below
+    ))
+    val ws = LocalRunner.WindowSet(Seq(
+      LocalRunner.WindowEntry("u1", "u1", 100L, 1000L),
+      LocalRunner.WindowEntry("u2", "u2", 100L, 1000L),
+    ))
+    val local = LocalRunner.run(prog, Seq(db), windows = Some(ws))
+    val nBuckets = 2
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS trails_ghost_bucketed")
+    TrailEngine.prepare(dbToDf(db), "uuid", "ts", Seq("seq"))
+      .repartition(nBuckets, org.apache.spark.sql.functions.col("uuid"))
+      .write.bucketBy(nBuckets, "uuid").sortBy("uuid", "ts", "seq")
+      .mode("overwrite").saveAsTable("trails_ghost_bucketed")
+    try {
+      val engine = TrckSparkRunner.runRaw(
+        prog, spark.table("trails_ghost_bucketed"), "uuid", "ts", Seq("seq"),
+        filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), prepared = true)
+      assert(render(engine) == render(local))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS trails_ghost_bucketed")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+  }
+
+  test("prepared layout without sentinels is rejected when empty-trail semantics matter") {
+    val prog = Compiled.compile(nestedWindowProgram)
+    val df = dbToDf(Db(Seq("u1" -> Seq(RawEvent(500L, Map("type" -> "x"))))))
+    // hand-rolled layout, no __ghost column — the pre-fix footgun
+    val bare = df.repartition(org.apache.spark.sql.functions.col("uuid"))
+      .sortWithinPartitions("uuid", "ts", "seq")
+    val ws = LocalRunner.WindowSet(Seq(LocalRunner.WindowEntry("u1", "u1", 100L, 1000L)))
+    val e = intercept[IllegalArgumentException] {
+      TrckSparkRunner.runRaw(
+        prog, bare, "uuid", "ts", Seq("seq"),
+        filters = TrckSparkRunner.EngineFilters(windows = Some(ws)), prepared = true)
+    }
+    assert(e.getMessage.contains("__ghost"))
+  }
+
   test("multi-source window run keeps per-source presence for empty segments") {
     val prog = Compiled.compile(nestedWindowProgram)
     val db1 = Db(Seq(
