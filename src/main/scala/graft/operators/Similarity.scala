@@ -428,29 +428,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** 16-bit random-hyperplane LSH bucket id for a vector. Hyperplanes are
-    * pseudo-random but fixed: plane p's component i is derived from
-    * xxhash64(p, i) mapped to [-1, 1) — deterministic across executors
-    * with zero driver state to ship.
+  /** Float hyperplane component for the float LSH family: the same
+    * splitmix mix as [[lshPlaneComponent]], scaled to [-0.5, 0.5). A pure
+    * JVM function evaluated in tight typed loops — the previous
+    * formulation derived components per ROW via `xxhash64` inside
+    * interpreted `transform`/`zip_with` lambdas, recomputing planes × dim
+    * hashes for every vector; at corpus scale that interpreted work
+    * dominated the bucketing pass. Deterministic across executors with
+    * zero driver state to ship.
     */
-  def lshBucket(vec: Column, planes: Int = 16): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(
-          vec,
-          transform(sequence(lit(0), size(vec) - 1), i =>
-            (xxhash64(lit(p), i) % 1000000L).cast("double") / 1000000.0),
-          (x, h) => x.cast("double") * h,
-        ),
-        lit(0.0),
-        _ + _,
-      )
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  def lshPlaneComponentF(p: Int, i: Int): Double = lshPlaneComponent(p, i) / 1000.0
+
+  /** sign-bit bucket id over [[lshPlaneComponentF]] hyperplanes
+    * (object-level so executor closures call it statically)
+    */
+  private def lshBucketJvm(v: Array[Float], planes: Int): Long = {
+    var bkt = 0L; var p = 0
+    while (p < planes) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i).toDouble * lshPlaneComponentF(p, i); i += 1 }
+      if (d > 0) bkt |= 1L << p
+      p += 1
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    bkt
   }
 
-  /** LSH-bucketed ANN: join queries to corpus on bucket id only. */
+  /** LSH-bucketed ANN: join queries to corpus on bucket id only. Bucketing
+    * is one narrow typed pass ([[lshBucketJvm]]); scoring uses the
+    * codegen'd native cosine.
+    */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -459,12 +465,22 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
-    val cb = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val qb = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1 && planes >= 1 && planes <= 62)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nPlanes = planes
+    val cb = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, lshBucketJvm(v, nPlanes)) }
+      .toDF("neighbor_id", "c_vec", "bucket")
+    val qb = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, lshBucketJvm(v, nPlanes)) }
+      .toDF("query_id", "q_vec", "bucket")
     val scored = cb
       .join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -598,10 +614,16 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 8,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    maxBucket: Int = 1000): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nPlanes = planes
     val w = Window.partitionBy("bucket")
     corpus
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lshBucket(col(vecCol), planes).as("bucket"))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, lshBucketJvm(v, nPlanes)) }
+      .toDF("id", "vec", "bucket")
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
       .groupBy("bucket")
@@ -611,5 +633,154 @@ object Similarity {
         col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
         cosine(col("p.a.vec"), col("p.b.vec")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Near-duplicate pairs with BOTH the bucketing and the threshold in
+    * exact integer arithmetic — the fully-oracle-able twin of
+    * [[nearDupPairs]]: buckets from [[quantizedLshBucket]] sign bits over
+    * integer hyperplanes, pair admission by the cross-multiplied squared
+    * compare of [[quantizedPairsAbove]] (cos ≥ tNum/tDen over floor(x·scale)
+    * vectors, BigInt / HUGEINT). Same scale posture as the float variant:
+    * hot buckets above `maxBucket` are dropped via a windowed count BEFORE
+    * any member array materializes, the pair expansion runs inside each
+    * bounded bucket group, output is the deterministic (id_a < id_b) set.
+    */
+  def quantizedLshPairsAbove(
+      corpus: DataFrame,
+      tNum: Int,
+      tDen: Int,
+      planes: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+      maxBucket: Int = 1000,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(tDen <= 128, "threshold denominators above 128 can push the " +
+      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
+    require(planes >= 1 && planes <= 62)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nPlanes = planes
+    val n2 = BigInt(tNum) * tNum
+    val d2 = BigInt(tDen) * tDen
+    val w = Window.partitionBy("bucket")
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        var nn = 0L; var i = 0
+        while (i < q.length) { nn += q(i) * q(i); i += 1 }
+        (id, q, nn, quantizedLshBucket(q, nPlanes))
+      }
+      .toDF("id", "qv", "nn", "bucket")
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .drop("__n")
+      .as[(Long, Array[Long], Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups { (_, it) =>
+        val items = it.toArray.sortBy(_._1) // bounded by the maxBucket filter
+        val out = Iterator.newBuilder[(Long, Long)]
+        var x = 0
+        while (x < items.length) {
+          var y = x + 1
+          while (y < items.length) {
+            val (ida, qa, na, _) = items(x)
+            val (idb, qb, nb, _) = items(y)
+            var d = 0L; var i = 0
+            while (i < qa.length) { d += qa(i) * qb(i); i += 1 }
+            if (d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(na) * nb))
+              out += ((ida, idb))
+            y += 1
+          }
+          x += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b")
+  }
+
+  /** IVF-bucketed ANN in exact integer arithmetic — the fully-oracle-able
+    * twin of [[ivfTopK]]. Centroids are NOT float-trained: they are the
+    * quantized vectors of the `nCells` lowest-id corpus rows, so any
+    * engine can re-derive them from the table itself (stronger than
+    * literal-embedding trained floats — there is no training state to
+    * drift). Cell assignment maximizes the integer dot product
+    * (MIPS-style coarse quantization; ties break toward the lower cell
+    * index), queries probe their `nProbe` best cells, candidates score by
+    * integer dot — every comparison is exact, so cell membership, the
+    * candidate set, and the final ranks are bit-identical across engines.
+    * The float [[ivfTopK]] stays the production path (trained quantizer →
+    * better recall); this twin pins the IVF mechanism end-to-end.
+    */
+  def quantizedIvfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1 && nCells >= 1 && nProbe >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic seed centroids: quantized vectors of the nCells
+    // lowest-id rows (a bounded ordered collect, like ivfCentroids' sample)
+    val cent: Array[Array[Long]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .orderBy("id")
+      .limit(nCells)
+      .collect()
+      .map { case (_, v) => quantizeChecked(v, scale) }
+    require(cent.nonEmpty, "cannot derive IVF cells from an empty corpus")
+    val cb = spark.sparkContext.broadcast(cent)
+
+    def bestCells(q: Array[Long], n: Int): Array[Int] = {
+      val cs = cb.value
+      val dots = new Array[Long](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        var d = 0L; var i = 0
+        while (i < q.length) { d += q(i) * cs(c)(i); i += 1 }
+        dots(c) = d; c += 1
+      }
+      cs.indices.sortBy(c => (-dots(c), c)).take(n).toArray
+    }
+
+    val cells = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        (bestCells(q, 1)(0), id, q)
+      }
+      .toDF("cell", "neighbor_id", "c_q")
+    val probes = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        bestCells(q, nProbe).map(c => (c, id, q))
+      }
+      .toDF("cell", "query_id", "q_q")
+
+    val scored = cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("c_q"), col("q_q"), (x, y) => x * y), lit(0L), _ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
   }
 }

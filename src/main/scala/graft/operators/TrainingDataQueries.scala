@@ -10,10 +10,12 @@ import graft.{Q, Tables}
   * family (MinHash.md5Hash60 — bit-identical in DuckDB), so banding,
   * hot-bucket policy and canonicalization hash-match a generated SQL twin;
   * production keeps the faster xxhash64/murmur3 family, whose kernels are
-  * pinned by unit specs. Embedding-space LSH/IVF stay rows-only: their
-  * bucketing hinges on float dot-product SIGNS, which no cross-engine SQL
-  * can reproduce bit-for-bit (the exact twins d_embed_neardup_exact /
-  * d_embed_cc ARE oracled).
+  * pinned by unit specs. The FLOAT embedding-space LSH/IVF queries stay
+  * rows-only — their bucketing hinges on float dot-product SIGNS, which no
+  * cross-engine SQL reproduces bit-for-bit — but each has a fully-oracled
+  * quantized-integer twin (ann_quant_lsh_topk, ann_quant_ivf_topk,
+  * d_embed_neardup_quant_lsh) that hash-matches the bucketing mechanism
+  * itself, plus the exact twins d_embed_neardup_exact / d_embed_cc.
   */
 object TrainingDataQueries {
 
@@ -192,6 +194,21 @@ object TrainingDataQueries {
         WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
         ORDER BY id_a, id_b"""),
     ),
+    // Near-dup pairs with bucketing AND threshold in exact integer
+    // arithmetic: integer-hyperplane LSH buckets (literal-embedded in the
+    // oracle SQL) + the cross-multiplied squared threshold compare — the
+    // bucketed near-dup MECHANISM hash-matches end-to-end, not just the
+    // pair scoring. The float d_embed_neardup below stays the production
+    // shape for float corpora.
+    Q(
+      "d_embed_neardup_quant_lsh",
+      (s, dir) =>
+        Similarity
+          .quantizedLshPairsAbove(
+            Tables(s, dir, "embeddings"), tNum = 7, tDen = 20, planes = 4)
+          .orderBy("id_a", "id_b"),
+      Some(quantLshNearDupOracleSql),
+    ),
     // Embedding-cosine near-dup pairs via LSH buckets (D5).
     Q(
       "d_embed_neardup",
@@ -297,6 +314,23 @@ object TrainingDataQueries {
           .orderBy("query_id")
       },
       None,
+    ),
+    // Quantized-integer IVF ANN: deterministic seed centroids re-derived
+    // from the table itself (quantized vectors of the nCells lowest ids),
+    // integer-dot cell assignment and scoring — cell membership, probes,
+    // and ranks are bit-identical across engines. The float ann_ivf_topk
+    // below keeps the trained quantizer as the production recall path.
+    Q(
+      "ann_quant_ivf_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedIvfTopK(emb, queries, k = 5, nCells = 8, nProbe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(quantIvfOracleSql),
     ),
     // IVF-bucketed ANN (the other scale path: trained coarse quantizer +
     // nProbe cells) — rows-only; recall vs brute force in the unit spec.
@@ -459,13 +493,23 @@ object TrainingDataQueries {
     * fixed at 64 to match the test corpus (a dim change fails loudly as a
     * hash mismatch, never silently).
     */
-  private def quantLshOracleSql: String = {
-    val planes = 8; val dim = 64
+  /** Integer-hyperplane sign-bit bucket id over `qv`, plane components as
+    * literals computed by the SAME Scala function the kernel uses
+    * ([[Similarity.lshPlaneComponent]]) — parity by construction; dim
+    * fixed at 64 to match the test corpus (a dim change fails loudly as a
+    * hash mismatch, never silently).
+    */
+  private def quantBucketExpr(planes: Int, dim: Int = 64): String = {
     def planeLit(p: Int): String =
       (0 until dim).map(i => Similarity.lshPlaneComponent(p, i)).mkString("[", ", ", "]")
-    val bucketExpr = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * (${planeLit(p)})[i])) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n               + ")
+  }
+
+  private def quantLshOracleSql: String = {
+    val bucketExpr = quantBucketExpr(planes = 8)
+    val dim = 64
     s"""
       WITH qz AS (
         SELECT vec_id,
@@ -486,6 +530,77 @@ object TrainingDataQueries {
             FROM s)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** ≡ Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=4):
+    * integer-hyperplane buckets, hot-bucket policy, and the
+    * cross-multiplied squared threshold compare, all in exact arithmetic.
+    */
+  private def quantLshNearDupOracleSql: String = {
+    val bucketExpr = quantBucketExpr(planes = 4)
+    val (tNum, tDen, maxBucket) = (7, 20, 1000)
+    val (n2, d2) = (tNum * tNum, tDen * tDen)
+    s"""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ),
+      bk AS (SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS HUGEINT) AS nn,
+               $bucketExpr AS bucket
+             FROM qz),
+      sz AS (SELECT bucket, COUNT(*) AS cnt FROM bk GROUP BY bucket),
+      ok AS (SELECT bk.* FROM bk JOIN sz USING (bucket)
+             WHERE sz.cnt BETWEEN 2 AND $maxBucket),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                     i -> a.qv[i] * b.qv[i])) AS HUGEINT) AS dot,
+                   a.nn AS na2, b.nn AS nb2
+            FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b FROM p
+      WHERE dot > 0 AND $d2 * dot * dot >= $n2 * na2 * nb2
+      ORDER BY id_a, id_b"""
+  }
+
+  /** ≡ Similarity.quantizedIvfTopK(embeddings, vec_id<10, k=5, nCells=8,
+    * nProbe=2): centroids re-derived in-SQL from the 8 lowest-id quantized
+    * vectors, integer-dot cell assignment with (dot desc, cell) tie-break,
+    * integer candidate scoring.
+    */
+  private def quantIvfOracleSql: String = {
+    val (nCells, nProbe, k) = (8, 2, 5)
+    s"""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings
+      ),
+      cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, qv AS cv
+               FROM qz ORDER BY vec_id LIMIT $nCells),
+      asg AS (SELECT z.vec_id, z.qv, c.c,
+                     CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
+                       i -> z.qv[i] * c.cv[i])) AS BIGINT) AS d
+              FROM qz z CROSS JOIN cent c),
+      cell AS (SELECT vec_id, qv, c AS cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+                  FROM asg)
+               WHERE rk = 1),
+      qp AS (SELECT vec_id AS query_id, qv AS q_qv, c AS cell FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+                  FROM asg WHERE vec_id < 10)
+             WHERE rk <= $nProbe),
+      s AS (SELECT qp.query_id, cl.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, len(cl.qv) + 1),
+                     i -> qp.q_qv[i] * cl.qv[i])) AS BIGINT) AS score
+            FROM cell cl JOIN qp ON cl.cell = qp.cell AND cl.vec_id <> qp.query_id),
+      r AS (SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM s)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+      FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   /** ≡ SimHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */

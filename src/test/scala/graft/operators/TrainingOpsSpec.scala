@@ -210,6 +210,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
 
+  test("quantized LSH near-dup pairs are a subset of the exact quantized pair set") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.quantizedPairsAbove(emb, tNum = 7, tDen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.quantizedLshPairsAbove(emb, tNum = 7, tDen = 20, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty, "bucketed pair set must not be empty on the test corpus")
+    assert(bucketed.subsetOf(exact),
+      s"bucketing may drop pairs but must never admit below-threshold ones: ${bucketed -- exact}")
+  }
+
+  test("quantized IVF recall vs exact quantized MIPS on sf0.001 embeddings") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.quantizedMipsTopK(emb, queries, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = Similarity.quantizedIvfTopK(emb, queries, k = 5, nCells = 8, nProbe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 5.0
+    }
+    assert(recalls.nonEmpty && recalls.sum / recalls.size > 0.4,
+      s"mean recall too low: ${recalls.sum / recalls.size}")
+  }
+
   test("connected components closes transitive near-dup chains (both paths)") {
     val s = spark
     import s.implicits._
