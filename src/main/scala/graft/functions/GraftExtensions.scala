@@ -2,11 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, ExpressionEncoder}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ScalaUDF}
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+import org.apache.spark.sql.types.DoubleType
 
-/** SparkSessionExtensions hook registering graft's native expressions with
-  * the SQL function registry, so `spark.sql("SELECT cosine_similarity(a,b)
-  * ...")` works alongside the Column API. Install via
+/** SparkSessionExtensions hook registering graft's native expressions and
+  * aggregates with the SQL function registry, so
+  * `spark.sql("SELECT cosine_similarity(a,b) ...")` and
+  * `spark.sql("SELECT trck_hll(item) ... GROUP BY ...")` work alongside
+  * the Column API. Install via
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * (GraftSession does) or `.withExtensions(new GraftExtensions)`.
   */
@@ -18,6 +23,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(args(0), args(1))
+      },
+    ))
+    // trck-format HLL sketch of a binary column → reference RLE-hex.
+    // Spark's partial aggregation runs the register-max merge, so the SQL
+    // form distributes exactly like the Column API one.
+    ext.injectFunction((
+      FunctionIdentifier("trck_hll"),
+      new ExpressionInfo(HllAggregator.getClass.getName, "trck_hll"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "trck_hll takes exactly 1 argument (binary item)")
+        val binEnc = ExpressionEncoder(AgnosticEncoders.BinaryEncoder)
+        new ScalaAggregator(args.toList, HllAggregator.toHex, binEnc, binEnc,
+          true, true, 0, 0, Some("trck_hll"))
+      },
+    ))
+    // cardinality estimate of a trck RLE-hex sketch (tiny post-aggregation
+    // rows — scalar UDF is off the hot path)
+    ext.injectFunction((
+      FunctionIdentifier("trck_hll_estimate"),
+      new ExpressionInfo(HllAggregator.getClass.getName, "trck_hll_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "trck_hll_estimate takes exactly 1 argument (hex sketch)")
+        ScalaUDF(
+          (hex: String) => HllAggregator.estimate(hex),
+          DoubleType, args.toList,
+          List(Some(ExpressionEncoder(AgnosticEncoders.StringEncoder))),
+          None, Some("trck_hll_estimate"), true, true)
       },
     ))
   }
