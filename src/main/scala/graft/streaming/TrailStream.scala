@@ -59,6 +59,20 @@ object TrailStream {
     * event-time finalization — a trail finalizes when the watermark (built
     * here from `tsCol` with `watermarkDelay` slack) passes its last event
     * plus the gap. Or pass `idleTimeoutMs` for wall-clock idle timeout.
+    *
+    * `windows`: F2 window-file entries, same contract as the batch engine
+    * (TrailEngine.emits): unlisted cookies are dropped before the shuffle
+    * (stream-static broadcast semi-join); each micro-batch — "the next
+    * TrailDB" — runs every entry of a present cookie once, with its own
+    * ctx (entry id, [start, end) bounds clamped by the cookie's
+    * high-water-mark cut, Y5 yields included), every entry starting from
+    * the state the previous batch left and the LAST entry's output
+    * carrying forward; finalization fires once per cookie at timeout. A
+    * cookie with batch rows but zero in-bounds events still runs its
+    * per-entry loop — the same empty-trail parity the batch path keeps
+    * via __ghost sentinels. (A cookie absent from a batch is skipped,
+    * exactly as the reference skips window entries whose cookie is not in
+    * the current DB's trail list.)
     */
   def emits(
       prog: CompiledProgram,
@@ -71,12 +85,13 @@ object TrailStream {
       idleTimeoutMs: Long = 0L,
       eventTimeGapSec: Long = 0L,
       watermarkDelay: String = "0 seconds",
+      windows: Option[Seq[LocalRunner.WindowEntry]] = None,
   ): Dataset[EmitRow] = {
     val spark = events.sparkSession
     import spark.implicits._
 
     val fieldCols = prog.fields.toSeq
-    val projected0 = events
+    val projectedAll = events
       .select(
         col(uuidCol).cast("string").as("uuid"),
         col(tsCol).cast("long").as("ts"),
@@ -85,9 +100,19 @@ object TrailStream {
           if (events.columns.contains(f)) coalesce(col(f).cast("string"), lit("")) else lit("")): _*
         ).as("fields"),
       )
+    // window runs: unlisted trails never reach the stateful operator
+    val projected0 = windows match {
+      case Some(ws) =>
+        val listed = ws.map(_.cookie).distinct.toDF("uuid")
+        projectedAll.join(broadcast(listed), Seq("uuid"), "left_semi")
+      case None => projectedAll
+    }
     val projected =
       (if (eventTimeGapSec > 0) projected0.withWatermark("eventTime", watermarkDelay)
        else projected0).as[InEvent]
+
+    val winByCookie: Option[Map[String, IndexedSeq[LocalRunner.WindowEntry]]] =
+      windows.map(_.groupBy(_.cookie).view.mapValues(_.toIndexedSeq).toMap)
 
     val tuples = foreachTuples
     val nTuples = tuples.length
@@ -125,11 +150,34 @@ object TrailStream {
               TrailState(Array.fill(nTuples)(toData(FsmState.initial(prog))), 0L))
             // micro-batch = "next DB": sort, apply the min_ts cut, dedup
             val evs = rows.toArray.sortBy(_.ts)
-            val cut = evs.filter(e => prev.maxTs == 0L || e.ts >= prev.maxTs)
-            val trail = Fsm.TrailCtx.dedupConsecutive(cut.map(e => new TrailEvent(e.ts, e.fields)))
             val saved = prev.states.map(fromData(_, prog.nWindowRules))
-            val out = TrailMatcher.processTrail(
-              prog, tuples, saved, trail, uuid, 0L, 0L, params, fcalls, emit)
+            val out = winByCookie match {
+              case Some(m) =>
+                // per-entry ctx loop, batch-engine semantics: every entry
+                // starts from the state the previous batch left; the LAST
+                // entry's output carries forward; the high-water cut folds
+                // into each entry's window start (LocalRunner's
+                // max(start, minTs)); dedup runs per entry on the
+                // bounds-filtered events
+                val entries = m.getOrElse(uuid, IndexedSeq.empty)
+                var lastOut = saved
+                entries.foreach { entry =>
+                  val ws = math.max(entry.start, prev.maxTs)
+                  val we = entry.end
+                  val inBounds = evs.filter(e =>
+                    (ws == 0L || e.ts >= ws) && (we == 0L || e.ts < we))
+                  val trail = Fsm.TrailCtx.dedupConsecutive(
+                    inBounds.map(e => new TrailEvent(e.ts, e.fields)))
+                  lastOut = TrailMatcher.processTrail(
+                    prog, tuples, saved, trail, entry.id, ws, we, params, fcalls, emit)
+                }
+                lastOut
+              case None =>
+                val cut = evs.filter(e => prev.maxTs == 0L || e.ts >= prev.maxTs)
+                val trail = Fsm.TrailCtx.dedupConsecutive(cut.map(e => new TrailEvent(e.ts, e.fields)))
+                TrailMatcher.processTrail(
+                  prog, tuples, saved, trail, uuid, 0L, 0L, params, fcalls, emit)
+            }
             val newMax = if (evs.isEmpty) prev.maxTs else math.max(prev.maxTs, evs.map(_.ts).max)
             state.update(TrailState(out.map(toData), newMax))
             if (eventTimeGapSec > 0)

@@ -55,6 +55,57 @@ class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("window-file run: streaming micro-batches match LocalRunner on the same DBs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.trck._
+    import graft.trck.LocalRunner.{Db, RawEvent, WindowEntry, WindowSet}
+
+    // count "conv" events; window entries bound which events each ctx sees
+    val program = Ir.Program(Vector(
+      Ir.Rule(None, None, None, entrypoint = false, List(
+        Ir.Clause(Map("event_type" -> List("conv")), negated = false, Some("repeat"),
+          List(Ir.Yield("$conv", Nil))),
+        Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)), None)), None)
+    val prog = Compiled.compile(program)
+
+    // u1: two disjoint window entries; u2: one entry; u9 unlisted (dropped)
+    val ws = WindowSet(Seq(
+      WindowEntry("e1", "u1", 100L, 1000L),
+      WindowEntry("e2", "u1", 2000L, 3000L),
+      WindowEntry("e3", "u2", 0L, 0L),
+    ))
+    // batch 1 / DB 1 events, then batch 2 / DB 2 events
+    val b1 = Seq(("u1", 150L, "conv"), ("u1", 500L, "conv"), ("u1", 1500L, "conv"),
+      ("u2", 200L, "conv"), ("u9", 100L, "conv"))
+    val b2 = Seq(("u1", 2500L, "conv"), ("u2", 2600L, "other"), ("u9", 2700L, "conv"))
+    def db(evs: Seq[(String, Long, String)]) = Db(
+      evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, es) =>
+        u -> es.sortBy(_._2).map(e => RawEvent(e._2, Map("event_type" -> e._3)))
+      })
+    // reference result: two sequential DBs, min_ts cut in between
+    val local = LocalRunner.run(prog, Seq(db(b1), db(b2)), windows = Some(ws))
+    val expected = local.results.head.counters.toMap
+
+    val input = MemoryStream[(String, Long, String)]
+    val events = input.toDF().toDF("uuid", "ts", "event_type")
+    val out = TrailStream.emits(prog, events, "uuid", "ts", windows = Some(ws.entries))
+    val query = out.writeStream
+      .format("memory").queryName("fsm_win_out").outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT dst, sum(n) FROM fsm_win_out WHERE kind = 'c' GROUP BY dst")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == expected, s"streamed $streamed != local $expected")
+      // unlisted u9 must never reach the stateful operator
+      assert(spark.sql("SELECT * FROM fsm_win_out WHERE uuid = 'u9'").count() == 0)
+    } finally query.stop()
+  }
+
   test("event-time timeout finalizes trails once the watermark passes") {
     val s = spark
     import s.implicits._
