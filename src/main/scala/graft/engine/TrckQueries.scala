@@ -31,6 +31,23 @@ object TrckQueries {
 
   private val SEC = "CAST(floor(epoch(ts)) AS BIGINT)"
 
+  /** Shared prepared trail layout per sf dir — [[TrailEngine.prepare]] run
+    * once and persisted, the amortize-the-shuffle step repeated trail
+    * queries are built around. Bench warms it before timing, so the
+    * m1_fsm_count vs m1_fsm_count_prepared delta exposes exactly the
+    * per-query shuffle+sort the prepared path eliminates.
+    */
+  private val preparedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def preparedTrailEvents(s: SparkSession, dir: String): DataFrame =
+    preparedCache.computeIfAbsent(dir, _ => {
+      val df = TrailEngine
+        .prepare(trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        .persist()
+      df.count() // materialize the one-time shuffle
+      df
+    })
+
   private def clause(attrs: Map[String, List[String]], action: String, yields: List[Yield] = Nil) =
     Clause(attrs, negated = false, Some(action), yields)
 
@@ -147,6 +164,23 @@ object TrckQueries {
       (s, dir) => {
         val prog = Compiled.compile(countProgram)
         val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        em.filter(col("kind") === "c")
+          .agg(sum("n").cast("long").as("n_clicks"))
+      },
+      Some("SELECT COUNT(*) AS n_clicks FROM events WHERE event_type = 'click'"),
+    ),
+    // m1 over the shared prepared layout: identical results (same oracle),
+    // zero per-query shuffle before the final aggregation — the registered,
+    // bench-visible form of the prepared-layout contract (the plan-level
+    // no-shuffle guarantee is pinned in EngineEquivalenceSpec and
+    // PlanAuditSpec).
+    Q(
+      "m1_fsm_count_prepared",
+      (s, dir) => {
+        val prog = Compiled.compile(countProgram)
+        val em = TrailEngine.emits(
+          prog, preparedTrailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          prepared = true)
         em.filter(col("kind") === "c")
           .agg(sum("n").cast("long").as("n_clicks"))
       },

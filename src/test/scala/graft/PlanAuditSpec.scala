@@ -24,6 +24,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("m1_fsm_count_prepared plans strictly fewer shuffles than the cold run") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the plan in AdaptiveSparkPlanExec and hides exchanges from
+    // collect — disable it here so the raw physical plan is inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(name: String): Int =
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.length
+      val cold = shuffles("m1_fsm_count")
+      val prepared = shuffles("m1_fsm_count_prepared")
+      assert(cold >= 1, s"cold run should shuffle trails at least once, got $cold")
+      assert(prepared < cold,
+        s"prepared run must drop the per-query trail shuffle: prepared=$prepared cold=$cold")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))

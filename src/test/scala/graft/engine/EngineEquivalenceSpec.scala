@@ -93,11 +93,20 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(countersOf(fast) == countersOf(normal))
 
-    // the prepared run's plan must introduce no shuffle of its own
+    // the prepared run's plan must introduce no shuffle of its own — AQE
+    // hides exchanges from executedPlan.collect (vacuously empty), so
+    // re-plan with it off for the assertion
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    fast.count()
-    val shuffles = fast.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.isEmpty, s"unexpected shuffles: $shuffles")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planned = TrailEngine.emits(
+        prog, preparedDf, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), prepared = true)
+      val shuffles = planned.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"unexpected shuffles: $shuffles")
+      val normalPlanned = TrailEngine.emits(prog, df, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples))
+      val normalShuffles = normalPlanned.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(normalShuffles.nonEmpty, "sanity: the unprepared run must show its trail shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     preparedDf.unpersist()
   }
 
@@ -130,10 +139,15 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       prog, table, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), prepared = true)
 
     assert(countersOf(fast) == countersOf(normal))
+    // AQE hides exchanges from executedPlan.collect — assert with it off
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    fast.count()
-    val shuffles = fast.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.isEmpty, s"unexpected shuffles: $shuffles")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planned = TrailEngine.emits(
+        prog, table, "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples), prepared = true)
+      val shuffles = planned.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"unexpected shuffles: $shuffles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.sql("DROP TABLE IF EXISTS trails_bucketed")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
