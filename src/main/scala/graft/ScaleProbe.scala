@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: replicates the sf0.1 corpus `mult`× with
+  * deterministic per-replica perturbations (prefixed text, rotated
+  * embeddings, offset ids — statistically similar, no artificial exact
+  * duplicates beyond the corpus's own), then times the heaviest registered
+  * queries at both scales and reports the scaled/base ratio per query.
+  * A query whose plan survives 100× data growth should scale ~linearly in
+  * rows (quadratic for the intentionally-exact pair kernels); a
+  * super-linear ratio on a linear-shape query is the regression signal.
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [mult] [workDir]
+  * Prints one JSON line: {"metric":"scale_probe","mult":N,
+  * "base":{q:sec},"scaled":{q:sec},"ratio":{q:x},"errors":{...}}
+  */
+object ScaleProbe {
+
+  private val probeQueries = Seq(
+    "m1_fsm_count", "m1_fsm_count_prepared", "m1_fsm_funnel",
+    "d_exact_dup", "d_minhash_lsh", "d_ngram_jaccard", "d_simhash",
+    "ann_ivf_topk", "d_embed_cc")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse("/tmp/graft_scaleprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).appName("scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- scaled corpus --------------------------------------------------
+    val docs = Tables(spark, base, "documents")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until mult).map { k =>
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(k * nDocs))
+        .withColumn("text",
+          if (k == 0) col("text") else concat(lit(s"rep$k "), col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+
+    val emb = Tables(spark, base, "embeddings")
+    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    (0 until mult).map { k =>
+      val r = k % dim
+      val rot =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r))
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(k * nVec))
+        .withColumn("embedding", rot)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    val ev = Tables(spark, base, "events")
+    val nUser = ev.agg(max("user_id")).head.getLong(0) + 1
+    val nEvent = ev.agg(max("event_id")).head.getLong(0) + 1
+    (0 until mult).map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * nUser))
+        .withColumn("event_id", col("event_id") + lit(k * nEvent))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    // ---- timed runs (Bench's noop-write protocol) -----------------------
+    def timeAt(dir: String): (Map[String, Double], Map[String, String]) = {
+      // warm the session/scan path at this dir so the first query isn't
+      // charged footer reads + codegen
+      try {
+        Tables(spark, dir, "events").count()
+        SparkEntry.queries("m1_fsm_count")(spark, dir).count()
+        engine.TrckQueries.preparedTrailEvents(spark, dir)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale-probe] warmup failed at $dir: $e") }
+      val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+      probeQueries.foreach { name =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+          times(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale-probe] $name failed at $dir: $e")
+          errs(name) = e.getClass.getSimpleName
+        }
+      }
+      (times.toMap, errs.toMap)
+    }
+
+    val (baseT, baseE) = timeAt(base)
+    val (scaledT, scaledE) = timeAt(work)
+    def js(m: Map[String, Double]) =
+      probeQueries.flatMap(q => m.get(q).map(v => s""""$q":${math.round(v * 1000) / 1000.0}"""))
+        .mkString("{", ",", "}")
+    val ratios = probeQueries.flatMap { q =>
+      for (b <- baseT.get(q); s <- scaledT.get(q) if b > 0)
+        yield s""""$q":${math.round(s / b * 100) / 100.0}"""
+    }.mkString("{", ",", "}")
+    val errs = (baseE.map { case (k, v) => s""""base:$k":"$v"""" } ++
+      scaledE.map { case (k, v) => s""""scaled:$k":"$v"""" }).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"scale_probe","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,"errors":$errs}""")
+    spark.stop()
+  }
+}

@@ -127,6 +127,13 @@ object Dedup {
       labels = updated.select("id", "comp")
       iter += 1
     }
+    // pointer jumping converges in O(log diameter) rounds, so 50 covers any
+    // real graph — but an unconverged label set is silently WRONG (labels
+    // stop mid-propagation), so fail fast like connectedComponentsStars
+    // instead of returning it
+    require(converged,
+      s"min-label propagation did not converge within $maxIter rounds — raise " +
+        "maxIter or use connectedComponentsStars (O(log² n) on any diameter)")
     labels
   }
 

@@ -250,6 +250,13 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dist = graft.operators.Dedup.connectedComponents(vertices, edges, collectThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    // an iteration budget too small to converge must fail fast, never
+    // return a silently-unconverged (wrong) label set
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(
+        vertices, edges, maxIter = 1, collectThreshold = 0L).collect()
+    }
+    assert(e.getMessage.contains("converge"))
   }
 
   test("native cosine expression matches the HOF formulation bit-for-bit") {
