@@ -381,6 +381,12 @@ object Similarity {
     * [[lshTopK]]'s float hyperplanes. Same scale shape: one narrow
     * bucketing pass over the corpus, broadcast queries, equi-join on the
     * bucket id, O(N·Q/2^planes) scoring work.
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's (the standard multi-probe LSH recall
+    * lever: ×(planes+1) candidate volume instead of more tables). Corpus
+    * buckets are disjoint, so probing can never duplicate a candidate —
+    * the ranked output stays exactly oracle-able.
     */
   def quantizedLshTopK(
       corpus: DataFrame,
@@ -390,6 +396,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       scale: Double = 1e6,
+      multiProbe: Boolean = false,
   ): DataFrame = {
     requireIntegralId(corpus, idCol)
     requireIntegralId(queries, idCol)
@@ -409,9 +416,13 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .collect()
-      .map { case (id, v) =>
+      .flatMap { case (id, v) =>
         val q = quantizeChecked(v, scale)
-        (id, q, quantizedLshBucket(q, nPlanes))
+        val own = quantizedLshBucket(q, nPlanes)
+        val probes =
+          if (multiProbe) own +: Array.tabulate(nPlanes)(p => own ^ (1L << p))
+          else Array(own)
+        probes.map(b => (id, q, b))
       }
     val qdf = spark.createDataset(qArr.toSeq).toDF("query_id", "q_q", "bucket")
     // candidate volume is bucketed-small, so the interpreted zip_with dot

@@ -165,6 +165,36 @@ object TrainingDataQueries {
         SELECT a AS vec_id, min(b) AS component
         FROM r GROUP BY a ORDER BY vec_id"""),
     ),
+    // Same closure through the Kiveris large/small-star contraction — the
+    // O(log² n)-rounds-at-any-diameter variant (plain min-label needs
+    // O(diameter)); oracled against the identical recursive-CTE closure so
+    // the algorithm swap is verified on real data, not just the unit
+    // graphs in TrainingOpsSpec.
+    Q(
+      "d_embed_cc_stars",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val edges = Similarity.exactPairsAbove(emb, threshold = 0.35)
+        Dedup.connectedComponentsStars(emb.select("vec_id"), edges)
+          .select(col("id").as("vec_id"), col("comp").as("component"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        ),
+        sym AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e),
+        r(a, b) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+        )
+        SELECT a AS vec_id, min(b) AS component
+        FROM r GROUP BY a ORDER BY vec_id"""),
+    ),
     // Quantized-integer near-dup pairs: cos ≥ 7/20 over floor(x·1e6)
     // vectors via the cross-multiplied squared compare — exact integer
     // arithmetic end-to-end (BigInt / HUGEINT), so the pair set
@@ -297,6 +327,22 @@ object TrainingDataQueries {
           .orderBy("query_id", "rank")
       },
       Some(quantLshOracleSql),
+    ),
+    // Multi-probe variant: each query also probes every Hamming-1 bucket —
+    // the standard recall lever at scale (×(planes+1) candidates instead
+    // of more hash tables). Corpus buckets are disjoint so the candidate
+    // set stays duplicate-free and the ranked output fully oracle-able.
+    Q(
+      "ann_quant_lsh_mp_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedLshTopK(emb, queries, k = 5, planes = 8, multiProbe = true)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(quantLshMultiProbeOracleSql),
     ),
     // LSH-bucketed ANN (the scale path) — rows-only; recall vs brute force
     // is asserted in the unit spec.
@@ -507,9 +553,21 @@ object TrainingDataQueries {
     }.mkString("\n               + ")
   }
 
-  private def quantLshOracleSql: String = {
-    val bucketExpr = quantBucketExpr(planes = 8)
+  private def quantLshOracleSql: String = quantLshTopKSql(multiProbe = false)
+
+  /** ≡ quantizedLshTopK(multiProbe = true): query probes = own bucket plus
+    * every Hamming-1 neighbor (`xor(bucket, 1<<p)` literals).
+    */
+  private def quantLshMultiProbeOracleSql: String = quantLshTopKSql(multiProbe = true)
+
+  private def quantLshTopKSql(multiProbe: Boolean): String = {
+    val planes = 8
+    val bucketExpr = quantBucketExpr(planes)
     val dim = 64
+    val probeList =
+      if (multiProbe)
+        ("bucket" +: (0 until planes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+      else "[bucket]"
     s"""
       WITH qz AS (
         SELECT vec_id,
@@ -520,7 +578,8 @@ object TrainingDataQueries {
       bk AS (SELECT vec_id, qv,
                $bucketExpr AS bucket
              FROM qz),
-      q AS (SELECT vec_id AS query_id, qv AS q_qv, bucket FROM bk WHERE vec_id < 10),
+      q AS (SELECT vec_id AS query_id, qv AS q_qv, unnest($probeList) AS bucket
+            FROM bk WHERE vec_id < 10),
       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
                    CAST(list_sum(list_transform(range(1, ${dim + 1}),
                      i -> q.q_qv[i] * c.qv[i])) AS BIGINT) AS score

@@ -221,6 +221,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketing may drop pairs but must never admit below-threshold ones: ${bucketed -- exact}")
   }
 
+  test("multi-probe quantized LSH never finds fewer neighbors than single-probe") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    def ids(mp: Boolean) =
+      Similarity.quantizedLshTopK(emb, queries, k = 5, planes = 8, multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = ids(mp = false)
+    val multi = ids(mp = true)
+    assert(single.nonEmpty)
+    // Hamming-1 probes only ADD candidate buckets; with more candidates the
+    // per-query top-k can only improve (scores are exact), so every
+    // single-probe result set size is a lower bound
+    assert(multi.size >= single.size,
+      s"multi-probe shrank the result set: ${single.size} -> ${multi.size}")
+  }
+
   test("quantized IVF recall vs exact quantized MIPS on sf0.001 embeddings") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
