@@ -40,7 +40,10 @@ object TrckQueries {
   private val preparedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def preparedTrailEvents(s: SparkSession, dir: String): DataFrame =
-    preparedCache.computeIfAbsent(dir, _ => {
+    // keyed per session instance, not just dir: in a shared test JVM a
+    // later session reusing the dir must not receive a DataFrame bound to
+    // an earlier (possibly stopped) session
+    preparedCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       val df = TrailEngine
         .prepare(trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
         .persist()
