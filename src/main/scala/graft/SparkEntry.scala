@@ -15,7 +15,8 @@ object SparkEntry {
       engine.TrckQueries.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.TrainingDataQueries.queries
+      operators.TrainingDataQueries.queries ++
+      operators.Curation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The trck flagship program (single-block counter FSM) run through the

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and training: cross-split decontamination, repetition
+  * gates, per-source quotas, PII scanning, reproducible shuffles. All of
+  * them follow the module-wide scale rules — document text is never
+  * shuffled (only 60-bit hashes and counts move), the small side of every
+  * join is broadcast, and per-doc metrics stay in codegen'd column
+  * expressions.
+  */
+object Curation {
+
+  /** Train docs sharing at least one word `k`-shingle with the test split —
+    * the GPT-3-style n-gram decontamination check, with splits drawn from
+    * the same deterministic hash buckets as [[TextAnalysis.splitName]].
+    * Returns (doc_id, n_shared): the count of the train doc's DISTINCT
+    * shingles that also occur anywhere in the test split.
+    *
+    * Scale shape: both sides reduce to 60-bit shingle hashes before the
+    * join, so text never shuffles; the test side (distinct hashes of the
+    * held-out split, ~10% of docs but bounded in practice by benchmark
+    * size) is broadcast, making the probe a narrow map-side semi-join over
+    * the exploded train shingles, followed by a map-side-combined count.
+    */
+  def decontaminate(docs: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withSplit = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.splitName(col(idCol)).as("__split"), col(textCol))
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col(idCol), explode(array_distinct(MinHash.shingles(col(textCol), k))).as("__sh"))
+        .select(col(idCol), MinHash.md5Hash60(col("__sh")).as("__h"))
+    val trainH = shingleHashes(withSplit.filter(col("__split") === "train"))
+    val testH = shingleHashes(withSplit.filter(col("__split") === "test"))
+      .select("__h").distinct()
+    trainH
+      .join(broadcast(testH), Seq("__h"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-doc repetition signals (the Gopher-style quality gates): word and
+    * 3-gram duplication plus the most-frequent-word count. Duplication
+    * counts are pure per-row column expressions; `top_word_n` goes through
+    * the scalable explode → (doc, word) partial-agg → per-doc max shape —
+    * the same two-level aggregation a 100 TB corpus needs (never a per-doc
+    * in-memory frequency map).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val words = split(trim(col(textCol)), "\\s+")
+    val grams = MinHash.shingles(col(textCol), 3)
+    val base = nonNull.select(
+      col(idCol),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
+    )
+    val top = nonNull
+      .select(col(idCol), explode(words).as("__w"))
+      .groupBy(idCol, "__w")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(max("__c").as("top_word_n"))
+    base.join(top, Seq(idCol))
+  }
+
+  /** Deterministic per-source quota: keep at most `cap` docs per source,
+    * chosen by a reproducible hash order (md5 of the id — no RNG state,
+    * stable across runs and repartitioning). The window sort runs per
+    * source key; a corpus where one source dominates should pre-reduce
+    * with the partition-local top-k shape (see Similarity.topKPerQuery /
+    * Skew) before the window — at typical source cardinalities the
+    * hash-partitioned window is the right plan.
+    */
+  def capPerSource(docs: DataFrame, cap: Int, idCol: String = "doc_id",
+                   srcCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(srcCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(srcCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+  }
+
+  // PII patterns: shared Java-regex/RE2 subset (character classes and
+  // bounded repeats only — no lookaround, no \d shorthand), so the Spark
+  // and DuckDB engines compile identical automata.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberRe = "[0-9]+"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private def hits(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** PII scan over a string column: per-group match counts for email /
+    * number-run / IPv4 patterns plus the redaction size (chars removed by
+    * collapsing each number run to one `#`). Pure codegen'd row
+    * expressions into a map-side-combined aggregation — the shape a
+    * full-corpus PII audit needs.
+    */
+  def piiScan(df: DataFrame, strCol: String, groupCol: String): DataFrame = {
+    val s = coalesce(col(strCol), lit(""))
+    df.select(
+        col(groupCol),
+        hits(s, NumberRe).as("__num"),
+        hits(s, EmailRe).as("__email"),
+        hits(s, Ipv4Re).as("__ip"),
+        (length(s) - length(regexp_replace(s, NumberRe, "#"))).cast("long").as("__red"),
+      )
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("__num").as("n_number_hits"),
+        sum(when(col("__num") > 0, 1L).otherwise(0L)).as("n_with_number"),
+        sum("__email").as("n_email_hits"),
+        sum("__ip").as("n_ip_hits"),
+        sum("__red").as("n_chars_redacted"),
+      )
+  }
+
+  /** First `n` docs of a reproducible global shuffle (hash order — the
+    * standard way to draw a held-out sample or a training curriculum
+    * prefix without RNG state). orderBy+limit compiles to TakeOrdered:
+    * each partition keeps a local top-n heap and only n rows per
+    * partition reach the driver-side merge — no global sort at any scale.
+    * The rank window runs on the already-limited n rows.
+    */
+  def shuffleSample(docs: DataFrame, n: Int, idCol: String = "doc_id"): DataFrame = {
+    val top = docs
+      .select(col(idCol), md5(col(idCol).cast("string")).as("__shuf"))
+      .orderBy(col("__shuf"), col(idCol))
+      .limit(n)
+    top
+      .withColumn("rk", row_number().over(Window.orderBy(col("__shuf"), col(idCol))))
+      .select(col("rk").cast("long").as("rk"), col(idCol))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** DuckDB k-shingle list of `trim(text)` split on whitespace — the exact
+    * mirror of [[MinHash.shingles]] including the <k full-join case.
+    */
+  private def shingleSql(k: Int): String =
+    s"""CASE WHEN len(ws) < $k THEN [array_to_string(ws, ' ')]
+       |  ELSE list_transform(range(1, len(ws) - ${k - 2}),
+       |       i -> array_to_string(ws[i:i+${k - 1}], ' ')) END""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // GPT-3-style train/test decontamination: train docs sharing any
+    // distinct 5-gram with the test split, counted. Splits, shingles and
+    // the 60-bit hash all run in the proven cross-engine md5 family.
+    Q(
+      "c_decontaminate",
+      (s, dir) =>
+        decontaminate(Tables(s, dir, "documents"), k = 5).orderBy("doc_id"),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (SELECT doc_id, bkt, list_distinct(${shingleSql(5)}) AS shs FROM w),
+        e AS (SELECT doc_id, bkt,
+                     CAST('0x' || substring(md5(unnest(shs)), 1, 15) AS BIGINT) AS h
+              FROM sh),
+        t AS (SELECT DISTINCT h FROM e WHERE bkt >= 90)
+        SELECT e.doc_id, COUNT(*) AS n_shared
+        FROM e JOIN t USING (h)
+        WHERE e.bkt < 80
+        GROUP BY e.doc_id ORDER BY e.doc_id"""),
+    ),
+    // Gopher-style repetition signals per doc: word/3-gram duplication +
+    // most-frequent-word count.
+    Q(
+      "c_repetition",
+      (s, dir) =>
+        repetitionSignals(Tables(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (SELECT doc_id, ws, ${shingleSql(3)} AS gs FROM w),
+        base AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                 CAST(len(gs) AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_grams
+          FROM g
+        ),
+        t AS (SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY doc_id, w),
+        tm AS (SELECT doc_id, MAX(c) AS top_word_n FROM t GROUP BY doc_id)
+        SELECT base.*, tm.top_word_n
+        FROM base JOIN tm USING (doc_id) ORDER BY doc_id"""),
+    ),
+    // Deterministic per-source quota: at most 10 docs per source in
+    // reproducible hash order.
+    Q(
+      "c_source_cap",
+      (s, dir) =>
+        capPerSource(Tables(s, dir, "documents"), cap = 10).orderBy("source", "rn"),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= 10 ORDER BY source, rn"""),
+    ),
+    // PII scan over event props: per-event-type pattern hit counts +
+    // redaction size. The number-run counts are non-zero on this corpus,
+    // so the regex and global-replace parity is exercised by real data.
+    Q(
+      "c_pii_scan",
+      (s, dir) =>
+        piiScan(Tables(s, dir, "events"), "props", "event_type").orderBy("event_type"),
+      Some(s"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(len(regexp_extract_all(COALESCE(props, ''), '$NumberRe')) AS BIGINT) AS n_num,
+                 CAST(len(regexp_extract_all(COALESCE(props, ''), '$EmailRe')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(COALESCE(props, ''), '$Ipv4Re')) AS BIGINT) AS n_ip,
+                 CAST(len(COALESCE(props, ''))
+                   - len(regexp_replace(COALESCE(props, ''), '$NumberRe', '#', 'g')) AS BIGINT) AS n_red
+          FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               SUM(n_num) AS n_number_hits,
+               SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS n_with_number,
+               SUM(n_email) AS n_email_hits,
+               SUM(n_ip) AS n_ip_hits,
+               SUM(n_red) AS n_chars_redacted
+        FROM h GROUP BY event_type ORDER BY event_type"""),
+    ),
+    // Reproducible global shuffle: the first 50 docs in md5 order — a
+    // deterministic held-out draw.
+    Q(
+      "c_shuffle_sample",
+      (s, dir) =>
+        shuffleSample(Tables(s, dir, "documents"), n = 50).orderBy("rk"),
+      Some("""
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+               doc_id
+        FROM documents
+        ORDER BY rk LIMIT 50"""),
+    ),
+  )
+}
