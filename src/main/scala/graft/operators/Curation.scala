@@ -23,10 +23,15 @@ object Curation {
     * shingles that also occur anywhere in the test split.
     *
     * Scale shape: both sides reduce to 60-bit shingle hashes before the
-    * join, so text never shuffles; the test side (distinct hashes of the
-    * held-out split, ~10% of docs but bounded in practice by benchmark
-    * size) is broadcast, making the probe a narrow map-side semi-join over
-    * the exploded train shingles, followed by a map-side-combined count.
+    * join, so text never shuffles. The test side (distinct hashes of the
+    * held-out split) is NOT force-broadcast: at corpus scale a 10% test
+    * split's distinct 5-gram hashes are billions of rows, so a `broadcast`
+    * hint would bypass Spark's size heuristics and OOM every executor.
+    * AQE picks a broadcast semi-join whenever the test side is actually
+    * small, and falls back to a hash-partitioned semi-join over the two
+    * narrow (id, 8-byte hash) streams when it isn't — with runtime bloom
+    * filters (spark.sql.optimizer.runtime.bloomFilter.enabled) pre-pruning
+    * the exploded train side before the shuffle.
     */
   def decontaminate(docs: DataFrame, k: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -40,7 +45,7 @@ object Curation {
     val testH = shingleHashes(withSplit.filter(col("__split") === "test"))
       .select("__h").distinct()
     trainH
-      .join(broadcast(testH), Seq("__h"), "left_semi")
+      .join(testH, Seq("__h"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -238,11 +243,11 @@ object Curation {
         )
         SELECT event_type,
                COUNT(*) AS n_rows,
-               SUM(n_num) AS n_number_hits,
-               SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS n_with_number,
-               SUM(n_email) AS n_email_hits,
-               SUM(n_ip) AS n_ip_hits,
-               SUM(n_red) AS n_chars_redacted
+               CAST(SUM(n_num) AS BIGINT) AS n_number_hits,
+               CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_number,
+               CAST(SUM(n_email) AS BIGINT) AS n_email_hits,
+               CAST(SUM(n_ip) AS BIGINT) AS n_ip_hits,
+               CAST(SUM(n_red) AS BIGINT) AS n_chars_redacted
         FROM h GROUP BY event_type ORDER BY event_type"""),
     ),
     // Reproducible global shuffle: the first 50 docs in md5 order — a
