@@ -1,0 +1,190 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Curation operators vs independent pure-Scala references — the same
+  * discipline the FSM operators get from the reference's trick generator
+  * (/root/reference/trick/trick.py, test/run_test.sh:87-141): every
+  * operator is recomputed by a straight-line Scala implementation that
+  * shares no code with the DataFrame version, on fixtures that include the
+  * degenerate shapes the sf corpora never produce (null / empty /
+  * whitespace-only / sub-k-word text, tied hash keys, repartitioned input).
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("curation-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- pure-Scala mirrors of the shared primitives ----------------------
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def splitOf(id: Long): String = {
+    val b = java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 4), 16) % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
+
+  /** ≡ MinHash.shingles: split(trim(text), "\\s+") with the <k full-join. */
+  private def shingles(text: String, k: Int): Seq[String] = {
+    val ws = text.trim.split("\\s+", -1).toSeq
+    if (ws.size < k) Seq(ws.mkString(" "))
+    else (0 to ws.size - k).map(i => ws.slice(i, i + k).mkString(" "))
+  }
+
+  // ---- decontaminate ----------------------------------------------------
+
+  test("decontaminate matches a pure-Scala reference incl. empty/short text") {
+    val s = spark
+    import s.implicits._
+    // ids bucketed by the REAL split hash; take enough of each
+    val ids = (0L until 400L).toVector
+    val train = ids.filter(splitOf(_) == "train")
+    val test = ids.filter(splitOf(_) == "test")
+    assert(train.size >= 7 && test.size >= 5, "fixture needs both splits populated")
+
+    // test-split texts define the contamination surface; train texts probe
+    // every edge: full overlap, partial, none, sub-k, whitespace, empty
+    val testTexts = Vector(
+      "one two three four five six",     // shingles shared with train(0)
+      "alpha beta gamma delta epsilon",  // shared with train(1) partially
+      "",                                // "" shingle — shares with empty train docs
+      "a b",                             // sub-k: single "a b" shingle
+      "seven eight nine ten eleven twelve thirteen",
+    )
+    val trainTexts = Vector(
+      "one two three four five six",          // identical → all shingles shared
+      "zz alpha beta gamma delta epsilon zz", // interior overlap
+      "nothing here overlaps at all friend",  // no overlap
+      "a b",                                  // sub-k exact match of test(3)
+      "   ",                                  // whitespace-only → "" shingle, shared with test(2)
+      "one two three four five six one two three four five six", // dup shingles count once
+    )
+    val docs =
+      test.zip(testTexts).map { case (id, t) => (id, t) } ++
+        train.zip(trainTexts).map { case (id, t) => (id, t) } ++
+        Seq((train(trainTexts.size), null.asInstanceOf[String])) // null text drops out
+
+    val k = 5
+    val got = Curation.decontaminate(docs.toDF("doc_id", "text"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent reference: distinct train shingles ∩ union of test shingles
+    val testSh = test.zip(testTexts).flatMap { case (_, t) => shingles(t, k) }.toSet
+    val expected = train.zip(trainTexts).flatMap { case (id, t) =>
+      val n = shingles(t, k).distinct.count(testSh.contains)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the edges actually fired: identical, whitespace-empty, and sub-k all shared
+    assert(expected.contains(train(0)) && expected.contains(train(3)) && expected.contains(train(4)))
+    assert(!expected.contains(train(2)))
+  }
+
+  // ---- repetitionSignals ------------------------------------------------
+
+  test("repetitionSignals matches hand-computed rows incl. degenerate text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),       // 4 words, 2 distinct; grams: "a a a","a a b" (2, distinct 2); top a=3
+      (2L, "x y"),           // sub-3: grams = ["x y"]; top 1
+      (3L, ""),              // words = [""], grams = [""]
+      (4L, "   "),           // trim → same as empty
+      (5L, "w w w w"),       // grams "w w w" ×2 → n_grams 2, distinct 1
+      (6L, null.asInstanceOf[String]), // dropped
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val expected = Map(
+      1L -> ((4L, 2L, 2L, 2L, 3L)),
+      2L -> ((2L, 2L, 1L, 1L, 1L)),
+      3L -> ((1L, 1L, 1L, 1L, 1L)),
+      4L -> ((1L, 1L, 1L, 1L, 1L)),
+      5L -> ((4L, 1L, 2L, 1L, 4L)),
+    )
+    assert(got == expected, s"got $got")
+  }
+
+  // ---- piiScan ----------------------------------------------------------
+
+  test("piiScan counts all three pattern families and the redaction size") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", "contact bob@example.com or 10.0.0.1 x42"),
+      ("a", null.asInstanceOf[String]), // → "" : zero hits but still a row
+      ("b", "no digits here"),
+      ("b", "ids 123 456 and jane.doe+x@sub.domain.org"),
+      ("c", "256.1.2.3 is still ipv4-shaped; 1.2.3.4.5 matches once"),
+    ).toDF("event_type", "props")
+    val got = Curation.piiScan(rows, "props", "event_type").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // hand-computed: (n_rows, n_number_hits, n_with_number, n_email_hits, n_ip_hits, n_chars_redacted)
+    // "a" row1: runs 10,0,0,1,42 → 5 (email local-part digits none); red: (2-1)+(1-1)+(1-1)+(1-1)+(2-1)=2
+    //   NOTE the email/ip text contributes runs too? "bob@example.com" no digits; ok.
+    // "b" row2: runs 123,456 → 2; red (3-1)+(3-1)=4; email 1
+    // "c": runs 256,1,2,3, the 4 in "ipv4", 1,2,3,4,5 → 10; red (3-1)+0*9=2;
+    //   ip: "256.1.2.3" matches ([0-9]{1,3} allows 256) and "1.2.3.4.5" —
+    //   regex finds "1.2.3.4" then continues after it → ".5" no further match → 1. Total 2.
+    val expected = Map(
+      "a" -> ((2L, 5L, 1L, 1L, 1L, 2L)),
+      "b" -> ((2L, 2L, 1L, 1L, 0L, 4L)),
+      "c" -> ((1L, 10L, 1L, 0L, 2L, 2L)),
+    )
+    assert(got == expected, s"got $got")
+  }
+
+  // ---- capPerSource -----------------------------------------------------
+
+  test("capPerSource is deterministic under repartitioning and hash-tie-broken by id") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 97L).map(id => (id, s"src${id % 3}")).toDF("doc_id", "source")
+    def kept(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Long, Int)]] =
+      Curation.capPerSource(df, cap = 5).collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._2).toSeq).toMap
+    val a = kept(docs)
+    val b = kept(docs.repartition(7))
+    assert(a == b, "cap selection must not depend on physical partitioning")
+    // independent reference: per source, ids ordered by (md5(id), id), first 5
+    val expected = (0L until 97L).groupBy(id => s"src${id % 3}").view.mapValues { ids =>
+      ids.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(5).zipWithIndex
+        .map { case (id, i) => (id, i + 1) }
+    }.toMap
+    assert(a == expected, s"got $a\nexpected $expected")
+  }
+
+  // ---- shuffleSample ----------------------------------------------------
+
+  test("shuffleSample ranks by (md5, id) stably across partitionings; n > corpus keeps all") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 61L).map(id => (id, s"t$id")).toDF("doc_id", "text")
+    def sample(df: org.apache.spark.sql.DataFrame, n: Int): Seq[(Long, Long)] =
+      Curation.shuffleSample(df, n).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val a = sample(docs, 10)
+    val b = sample(docs.repartition(5), 10)
+    assert(a == b, "sample must not depend on physical partitioning")
+    val expected = (0L until 61L).sortBy(id => (md5Hex(id.toString), id)).take(10)
+      .zipWithIndex.map { case (id, i) => ((i + 1).toLong, id) }
+    assert(a == expected, s"got $a\nexpected $expected")
+    // n beyond the corpus: every doc appears exactly once, ranks 1..61
+    val all = sample(docs, 1000)
+    assert(all.map(_._1) == (1L to 61L) &&
+      all.map(_._2).toSet == (0L until 61L).toSet)
+  }
+}
