@@ -238,11 +238,63 @@ object TrckQueries {
                       WHERE o.user_id = s.user_id AND o.event_type = 'purchase'
                         AND o.seq > s.first_signup)"""),
     ),
+    // funnel over the SAME shared prepared layout as m1_fsm_count_prepared:
+    // one prepare amortizes across the whole workload — each extra consumer
+    // skips its per-query shuffle+sort entirely (identical oracle).
+    Q(
+      "m1_fsm_funnel_prepared",
+      (s, dir) => {
+        val prog = Compiled.compile(funnelProgram)
+        val em = TrailEngine.emits(
+          prog, preparedTrailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          prepared = true)
+        TrailEngine
+          .countersByUuid(em)
+          .filter(col("dst") === "conv")
+          .agg(count(lit(1)).as("n_converted"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY $SEC, event_id) AS seq
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, MIN(seq) AS first_signup FROM o
+          WHERE event_type = 'signup' GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_converted FROM s
+        WHERE EXISTS (SELECT 1 FROM o
+                      WHERE o.user_id = s.user_id AND o.event_type = 'purchase'
+                        AND o.seq > s.first_signup)"""),
+    ),
     Q(
       "m2_fsm_window",
       (s, dir) => {
         val prog = Compiled.compile(windowProgram)
         val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
+        TrailEngine
+          .countersByUuid(em)
+          .select(col("uuid").cast("long").as("uuid"), col("value").as("n_in_window30"))
+          .orderBy("uuid")
+      },
+      Some(s"""
+        WITH m AS (SELECT user_id, MIN($SEC) AS t0 FROM events GROUP BY user_id)
+        SELECT e.user_id AS uuid, COUNT(*) AS n_in_window30
+        FROM events e JOIN m ON e.user_id = m.user_id
+        WHERE $SEC < m.t0 + 1800
+        GROUP BY e.user_id ORDER BY uuid"""),
+    ),
+    // third consumer of the shared layout: the M2 window program (its
+    // `after` finalization path exercises the layout's baked-in __ghost
+    // sentinel contract under prepared=true).
+    Q(
+      "m2_fsm_window_prepared",
+      (s, dir) => {
+        val prog = Compiled.compile(windowProgram)
+        val em = TrailEngine.emits(
+          prog, preparedTrailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          prepared = true)
         TrailEngine
           .countersByUuid(em)
           .select(col("uuid").cast("long").as("uuid"), col("value").as("n_in_window30"))

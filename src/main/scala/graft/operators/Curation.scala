@@ -131,6 +131,45 @@ object Curation {
       )
   }
 
+  /** Deterministic PII-bearing fixture column. The synthetic corpora carry
+    * no emails or IPv4s in any string column, so [[piiScan]]'s email/IP
+    * arms would be vacuously green forever (a Spark-vs-DuckDB regex
+    * divergence in those families would be invisible). This derives a
+    * `pii_text` column from `doc_id` — a text prefix plus an email on every
+    * 3rd doc, an IPv4 on every 5th, and a trailing number run on all —
+    * using only expressions both engines evaluate identically, so the
+    * scan/redaction queries over it are fully oracled with every pattern
+    * family non-zero.
+    */
+  def withSyntheticPii(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    docs.withColumn("pii_text", concat(
+      substring(coalesce(col(textCol), lit("")), 1, 40),
+      when(id % 3 === 0,
+        concat(lit(" mail user"), id.cast("string"), lit("@ex"),
+          (id % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+          (id % 100).cast("string"))).otherwise(lit("")),
+      lit(" ref "), id.cast("string"),
+    ))
+  }
+
+  /** The redaction transform itself (not just counts): emails → `<EMAIL>`,
+    * IPv4s → `<IP>`, remaining number runs → `#`, applied in that order so
+    * digits inside an already-redacted email/IP are not re-matched. Pure
+    * codegen'd per-row expressions — the map-only shape a full-corpus
+    * redaction pass needs (no shuffle at all).
+    */
+  def piiRedact(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+    val s = coalesce(col(strCol), lit(""))
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(s,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), NumberRe, "#").as("red_text"))
+  }
+
   /** First `n` docs of a reproducible global shuffle (hash order — the
     * standard way to draw a held-out sample or a training curriculum
     * prefix without RNG state). orderBy+limit compiles to TakeOrdered:
@@ -157,6 +196,22 @@ object Curation {
     s"""CASE WHEN len(ws) < $k THEN [array_to_string(ws, ' ')]
        |  ELSE list_transform(range(1, len(ws) - ${k - 2}),
        |       i -> array_to_string(ws[i:i+${k - 1}], ' ')) END""".stripMargin
+
+  /** DuckDB mirror of [[withSyntheticPii]] over `documents`. NOTE: the
+    * driver re-applies stripMargin to the final oracle string, so no line
+    * here may begin with `|` after trim — keep `||` at line ENDS.
+    */
+  private val PiiTextSql: String =
+    """SELECT doc_id, source,
+       substring(COALESCE(text, ''), 1, 40) ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@ex' ||
+                 CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                 CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       ' ref ' || CAST(doc_id AS VARCHAR) AS pii_text
+    FROM documents"""
 
   val queries: Seq[Q] = Seq(
     // GPT-3-style train/test decontamination: train docs sharing any
@@ -249,6 +304,50 @@ object Curation {
                CAST(SUM(n_ip) AS BIGINT) AS n_ip_hits,
                CAST(SUM(n_red) AS BIGINT) AS n_chars_redacted
         FROM h GROUP BY event_type ORDER BY event_type"""),
+    ),
+    // PII scan over the synthetic PII column: unlike c_pii_scan (whose
+    // corpus has no emails/IPs), every pattern family is non-zero here, so
+    // the email and IPv4 automata parity is exercised by data, not
+    // vacuously green.
+    Q(
+      "c_pii_scan_syn",
+      (s, dir) =>
+        piiScan(withSyntheticPii(Tables(s, dir, "documents")), "pii_text", "source")
+          .orderBy("source"),
+      Some(s"""
+        WITH p AS ($PiiTextSql),
+        h AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(pii_text, '$NumberRe')) AS BIGINT) AS n_num,
+                 CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+                 CAST(len(pii_text)
+                   - len(regexp_replace(pii_text, '$NumberRe', '#', 'g')) AS BIGINT) AS n_red
+          FROM p
+        )
+        SELECT source,
+               COUNT(*) AS n_rows,
+               CAST(SUM(n_num) AS BIGINT) AS n_number_hits,
+               CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_number,
+               CAST(SUM(n_email) AS BIGINT) AS n_email_hits,
+               CAST(SUM(n_ip) AS BIGINT) AS n_ip_hits,
+               CAST(SUM(n_red) AS BIGINT) AS n_chars_redacted
+        FROM h GROUP BY source ORDER BY source"""),
+    ),
+    // The redaction OUTPUT itself, row by row — the doc-level transform a
+    // real pipeline ships, oracled on the text (not just counts).
+    Q(
+      "c_pii_redact",
+      (s, dir) =>
+        piiRedact(withSyntheticPii(Tables(s, dir, "documents")), "pii_text", "doc_id")
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH p AS ($PiiTextSql)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(pii_text,
+                 '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+                 '$NumberRe', '#', 'g') AS red_text
+        FROM p ORDER BY doc_id"""),
     ),
     // Reproducible global shuffle: the first 50 docs in md5 order — a
     // deterministic held-out draw.

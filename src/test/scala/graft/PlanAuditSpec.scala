@@ -69,6 +69,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(schemas.forall(!_.contains("payload")), schemas.mkString("\n"))
   }
 
+  test("c_decontaminate: no forced broadcast on the test-hash side, text never reaches the join") {
+    // The test side of the decontamination semi-join is billions of rows at
+    // corpus scale — a `broadcast()` hint there bypasses Spark's size
+    // heuristics and OOMs every executor (the round-4 scale-killer). Pin:
+    // the LOGICAL plan carries no ResolvedHint (AQE may still legitimately
+    // CHOOSE a broadcast at this sf via its size estimate), and the join
+    // itself sees only the 60-bit hash + doc id — no text column.
+    val df = SparkEntry.queries("c_decontaminate")(spark, sfDir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"decontaminate must not force a broadcast: $hints")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.joinType.sql == "LEFT SEMI"), "expected the hash semi-join")
+    for (j <- joins if j.joinType.sql == "LEFT SEMI")
+      assert(!(j.left.output ++ j.right.output).exists(_.name == "text"),
+        s"document text must be pruned before the semi-join: ${j.output.map(_.name)}")
+  }
+
   test("d_exact_dup shuffles fingerprints, not document bodies") {
     val p = plan("d_exact_dup")
     val exchangeSchemas = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList

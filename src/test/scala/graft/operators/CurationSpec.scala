@@ -147,6 +147,51 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"got $got")
   }
 
+  // ---- piiRedact + withSyntheticPii --------------------------------------
+
+  test("piiRedact applies email, then IP, then number runs — no re-matching inside placeholders") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "mail user42@ex3.org from 10.1.0.2 ref 99"),
+      (2L, null.asInstanceOf[String]), // null → "" → unchanged empty
+      (3L, "plain text only"),
+      (4L, "42@ not an email, 1.2.3.4.5 one ip then 5"),
+    ).toDF("doc_id", "text")
+    val got = Curation.piiRedact(rows, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // digits INSIDE the matched email/IP (42, 3, 10.1.0.2) must come out as
+    // the placeholder, not as '#' — order of application is observable here
+    val expected = Map(
+      1L -> "mail <EMAIL> from <IP> ref #",
+      2L -> "",
+      3L -> "plain text only",
+      4L -> "#@ not an email, <IP>.# one ip then #",
+    )
+    assert(got == expected, s"got $got")
+  }
+
+  test("withSyntheticPii: every 3rd doc gains an email, every 5th an IP, all a number run") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 30L).map(id => (id, s"text$id", "s")).toDF("doc_id", "text", "source")
+    val got = Curation.withSyntheticPii(docs)
+      .select("doc_id", "pii_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 30)
+    got.foreach { case (id, t) =>
+      assert(t.contains(s"@ex${id % 7}.org") == (id % 3 == 0), s"$id: $t")
+      assert(t.contains(s" from 10.${id % 256}.0.${id % 100}") == (id % 5 == 0), s"$id: $t")
+      assert(t.endsWith(s" ref $id"), s"$id: $t")
+      assert(t.startsWith(s"text$id"), s"$id: $t")
+    }
+    // and the scan over it sees all three families
+    val scan = Curation.piiScan(Curation.withSyntheticPii(docs), "pii_text", "source")
+      .collect().head
+    assert(scan.getAs[Long]("n_email_hits") == 10 && scan.getAs[Long]("n_ip_hits") == 6 &&
+      scan.getAs[Long]("n_number_hits") > 0)
+  }
+
   // ---- capPerSource -----------------------------------------------------
 
   test("capPerSource is deterministic under repartitioning and hash-tie-broken by id") {
