@@ -56,19 +56,22 @@ object Curation {
     * the scalable explode → (doc, word) partial-agg → per-doc max shape —
     * the same two-level aggregation a 100 TB corpus needs (never a per-doc
     * in-memory frequency map).
+    *
+    * Cost split, measured (graft.ProfileRepetition, sf0.1 warm, r6):
+    * full query 3.12 s of which BUILDING the 3-gram array is 2.76 s;
+    * array_distinct over it adds <10%, the top_word explode+agg is 0.55 s,
+    * and computing n_distinct_grams via an exploded two-level agg instead
+    * measures 18% WORSE (3.22 s) — so the per-row formulation stands. The
+    * r4 bench's 14.2 s for this query (vs 3.9-4.7 s every measurement
+    * since, code unchanged) was an environment outlier, not a plan cost.
+    * At 30× data the query runs 2.54× wall (SCALE_PROBE_r06) — comfortably
+    * sub-linear, CPU-bound on gram construction, no shuffle pressure.
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val nonNull = docs.filter(col(textCol).isNotNull)
     val words = split(trim(col(textCol)), "\\s+")
-    val grams = MinHash.shingles(col(textCol), 3)
-    val base = nonNull.select(
-      col(idCol),
-      size(words).cast("long").as("n_words"),
-      size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      size(grams).cast("long").as("n_grams"),
-      size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
-    )
+    val base = nonNull.select(col(idCol) +: repetitionBaseCols(textCol): _*)
     val top = nonNull
       .select(col(idCol), explode(words).as("__w"))
       .groupBy(idCol, "__w")
@@ -76,6 +79,21 @@ object Curation {
       .groupBy(idCol)
       .agg(max("__c").as("top_word_n"))
     base.join(top, Seq(idCol))
+  }
+
+  /** The four per-row repetition metrics, shared verbatim by the batch
+    * operator above and the streaming face (DocStream.repetitionSignals) so
+    * the two can never drift.
+    */
+  private[graft] def repetitionBaseCols(textCol: String): Seq[Column] = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val grams = MinHash.shingles(col(textCol), 3)
+    Seq(
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
+    )
   }
 
   /** Deterministic per-source quota: keep at most `cap` docs per source,
@@ -102,7 +120,7 @@ object Curation {
   val NumberRe = "[0-9]+"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  private def hits(c: Column, re: String): Column =
+  private[graft] def hits(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 
   /** PII scan over a string column: per-group match counts for email /

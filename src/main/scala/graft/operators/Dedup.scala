@@ -176,32 +176,40 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
 
+    // Round shape, trimmed to 3 shuffles + 1 checkpoint (from 4 + 3):
+    // - symmetrize with a single-pass explode instead of a self-union, so
+    //   each stage reads its input exactly once (no checkpoint needed just
+    //   to stop a double computation);
+    // - collect_set (not collect_list) dedupes each neighbor multiset
+    //   inside the groupBy itself, absorbing duplicate (v, m) pairs from
+    //   different u's, so the large-star output needs no distinct() of its
+    //   own before feeding the small-star groupBy;
+    // - the small-star arm folds its two reads (v ≤ u neighbors, plus u
+    //   itself) into one explode over filter(nbrs) ++ [u].
+    // Only the round's final deduped edge set is checkpointed — it is the
+    // loop-carried value the convergence check counts.
     def neighborhoods(edgeList: DataFrame): DataFrame =
-      edgeList.select(col("a").as("u"), col("b").as("v"))
-        .union(edgeList.select(col("b").as("u"), col("a").as("v")))
+      edgeList
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
         .groupBy("u")
-        .agg(min(least(col("v"), col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
+        .agg(min(least(col("v"), col("u"))).as("m"), collect_set(col("v")).as("nbrs"))
 
     var eCount = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // large-star: (v, m) for v ∈ N(u), v > u — checkpointed because the
-      // small-star stage reads its neighborhoods twice
+      // large-star: (v, m) for v ∈ N(u), v > u
       val large = neighborhoods(e)
-        .select(col("m"), explode(col("nbrs")).as("v"), col("u"))
-        .filter(col("v") > col("u"))
+        .select(col("m"), explode(filter(col("nbrs"), _ > col("u"))).as("v"))
         .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint(true)
       // small-star: (v, m) for v ∈ N(u), v ≤ u — plus (u, m)
-      val nh = neighborhoods(large).localCheckpoint(true)
-      val small = nh
-        .select(col("m"), explode(col("nbrs")).as("v"), col("u"))
-        .filter(col("v") <= col("u"))
-        .select(col("v").as("x"), col("m"))
-        .union(nh.select(col("u").as("x"), col("m")))
+      val small = neighborhoods(large)
+        .select(col("m"),
+          explode(concat(filter(col("nbrs"), _ <= col("u")), array(col("u")))).as("x"))
         .filter(col("x") =!= col("m"))
         .select(least(col("x"), col("m")).as("a"), greatest(col("x"), col("m")).as("b"))
         .distinct()

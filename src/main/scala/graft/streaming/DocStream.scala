@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, TextAnalysis}
 
 /** Streaming face of the training-data document pipeline: the same
   * fingerprint/quality/split primitives the batch operators use, wired
@@ -68,4 +68,55 @@ object DocStream {
     */
   def withSplit(docs: DataFrame, keyCol: Column, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     docs.withColumn("split", TextAnalysis.splitName(keyCol, trainPct, valPct))
+
+  /** Streaming face of [[Curation.repetitionSignals]]: identical output
+    * schema and values, stateless and append-mode compatible. The four
+    * duplication metrics are the SAME column expressions (shared via
+    * Curation.repetitionBaseCols); `top_word_n` swaps the batch's
+    * two-level explode aggregation for a per-row higher-order expression —
+    * O(distinct·words) per document, the right trade inside a micro-batch
+    * (no shuffle, no state; route pathological multi-MB docs through the
+    * batch operator instead).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val topWordN = array_max(
+      transform(array_distinct(words), w => size(filter(words, _ === w))))
+      .cast("long").as("top_word_n")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol) +: Curation.repetitionBaseCols(textCol) :+ topWordN: _*)
+  }
+
+  /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
+    * expressions (shared regexes + Curation.hits), aggregated per
+    * watermarked tumbling window instead of per static group — the shape a
+    * PII audit takes on an ingestion stream. Append-mode compatible;
+    * window sums over any period equal the batch scan of the same rows.
+    */
+  def piiByWindow(docs: DataFrame, strCol: String = "text",
+                  eventTimeCol: String = "event_time",
+                  windowDuration: String = "1 minute",
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    val s = coalesce(col(strCol), lit(""))
+    docs
+      .withColumn("__num", Curation.hits(s, Curation.NumberRe))
+      .withColumn("__email", Curation.hits(s, Curation.EmailRe))
+      .withColumn("__ip", Curation.hits(s, Curation.Ipv4Re))
+      .withColumn("__red",
+        (length(s) - length(regexp_replace(s, Curation.NumberRe, "#"))).cast("long"))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("__num").as("n_number_hits"),
+        sum(when(col("__num") > 0, 1L).otherwise(0L)).as("n_with_number"),
+        sum("__email").as("n_email_hits"),
+        sum("__ip").as("n_ip_hits"),
+        sum("__red").as("n_chars_redacted"),
+      )
+      .select(col("w.start").as("window_start"), col("n_rows"), col("n_number_hits"),
+        col("n_with_number"), col("n_email_hits"), col("n_ip_hits"), col("n_chars_redacted"))
+  }
 }

@@ -93,4 +93,74 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed == batch)
     } finally query.stop()
   }
+
+  test("streaming repetitionSignals matches the batch Curation operator row for row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(10), "a a a b"),
+      (2L, ts(11), "x y"),
+      (3L, ts(12), ""),
+      (4L, ts(13), "   "),
+      (5L, ts(20), "w w w w"),
+      (6L, ts(21), null.asInstanceOf[String]), // dropped on both sides
+      (7L, ts(22), "one two three one two three one"),
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.repetitionSignals(docs)
+      .writeStream.format("memory").queryName("rep_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(4): _*)  // two micro-batches
+      query.processAllAvailable()
+      input.addData(rows.drop(4): _*)
+      query.processAllAvailable()
+      def asMap(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val streamed = asMap(spark.sql(
+        "SELECT doc_id, n_words, n_distinct_words, n_grams, n_distinct_grams, top_word_n FROM rep_out").collect())
+      val batch = asMap(graft.operators.Curation
+        .repetitionSignals(rows.map(r => (r._1, r._3)).toDF("doc_id", "text"))
+        .select("doc_id", "n_words", "n_distinct_words", "n_grams", "n_distinct_grams", "top_word_n")
+        .collect())
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    } finally query.stop()
+  }
+
+  test("windowed PII stats sum to the batch piiScan over the same rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(10), "contact bob@example.com or 10.0.0.1 x42"),
+      (2L, ts(20), null.asInstanceOf[String]), // null → "" still counted as a row
+      (3L, ts(70), "ids 123 456 and jane.doe+x@sub.domain.org"),
+      (4L, ts(80), "no digits here"),
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.piiByWindow(docs, windowDuration = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("pii_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      input.addData((5L, ts(600), "flush")) // advance watermark past both windows
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT SUM(n_rows), SUM(n_number_hits), SUM(n_with_number), SUM(n_email_hits),
+                  SUM(n_ip_hits), SUM(n_chars_redacted)
+           FROM pii_out WHERE window_start < timestamp'1970-01-01 00:05:00'""").collect().head
+      assert(spark.sql("SELECT COUNT(*) FROM pii_out WHERE window_start < timestamp'1970-01-01 00:05:00'")
+        .head.getLong(0) == 2, "both 1-minute windows must have closed")
+      val batch = graft.operators.Curation
+        .piiScan(rows.map(r => ("all", r._3)).toDF("grp", "text"), "text", "grp")
+        .select("n_rows", "n_number_hits", "n_with_number", "n_email_hits", "n_ip_hits", "n_chars_redacted")
+        .collect().head
+      assert((0 until 6).forall(i => streamed.getLong(i) == batch.getLong(i)),
+        s"streamed $streamed\nbatch $batch")
+    } finally query.stop()
+  }
 }
