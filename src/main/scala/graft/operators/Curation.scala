@@ -98,17 +98,38 @@ object Curation {
 
   /** Deterministic per-source quota: keep at most `cap` docs per source,
     * chosen by a reproducible hash order (md5 of the id — no RNG state,
-    * stable across runs and repartitioning). The window sort runs per
-    * source key; a corpus where one source dominates should pre-reduce
-    * with the partition-local top-k shape (see Similarity.topKPerQuery /
-    * Skew) before the window — at typical source cardinalities the
-    * hash-partitioned window is the right plan.
+    * stable across runs and repartitioning).
+    *
+    * `preReduce = false` (default): one hash-partitioned window per source
+    * key — the right single-shuffle plan at typical source cardinalities.
+    *
+    * `preReduce = true`: the skew-safe two-level shape for a corpus where
+    * one source dominates (a 60%-of-100 TB source would otherwise sort on
+    * ONE task). Stage 1 windows over (input partition, source) — the
+    * dominant source splits across all its input partitions, so no task
+    * sees more than its partition's share — keeping the `cap` hash-lowest
+    * rows per (partition, source). Stage 2 runs the plain per-source
+    * window over the survivors: ≤ cap × nPartitions rows per source,
+    * bounded regardless of corpus skew. Result is identical to the plain
+    * path and independent of physical layout: stage 1's union is always a
+    * superset of the global cap-lowest rows per source (each global winner
+    * is among the cap lowest of whichever partition holds it).
     */
   def capPerSource(docs: DataFrame, cap: Int, idCol: String = "doc_id",
-                   srcCol: String = "source"): DataFrame = {
-    val w = Window.partitionBy(srcCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.select(col(idCol), col(srcCol))
+                   srcCol: String = "source", preReduce: Boolean = false): DataFrame = {
+    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    val base = docs.select(col(idCol), col(srcCol))
+    val survivors =
+      if (!preReduce) base
+      else {
+        val pw = Window.partitionBy(spark_partition_id(), col(srcCol)).orderBy(order: _*)
+        base
+          .withColumn("__prn", row_number().over(pw))
+          .filter(col("__prn") <= cap)
+          .drop("__prn")
+      }
+    val w = Window.partitionBy(srcCol).orderBy(order: _*)
+    survivors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
   }
