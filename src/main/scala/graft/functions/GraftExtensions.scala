@@ -25,6 +25,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(args(0), args(1))
       },
     ))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hash64 takes (text, k)")
+        val k = args(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash64's k must be an int literal, got ${other.sql}")
+        }
+        ShingleHash64(args(0), k)
+      },
+    ))
     // trck-format HLL sketch of a binary column → reference RLE-hex.
     // Spark's partial aggregation runs the register-max merge, so the SQL
     // form distributes exactly like the Column API one.
