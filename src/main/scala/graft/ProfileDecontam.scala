@@ -49,8 +49,14 @@ object ProfileDecontam {
       trainH.join(testH, Seq("__h"), "left_semi").groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared")).orderBy("doc_id")
     }
+    def shingleNative(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(array_distinct(graft.functions.ShingleHash64(col("text"), 5))).as("__h"))
+
     time("full_xx")(full(shingleXx))
     time("full_raw_string_join")(full(shingleRaw))
+    time("train_hashes_native")(shingleNative(withSplit.filter(col("__split") === "train")))
+    time("full_native")(full(shingleNative))
 
     // sanity: xx variant produces identical (doc_id, n_shared) rows
     val a = Curation.decontaminate(docs, 5).orderBy("doc_id").collect()

@@ -143,7 +143,10 @@ object ShingleHash64 {
     while (t < until) { need += ends(t) - starts(t); t += 1 }
     var buf = local.get()
     if (buf.length < need) {
-      buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(need, 64)) * 2)
+      // grow to the next power of two in Long math (Integer.highestOneBit*2
+      // goes negative for need >= 2^30), clamped to the max array size
+      val grown = java.lang.Long.highestOneBit(math.max(need, 64).toLong) * 2L
+      buf = new Array[Byte](math.min(grown, Int.MaxValue - 8L).toInt max need)
       local.set(buf)
     }
     var p = 0
