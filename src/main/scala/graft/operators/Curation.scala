@@ -10,7 +10,7 @@ import graft.{Q, Tables}
   * between dedup and training: cross-split decontamination, repetition
   * gates, per-source quotas, PII scanning, reproducible shuffles. All of
   * them follow the module-wide scale rules — document text is never
-  * shuffled (only 60-bit hashes and counts move), the small side of every
+  * shuffled (only 64-bit hashes and counts move), the small side of every
   * join is broadcast, and per-doc metrics stay in codegen'd column
   * expressions.
   */
@@ -22,16 +22,25 @@ object Curation {
     * Returns (doc_id, n_shared): the count of the train doc's DISTINCT
     * shingles that also occur anywhere in the test split.
     *
-    * Scale shape: both sides reduce to 60-bit shingle hashes before the
-    * join, so text never shuffles. The test side (distinct hashes of the
-    * held-out split) is NOT force-broadcast: at corpus scale a 10% test
-    * split's distinct 5-gram hashes are billions of rows, so a `broadcast`
-    * hint would bypass Spark's size heuristics and OOM every executor.
-    * AQE picks a broadcast semi-join whenever the test side is actually
-    * small, and falls back to a hash-partitioned semi-join over the two
-    * narrow (id, 8-byte hash) streams when it isn't — with runtime bloom
-    * filters (spark.sql.optimizer.runtime.bloomFilter.enabled) pre-pruning
-    * the exploded train side before the shuffle.
+    * Scale shape: both sides reduce to 64-bit shingle hashes before the
+    * join, so text never shuffles. Hashing is the native codegen'd
+    * [[graft.functions.ShingleHash64]] expression — one byte scan per doc,
+    * no word array, no per-shingle String — which is the measured dominant
+    * cost killer (measured r7 by the since-deleted ProfileDecontam — its
+    * protocol lives on in graft.TimeQueries — sf0.1 warm, 3 reps: full query
+    * 3.13-3.52 s with the md5-60 slice+concat chain vs **0.42-0.44 s**
+    * native; train-side hash extraction alone 2.10-2.22 s → 0.10-0.12 s;
+    * an xxhash64-over-shingle-strings middle ground measured 2.83-2.99 s,
+    * and joining on raw shingle strings 2.55-3.05 s — the win is skipping
+    * shingle-string construction, not the hash family). The test side
+    * (distinct hashes of the held-out split) is NOT force-broadcast: at
+    * corpus scale a 10% test split's distinct 5-gram hashes are billions of
+    * rows, so a `broadcast` hint would bypass Spark's size heuristics and
+    * OOM every executor. AQE picks a broadcast semi-join whenever the test
+    * side is actually small, and falls back to a hash-partitioned semi-join
+    * over the two narrow (id, 8-byte hash) streams when it isn't — with
+    * runtime bloom filters (spark.sql.optimizer.runtime.bloomFilter.enabled)
+    * pre-pruning the exploded train side before the shuffle.
     */
   def decontaminate(docs: DataFrame, k: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -39,8 +48,8 @@ object Curation {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), TextAnalysis.splitName(col(idCol)).as("__split"), col(textCol))
     def shingleHashes(df: DataFrame): DataFrame =
-      df.select(col(idCol), explode(array_distinct(MinHash.shingles(col(textCol), k))).as("__sh"))
-        .select(col(idCol), MinHash.md5Hash60(col("__sh")).as("__h"))
+      df.select(col(idCol),
+        explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("__h"))
     val trainH = shingleHashes(withSplit.filter(col("__split") === "train"))
     val testH = shingleHashes(withSplit.filter(col("__split") === "test"))
       .select("__h").distinct()
@@ -57,15 +66,16 @@ object Curation {
     * the same two-level aggregation a 100 TB corpus needs (never a per-doc
     * in-memory frequency map).
     *
-    * Cost split, measured (graft.ProfileRepetition, sf0.1 warm, r6):
-    * full query 3.12 s of which BUILDING the 3-gram array is 2.76 s;
-    * array_distinct over it adds <10%, the top_word explode+agg is 0.55 s,
-    * and computing n_distinct_grams via an exploded two-level agg instead
-    * measures 18% WORSE (3.22 s) — so the per-row formulation stands. The
-    * r4 bench's 14.2 s for this query (vs 3.9-4.7 s every measurement
-    * since, code unchanged) was an environment outlier, not a plan cost.
-    * At 30× data the query runs 2.54× wall (SCALE_PROBE_r06) — comfortably
-    * sub-linear, CPU-bound on gram construction, no shuffle pressure.
+    * Cost history: the r6 profile (ProfileRepetition, sf0.1 warm) measured
+    * the full query at 3.12 s, 2.76 s of it BUILDING 3-gram STRINGS via
+    * slice+concat_ws, with the top_word explode+agg at 0.55 s and an
+    * exploded two-level n_distinct_grams alternative 18% WORSE. r7 replaced
+    * the string grams with the native codegen'd ShingleHash64 (counts over
+    * 64-bit hashes ≡ counts over strings): full query now 0.57-0.71 s
+    * (TimeQueries, sf0.1 warm, 5 reps) — ~5.5× — leaving the explode+agg
+    * as the dominant remaining cost. At 30× data the string-gram version
+    * ran 2.54× wall (SCALE_PROBE_r06); the hash version only lowers the
+    * per-row constant, so sub-linearity stands.
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
@@ -87,7 +97,11 @@ object Curation {
     */
   private[graft] def repetitionBaseCols(textCol: String): Seq[Column] = {
     val words = split(trim(col(textCol)), "\\s+")
-    val grams = MinHash.shingles(col(textCol), 3)
+    // gram COUNTS come from the native 64-bit shingle hashes — same
+    // tokenization (ShingleHash64Spec pins byte parity with the string
+    // chain), and n(_distinct)_grams over hashes ≡ over strings (collision
+    // p ≈ n²/2⁶⁵ per doc): skips building any shingle String
+    val grams = graft.functions.ShingleHash64(col(textCol), 3)
     Seq(
       size(words).cast("long").as("n_words"),
       size(array_distinct(words)).cast("long").as("n_distinct_words"),
@@ -254,8 +268,10 @@ object Curation {
 
   val queries: Seq[Q] = Seq(
     // GPT-3-style train/test decontamination: train docs sharing any
-    // distinct 5-gram with the test split, counted. Splits, shingles and
-    // the 60-bit hash all run in the proven cross-engine md5 family.
+    // distinct 5-gram with the test split, counted. The Spark side joins on
+    // native 64-bit shingle hashes (ShingleHash64); the oracle joins on the
+    // raw shingle STRINGS — the exact semantics, hash-free — so the compare
+    // also guards the hash against collisions on this corpus.
     Q(
       "c_decontaminate",
       (s, dir) =>
@@ -267,9 +283,7 @@ object Curation {
           FROM documents WHERE text IS NOT NULL
         ),
         sh AS (SELECT doc_id, bkt, list_distinct(${shingleSql(5)}) AS shs FROM w),
-        e AS (SELECT doc_id, bkt,
-                     CAST('0x' || substring(md5(unnest(shs)), 1, 15) AS BIGINT) AS h
-              FROM sh),
+        e AS (SELECT doc_id, bkt, unnest(shs) AS h FROM sh),
         t AS (SELECT DISTINCT h FROM e WHERE bkt >= 90)
         SELECT e.doc_id, COUNT(*) AS n_shared
         FROM e JOIN t USING (h)

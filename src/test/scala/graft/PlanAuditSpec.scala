@@ -75,7 +75,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // heuristics and OOMs every executor (the round-4 scale-killer). Pin:
     // the LOGICAL plan carries no ResolvedHint (AQE may still legitimately
     // CHOOSE a broadcast at this sf via its size estimate), and the join
-    // itself sees only the 60-bit hash + doc id — no text column.
+    // itself sees only the 64-bit shingle hash + doc id — no text column.
     val df = SparkEntry.queries("c_decontaminate")(spark, sfDir)
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
