@@ -162,6 +162,38 @@ object TrckQueries {
       },
       None,
     ),
+    // A4 estimate twin: the sketch HEX itself is structurally un-oracle-able
+    // (DuckDB can't produce the trck format), but the ESTIMATE is checkable
+    // against the exact COUNT(DISTINCT …): per event type, assert the HLL
+    // estimate lands within the documented p=14 error envelope (±2% ≈ 2.5σ
+    // of the 1.04/√2¹⁴ ≈ 0.81% standard error; small groups hit the sparse
+    // near-exact path). The tolerance check runs in Spark so the oracle row
+    // is a deterministic (event_type, n_exact, TRUE) — a hash-compared,
+    // end-to-end guard on the estimator (reference behavior:
+    // test/tr/test_hll_result.tr), not just the register state that
+    // HllParitySpec pins.
+    Q(
+      "a4_hll_estimate_check",
+      (s, dir) => {
+        import graft.functions.HllAggregator
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id").cast("string").as("uuid"))
+        ev.groupBy("event_type")
+          .agg(
+            HllAggregator.trckHllHex(encode(col("uuid"), "UTF-8")).as("hll_hex"),
+            countDistinct(col("uuid")).cast("long").as("n_exact"))
+          .withColumn("within_tol",
+            abs(HllAggregator.estimateUdf(col("hll_hex")) - col("n_exact")) <=
+              lit(0.02) * greatest(col("n_exact"), lit(1L)))
+          .select(col("event_type"), col("n_exact"), col("within_tol"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS n_exact,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+    ),
     Q(
       "m1_fsm_count",
       (s, dir) => {
