@@ -213,6 +213,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == expected, s"got $a\nexpected $expected")
   }
 
+  test("capPerSource preReduce ≡ plain on a skewed, repartitioned fixture") {
+    val s = spark
+    import s.implicits._
+    // realistic skew: one source holds 60% of the corpus, spread across
+    // many physical partitions (the 100 TB shape preReduce exists for);
+    // the rest split over 20 small sources
+    val n = 5000L
+    val docs = (0L until n).map { id =>
+      val src = if (id < n * 6 / 10) "dominant" else s"src${id % 20}"
+      (id, src)
+    }.toDF("doc_id", "source").repartition(32)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val plain = rows(Curation.capPerSource(docs, cap = 7))
+    val pre = rows(Curation.capPerSource(docs, cap = 7, preReduce = true))
+    assert(pre == plain,
+      "preReduce two-level cap must select exactly the plain window's rows")
+    // and both match the independent reference on the skewed fixture
+    val expected = (0L until n).groupBy(id =>
+      if (id < n * 6 / 10) "dominant" else s"src${id % 20}")
+      .flatMap { case (src, ids) =>
+        ids.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(7).zipWithIndex
+          .map { case (id, i) => (id, src, i + 1) }
+      }.toSet
+    assert(plain == expected)
+    // stability across a different physical layout (preReduce stage 1 keys
+    // on spark_partition_id — the FINAL result must not)
+    val pre2 = rows(Curation.capPerSource(docs.repartition(5), cap = 7, preReduce = true))
+    assert(pre2 == plain, "preReduce result must be layout-independent")
+  }
+
   // ---- shuffleSample ----------------------------------------------------
 
   test("shuffleSample ranks by (md5, id) stably across partitionings; n > corpus keeps all") {
