@@ -49,9 +49,9 @@ object MinHash {
 
   /** Column-expression shingle hashing (one xxhash64 per word + rotl-xor
     * window combine) for generic frames. NOTE: a DIFFERENT hash family
-    * than [[signatures]]' typed kernel (xxhash64 vs murmur3-64) — the two
-    * produce disjoint hash spaces and their outputs must never be banded
-    * or compared against each other.
+    * than [[signatures]]' base (per-word rotl-xor combine vs xxhash64 of
+    * the joined shingle bytes) — the two produce disjoint hash spaces and
+    * their outputs must never be banded or compared against each other.
     */
   def shingleHashes(text: Column, k: Int = 3): Column = {
     val words = split(trim(text), "\\s+")
@@ -71,55 +71,30 @@ object MinHash {
     * overflow), so the per-row aggregation work is H rotate-xors instead of
     * H string hashes. Partial aggregation collapses each doc's shingles
     * map-side; the shuffle carries one (H+1)-column row per doc.
+    *
+    * The base hash h1 is the native codegen'd
+    * [[graft.functions.ShingleHash64]] — xxhash64 of the single-space-joined
+    * shingle bytes, byte-parity-pinned against the
+    * `xxhash64(concat_ws(" ", slice(...)))` Column chain by
+    * ShingleHash64Spec — so the whole signature pipeline (scan → explode →
+    * partial agg) stays inside whole-stage codegen; the former typed
+    * flatMap kernel (murmur3-64 per word + rotl window combine) paid an
+    * encoder round-trip and a per-shingle tuple allocation per row. NULL
+    * text emits no shingles (the doc stays its own canonical via
+    * nearDupCanonical's left join) — mapping null to "" would cluster
+    * every null-text doc together.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3, h: Int = 64): DataFrame = {
-    // shingle hashing as a typed flatMap — tight JVM loops, one murmur3-64
-    // per word + rotl-xor window combine, no interpreted array lambdas and
-    // no shingle-string materialization. NULL text emits no shingles (the
-    // doc stays its own canonical via nearDupCanonical's left join) —
-    // mapping null to "" would cluster every null-text doc together.
     OpChecks.requireIntegralId(docs, idCol)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val hashed = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else shingleHashIter(id, text, k)
-      }
-      .toDF(idCol, "__h1")
-    hashed
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        explode(graft.functions.ShingleHash64(col(textCol), k)).as("__h1"))
       .select(col(idCol), col("__h1"), xxhash64(col("__h1")).as("__h2"))
       .groupBy(idCol)
       .agg(
         array((0 until h).map(i => min(col("__h1").bitwiseXOR(rotl(col("__h2"), i)))): _*).as("sig")
       )
-  }
-
-  private def shingleHashIter(id: Long, text: String, k: Int): Iterator[(Long, Long)] = {
-    val words = OpChecks.sqlTrim(text).split("\\s+", -1)
-    val wh = new Array[Long](words.length)
-    var i = 0
-    while (i < words.length) {
-      wh(i) = graft.trck.Murmur3.hash64(words(i).getBytes("UTF-8")); i += 1
-    }
-    if (words.length < k)
-      Iterator.single((id, graft.trck.Murmur3.hash64(words.mkString(" ").getBytes("UTF-8"))))
-    else {
-      val out = new Array[(Long, Long)](words.length - k + 1)
-      var s = 0
-      while (s + k <= words.length) {
-        var acc = wh(s)
-        var j = 1
-        while (j < k) {
-          acc = java.lang.Long.rotateLeft(acc, 13) ^ wh(s + j); j += 1
-        }
-        out(s) = (id, acc)
-        s += 1
-      }
-      out.iterator
-    }
   }
 
   /** band keys: hash each of B slices of R signature values */

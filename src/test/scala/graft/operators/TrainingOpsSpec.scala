@@ -33,6 +33,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(3L) == 3L, "unrelated doc should stay its own canonical")
   }
 
+  test("production signatures == Column shingles()+xxhash64 double-hash twin") {
+    // the native ShingleHash64 base must yield exactly the signature an
+    // independent Column-form pipeline computes: xxhash64 of each shingle
+    // STRING from shingles(), then min over g_i = h1 XOR rotl(h2, i) —
+    // including non-space whitespace edges and sub-k texts
+    val docs = docsDf(Seq(
+      1L -> "\tleading tab here and newline\ntext today now",
+      2L -> "  double  spaced  words  here  now  then  ",
+      3L -> "sub k",
+      4L -> "plain text with no whitespace games at all",
+    ))
+    val h = 8
+    def rotl(c: org.apache.spark.sql.Column, n: Int) = {
+      val r = n & 63
+      if (r == 0) c else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+    }
+    val got = MinHash.signatures(docs, "doc_id", "text", k = 3, h = h)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(MinHash.shingles(col("text"), 3)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("h1"))
+      .select(col("doc_id"), col("h1"), xxhash64(col("h1")).as("h2"))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.array(
+        (0 until h).map(i =>
+          org.apache.spark.sql.functions.min(col("h1").bitwiseXOR(rotl(col("h2"), i)))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+  }
+
   test("typed md5 shingle kernel == Column shingles() on non-space whitespace") {
     // Java String.trim strips \t/\n, SQL trim strips spaces only — the
     // typed kernel must follow SQL semantics or texts with leading/trailing
