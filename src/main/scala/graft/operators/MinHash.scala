@@ -325,40 +325,55 @@ object MinHash {
       (acc, x) => acc + x,
     ).cast("double") / size(sigA)
 
-  /** exact n-gram Jaccard between two texts (for candidate verification) */
+  /** Exact n-gram Jaccard between two texts (for candidate verification).
+    * Set ops run over native 64-bit shingle hashes (ShingleHash64 —
+    * tokenization byte-parity-pinned against the string chain), not
+    * shingle STRINGS: |A∩B|/|A∪B| over hashes equals the string-set value
+    * modulo collision p ≈ n²/2⁶⁵ per pair, and the per-pair cost drops
+    * from building + comparing O(n·k) chars of shingle strings to one byte
+    * scan per text and long-array intersection. The string-side DuckDB
+    * oracles (d_ngram_jaccard, d_jaccard_exact) pin the equivalence.
+    */
   def exactJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(shingles(textA, k))
-    val sb = array_distinct(shingles(textB, k))
+    val sa = array_distinct(graft.functions.ShingleHash64(textA, k))
+    val sb = array_distinct(graft.functions.ShingleHash64(textB, k))
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - inter)
   }
 
   /** JVM-side exact Jaccard for typed-map pipelines. Semantically identical
-    * to [[exactJaccard]] (same tokenization, same < k fallback) but one
-    * tight pass with hash sets — the Column form's interpreted array
-    * lambdas re-evaluate the shingle arrays once per reference, which
-    * dominates bulk pair-verification jobs.
+    * to [[exactJaccard]] — it reuses the SAME native kernel
+    * (ShingleHash64.compute, so tokenization and the < k fallback can never
+    * drift) — but sorts the two primitive hash arrays and merge-counts the
+    * intersection: no per-shingle String, no boxing, no hash-set
+    * allocation. Dominant in bulk pair-verification jobs.
     */
   def exactJaccardJvm(textA: String, textB: String, k: Int = 3): Double = {
-    def shingleSet(t: String): collection.Set[String] = {
-      val words = OpChecks.sqlTrim(t).split("\\s+", -1)
-      val out = new scala.collection.mutable.HashSet[String]
-      if (words.length < k) out += words.mkString(" ")
-      else {
-        var i = 0
-        while (i + k <= words.length) {
-          val sb = new java.lang.StringBuilder
-          var j = 0
-          while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
-          out += sb.toString
-          i += 1
-        }
-      }
-      out
+    def hashes(t: String): Array[Long] = {
+      val arr = graft.functions.ShingleHash64
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), k)
+        .toLongArray()
+      java.util.Arrays.sort(arr)
+      arr
     }
-    val sa = shingleSet(textA)
-    val sb = shingleSet(textB)
-    val inter = sa.count(sb.contains)
-    inter.toDouble / (sa.size + sb.size - inter)
+    def dedupInPlace(a: Array[Long]): Int = {
+      if (a.isEmpty) return 0
+      var w = 1
+      var i = 1
+      while (i < a.length) {
+        if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+        i += 1
+      }
+      w
+    }
+    val sa = hashes(textA); val na = dedupInPlace(sa)
+    val sb = hashes(textB); val nb = dedupInPlace(sb)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 }
