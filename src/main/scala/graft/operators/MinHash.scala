@@ -47,23 +47,6 @@ object MinHash {
     else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
   }
 
-  /** Column-expression shingle hashing (one xxhash64 per word + rotl-xor
-    * window combine) for generic frames. NOTE: a DIFFERENT hash family
-    * than [[signatures]]' base (per-word rotl-xor combine vs xxhash64 of
-    * the joined shingle bytes) — the two produce disjoint hash spaces and
-    * their outputs must never be banded or compared against each other.
-    */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
-    val words = split(trim(text), "\\s+")
-    val wh = transform(words, w => xxhash64(w))
-    val cnt = size(words) - (k - 1)
-    // order-sensitive combine: rotl-xor fold over the k window positions
-    val combined = (0 until k)
-      .map(j => slice(wh, lit(j + 1), cnt))
-      .reduce((a, b) => zip_with(a, b, (x, y) => rotl(x, 13).bitwiseXOR(y)))
-    when(size(words) < k, array(xxhash64(concat_ws(" ", words)))).otherwise(combined)
-  }
-
   /** (idCol, sig: array<long>) — H-element minhash signatures. Each shingle
     * is hashed once; the H hash functions are the double-hash family
     * g_i(x) = h1(x) XOR rotl(h2(x), i) (the bitwise analog of
