@@ -22,6 +22,7 @@ object Bench {
         // the first measured query
         System.err.println(s"[bench] warmup failed: $e")
     }
+    val loadStart = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     // a failed query must NOT be timed as a (misleadingly fast) result:
     // record null for its time and list it under "errors"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -43,8 +44,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    // contamination witness: 1-minute load average at start and end of the
+    // run. BENCH_r06 recorded 2-10x phantom regressions on untouched
+    // queries because concurrent Spark work shared the box; with the load
+    // in the artifact itself, an outlier reading can be classified without
+    // re-running (idle 32-core box during a bench ~ 10-35, contaminated
+    // runs far higher). Start load is sampled before the first query.
+    val loadEnd = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

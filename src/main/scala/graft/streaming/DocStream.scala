@@ -89,6 +89,49 @@ object DocStream {
       .select(col(idCol) +: Curation.repetitionBaseCols(textCol) :+ topWordN: _*)
   }
 
+  /** Bounded contamination sketch for the streaming face of
+    * [[Curation.decontaminate]]: a Bloom filter over the distinct 64-bit
+    * shingle hashes (the SAME native [[graft.functions.ShingleHash64]]
+    * family as the batch operator) of the STATIC held-out split. The
+    * sketch is the piece that makes stream-side decontamination scale: the
+    * exact test-hash set is unbounded (billions of distinct 5-grams at
+    * corpus scale — the reason the batch operator shuffles a semi-join
+    * instead of broadcasting), but the bloom is O(n·log 1/fpp) BITS with
+    * zero false negatives — ~1.2 GB for 10⁹ grams at 1% fpp, shippable to
+    * every executor once, while false positives only ever drop a clean doc
+    * (conservative for decontamination). Build is a one-time batch job:
+    * explode → distinct hashes → `stat.bloomFilter` (distributed
+    * aggregation, constant driver memory).
+    */
+  def contaminationBloom(testDocs: DataFrame, k: Int = 5, textCol: String = "text",
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    testDocs
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+
+  /** Stateless streaming decontamination: pass through documents sharing NO
+    * k-shingle with the held-out split's [[contaminationBloom]] sketch.
+    * Zero false negatives by bloom construction — a contaminated document
+    * can never pass; a false positive (rate `fpp`) drops a clean document,
+    * the conservative direction. Per-row and stateless, so it runs in any
+    * output mode with no watermark requirement; NULL-text documents carry
+    * no shingles and pass. The membership probe is a closure over the
+    * bloom (no SQL built-in exposes sketch probes) — one boxed-array UDF
+    * call per document, negligible next to the codegen'd shingle hashing
+    * that feeds it. Docs the bloom flags should go to the exact batch
+    * semi-join ([[Curation.decontaminate]]) when a byte-exact audit trail
+    * of WHAT matched is needed.
+    */
+  def decontaminateFilter(docs: DataFrame,
+                          bloom: org.apache.spark.util.sketch.BloomFilter,
+                          k: Int = 5, textCol: String = "text"): DataFrame = {
+    val contaminated = udf((hs: scala.collection.Seq[Long]) =>
+      hs != null && hs.exists(bloom.mightContainLong _))
+    docs.filter(!contaminated(graft.functions.ShingleHash64(col(textCol), k)))
+  }
+
   /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
     * expressions (shared regexes + Curation.hits), aggregated per
     * watermarked tumbling window instead of per static group — the shape a

@@ -128,6 +128,55 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("bloom decontamination drops exactly the contaminated docs on a 2-batch stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the held-out split defining the contamination surface
+    val testTexts = Seq(
+      "one two three four five six",
+      "alpha beta gamma delta epsilon",
+      "a b", // sub-k: single shingle
+    ).toDF("text")
+    val bloom = DocStream.contaminationBloom(testTexts, k = 5, expectedItems = 1000)
+    // incoming train docs: identical, interior-overlap, clean, sub-k match,
+    // null text (no shingles — must pass), clean again
+    val rows = Seq(
+      (1L, ts(10), "one two three four five six"),          // contaminated
+      (2L, ts(11), "zz alpha beta gamma delta epsilon zz"), // contaminated (interior)
+      (3L, ts(12), "nothing here overlaps at all friend"),  // clean
+      (4L, ts(20), "a b"),                                  // contaminated (sub-k)
+      (5L, ts(21), null.asInstanceOf[String]),              // no shingles → passes
+      (6L, ts(22), "completely clean later document text"), // clean
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.decontaminateFilter(docs, bloom, k = 5)
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*) // two micro-batches
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      val passed = spark.sql("SELECT doc_id FROM decon_out").collect().map(_.getLong(0)).toSet
+      // independent string-semantics reference: shingle-set intersection
+      def shingles(t: String, k: Int): Seq[String] = {
+        val ws = t.trim.split("\\s+", -1).toSeq
+        if (ws.size < k) Seq(ws.mkString(" "))
+        else (0 to ws.size - k).map(i => ws.slice(i, i + k).mkString(" "))
+      }
+      val surface = Seq("one two three four five six",
+        "alpha beta gamma delta epsilon", "a b").flatMap(shingles(_, 5)).toSet
+      val exactClean = rows.collect {
+        case (id, _, t) if t == null || !shingles(t, 5).exists(surface.contains) => id
+      }.toSet
+      // zero false negatives is a bloom guarantee; zero false positives on
+      // this fixture is deterministic (same bloom bits every run)
+      assert(passed == exactClean, s"passed $passed\nexact clean set $exactClean")
+      assert(passed == Set(3L, 5L, 6L))
+    } finally query.stop()
+  }
+
   test("windowed PII stats sum to the batch piiScan over the same rows") {
     val s = spark
     import s.implicits._
