@@ -43,10 +43,19 @@ object Curation {
     * pre-pruning the exploded train side before the shuffle.
     */
   def decontaminate(docs: DataFrame, k: Int = 5,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withSplit = docs
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    decontaminateFrom(splitDocs(docs, idCol, textCol), k, idCol, textCol)
+
+  /** (id, __split, text) for non-null-text docs — the shared front of the
+    * decontamination variants.
+    */
+  private def splitDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), TextAnalysis.splitName(col(idCol)).as("__split"), col(textCol))
+
+  private def decontaminateFrom(withSplit: DataFrame, k: Int,
+                                idCol: String, textCol: String): DataFrame = {
     def shingleHashes(df: DataFrame): DataFrame =
       df.select(col(idCol),
         explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("__h"))
@@ -57,6 +66,48 @@ object Curation {
       .join(testH, Seq("__h"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Bounded contamination sketch: a Bloom filter over the distinct 64-bit
+    * shingle hashes of the held-out docs — same ShingleHash64 family as
+    * [[decontaminate]], zero false negatives by construction, O(n·log
+    * 1/fpp) BITS regardless of corpus size (~1.2 GB for 10⁹ grams at 1%
+    * fpp, shippable to every executor where the exact hash set is not).
+    * Built by a distributed `stat.bloomFilter` aggregation — constant
+    * driver memory. Shared by the streaming face
+    * (DocStream.decontaminateFilter) and the batch two-stage variant.
+    */
+  def contaminationBloom(testDocs: DataFrame, k: Int = 5, textCol: String = "text",
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    testDocs
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+
+  /** Two-stage [[decontaminate]]: the 100 TB shape. Stage 1 ships the
+    * bounded [[contaminationBloom]] sketch to every executor and drops,
+    * per-row and shuffle-free, every train doc NONE of whose shingle
+    * hashes might be in the test split — at corpus scale that is ~99% of
+    * the data leaving the expensive path. Stage 2 runs the exact semi-join
+    * on the survivors only. Output is IDENTICAL to [[decontaminate]]
+    * (registered under the same oracle): the bloom has zero false
+    * negatives, so no contaminated doc is pre-dropped, and stage 2's exact
+    * join discards stage 1's false positives.
+    */
+  def decontaminateBloomStaged(docs: DataFrame, k: Int = 5,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               expectedItems: Long = 1L << 20,
+                               fpp: Double = 0.01): DataFrame = {
+    val withSplit = splitDocs(docs, idCol, textCol)
+    val bloom = contaminationBloom(
+      withSplit.filter(col("__split") === "test"), k, textCol, expectedItems, fpp)
+    val mightOverlap = udf((hs: scala.collection.Seq[Long]) =>
+      hs != null && hs.exists(bloom.mightContainLong _))
+    val prefiltered = withSplit.filter(
+      col("__split") =!= "train" ||
+        mightOverlap(graft.functions.ShingleHash64(col(textCol), k)))
+    decontaminateFrom(prefiltered, k, idCol, textCol)
   }
 
   /** Per-doc repetition signals (the Gopher-style quality gates): word and
@@ -276,6 +327,28 @@ object Curation {
       "c_decontaminate",
       (s, dir) =>
         decontaminate(Tables(s, dir, "documents"), k = 5).orderBy("doc_id"),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (SELECT doc_id, bkt, list_distinct(${shingleSql(5)}) AS shs FROM w),
+        e AS (SELECT doc_id, bkt, unnest(shs) AS h FROM sh),
+        t AS (SELECT DISTINCT h FROM e WHERE bkt >= 90)
+        SELECT e.doc_id, COUNT(*) AS n_shared
+        FROM e JOIN t USING (h)
+        WHERE e.bkt < 80
+        GROUP BY e.doc_id ORDER BY e.doc_id"""),
+    ),
+    // The two-stage bloom-prefiltered decontamination — same result, same
+    // oracle, different physical shape (per-row sketch probe drops the
+    // clean bulk before the semi-join). A distinct registered query so the
+    // staged path stays correctness-gated and bench-visible.
+    Q(
+      "c_decontaminate_bloom",
+      (s, dir) =>
+        decontaminateBloomStaged(Tables(s, dir, "documents"), k = 5).orderBy("doc_id"),
       Some(s"""
         WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,

@@ -106,10 +106,7 @@ object DocStream {
   def contaminationBloom(testDocs: DataFrame, k: Int = 5, textCol: String = "text",
                          expectedItems: Long = 1L << 20,
                          fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
-    testDocs
-      .filter(col(textCol).isNotNull)
-      .select(explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    Curation.contaminationBloom(testDocs, k, textCol, expectedItems, fpp)
 
   /** Stateless streaming decontamination: pass through documents sharing NO
     * k-shingle with the held-out split's [[contaminationBloom]] sketch.

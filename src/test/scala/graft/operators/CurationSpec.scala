@@ -89,6 +89,12 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the edges actually fired: identical, whitespace-empty, and sub-k all shared
     assert(expected.contains(train(0)) && expected.contains(train(3)) && expected.contains(train(4)))
     assert(!expected.contains(train(2)))
+    // the two-stage bloom-prefiltered variant must be output-identical:
+    // zero false negatives keeps every contaminated doc through stage 1,
+    // and the exact stage-2 join discards the sketch's false positives
+    val staged = Curation.decontaminateBloomStaged(docs.toDF("doc_id", "text"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == expected, s"staged $staged\nexpected $expected")
   }
 
   // ---- repetitionSignals ------------------------------------------------
