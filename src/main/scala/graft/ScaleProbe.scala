@@ -24,7 +24,7 @@ object ScaleProbe {
     // the heaviest curation queries: their r4→r5 bench swings (c_repetition
     // 14.2→3.9 s with no code change) showed we had no measured cost model
     // for them — probe them at 10×/30× like everything else
-    "c_repetition", "c_decontaminate", "c_pii_scan")
+    "c_repetition", "c_decontaminate", "c_decontaminate_bloom", "c_pii_scan")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

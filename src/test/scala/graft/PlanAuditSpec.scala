@@ -76,18 +76,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the LOGICAL plan carries no ResolvedHint (AQE may still legitimately
     // CHOOSE a broadcast at this sf via its size estimate), and the join
     // itself sees only the 64-bit shingle hash + doc id — no text column.
-    val df = SparkEntry.queries("c_decontaminate")(spark, sfDir)
-    val hints = df.queryExecution.analyzed.collect {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    // both decontamination shapes carry the same invariants — the staged
+    // variant's bloom prefilter must not change the join's inputs either
+    for (q <- Seq("c_decontaminate", "c_decontaminate_bloom")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"$q must not force a broadcast: $hints")
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.exists(_.joinType.sql == "LEFT SEMI"), s"$q: expected the hash semi-join")
+      for (j <- joins if j.joinType.sql == "LEFT SEMI")
+        assert(!(j.left.output ++ j.right.output).exists(_.name == "text"),
+          s"$q: document text must be pruned before the semi-join: ${j.output.map(_.name)}")
     }
-    assert(hints.isEmpty, s"decontaminate must not force a broadcast: $hints")
-    val joins = df.queryExecution.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-    }
-    assert(joins.exists(_.joinType.sql == "LEFT SEMI"), "expected the hash semi-join")
-    for (j <- joins if j.joinType.sql == "LEFT SEMI")
-      assert(!(j.left.output ++ j.right.output).exists(_.name == "text"),
-        s"document text must be pruned before the semi-join: ${j.output.map(_.name)}")
   }
 
   test("d_exact_dup shuffles fingerprints, not document bodies") {
