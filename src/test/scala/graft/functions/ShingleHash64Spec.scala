@@ -79,6 +79,35 @@ class ShingleHash64Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0L)
   }
 
+  test("unicode-adversarial parity: NBSP/ZWSP don't split, surrogates survive, k in {1,2,5}") {
+    val s = spark
+    import s.implicits._
+    // Java regex \s is exactly [ \t\n\x0B\f\r]: U+00A0 NBSP, U+200B ZWSP,
+    // U+3000 ideographic space must NOT split tokens in either engine; the
+    // byte-level scanner must agree on multi-byte boundaries (2-byte
+    // Latin-1, 3-byte CJK, 4-byte surrogate-pair emoji, combining marks)
+    val pool: Array[String] = Array(
+      " ", "\t", "\n", "\r", "", "\f", // splitting ws
+      " ", "​", "　", // NON-splitting exotic "spaces"
+      "a", "Z", "9", "ü", "ß", "é", "文", "字", "あ", "한",
+      "😀", "🤖", // surrogate-pair emoji
+      "é", // combining acute
+      "word", "λόγος", "слово",
+    )
+    val rnd = new scala.util.Random(0x5eed7L)
+    val texts = (0 until 400).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val df = texts.toDF("text").cache()
+    for (k <- Seq(1, 2, 5)) {
+      val diff = df
+        .select(ShingleHash64(col("text"), k).as("a"), chain(k).as("b"))
+        .filter(col("a") =!= col("b"))
+        .count()
+      assert(diff == 0L, s"k=$k: native/chain divergence on unicode-adversarial corpus")
+    }
+    df.unpersist()
+  }
+
   test("SQL registration + null propagation + whole-stage codegen path") {
     val s = spark
     import s.implicits._
