@@ -46,12 +46,14 @@ object SimHash {
   /** (idCol, simhash) for a whole DataFrame, via explode + 64 codegen'd
     * conditional-sum aggregates: partial aggregation collapses each doc's
     * tokens map-side, so the shuffle carries one row per doc. The
-    * per-token hash is computed once (not once per bit).
+    * per-token hash is computed once (not once per bit), inside
+    * [[graft.functions.ShingleHash64]] with k = 1 — identical values to
+    * `xxhash64(token)` (k=1 parity is pinned by ShingleHash64Spec) but the
+    * explode emits primitive longs instead of token strings.
     */
   def simhashOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs
-      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+      .select(col(idCol), explode(graft.functions.ShingleHash64(col(textCol), 1)).as("__h"))
     val sums = hashed
       .groupBy(idCol)
       .agg(
