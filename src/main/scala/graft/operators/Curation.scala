@@ -131,10 +131,16 @@ object Curation {
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val nonNull = docs.filter(col(textCol).isNotNull)
-    val words = split(trim(col(textCol)), "\\s+")
     val base = nonNull.select(col(idCol) +: repetitionBaseCols(textCol): _*)
+    // top_word_n never outputs the word itself — only the max per-word
+    // count — so the explode→two-level agg runs over 64-bit token hashes
+    // (ShingleHash64 k=1): the exploded stream and the (id, token) shuffle
+    // carry primitive longs, not word strings. Counts over hashes ≡ counts
+    // over words modulo collision p ≈ n²/2⁶⁵ per doc (a collision could
+    // only merge two words' counts); the string-side DuckDB oracle guards
+    // the equivalence.
     val top = nonNull
-      .select(col(idCol), explode(words).as("__w"))
+      .select(col(idCol), explode(graft.functions.ShingleHash64(col(textCol), 1)).as("__w"))
       .groupBy(idCol, "__w")
       .agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
