@@ -191,4 +191,23 @@ object TrailStream {
         }
       )
   }
+
+  /** Streaming face of the A4 HLL yield: per-group trck-format distinct
+    * sketches over an unbounded stream. The reference's result-merge
+    * contract (register-wise max across partial sketches — the same merge
+    * its multi-DB runs and foreach shards rely on) is exactly what makes
+    * this streamable: each micro-batch folds new items into the per-group
+    * sketch state, and the aggregator's `merge` path combines partials, so
+    * the sketch after N micro-batches is byte-identical to one batch
+    * aggregation of all N batches' rows (pinned by TrailStreamSpec).
+    * Complete/update output mode; state per group is the fixed 16 KiB
+    * register array regardless of stream length — the sketch IS the
+    * bounded state, no watermark needed.
+    */
+  def hllDistinctByGroup(events: DataFrame, groupCol: String = "event_type",
+                         itemCol: String = "user_id"): DataFrame =
+    events
+      .groupBy(col(groupCol))
+      .agg(graft.functions.HllAggregator
+        .trckHllHex(encode(col(itemCol).cast("string"), "UTF-8")).as("hll_hex"))
 }

@@ -19,6 +19,36 @@ class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("streaming HLL sketches merge across micro-batches to the exact batch bytes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // overlapping user sets across batches: the merged sketch must count
+    // each distinct user once, and the hex must equal one-shot batch agg
+    val batch1 = (1 to 60).map(u => ("click", u.toLong)) ++ (1 to 20).map(u => ("view", u.toLong))
+    val batch2 = (30 to 90).map(u => ("click", u.toLong)) ++ (10 to 25).map(u => ("view", u.toLong))
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDF().toDF("event_type", "user_id")
+    val query = TrailStream.hllDistinctByGroup(events)
+      .writeStream.format("memory").queryName("hll_out").outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT event_type, hll_hex FROM hll_out")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val oneShot = TrailStream.hllDistinctByGroup(
+        (batch1 ++ batch2).toDF("event_type", "user_id"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(streamed == oneShot,
+        "micro-batch-merged sketches must be byte-identical to one batch aggregation")
+      // and the estimates are sane: 90 distinct click users, 25 view users
+      val est = streamed.view.mapValues(h => graft.functions.HllAggregator.estimate(h)).toMap
+      assert(math.abs(est("click") - 90) <= 3 && math.abs(est("view") - 25) <= 2, est)
+    } finally query.stop()
+  }
+
   test("funnel conversion spanning two micro-batches") {
     val s = spark
     import s.implicits._
