@@ -165,13 +165,16 @@ object TrckQueries {
     // A4 estimate twin: the sketch HEX itself is structurally un-oracle-able
     // (DuckDB can't produce the trck format), but the ESTIMATE is checkable
     // against the exact COUNT(DISTINCT …): per event type, assert the HLL
-    // estimate lands within the documented p=14 error envelope (±2% ≈ 2.5σ
-    // of the 1.04/√2¹⁴ ≈ 0.81% standard error; small groups hit the sparse
-    // near-exact path). The tolerance check runs in Spark so the oracle row
-    // is a deterministic (event_type, n_exact, TRUE) — a hash-compared,
-    // end-to-end guard on the estimator (reference behavior:
-    // test/tr/test_hll_result.tr), not just the register state that
-    // HllParitySpec pins.
+    // estimate lands within ±4% ≈ 5σ of the p=14 standard error
+    // (1.04/√2¹⁴ ≈ 0.81%) — wide enough that a regenerated fixture or new
+    // scale factor can't trip it by estimator luck (at 2.5σ, ~15 groups
+    // would carry a ~19% chance of one spurious failure), tight enough to
+    // catch any real estimator break (register/bias-table bugs show up as
+    // tens of percent; exact parity is pinned register-level by
+    // HllParitySpec). Tolerance runs in Spark so the oracle row is a
+    // deterministic (event_type, n_exact, TRUE) — an end-to-end
+    // hash-compared guard on the estimator (reference behavior:
+    // test/tr/test_hll_result.tr).
     Q(
       "a4_hll_estimate_check",
       (s, dir) => {
@@ -184,7 +187,7 @@ object TrckQueries {
             countDistinct(col("uuid")).cast("long").as("n_exact"))
           .withColumn("within_tol",
             abs(HllAggregator.estimateUdf(col("hll_hex")) - col("n_exact")) <=
-              lit(0.02) * greatest(col("n_exact"), lit(1L)))
+              lit(0.04) * greatest(col("n_exact"), lit(1L)))
           .select(col("event_type"), col("n_exact"), col("within_tol"))
           .orderBy("event_type")
       },

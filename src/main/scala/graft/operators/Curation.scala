@@ -78,12 +78,38 @@ object Curation {
     * (DocStream.decontaminateFilter) and the batch two-stage variant.
     */
   def contaminationBloom(testDocs: DataFrame, k: Int = 5, textCol: String = "text",
-                         expectedItems: Long = 1L << 20,
-                         fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
-    testDocs
+                         expectedItems: Long = -1L,
+                         fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    val hashes = testDocs
       .filter(col(textCol).isNotNull)
       .select(explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    // a bloom sized below the true item count silently saturates (fpp → 1:
+    // the prefilter keeps everything while still paying its full cost), so
+    // when the caller doesn't know the cardinality we measure it — one
+    // approx_count_distinct pass over the SMALL held-out side, ~2% error,
+    // padded 1.5× — instead of trusting a hardcoded guess
+    val n =
+      if (expectedItems > 0) expectedItems
+      else math.max(
+        hashes.agg(approx_count_distinct("__h")).head.getLong(0) * 3 / 2, 1024L)
+    hashes.stat.bloomFilter("__h", n, fpp)
+  }
+
+  /** Shared membership probe for [[contaminationBloom]] sketches: the ONE
+    * closure both the batch prefilter and the streaming face use, over a
+    * Spark broadcast so the sketch ships to each executor once (a plain
+    * closure capture would re-serialize the full bloom — ~1.2 GB at the
+    * 10⁹-gram design point — into every stage's task binary, every
+    * micro-batch on a stream).
+    */
+  private[graft] def mightOverlapUdf(
+      spark: org.apache.spark.sql.SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(bloom)
+    udf((hs: scala.collection.Seq[Long]) =>
+      hs != null && hs.exists(bc.value.mightContainLong _))
+  }
 
   /** Two-stage [[decontaminate]]: the 100 TB shape. Stage 1 ships the
     * bounded [[contaminationBloom]] sketch to every executor and drops,
@@ -94,16 +120,20 @@ object Curation {
     * (registered under the same oracle): the bloom has zero false
     * negatives, so no contaminated doc is pre-dropped, and stage 2's exact
     * join discards stage 1's false positives.
+    *
+    * NOTE: unlike every other registered query, CONSTRUCTING this
+    * DataFrame runs a Spark job (the test-split sketch build — a fit step,
+    * like training IVF centroids); callers that only want the plan shape
+    * should expect that bounded scan.
     */
   def decontaminateBloomStaged(docs: DataFrame, k: Int = 5,
                                idCol: String = "doc_id", textCol: String = "text",
-                               expectedItems: Long = 1L << 20,
+                               expectedItems: Long = -1L,
                                fpp: Double = 0.01): DataFrame = {
     val withSplit = splitDocs(docs, idCol, textCol)
     val bloom = contaminationBloom(
       withSplit.filter(col("__split") === "test"), k, textCol, expectedItems, fpp)
-    val mightOverlap = udf((hs: scala.collection.Seq[Long]) =>
-      hs != null && hs.exists(bloom.mightContainLong _))
+    val mightOverlap = mightOverlapUdf(docs.sparkSession, bloom)
     val prefiltered = withSplit.filter(
       col("__split") =!= "train" ||
         mightOverlap(graft.functions.ShingleHash64(col(textCol), k)))
@@ -323,17 +353,12 @@ object Curation {
        ' ref ' || CAST(doc_id AS VARCHAR) AS pii_text
     FROM documents"""
 
-  val queries: Seq[Q] = Seq(
-    // GPT-3-style train/test decontamination: train docs sharing any
-    // distinct 5-gram with the test split, counted. The Spark side joins on
-    // native 64-bit shingle hashes (ShingleHash64); the oracle joins on the
-    // raw shingle STRINGS — the exact semantics, hash-free — so the compare
-    // also guards the hash against collisions on this corpus.
-    Q(
-      "c_decontaminate",
-      (s, dir) =>
-        decontaminate(Tables(s, dir, "documents"), k = 5).orderBy("doc_id"),
-      Some(s"""
+  /** The ONE decontamination oracle, shared verbatim by both registered
+    * shapes (they are output-identical by construction): joins on raw
+    * shingle STRINGS — the exact semantics, hash-free — so the compare
+    * also guards the Spark side's 64-bit hashes against collisions.
+    */
+  private val DecontaminateOracleSql: String = s"""
         WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
@@ -345,7 +370,17 @@ object Curation {
         SELECT e.doc_id, COUNT(*) AS n_shared
         FROM e JOIN t USING (h)
         WHERE e.bkt < 80
-        GROUP BY e.doc_id ORDER BY e.doc_id"""),
+        GROUP BY e.doc_id ORDER BY e.doc_id"""
+
+  val queries: Seq[Q] = Seq(
+    // GPT-3-style train/test decontamination: train docs sharing any
+    // distinct 5-gram with the test split, counted. The Spark side joins
+    // on native 64-bit shingle hashes (ShingleHash64).
+    Q(
+      "c_decontaminate",
+      (s, dir) =>
+        decontaminate(Tables(s, dir, "documents"), k = 5).orderBy("doc_id"),
+      Some(DecontaminateOracleSql),
     ),
     // The two-stage bloom-prefiltered decontamination — same result, same
     // oracle, different physical shape (per-row sketch probe drops the
@@ -355,19 +390,7 @@ object Curation {
       "c_decontaminate_bloom",
       (s, dir) =>
         decontaminateBloomStaged(Tables(s, dir, "documents"), k = 5).orderBy("doc_id"),
-      Some(s"""
-        WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
-          FROM documents WHERE text IS NOT NULL
-        ),
-        sh AS (SELECT doc_id, bkt, list_distinct(${shingleSql(5)}) AS shs FROM w),
-        e AS (SELECT doc_id, bkt, unnest(shs) AS h FROM sh),
-        t AS (SELECT DISTINCT h FROM e WHERE bkt >= 90)
-        SELECT e.doc_id, COUNT(*) AS n_shared
-        FROM e JOIN t USING (h)
-        WHERE e.bkt < 80
-        GROUP BY e.doc_id ORDER BY e.doc_id"""),
+      Some(DecontaminateOracleSql),
     ),
     // Gopher-style repetition signals per doc: word/3-gram duplication +
     // most-frequent-word count.

@@ -124,8 +124,10 @@ object DocStream {
   def decontaminateFilter(docs: DataFrame,
                           bloom: org.apache.spark.util.sketch.BloomFilter,
                           k: Int = 5, textCol: String = "text"): DataFrame = {
-    val contaminated = udf((hs: scala.collection.Seq[Long]) =>
-      hs != null && hs.exists(bloom.mightContainLong _))
+    // the shared broadcast-backed probe (Curation.mightOverlapUdf) keeps
+    // the streaming face provably identical to the batch prefilter and
+    // ships the sketch once per executor, not once per micro-batch
+    val contaminated = Curation.mightOverlapUdf(docs.sparkSession, bloom)
     docs.filter(!contaminated(graft.functions.ShingleHash64(col(textCol), k)))
   }
 
