@@ -96,19 +96,22 @@ object Curation {
   }
 
   /** Shared membership probe for [[contaminationBloom]] sketches: the ONE
-    * closure both the batch prefilter and the streaming face use, over a
-    * Spark broadcast so the sketch ships to each executor once (a plain
-    * closure capture would re-serialize the full bloom — ~1.2 GB at the
-    * 10⁹-gram design point — into every stage's task binary, every
-    * micro-batch on a stream).
+    * probe both the batch prefilter and the streaming face use. The sketch
+    * rides a Spark broadcast (ships to each executor once — a plain
+    * closure capture would re-serialize the full bloom, ~1.2 GB at the
+    * 10⁹-gram design point, into every stage's task binary, every
+    * micro-batch on a stream), and the probe itself is the codegen'd
+    * [[graft.functions.BloomAnyContains]] expression — primitive in-place
+    * array reads, no per-row boxing, stays inside the same whole-stage
+    * codegen as the ShingleHash64 that feeds it. NULL hash arrays (null
+    * text) propagate null — callers decide the pass/drop policy.
     */
-  private[graft] def mightOverlapUdf(
+  private[graft] def mightOverlap(
       spark: org.apache.spark.sql.SparkSession,
       bloom: org.apache.spark.util.sketch.BloomFilter
-  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  ): Column => Column = {
     val bc = spark.sparkContext.broadcast(bloom)
-    udf((hs: scala.collection.Seq[Long]) =>
-      hs != null && hs.exists(bc.value.mightContainLong _))
+    hashes => graft.functions.BloomAnyContains(hashes, bc)
   }
 
   /** Two-stage [[decontaminate]]: the 100 TB shape. Stage 1 ships the
@@ -133,10 +136,11 @@ object Curation {
     val withSplit = splitDocs(docs, idCol, textCol)
     val bloom = contaminationBloom(
       withSplit.filter(col("__split") === "test"), k, textCol, expectedItems, fpp)
-    val mightOverlap = mightOverlapUdf(docs.sparkSession, bloom)
+    val probe = mightOverlap(docs.sparkSession, bloom)
+    // splitDocs already dropped null text, so the probe input is non-null
     val prefiltered = withSplit.filter(
       col("__split") =!= "train" ||
-        mightOverlap(graft.functions.ShingleHash64(col(textCol), k)))
+        probe(graft.functions.ShingleHash64(col(textCol), k)))
     decontaminateFrom(prefiltered, k, idCol, textCol)
   }
 

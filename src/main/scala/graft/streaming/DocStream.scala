@@ -124,11 +124,14 @@ object DocStream {
   def decontaminateFilter(docs: DataFrame,
                           bloom: org.apache.spark.util.sketch.BloomFilter,
                           k: Int = 5, textCol: String = "text"): DataFrame = {
-    // the shared broadcast-backed probe (Curation.mightOverlapUdf) keeps
-    // the streaming face provably identical to the batch prefilter and
-    // ships the sketch once per executor, not once per micro-batch
-    val contaminated = Curation.mightOverlapUdf(docs.sparkSession, bloom)
-    docs.filter(!contaminated(graft.functions.ShingleHash64(col(textCol), k)))
+    // the shared broadcast-backed codegen'd probe (Curation.mightOverlap)
+    // keeps the streaming face provably identical to the batch prefilter
+    // and ships the sketch once per executor, not once per micro-batch.
+    // NULL text carries no shingles: pass it through explicitly (the
+    // null-intolerant probe would otherwise drop it as a null predicate)
+    val contaminated = Curation.mightOverlap(docs.sparkSession, bloom)
+    docs.filter(col(textCol).isNull ||
+      !contaminated(graft.functions.ShingleHash64(col(textCol), k)))
   }
 
   /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
