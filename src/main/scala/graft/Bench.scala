@@ -1,9 +1,64 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** End-of-round benchmark. Prints ONE JSON line (the driver's contract) and
+  * ALSO writes the same line to a file, then arbitrates its own outliers:
+  * two rounds running (r6, r7) the recorded artifact misrepresented
+  * unchanged code — r6 recorded 131.8 s where a clean box measured 57.6 s,
+  * r7's capture was truncated mid-stream losing the total — and the
+  * embedded load-average witness failed to classify either. So the
+  * artifact now defends itself:
+  *
+  *   - the full JSON goes to `bench_out.json` (env SPARK_GRAFT_BENCH_OUT)
+  *     as well as stdout, so a truncated log capture can never lose the
+  *     tail again;
+  *   - every query is checked against its recorded clean band
+  *     (`bench_bands.json`, env SPARK_GRAFT_BANDS — single-shot full-bench
+  *     times on a warm idle box); any reading above max(2× band,
+  *     band + 0.75 s) is re-measured with 3 further reps in-process and
+  *     classified: min(reps) back inside the threshold ⇒ the first reading
+  *     was environment noise ("contaminated"), still outside ⇒ a genuine
+  *     slowdown ("regression"). Both readings are embedded under
+  *     "arbitrated", with a top-level "suspect_contamination" flag.
+  *
+  * The bands are measurements, not goals: re-record them (one clean warm
+  * Bench run) whenever queries are added or made faster, and keep the file
+  * at sf0.1 — on any other sf dir arbitration is skipped
+  * ("bands_sf_mismatch") rather than misapplied.
+  */
 object Bench {
+
+  /** bench_bands.json, parsed with Spark's shipped Jackson — no new deps. */
+  private def loadBands(path: String): Option[(String, Map[String, Double])] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val sf = root.get("sf").asText()
+        import scala.jdk.CollectionConverters._
+        val m = root.get("bands").properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        Some((sf, m))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bands file unreadable ($path): $e")
+        None
+    }
+
+  /** A reading is suspect above 2× its band, with a 0.75 s floor so
+    * sub-second jitter on the cheap queries never triggers — the real
+    * contamination events were multi-second, 2-10×.
+    */
+  private def threshold(band: Double): Double = math.max(2 * band, band + 0.75)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "bench_bands.json")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor threads + codegen + parquet footers + the FSM emit
@@ -22,37 +77,76 @@ object Bench {
         // the first measured query
         System.err.println(s"[bench] warmup failed: $e")
     }
+    // noop write materializes every output column — a bare count() would
+    // let Catalyst prune projections and eliminate joins, timing a
+    // different (cheaper) plan than the one Verify checks
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val loadStart = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     // a failed query must NOT be timed as a (misleadingly fast) result:
     // record null for its time and list it under "errors"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write materializes every output column — a bare count() would
-      // let Catalyst prune projections and eliminate joins, timing a
-      // different (cheaper) plan than the one Verify checks
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (name, Some((System.nanoTime() - t0) / 1e9), None: Option[String])
-      } catch {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      try (name, Some(run(name)), None: Option[String])
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
           (name, None, Some(e.getClass.getSimpleName))
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
+    // contamination witness: 1-minute load average at start and end of the
+    // run — necessary but NOT sufficient (BENCH_r07 was contaminated at a
+    // recorded load of 2.57); the band arbitration below is the classifier.
+    val loadEnd = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    // ---- outlier arbitration against recorded clean bands ---------------
+    val bands = loadBands(bandsPath)
+    val sfMismatch = bands.exists { case (sf, _) => !sfDir.stripSuffix("/").endsWith(sf) }
+    val bandMap = if (sfMismatch) Map.empty[String, Double] else bands.map(_._2).getOrElse(Map.empty)
+    val unbanded = results.collect { case (n, Some(_), _) if !bandMap.contains(n) => n }
+    val arbitrated = results.flatMap { case (name, tOpt, _) =>
+      for {
+        first <- tOpt
+        band <- bandMap.get(name)
+        if first > threshold(band)
+      } yield {
+        System.err.println(
+          f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")
+        val reps = (0 until 3).map(_ => run(name))
+        val best = reps.min
+        val verdict = if (best <= threshold(band)) "contaminated" else "regression"
+        (name, first, band, reps, best, verdict)
+      }
+    }
+    val suspectContamination = arbitrated.exists(_._6 == "contaminated")
+
+    def num(v: Double) = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => num(t).toString) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    val arb = arbitrated.map { case (k, first, band, reps, best, verdict) =>
+      s""""$k":{"first":${num(first)},"band":${num(band)},"reps":[${reps.map(num).mkString(",")}],"min":${num(best)},"verdict":"$verdict"}"""
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    // contamination witness: 1-minute load average at start and end of the
-    // run. BENCH_r06 recorded 2-10x phantom regressions on untouched
-    // queries because concurrent Spark work shared the box; with the load
-    // in the artifact itself, an outlier reading can be classified without
-    // re-running (idle 32-core box during a bench ~ 10-35, contaminated
-    // runs far higher). Start load is sampled before the first query.
-    val loadEnd = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},""" +
+        s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+        s""""bands_file":${bands.fold("null")(_ => "\"" + bandsPath + "\"")},"bands_sf_mismatch":$sfMismatch,""" +
+        s""""unbanded":[${unbanded.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""arbitrated":$arb,"suspect_contamination":$suspectContamination,"sf":"$sfDir"}"""
+    // file first: if stdout capture is truncated (BENCH_r07) the artifact
+    // still exists whole on disk
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -95,23 +95,51 @@ object Curation {
     hashes.stat.bloomFilter("__h", n, fpp)
   }
 
-  /** Shared membership probe for [[contaminationBloom]] sketches: the ONE
-    * probe both the batch prefilter and the streaming face use. The sketch
-    * rides a Spark broadcast (ships to each executor once — a plain
-    * closure capture would re-serialize the full bloom, ~1.2 GB at the
-    * 10⁹-gram design point, into every stage's task binary, every
-    * micro-batch on a stream), and the probe itself is the codegen'd
-    * [[graft.functions.BloomAnyContains]] expression — primitive in-place
-    * array reads, no per-row boxing, stays inside the same whole-stage
-    * codegen as the ShingleHash64 that feeds it. NULL hash arrays (null
-    * text) propagate null — callers decide the pass/drop policy.
+  /** A [[contaminationBloom]] sketch bound to its executor-side broadcast,
+    * with an explicit lifetime. Each probe holds ONE driver-registered
+    * broadcast of the sketch (~1.2 GB at the 10⁹-gram design point), which
+    * lives until `release()` — Spark's ContextCleaner only reclaims a
+    * broadcast after its driver handle is garbage-collected, so a
+    * long-lived service that builds refreshed sketches (a new probe per
+    * refresh) accumulates retired sketches on the driver and every
+    * executor unless it releases them. Call `release()` once every
+    * DataFrame derived from `apply` has finished executing; the probe (and
+    * any plan still referencing it) is unusable afterwards. One-shot batch
+    * jobs can ignore the handle — session teardown reclaims everything.
     */
+  final class ContaminationProbe private[Curation] (
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) {
+    /** True iff ANY of the 64-bit hashes might be in the sketch (codegen'd
+      * [[graft.functions.BloomAnyContains]] — zero false negatives). NULL
+      * hash arrays (null text) propagate null — callers decide the
+      * pass/drop policy.
+      */
+    def apply(hashes: Column): Column = graft.functions.BloomAnyContains(hashes, bc)
+    /** Drop the sketch from the driver and all executors (blocking). */
+    def release(): Unit = bc.destroy()
+  }
+
+  /** Bind a [[contaminationBloom]] sketch to a broadcast-backed probe: the
+    * ONE membership probe both the batch prefilter and the streaming face
+    * use. The sketch rides a Spark broadcast (ships to each executor once
+    * — a plain closure capture would re-serialize the full bloom into
+    * every stage's task binary, every micro-batch on a stream), and the
+    * probe is the codegen'd [[graft.functions.BloomAnyContains]]
+    * expression — primitive in-place array reads, no per-row boxing, stays
+    * inside the same whole-stage codegen as the ShingleHash64 that feeds
+    * it. See [[ContaminationProbe]] for the broadcast's lifetime contract.
+    */
+  def contaminationProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter): ContaminationProbe =
+    new ContaminationProbe(spark.sparkContext.broadcast(bloom))
+
   private[graft] def mightOverlap(
       spark: org.apache.spark.sql.SparkSession,
       bloom: org.apache.spark.util.sketch.BloomFilter
   ): Column => Column = {
-    val bc = spark.sparkContext.broadcast(bloom)
-    hashes => graft.functions.BloomAnyContains(hashes, bc)
+    val probe = contaminationProbe(spark, bloom)
+    hashes => probe(hashes)
   }
 
   /** Two-stage [[decontaminate]]: the 100 TB shape. Stage 1 ships the

@@ -101,10 +101,16 @@ object DocStream {
     * every executor once, while false positives only ever drop a clean doc
     * (conservative for decontamination). Build is a one-time batch job:
     * explode → distinct hashes → `stat.bloomFilter` (distributed
-    * aggregation, constant driver memory).
+    * aggregation, constant driver memory). `expectedItems = -1` (the
+    * default) inherits [[Curation.contaminationBloom]]'s adaptive sizing —
+    * one approx_count_distinct pass over the held-out side — because a
+    * hardcoded capacity below the true cardinality silently saturates the
+    * sketch (fpp → 1), and a saturated sketch makes [[decontaminateFilter]]
+    * flag EVERY document as contaminated, dropping the whole stream. Pass
+    * an explicit count only when the cardinality is already known.
     */
   def contaminationBloom(testDocs: DataFrame, k: Int = 5, textCol: String = "text",
-                         expectedItems: Long = 1L << 20,
+                         expectedItems: Long = -1L,
                          fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
     Curation.contaminationBloom(testDocs, k, textCol, expectedItems, fpp)
 
@@ -114,12 +120,17 @@ object DocStream {
     * can never pass; a false positive (rate `fpp`) drops a clean document,
     * the conservative direction. Per-row and stateless, so it runs in any
     * output mode with no watermark requirement; NULL-text documents carry
-    * no shingles and pass. The membership probe is a closure over the
-    * bloom (no SQL built-in exposes sketch probes) — one boxed-array UDF
-    * call per document, negligible next to the codegen'd shingle hashing
-    * that feeds it. Docs the bloom flags should go to the exact batch
-    * semi-join ([[Curation.decontaminate]]) when a byte-exact audit trail
-    * of WHAT matched is needed.
+    * no shingles and pass. The membership probe is the broadcast-backed
+    * codegen'd [[graft.functions.BloomAnyContains]] expression (via
+    * [[Curation.mightOverlap]]) — the SAME probe as the batch prefilter,
+    * primitive in-place array reads inside the whole-stage codegen span of
+    * the shingle hashing that feeds it; the sketch ships to each executor
+    * once, not once per micro-batch. Docs the bloom flags should go to the
+    * exact batch semi-join ([[Curation.decontaminate]]) when a byte-exact
+    * audit trail of WHAT matched is needed. Each call broadcasts the
+    * sketch once; a long-lived service cycling refreshed sketches should
+    * build a [[Curation.ContaminationProbe]] and `release()` each retired
+    * sketch (see its scaladoc for the lifetime contract).
     */
   def decontaminateFilter(docs: DataFrame,
                           bloom: org.apache.spark.util.sketch.BloomFilter,
