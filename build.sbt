@@ -28,3 +28,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Cluster packaging: `sbt assembly` builds the spark-submit deployable.
+// Every runtime dependency here IS the Spark distribution (unmanagedBase
+// points at /opt/spark/jars — all `provided` in assembly terms; scalatest/
+// scalacheck are Test-only), so the deployable equals the module jar:
+// there is nothing to shade or merge, and pulling the sbt-assembly plugin
+// (unresolvable offline anyway) would add machinery to produce the same
+// bytes. If the library ever grows a non-provided dependency, switch this
+// task to sbt-assembly and shade here. Verified usage: docs/COOKBOOK.md §0.
+lazy val assembly = taskKey[File]("Build the spark-submit deployable jar")
+assembly := {
+  val src = (Compile / packageBin).value
+  val out = target.value / s"${name.value}-assembly-${version.value}.jar"
+  IO.copyFile(src, out)
+  streams.value.log.info(s"assembly -> $out")
+  out
+}

@@ -43,22 +43,33 @@ object Tables {
   }
 }
 
-/** Session factory used by Verify/Bench/tests. local[32] here, but every
-  * setting is the one you'd want on a real cluster: AQE on (runtime skew-join
-  * and partition coalescing), modest shuffle partition count for local mode,
-  * nanos-as-long so the ns-precision events table round-trips losslessly.
+/** Session factory used by Verify/Bench/tests AND the spark-submit mains.
+  * Every setting is the one you'd want on a real cluster: AQE on (runtime
+  * skew-join and partition coalescing), nanos-as-long so the ns-precision
+  * events table round-trips losslessly, the extension registering the
+  * native expressions.
+  *
+  * Master and shuffle-partition handling is deployment-aware: under
+  * spark-submit (which injects `spark.master` into the driver JVM's system
+  * properties) the submitted master and the cluster's own
+  * shuffle-partition/AQE sizing win — forcing `local[n]` here would
+  * silently turn a 1000-executor submission into a single-JVM run. Only
+  * when no master was submitted (sbt runMain, tests) does the builder fall
+  * back to `local[cpus]` with a matching modest shuffle partition count.
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    if (sys.props.contains("spark.master")) b
+    else b.master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false") // local runs don't want the UI; a cluster does
+  }
 }
