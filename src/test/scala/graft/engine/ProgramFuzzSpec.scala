@@ -15,6 +15,10 @@ import graft.trck.LocalRunner.{Db, ForeachTuple, RawEvent}
   * LocalRunner byte-for-byte (rendered JSON). Exercises transitions,
   * windows + after, every yield kind, params, foreach modes and the
   * min_ts cut in combination, far beyond the hand-written specs.
+  *
+  * The program generator lives in the companion so the streaming arm
+  * (graft.streaming.TrailStreamFuzzSpec) drives the SAME program space
+  * through micro-batches.
   */
 class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -23,66 +27,7 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private val types = Vector("cli", "imp", "pxl", "ct2", "vis")
-  private val eids = Vector("a1", "a2", "a3", "")
-
-  private def randomProgram(rnd: scala.util.Random): Ir.Program = {
-    val nRules = 2 + rnd.nextInt(2) // 2-3
-    def randomYields(): List[Ir.Yield] =
-      List.fill(rnd.nextInt(3))(rnd.nextInt(4) match {
-        case 0 => Ir.Yield("$c" + rnd.nextInt(2), Nil)
-        case 1 => Ir.Yield("#s" + rnd.nextInt(2),
-          List(Ir.FieldTerm(if (rnd.nextBoolean()) "type" else "cookie")))
-        case 2 => Ir.Yield("&m0", List(Ir.FieldTerm("type")))
-        case 3 => Ir.Yield("^h0", List(Ir.FieldTerm("advertisable_eid")))
-      })
-    def randomAction(ri: Int): String = rnd.nextInt(5) match {
-      case 0 => "repeat"
-      case 1 => if (ri + 1 < nRules) "break" else "repeat"
-      case 2 => "quit"
-      case 3 => s"restart-from-next(${rnd.nextInt(nRules)})"
-      case 4 =>
-        // forward-only: a backward restart-from-here can re-dispatch the
-        // same event in a cycle (a non-terminating program — legal to
-        // write, guarded by the interpreter's stall check)
-        if (ri + 1 < nRules) s"restart-from-here(${ri + 1 + rnd.nextInt(nRules - ri - 1)})"
-        else "repeat"
-    }
-    def randomAttrs(): Map[String, List[String]] = rnd.nextInt(5) match {
-      case 0 => Map.empty
-      case 1 => Map("type" -> List(types(rnd.nextInt(types.length))))
-      case 2 => Map("advertisable_eid" -> List("%p"))
-      case 3 => Map("type" -> List("#ts"))
-      case 4 => Map(
-        "type" -> List(types(rnd.nextInt(types.length))),
-        "advertisable_eid" -> List(eids(rnd.nextInt(3))))
-    }
-    val rules = Vector.tabulate(nRules) { ri =>
-      val window = if (ri > 0 && rnd.nextInt(3) == 0) Some(500L + rnd.nextInt(1500).toLong) else None
-      val nClauses = 1 + rnd.nextInt(2)
-      val clauses = List.fill(nClauses)(
-        Ir.Clause(randomAttrs(), negated = false, Some(randomAction(ri)), randomYields())
-      ) :+ Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil) // exhaustive
-      val after = window.filter(_ => rnd.nextBoolean()).map(_ =>
-        Ir.Clause(Map.empty, negated = false,
-          Some(if (rnd.nextBoolean()) "quit" else "restart-from-here(0)"), randomYields()))
-      Ir.Rule(None, window, None, entrypoint = false, clauses, after)
-    }
-    val groupby = rnd.nextInt(3) match {
-      case 0 => None
-      case 1 => Some(Ir.GroupBy(List("%g"), Some("@arr"), mergeResults = false))
-      case 2 => Some(Ir.GroupBy(List("%g"), Some("@arr"), mergeResults = true))
-    }
-    // bind %g to a field via a condition so varFields resolves
-    val p0 = Ir.Program(rules, groupby)
-    if (groupby.isEmpty) p0
-    else {
-      val r0 = rules.head
-      val bindClause = Ir.Clause(Map("advertisable_eid" -> List("%g")), negated = false,
-        Some("repeat"), List(Ir.Yield("$g_hit", Nil)))
-      p0.copy(rules = rules.updated(0, r0.copy(clauses = bindClause :: r0.clauses)))
-    }
-  }
+  import ProgramFuzzSpec.{eids, randomProgram, types}
 
   private def randomDb(rnd: scala.util.Random, nTrails: Int, nEvents: Int, tsBase: Long): Db =
     Db((0 until nTrails).map { u =>
@@ -193,4 +138,65 @@ class ProgramFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object ProgramFuzzSpec {
   @volatile var nonTrivial: Int = 0
+
+  val types = Vector("cli", "imp", "pxl", "ct2", "vis")
+  val eids = Vector("a1", "a2", "a3", "")
+
+  def randomProgram(rnd: scala.util.Random): Ir.Program = {
+    val nRules = 2 + rnd.nextInt(2) // 2-3
+    def randomYields(): List[Ir.Yield] =
+      List.fill(rnd.nextInt(3))(rnd.nextInt(4) match {
+        case 0 => Ir.Yield("$c" + rnd.nextInt(2), Nil)
+        case 1 => Ir.Yield("#s" + rnd.nextInt(2),
+          List(Ir.FieldTerm(if (rnd.nextBoolean()) "type" else "cookie")))
+        case 2 => Ir.Yield("&m0", List(Ir.FieldTerm("type")))
+        case 3 => Ir.Yield("^h0", List(Ir.FieldTerm("advertisable_eid")))
+      })
+    def randomAction(ri: Int): String = rnd.nextInt(5) match {
+      case 0 => "repeat"
+      case 1 => if (ri + 1 < nRules) "break" else "repeat"
+      case 2 => "quit"
+      case 3 => s"restart-from-next(${rnd.nextInt(nRules)})"
+      case 4 =>
+        // forward-only: a backward restart-from-here can re-dispatch the
+        // same event in a cycle (a non-terminating program — legal to
+        // write, guarded by the interpreter's stall check)
+        if (ri + 1 < nRules) s"restart-from-here(${ri + 1 + rnd.nextInt(nRules - ri - 1)})"
+        else "repeat"
+    }
+    def randomAttrs(): Map[String, List[String]] = rnd.nextInt(5) match {
+      case 0 => Map.empty
+      case 1 => Map("type" -> List(types(rnd.nextInt(types.length))))
+      case 2 => Map("advertisable_eid" -> List("%p"))
+      case 3 => Map("type" -> List("#ts"))
+      case 4 => Map(
+        "type" -> List(types(rnd.nextInt(types.length))),
+        "advertisable_eid" -> List(eids(rnd.nextInt(3))))
+    }
+    val rules = Vector.tabulate(nRules) { ri =>
+      val window = if (ri > 0 && rnd.nextInt(3) == 0) Some(500L + rnd.nextInt(1500).toLong) else None
+      val nClauses = 1 + rnd.nextInt(2)
+      val clauses = List.fill(nClauses)(
+        Ir.Clause(randomAttrs(), negated = false, Some(randomAction(ri)), randomYields())
+      ) :+ Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil) // exhaustive
+      val after = window.filter(_ => rnd.nextBoolean()).map(_ =>
+        Ir.Clause(Map.empty, negated = false,
+          Some(if (rnd.nextBoolean()) "quit" else "restart-from-here(0)"), randomYields()))
+      Ir.Rule(None, window, None, entrypoint = false, clauses, after)
+    }
+    val groupby = rnd.nextInt(3) match {
+      case 0 => None
+      case 1 => Some(Ir.GroupBy(List("%g"), Some("@arr"), mergeResults = false))
+      case 2 => Some(Ir.GroupBy(List("%g"), Some("@arr"), mergeResults = true))
+    }
+    // bind %g to a field via a condition so varFields resolves
+    val p0 = Ir.Program(rules, groupby)
+    if (groupby.isEmpty) p0
+    else {
+      val r0 = rules.head
+      val bindClause = Ir.Clause(Map("advertisable_eid" -> List("%g")), negated = false,
+        Some("repeat"), List(Ir.Yield("$g_hit", Nil)))
+      p0.copy(rules = rules.updated(0, r0.copy(clauses = bindClause :: r0.clauses)))
+    }
+  }
 }
