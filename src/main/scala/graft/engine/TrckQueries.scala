@@ -181,10 +181,18 @@ object TrckQueries {
         import graft.functions.HllAggregator
         val ev = Tables.events(s, dir)
           .select(col("event_type"), col("user_id").cast("string").as("uuid"))
-        ev.groupBy("event_type")
+        // two-level exact count: dedup the (type, uuid) pairs first (one
+        // hash aggregate with map-side partials), then a plain count —
+        // mixing countDistinct with the sketch aggregate made Catalyst
+        // route the whole scan through an Expand (2× rows into the first
+        // aggregate). Feeding the HLL the deduped pairs is byte-identical
+        // to feeding it every event: register-max insertion is idempotent
+        // on duplicates.
+        ev.distinct()
+          .groupBy("event_type")
           .agg(
             HllAggregator.trckHllHex(encode(col("uuid"), "UTF-8")).as("hll_hex"),
-            countDistinct(col("uuid")).cast("long").as("n_exact"))
+            count(lit(1)).cast("long").as("n_exact"))
           .withColumn("within_tol",
             abs(HllAggregator.estimateUdf(col("hll_hex")) - col("n_exact")) <=
               lit(0.04) * greatest(col("n_exact"), lit(1L)))

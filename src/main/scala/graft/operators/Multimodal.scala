@@ -8,13 +8,20 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in batch shape.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (pure arithmetic on the blob bytes).
-  * Everything around it is the real thing a 100 TB media pipeline needs:
-  * the schema (blob + struct metadata), the partition-level batch loop
-  * (mapPartitions — the Scala analog of mapInPandas batches: amortize
-  * per-batch setup, stream rows, never materialize a partition), and
-  * narrow one-pass processing with no shuffle.
+  * The decode step is REAL: `javax.imageio` (in the JDK — no new
+  * dependency) parses the container header for width/height/components/
+  * format without decoding pixel data. What the container env still can't
+  * provide is a real media corpus, so the registered query renders
+  * deterministic tiny PNGs per document ([[synthesizeImages]]) and the
+  * oracle checks the real decoder returns exactly the encoded dimensions —
+  * an end-to-end codec round-trip. The remaining stub is
+  * [[featuresStub]]: feature extraction needs an encoder model the
+  * environment does not ship. Everything else is the real thing a 100 TB
+  * media pipeline needs: the schema (blob + struct metadata), the
+  * partition-level batch loop (mapPartitions — the Scala analog of
+  * mapInPandas batches: amortize per-batch setup, stream rows, never
+  * materialize a partition), and narrow one-pass processing with no
+  * shuffle.
   */
 object Multimodal {
 
@@ -25,19 +32,74 @@ object Multimodal {
     StructField("format", StringType),
   ))
 
-  /** STUB decode: deterministic fake metadata from blob bytes. A real
-    * implementation would parse the container header; the Spark-side
-    * contract (binary in, struct out, applied per-batch) is identical.
+  /** REAL decode: parse the image container header with javax.imageio —
+    * width/height/raw component count/format name, WITHOUT decoding pixel
+    * data (header-only reads; a 100 TB metadata pass must not pay full
+    * decompression). Non-image bytes classify as "undecodable" rather than
+    * erroring — on a real crawl corpus that row is the norm, not the
+    * exception.
     */
-  def decodeStub(blob: Array[Byte]): Row = {
-    if (blob == null || blob.isEmpty) Row(0, 0, 0, "empty")
-    else {
-      val n = blob.length
-      val w = 64 + (n % 512)
-      val h = 64 + ((n / 7) % 512)
-      val c = 1 + (n % 3)
-      Row(w, h, c, if (n % 2 == 0) "png" else "jpeg")
+  def decodeImageMeta(blob: Array[Byte]): Row = {
+    if (blob == null || blob.isEmpty) return Row(0, 0, 0, "empty")
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Row(0, 0, 0, "undecodable")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val raw = r.getRawImageType(0)
+        val channels =
+          if (raw != null) raw.getNumComponents
+          else {
+            val it = r.getImageTypes(0)
+            if (it.hasNext) it.next().getNumComponents else 0
+          }
+        Row(r.getWidth(0), r.getHeight(0), channels, r.getFormatName.toLowerCase)
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Deterministic tiny PNG: an LCG fills a gray (seed % 4 == 0) or RGB
+    * image, encoded by the JDK's PNG writer. The fixture generator for the
+    * real-decode round-trip — NOT part of the operator surface.
+    */
+  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      if (seed % 4 == 0) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var x = seed
+    var j = 0
+    while (j < height) {
+      var i = 0
+      while (i < width) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(i, j, (x >>> 40).toInt)
+        i += 1
+      }
+      j += 1
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a deterministic synthetic PNG per row (dims derived from
+    * `idCol`, SQL-derivable for the oracle): blob fixtures for the
+    * real-decode path, rendered in the same mapPartitions batch shape an
+    * ingestion job would use.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String, blobCol: String = "blob"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(blobCol, BinaryType)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Row.fromSeq(r.toSeq :+ syntheticPng(id, (8 + id % 32).toInt, (8 + (id / 3) % 32).toInt))
+      }
+    }(enc)
   }
 
   /** STUB feature extraction: deterministic 8-dim float vector from blob
@@ -51,10 +113,11 @@ object Multimodal {
     out
   }
 
-  /** Attach decoded metadata + features to a DataFrame with a binary
+  /** Attach decoded metadata (REAL header parse, [[decodeImageMeta]]) +
+    * features (stub — model-blocked) to a DataFrame with a binary
     * `blobCol`, in batch shape via mapPartitions (rows streamed; per-batch
-    * setup happens once per partition — where a real decoder would load
-    * its codec/model).
+    * setup happens once per partition — where a real pipeline would load
+    * its feature model).
     */
   def decodeAndFeaturize(df: DataFrame, blobCol: String): DataFrame = {
     val inSchema = df.schema
@@ -64,11 +127,11 @@ object Multimodal {
     val blobIdx = inSchema.fieldIndex(blobCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // per-partition setup: a real implementation initializes the decoder
-      // here, once, and processes rows in batches
+      // per-partition setup: a real feature extractor initializes its
+      // model here, once, and processes rows in batches
       rows.map { r =>
         val blob = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ decodeStub(blob) :+ featuresStub(blob).toSeq)
+        Row.fromSeq(r.toSeq :+ decodeImageMeta(blob) :+ featuresStub(blob).toSeq)
       }
     }(enc)
   }

@@ -395,13 +395,16 @@ object TrainingDataQueries {
       },
       None,
     ),
-    // Multimodal decode plumbing: text bytes as the stand-in blob; decode
-    // stub is pure arithmetic on the byte length → SQL-oracle-able.
+    // Multimodal decode, REAL codec round-trip: deterministic tiny PNGs
+    // rendered per doc (dims derived from doc_id — SQL-derivable), then
+    // javax.imageio header-only decode. The oracle asserts the real
+    // decoder returns exactly the encoded width/height/components/format;
+    // any header-parse or encode regression breaks the hash.
     Q(
       "mm_decode_meta",
       (s, dir) => {
-        val blobs = Tables(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        val blobs = Multimodal.synthesizeImages(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
         Multimodal
           .decodeAndFeaturize(blobs, "blob")
           .select(
@@ -415,10 +418,10 @@ object TrainingDataQueries {
       },
       Some("""
         SELECT doc_id,
-               CAST(64 + strlen(text) % 512 AS INT) AS width,
-               CAST(64 + (strlen(text) // 7) % 512 AS INT) AS height,
-               CAST(1 + strlen(text) % 3 AS INT) AS channels,
-               CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+               CAST(8 + doc_id % 32 AS INT) AS width,
+               CAST(8 + (doc_id // 3) % 32 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+               'png' AS format
         FROM documents ORDER BY doc_id"""),
     ),
     // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4

@@ -329,15 +329,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT cosine_similarity(a, b) FROM cos_probe").head.getDouble(0) == 1.0)
   }
 
-  test("multimodal decode stub is deterministic and batch-safe") {
-    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
-      .limit(50)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+  test("multimodal real decode round-trips synthesized PNG headers; non-images classify") {
+    val docs = Multimodal.synthesizeImages(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .limit(50).select(col("doc_id")), "doc_id")
     val out = Multimodal.decodeAndFeaturize(docs, "blob")
-    val rows = out.select("doc_id", "meta.width", "meta.format", "features").collect()
+    val rows = out.select(
+      col("doc_id"), col("meta.width"), col("meta.height"), col("meta.channels"),
+      col("meta.format"), col("features")).collect()
     assert(rows.length == 50)
-    assert(rows.forall(_.getInt(1) >= 64))
-    assert(rows.forall(r => Set("png", "jpeg").contains(r.getString(2))))
-    assert(rows.forall(r => r.getSeq[Float](3).length == 8))
+    // javax.imageio must read back exactly the dims/bands the writer encoded
+    assert(rows.forall { r =>
+      val id = r.getLong(0)
+      r.getInt(1) == 8 + (id % 32).toInt && r.getInt(2) == 8 + ((id / 3) % 32).toInt &&
+        r.getInt(3) == (if (id % 4 == 0) 1 else 3) && r.getString(4) == "png"
+    }, rows.take(5).mkString(", "))
+    assert(rows.forall(r => r.getSeq[Float](5).length == 8))
+    // non-image bytes classify as undecodable, never throw — the common
+    // row on a real crawl corpus
+    val junk = Multimodal.decodeImageMeta("not an image".getBytes("UTF-8"))
+    assert(junk.getString(3) == "undecodable")
+    assert(Multimodal.decodeImageMeta(Array.emptyByteArray).getString(3) == "empty")
+    // deterministic: same seed → identical bytes (streaming replay safety)
+    assert(java.util.Arrays.equals(Multimodal.syntheticPng(7L, 12, 9),
+      Multimodal.syntheticPng(7L, 12, 9)))
   }
 }
