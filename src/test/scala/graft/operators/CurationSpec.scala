@@ -97,6 +97,28 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(staged == expected, s"staged $staged\nexpected $expected")
   }
 
+  test("ContaminationProbe: reusable across plans, release() frees the broadcast") {
+    val s = spark
+    import s.implicits._
+    val bloom = Curation.contaminationBloom(
+      Seq("one two three four five six").toDF("text"), k = 5)
+    val probe = Curation.contaminationProbe(spark, bloom)
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "totally clean words only here"),
+    ).toDF("doc_id", "text")
+    def hits(): Set[Long] = docs
+      .filter(probe(graft.functions.ShingleHash64(col("text"), 5)))
+      .collect().map(_.getLong(0)).toSet
+    // one probe, two independent query plans — the long-lived-service shape
+    assert(hits() == Set(1L))
+    assert(hits() == Set(1L))
+    probe.release()
+    // the broadcast is gone: a NEW plan referencing the released probe must
+    // fail rather than silently return wrong membership
+    intercept[Exception](hits())
+  }
+
   // ---- repetitionSignals ------------------------------------------------
 
   test("repetitionSignals matches hand-computed rows incl. degenerate text") {
