@@ -342,6 +342,32 @@ object Curation {
         EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), NumberRe, "#").as("red_text"))
   }
 
+  /** Deterministic weighted source sampling — dataset MIXING, the knob
+    * every LLM-data pipeline turns (up-/down-weight web vs books vs code
+    * before training). Keep a doc iff its hash bucket falls below its
+    * source's percentage; unlisted sources get `defaultPct`. Stateless
+    * map-only filter: no RNG state to ship, no shuffle, reproducible
+    * across engines/runs/repartitioning (same md5-bucket technique as
+    * [[TextAnalysis.splitBucket]]), so re-running the pipeline yields the
+    * SAME mixture — resumable ingestion depends on that. The bucket key is
+    * salted with the source (`md5(source:id)`), which decorrelates the
+    * sampling decision from the id-keyed train/val/test split: an id-only
+    * bucket would make "sampled" and "train" the same coin flip.
+    */
+  def sampleBySourceWeights(docs: DataFrame, weightsPct: Map[String, Int],
+                            defaultPct: Int = 100, idCol: String = "doc_id",
+                            srcCol: String = "source"): DataFrame = {
+    require((weightsPct.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      "weights are integer percentages in [0, 100]")
+    val bucket = conv(substring(
+      md5(concat(col(srcCol), lit(":"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 100
+    val pct = weightsPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
+      case (acc, (src, p)) => when(col(srcCol) === src, lit(p)).otherwise(acc)
+    }
+    docs.filter(bucket < pct)
+  }
+
   /** First `n` docs of a reproducible global shuffle (hash order — the
     * standard way to draw a held-out sample or a training curriculum
     * prefix without RNG state). orderBy+limit compiles to TakeOrdered:
@@ -465,6 +491,22 @@ object Curation {
         )
         SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
         FROM r WHERE rn <= 10 ORDER BY source, rn"""),
+    ),
+    // Dataset mixing: deterministic weighted per-source sampling (src0
+    // kept at 80%, src1 at 50%, src2 at 10%, everything else 30%) — the
+    // hash-bucket mixture knob, fully oracled.
+    Q(
+      "c_source_sample",
+      (s, dir) =>
+        sampleBySourceWeights(Tables(s, dir, "documents"),
+          Map("src0" -> 80, "src1" -> 50, "src2" -> 10), defaultPct = 30)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source FROM documents
+        WHERE CAST('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 <
+              CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 30 END
+        ORDER BY doc_id"""),
     ),
     // PII scan over event props: per-event-type pattern hit counts +
     // redaction size. The number-run counts are non-zero on this corpus,

@@ -235,6 +235,46 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Passage-level exact dedup stats: split each doc into NON-overlapping
+    * `w`-word chunks (stride w — passages, not shingles) and count, per
+    * doc, how many of its chunks appear verbatim more than once
+    * corpus-wide, within-document repeats included (boilerplate headers,
+    * licence blocks, templated intros — the sub-document duplication
+    * document-level dedup can't see). Shape:
+    * explode chunk fingerprints (map-only), one map-side-combined
+    * aggregation over the 16-byte md5 keys, filter to the duplicated
+    * minority (AQE broadcasts it back), one per-doc aggregation — two
+    * shuffles total, nothing carries document bodies.
+    */
+  def passageDupStats(docs: DataFrame, w: Int = 16, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(w >= 1)
+    val ws = split(trim(col(textCol)), "\\s+")
+    // chunk starts 1, 1+w, 1+2w, … ≤ len — slice clamps the final partial
+    // chunk; "" splits to [""], one empty chunk, so every non-null doc has
+    // ≥1 row (n_chunks ≥ 1)
+    val hs = transform(sequence(lit(1), size(ws), lit(w)),
+      st => md5(array_join(slice(ws, st, lit(w)), " ")))
+    val chunks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(hs).as("h"))
+    val dup = chunks.groupBy("h").agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
+    chunks
+      .join(dup, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("__cnt").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  /** 16-word boilerplate block `i` — the engineered duplicate passages for
+    * the d_passage_dup oracle (the synthetic corpus's random texts share no
+    * natural 16-word chunk, which would leave the dup arm vacuously zero;
+    * same fixture technique as Curation.withSyntheticPii). Exactly `w`
+    * words so the doc's own text stays chunk-aligned behind it.
+    */
+  private[graft] def boilerplate(i: Int, w: Int = 16): String =
+    (0 until w).map(j => s"p${i}w$j").mkString(" ")
+
   val queries: Seq[Q] = Seq(
     Q(
       "d_exact_dup",
@@ -246,6 +286,46 @@ object Dedup {
               FROM documents GROUP BY md5(text)) m
           ON md5(d.text) = m.fp
         ORDER BY d.doc_id"""),
-    )
+    ),
+    // Passage-level dedup over docs prefixed with one of 4 shared
+    // boilerplate blocks (doc_id % 4): every doc's first chunk duplicates
+    // corpus-wide, its own words stay unique — both arms of the stat are
+    // non-vacuous and fully oracled.
+    Q(
+      "d_passage_dup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("ptext", concat(
+            when(col("doc_id") % 4 === 0, boilerplate(0))
+              .when(col("doc_id") % 4 === 1, boilerplate(1))
+              .when(col("doc_id") % 4 === 2, boilerplate(2))
+              .otherwise(boilerplate(3)),
+            lit(" "), col("text")))
+        passageDupStats(docs, w = 16, textCol = "ptext").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN '${boilerplate(0)}'
+                   WHEN 1 THEN '${boilerplate(1)}'
+                   WHEN 2 THEN '${boilerplate(2)}'
+                   ELSE '${boilerplate(3)}' END || ' ' || text AS ptext
+          FROM documents WHERE text IS NOT NULL
+        ),
+        w AS (SELECT doc_id, string_split_regex(trim(ptext), '\\s+') AS ws FROM p),
+        c AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) + 1, 16),
+                        i -> md5(array_to_string(ws[i:i+15], ' ')))) AS h
+          FROM w
+        ),
+        d AS (SELECT h FROM c GROUP BY h HAVING COUNT(*) > 1)
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM c LEFT JOIN d ON c.h = d.h
+        GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    ),
   )
 }

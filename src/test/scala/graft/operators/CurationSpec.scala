@@ -97,6 +97,50 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(staged == expected, s"staged $staged\nexpected $expected")
   }
 
+  test("sampleBySourceWeights: deterministic, repartition-stable, 0/100 exact, split-decorrelated") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 600L).map(id => (id, s"src${id % 3}")).toDF("doc_id", "source")
+    val weights = Map("src0" -> 0, "src1" -> 100, "src2" -> 40)
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Curation.sampleBySourceWeights(df, weights, defaultPct = 30)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = kept(docs)
+    // weight 0 keeps nothing, 100 keeps everything, 40 keeps ~40%
+    assert(!a.exists(_ % 3 == 0))
+    assert((0L until 600L).filter(_ % 3 == 1).forall(a.contains))
+    val n2 = a.count(_ % 3 == 2)
+    assert(n2 > 40 && n2 < 120, s"src2 kept $n2 of 200 at 40%")
+    // deterministic under replan and repartitioning — resumable ingestion
+    assert(kept(docs) == a)
+    assert(kept(docs.repartition(13)) == a)
+    // salted bucket decorrelates sampling from the id-keyed split: the
+    // sampled set must not be a subset/superset of one split bucket
+    val splits = a.count(id => splitOf(id) == "train").toDouble / a.size
+    assert(splits > 0.6 && splits < 0.95, s"train fraction in sample $splits")
+  }
+
+  test("passageDupStats counts exactly the chunks shared across docs") {
+    val s = spark
+    import s.implicits._
+    val bp = Dedup.boilerplate(0, 4) // "p0w0 p0w1 p0w2 p0w3"
+    val docs = Seq(
+      (1L, s"$bp alpha beta gamma delta unique one two three"), // bp + 2 own chunks
+      (2L, s"$bp alpha beta gamma delta other words here now"), // shares bp AND chunk 2
+      (3L, "totally different content with no shared passages at all ok"), // 3 chunks, unique
+      (4L, "short"),                                            // 1 partial chunk, unique
+      (5L, null.asInstanceOf[String]),                          // dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDupStats(docs, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L)), // [bp, "alpha beta gamma delta", "unique one two three"] — first two shared
+      2L -> ((3L, 2L)),
+      3L -> ((3L, 0L)),
+      4L -> ((1L, 0L)),
+    ), got.toString)
+  }
+
   test("ContaminationProbe: reusable across plans, release() frees the broadcast") {
     val s = spark
     import s.implicits._
