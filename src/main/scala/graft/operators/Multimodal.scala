@@ -62,9 +62,14 @@ object Multimodal {
 
   /** Deterministic tiny PNG: an LCG fills a gray (seed % 4 == 0) or RGB
     * image, encoded by the JDK's PNG writer. The fixture generator for the
-    * real-decode round-trip — NOT part of the operator surface.
+    * real-decode round-trip — NOT part of the operator surface. Pass a
+    * reusable [[PngEncoder]] when encoding in bulk — a fresh
+    * `ImageIO.write` pays an ImageIO-registry writer lookup and stream
+    * setup per call, exactly the per-row cost the mapPartitions batch
+    * shape exists to amortize.
     */
-  def syntheticPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+  def syntheticPng(seed: Long, width: Int, height: Int,
+                   enc: PngEncoder = new PngEncoder): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       if (seed % 4 == 0) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
       else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -79,15 +84,36 @@ object Multimodal {
       }
       j += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    enc.encode(img)
+  }
+
+  /** One PNG ImageWriter + output buffer, reused across a partition's rows
+    * (per-partition codec setup — the real decoder/encoder pattern this
+    * module documents). NOT thread-safe; one instance per task.
+    */
+  final class PngEncoder {
+    private val writer = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      require(it.hasNext, "JDK PNG writer missing")
+      it.next()
+    }
+    private val buf = new java.io.ByteArrayOutputStream(4096)
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      buf.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally ios.close()
+      buf.toByteArray
+    }
   }
 
   /** Attach a deterministic synthetic PNG per row (dims derived from
     * `idCol`, SQL-derivable for the oracle): blob fixtures for the
-    * real-decode path, rendered in the same mapPartitions batch shape an
-    * ingestion job would use.
+    * real-decode path, rendered in the mapPartitions batch shape an
+    * ingestion job would use — the PNG writer is initialized once per
+    * partition and reused for every row.
     */
   def synthesizeImages(df: DataFrame, idCol: String, blobCol: String = "blob"): DataFrame = {
     val inSchema = df.schema
@@ -95,9 +121,10 @@ object Multimodal {
     val idIdx = inSchema.fieldIndex(idCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
+      val png = new PngEncoder // per-partition codec setup
       rows.map { r =>
         val id = r.getLong(idIdx)
-        Row.fromSeq(r.toSeq :+ syntheticPng(id, (8 + id % 32).toInt, (8 + (id / 3) % 32).toInt))
+        Row.fromSeq(r.toSeq :+ syntheticPng(id, (8 + id % 32).toInt, (8 + (id / 3) % 32).toInt, png))
       }
     }(enc)
   }

@@ -177,6 +177,30 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("sampleBySourceWeights on a stream keeps exactly the batch-kept rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 200L).map(id => (id, s"src${id % 4}"))
+    val weights = Map("src0" -> 0, "src1" -> 100, "src2" -> 40)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "source")
+    val query = graft.operators.Curation.sampleBySourceWeights(docs, weights, defaultPct = 25)
+      .writeStream.format("memory").queryName("mix_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(120): _*) // two micro-batches
+      query.processAllAvailable()
+      input.addData(rows.drop(120): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM mix_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Curation
+        .sampleBySourceWeights(rows.toDF("doc_id", "source"), weights, defaultPct = 25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, "stateless hash sampling must be batch ≡ stream")
+      assert(!streamed.exists(_ % 4 == 0) && rows.filter(_._1 % 4 == 1).map(_._1).toSet.subsetOf(streamed))
+    } finally query.stop()
+  }
+
   test("windowed PII stats sum to the batch piiScan over the same rows") {
     val s = spark
     import s.implicits._
