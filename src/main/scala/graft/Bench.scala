@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSession
   *     classified: min(reps) back inside the threshold ⇒ the first reading
   *     was environment noise ("contaminated"), still outside ⇒ a genuine
   *     slowdown ("regression"). Both readings are embedded under
-  *     "arbitrated", with a top-level "suspect_contamination" flag.
+  *     "arbitrated", with a top-level "suspect_contamination" flag. At
+  *     most 16 suspects (worst first/band ratios) are re-measured — on a
+  *     fully-contaminated run the reps are contaminated too, so beyond
+  *     that the remaining names are listed under "unarbitrated_suspects".
   *
   * The bands are measurements, not goals: re-record them (one clean warm
   * Bench run) whenever queries are added or made faster, and keep the file
@@ -106,19 +109,24 @@ object Bench {
     val sfMismatch = bands.exists { case (sf, _) => !sfDir.stripSuffix("/").endsWith(sf) }
     val bandMap = if (sfMismatch) Map.empty[String, Double] else bands.map(_._2).getOrElse(Map.empty)
     val unbanded = results.collect { case (n, Some(_), _) if !bandMap.contains(n) => n }
-    val arbitrated = results.flatMap { case (name, tOpt, _) =>
-      for {
-        first <- tOpt
-        band <- bandMap.get(name)
-        if first > threshold(band)
-      } yield {
-        System.err.println(
-          f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")
-        val reps = (0 until 3).map(_ => run(name))
-        val best = reps.min
-        val verdict = if (best <= threshold(band)) "contaminated" else "regression"
-        (name, first, band, reps, best, verdict)
-      }
+    val suspects = results.flatMap { case (name, tOpt, _) =>
+      for (first <- tOpt; band <- bandMap.get(name) if first > threshold(band))
+        yield (name, first, band)
+    }
+    // bound the arbitration pass: on a fully-contaminated run, re-measuring
+    // every query re-measures inside the same contamination and triples the
+    // runtime for nothing — arbitrate the worst offenders by ratio and list
+    // the rest, which is already enough signal to classify the artifact
+    val MaxArbitrations = 16
+    val (toArbitrate, overflow) =
+      suspects.sortBy { case (_, first, band) => -(first / band) }.splitAt(MaxArbitrations)
+    val arbitrated = toArbitrate.map { case (name, first, band) =>
+      System.err.println(
+        f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")
+      val reps = (0 until 3).map(_ => run(name))
+      val best = reps.min
+      val verdict = if (best <= threshold(band)) "contaminated" else "regression"
+      (name, first, band, reps, best, verdict)
     }
     val suspectContamination = arbitrated.exists(_._6 == "contaminated")
 
@@ -136,7 +144,8 @@ object Bench {
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""bands_file":${bands.fold("null")(_ => "\"" + bandsPath + "\"")},"bands_sf_mismatch":$sfMismatch,""" +
         s""""unbanded":[${unbanded.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""arbitrated":$arb,"suspect_contamination":$suspectContamination,"sf":"$sfDir"}"""
+        s""""arbitrated":$arb,"unarbitrated_suspects":[${overflow.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""suspect_contamination":$suspectContamination,"sf":"$sfDir"}"""
     // file first: if stdout capture is truncated (BENCH_r07) the artifact
     // still exists whole on disk
     try {

@@ -20,11 +20,16 @@ object ScaleProbe {
   private val probeQueries = Seq(
     "m1_fsm_count", "m1_fsm_count_prepared", "m1_fsm_funnel",
     "d_exact_dup", "d_minhash_lsh", "d_ngram_jaccard", "d_simhash",
-    "ann_ivf_topk", "d_embed_cc",
+    // both CC formulations: min-label (diameter-bound) AND the
+    // large/small-star scale path, so the documented "use stars at scale"
+    // claim carries a measured ratio
+    "ann_ivf_topk", "d_embed_cc", "d_embed_cc_stars",
     // the heaviest curation queries: their r4→r5 bench swings (c_repetition
     // 14.2→3.9 s with no code change) showed we had no measured cost model
     // for them — probe them at 10×/30× like everything else
-    "c_repetition", "c_decontaminate", "c_decontaminate_bloom", "c_pii_scan")
+    "c_repetition", "c_decontaminate", "c_decontaminate_bloom", "c_pii_scan",
+    // r8 additions: passage-level dedup (explode-heavy) + mixing filter
+    "d_passage_dup", "c_source_sample")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
