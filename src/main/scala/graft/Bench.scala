@@ -123,9 +123,21 @@ object Bench {
     val arbitrated = toArbitrate.map { case (name, first, band) =>
       System.err.println(
         f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")
-      val reps = (0 until 3).map(_ => run(name))
-      val best = reps.min
-      val verdict = if (best <= threshold(band)) "contaminated" else "regression"
+      // a rep that throws (executor OOM under the same contamination) must
+      // not abort main — that would lose the WHOLE artifact, the exact
+      // failure this file exists to prevent
+      val reps = (0 until 3).flatMap { _ =>
+        try Some(run(name))
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name arbitration rep failed: $t"); None
+        }
+      }
+      val best = if (reps.nonEmpty) reps.min else Double.NaN
+      val verdict =
+        if (reps.isEmpty) "reps_failed"
+        else if (best <= threshold(band)) "contaminated"
+        else "regression"
       (name, first, band, reps, best, verdict)
     }
     val suspectContamination = arbitrated.exists(_._6 == "contaminated")
@@ -136,7 +148,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val arb = arbitrated.map { case (k, first, band, reps, best, verdict) =>
-      s""""$k":{"first":${num(first)},"band":${num(band)},"reps":[${reps.map(num).mkString(",")}],"min":${num(best)},"verdict":"$verdict"}"""
+      val minJs = if (best.isNaN) "null" else num(best).toString
+      s""""$k":{"first":${num(first)},"band":${num(band)},"reps":[${reps.map(num).mkString(",")}],"min":$minJs,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val json =

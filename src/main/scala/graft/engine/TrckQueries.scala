@@ -187,8 +187,10 @@ object TrckQueries {
         // route the whole scan through an Expand (2× rows into the first
         // aggregate). Feeding the HLL the deduped pairs is byte-identical
         // to feeding it every event: register-max insertion is idempotent
-        // on duplicates.
-        ev.distinct()
+        // on duplicates. The null filter preserves countDistinct semantics
+        // (and the oracle's COUNT(DISTINCT …)): distinct() would keep a
+        // (type, NULL) row that count(1) then counts.
+        ev.filter(col("uuid").isNotNull).distinct()
           .groupBy("event_type")
           .agg(
             HllAggregator.trckHllHex(encode(col("uuid"), "UTF-8")).as("hll_hex"),

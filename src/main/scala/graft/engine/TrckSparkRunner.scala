@@ -349,7 +349,11 @@ object TrckSparkRunner {
           val k = r.getAs[Array[Byte]]("item")
           m.update(k, m.getOrElse(k, 0L) + r.getLong(4))
         }
-    // hlls: merge per-trail register arrays
+    // hlls: merge per-trail register arrays. Register-max INTO the slot,
+    // never overwrite: with mergeResults every tuple_idx maps to slot 0,
+    // and the per-tuple sketches must union (reference: match_add_results'
+    // hll merge) — an update() here kept only whichever tuple's row was
+    // collected last (EngineEquivalenceSpec pins the merged-HLL case).
     if (needHlls)
       em.filter(col("kind") === "h")
         .groupBy("tuple_idx", "dst")
@@ -357,7 +361,8 @@ object TrckSparkRunner {
         .collect()
         .foreach { r =>
           val res = results(slotIdx(r.getInt(0)))
-          res.hlls.update(r.getString(1), Hll.fromHexString(r.getString(2)))
+          val h = Hll.fromHexString(r.getString(2))
+          res.hlls.updateWith(r.getString(1))(prev => Some(prev.fold(h)(_.merge(h))))
         }
     if (nPasses > 1) em.unpersist()
 

@@ -359,8 +359,14 @@ object Curation {
                             srcCol: String = "source"): DataFrame = {
     require((weightsPct.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
       "weights are integer percentages in [0, 100]")
+    // NULL-tolerant key: md5(NULL) is NULL and `NULL < pct` filters the row
+    // OUT, so without the coalesces every missing-source/missing-id row
+    // would silently vanish from the mixture regardless of defaultPct.
+    // Null sources take defaultPct (same as the when-cascade below); null
+    // ids share one bucket per source — deterministic, if coarse.
     val bucket = conv(substring(
-      md5(concat(col(srcCol), lit(":"), col(idCol).cast("string"))), 1, 4), 16, 10)
+      md5(concat(coalesce(col(srcCol), lit("")), lit(":"),
+        coalesce(col(idCol).cast("string"), lit("")))), 1, 4), 16, 10)
       .cast("long") % 100
     val pct = weightsPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
       case (acc, (src, p)) => when(col(srcCol) === src, lit(p)).otherwise(acc)
@@ -504,7 +510,7 @@ object Curation {
           .orderBy("doc_id"),
       Some("""
         SELECT doc_id, source FROM documents
-        WHERE CAST('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 <
+        WHERE CAST('0x' || substring(md5(COALESCE(source, '') || ':' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) AS BIGINT) % 100 <
               CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 30 END
         ORDER BY doc_id"""),
     ),

@@ -39,6 +39,12 @@ object Multimodal {
     * erroring — on a real crawl corpus that row is the norm, not the
     * exception.
     */
+  // in-memory streams only: the default ImageIO disk cache would create and
+  // delete a temp FILE per decoded row on every executor (and fail outright
+  // on a full/unwritable java.io.tmpdir) — these blobs are already byte
+  // arrays, there is nothing to cache
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImageMeta(blob: Array[Byte]): Row = {
     if (blob == null || blob.isEmpty) return Row(0, 0, 0, "empty")
     val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(blob))
@@ -55,8 +61,17 @@ object Multimodal {
             val it = r.getImageTypes(0)
             if (it.hasNext) it.next().getNumComponents else 0
           }
-        Row(r.getWidth(0), r.getHeight(0), channels, r.getFormatName.toLowerCase)
+        // Locale.ROOT: a default-locale lowercase is machine-dependent
+        // (Turkish-locale JVMs dot-map "GIF") — metadata must be stable
+        // across executors
+        Row(r.getWidth(0), r.getHeight(0), channels,
+          r.getFormatName.toLowerCase(java.util.Locale.ROOT))
       } finally r.dispose()
+    } catch {
+      // valid magic bytes but a truncated/corrupt header (THE common bad
+      // row on a crawl corpus) throws from the header reads — that row
+      // classifies, it must never fail the task
+      case scala.util.control.NonFatal(_) => Row(0, 0, 0, "undecodable")
     } finally iis.close()
   }
 

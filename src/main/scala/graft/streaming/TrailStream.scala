@@ -21,8 +21,14 @@ import graft.trck.LocalRunner.ForeachTuple
   *  - state: per-(uuid × foreach-tuple) FSM states in `GroupState`
   *    (checkpointable, partitioned by uuid — the same keying the batch
   *    engine shuffles on);
-  *  - late data: events at or below the uuid's high-water mark are skipped,
-  *    replicating the reference's cross-DB `min_ts` cut;
+  *  - late data: events strictly below the uuid's high-water mark are
+  *    skipped (an event AT the mark is kept — same inclusivity as the
+  *    reference's cross-DB `min_ts` cut, where `wStart = max(start,
+  *    min_ts)` keeps `ts >= wStart`). NOTE: with event-time finalization
+  *    and `watermarkDelay = 0`, Spark's stateful-operator late-row filter
+  *    can additionally drop rows at/below the watermark BEFORE they reach
+  *    this cut — set a nonzero `watermarkDelay` when rows at exactly the
+  *    previous batch's max must be owned by the engine's cut policy;
   *  - finalization: either an event-time timeout (`eventTimeGapSec` — fires
   *    once the watermark passes the trail's last event + gap, deterministic
   *    in event time) or a processing-time idle timeout (`idleTimeoutMs` —

@@ -100,4 +100,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!exchangeSchemas.exists(_.contains("text#")),
       "the md5-fingerprint shuffle must not carry the text column:\n" + exchangeSchemas.mkString("\n"))
   }
+
+  test("c_source_sample is a map-only filter: no join, no aggregate, pruned scan") {
+    val df = SparkEntry.queries("c_source_sample")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty)
+    assert(opt.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty)
+    val p = plan("c_source_sample")
+    // only doc_id + source reach the scan; the registered orderBy is the
+    // single exchange (for the deterministic compare), the operator itself
+    // is shuffle-free
+    val schemas = "ReadSchema: [^\n]+".r.findAllIn(p).toList
+    assert(schemas.nonEmpty && schemas.forall(s => !s.contains("text")), schemas.mkString("\n"))
+  }
+
+  test("d_passage_dup: chunk-hash shuffles never carry text; no cartesian") {
+    val p = plan("d_passage_dup")
+    assert(!p.contains("CartesianProduct"))
+    val exchangeSchemas = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exchangeSchemas.nonEmpty)
+    assert(!exchangeSchemas.exists(s => s.contains("text#") || s.contains("ptext#")),
+      "chunk shuffles must carry fingerprints, not document bodies:\n" + exchangeSchemas.mkString("\n"))
+  }
 }

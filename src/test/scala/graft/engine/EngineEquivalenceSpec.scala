@@ -184,6 +184,38 @@ class EngineEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((l, g) <- localOut.zip(gotOut)) assert(g == l)
   }
 
+  test("merged results register-max HLL sketches across foreach tuples, Spark = local") {
+    // merge_results + HLL + tuples yielding DIFFERENT item sets: the merged
+    // slot must hold the register-max UNION of the per-tuple sketches (the
+    // reference's match_add_results hll_union), not whichever tuple's rows
+    // happened to be collected last
+    val program = Ir.Program(
+      Vector(Ir.Rule(None, None, None, entrypoint = false, List(
+        Ir.Clause(Map("advertisable_eid" -> List("%g")), negated = false, Some("repeat"),
+          List(Ir.Yield("^h0", List(Ir.FieldTerm("type"))))),
+        Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)), None)),
+      Some(Ir.GroupBy(List("%g"), Some("@arr"), mergeResults = true)))
+    val prog = Compiled.compile(program)
+    // tuple a1 sees types {cli, pxl}, tuple a2 sees {imp, vis} — disjoint
+    val db = Db((0 until 10).map { u =>
+      s"user$u" -> (0 until 20).map { i =>
+        RawEvent(i * 100L + u, Map(
+          "type" -> (if (i % 2 == 0) (if (i % 4 == 0) "cli" else "pxl")
+                     else (if (i % 4 == 1) "imp" else "vis")),
+          "advertisable_eid" -> (if (i % 2 == 0) "a1" else "a2")))
+      }
+    })
+    val tuples = Vector("a1", "a2").map(v => ForeachTuple(Vector(Left(v))))
+
+    val local = LocalRunner.run(prog, Seq(db), foreachTuples = Some(tuples))
+    val sparkOut = TrckSparkRunner.runRaw(
+      prog, dbToDf(db), "uuid", "ts", Seq("seq"), foreachTuples = Some(tuples))
+
+    // both tuples produced non-empty, different sketches (the merge is real)
+    assert(local.results.head.hlls.nonEmpty)
+    for ((l, g) <- local.toOutputs.zip(sparkOut.toOutputs)) assert(g == l)
+  }
+
   test("3 sources with non-monotonic maxes: min_ts is an overwrite, not a running max") {
     // reference: min_ts = tdb_max_timestamp(previous db) — db2's max (LOW)
     // replaces db1's (HIGH), so db3 events between them survive; a

@@ -350,6 +350,10 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val junk = Multimodal.decodeImageMeta("not an image".getBytes("UTF-8"))
     assert(junk.getString(3) == "undecodable")
     assert(Multimodal.decodeImageMeta(Array.emptyByteArray).getString(3) == "empty")
+    // valid PNG magic but truncated header — the typical corrupt row on a
+    // crawl corpus: must classify, never throw out of the task
+    val truncated = Multimodal.syntheticPng(3L, 10, 10).take(16)
+    assert(Multimodal.decodeImageMeta(truncated).getString(3) == "undecodable")
     // deterministic: same seed → identical bytes (streaming replay safety)
     assert(java.util.Arrays.equals(Multimodal.syntheticPng(7L, 12, 9),
       Multimodal.syntheticPng(7L, 12, 9)))

@@ -80,7 +80,8 @@ class TrailStreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .mapValues(_.flatMap(_._2.map(_.ts)).max).toMap
     Db((0 until nTrails).flatMap { u =>
       val uuid = s"user$u"
-      if (rnd.nextInt(5) == 0) None // sits this batch out
+      // user1 never sits out: it carries the forced ==-boundary event below
+      if (u != 1 && rnd.nextInt(5) == 0) None // sits this batch out
       else {
         var ts = globalMax + (if (rnd.nextBoolean()) 0L else rnd.nextInt(100).toLong)
         val lateCeil = uuidMax.getOrElse(uuid, 0L)
@@ -94,11 +95,16 @@ class TrailStreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
             RawEvent(ts, randomEvent(rnd))
           }
         }
+        // user1 gets one event at EXACTLY the previous global max — the
+        // ==-boundary both cut policies must keep (stream: ts >= uuidMax;
+        // LocalRunner: ts >= minTs) — deterministic coverage, not left to
+        // the RNG
+        val boundary = if (u == 1) Seq(RawEvent(globalMax, randomEvent(rnd))) else Nil
         // keep per-uuid fresh ts strictly increasing AND trail order sorted:
         // late events interleave arbitrarily in real streams, but LocalRunner
         // expects trail order; sort by ts (fresh events are distinct, late
         // ones get dropped by both engines so their ties are unobservable)
-        Some(uuid -> evs.sortBy(_.ts))
+        Some(uuid -> (boundary ++ evs).sortBy(_.ts))
       }
     })
   }
@@ -132,7 +138,12 @@ class TrailStreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy("tupleIdx", "dst")
       .agg(graft.functions.HllAggregator.trckHllMergeHex(col("item")).as("hex"))
       .collect()
-      .foreach(r => slot(r.getInt(0)).hlls.update(r.getString(1), Hll.fromHexString(r.getString(2))))
+      .foreach { r =>
+        // register-max into the slot (mergeResults folds every tupleIdx
+        // into slot 0 — overwrite would keep one arbitrary tuple's sketch)
+        val h = Hll.fromHexString(r.getString(2))
+        slot(r.getInt(0)).hlls.updateWith(r.getString(1))(prev => Some(prev.fold(h)(_.merge(h))))
+      }
     LocalRunner.RunOutput(prog, tuples, results, prog.mergeResults)
   }
 
@@ -145,8 +156,15 @@ class TrailStreamFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, String, String)]
     val events = input.toDF().toDF("uuid", "ts", "type", "advertisable_eid")
+    // nonzero watermark delay: with delay 0, Spark's stateful late-row
+    // filter drops rows at exactly the previous batch's max BEFORE the
+    // engine's own cut sees them — the ==-boundary case must be decided by
+    // the engine's (reference-aligned, inclusive) cut, which this suite is
+    // checking. Late rows further below are dropped by either mechanism —
+    // same result, equivalence unaffected.
     val out = TrailStream.emits(prog, events, "uuid", "ts", params = params,
-      foreachTuples = tuples, eventTimeGapSec = GapSec, windows = windows)
+      foreachTuples = tuples, eventTimeGapSec = GapSec,
+      watermarkDelay = "5 seconds", windows = windows)
     val query = out.writeStream.format("memory").queryName(tbl).outputMode("append").start()
     try {
       dbs.foreach { db =>
