@@ -98,6 +98,25 @@ object TrckQueries {
     None,
   )
 
+  /** merge_results + HLL through the FULL runner result fold — the exact
+    * combination whose register-max merge was silently an overwrite until
+    * round 8 (no golden or oracle case reached it; EngineEquivalenceSpec
+    * pins the unit-level fix, this query keeps it oracle-gated). Yields the
+    * TIMESTAMPS of matching events so the two foreach tuples produce
+    * materially different sketches: an overwrite regression estimates ~one
+    * type's count and lands far outside the ±4% envelope.
+    */
+  val mergedHllProgram: Program = Program(
+    Vector(
+      rule(List(
+        clause(Map("event_type" -> List("%t")), "repeat",
+          List(Yield("^hts", List(FieldTerm("timestamp"))))),
+        clause(Map.empty, "repeat"),
+      ))
+    ),
+    Some(GroupBy(List("%t"), Some("@arr"), mergeResults = true)),
+  )
+
   /** F4 dedicated: clause predicate `field = "literal"` (reference:
     * src/fsm2c.py:120-123 compile_attr_equality, literal arm).
     */
@@ -206,6 +225,29 @@ object TrckQueries {
                CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS n_exact,
                TRUE AS within_tol
         FROM events GROUP BY event_type ORDER BY event_type"""),
+    ),
+    // A4/A6/G3 combined: merged-results HLL union through the runner's
+    // driver-side fold (see mergedHllProgram). Tolerance evaluated in
+    // Spark; the oracle hash-compares a deterministic (n_exact, TRUE) row.
+    Q(
+      "a4_hll_merged_check",
+      (s, dir) => {
+        import s.implicits._
+        val prog = Compiled.compile(mergedHllProgram)
+        val tuples = Vector("click", "purchase").map(v => ForeachTuple(Vector(Left(v))))
+        val out = TrckSparkRunner.runRaw(
+          prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          foreachTuples = Some(tuples))
+        val est = out.results.head.hlls.get("hts").map(_.estimate).getOrElse(0.0)
+        val nExact = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(countDistinct(col("ts_sec")).as("n")).head.getLong(0)
+        Seq((nExact, math.abs(est - nExact) <= 0.04 * math.max(nExact, 1L).toDouble))
+          .toDF("n_exact", "within_tol")
+      },
+      Some(s"""
+        SELECT CAST(COUNT(DISTINCT $SEC) AS BIGINT) AS n_exact, TRUE AS within_tol
+        FROM events WHERE event_type IN ('click', 'purchase')"""),
     ),
     Q(
       "m1_fsm_count",
