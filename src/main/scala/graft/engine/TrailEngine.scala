@@ -48,6 +48,10 @@ object TrailEngine {
     * fails fast above the configurable bound.
     */
   def lexiconSweep(events: DataFrame, field: String): Vector[String] = {
+    // a field that is not a column reads as "" everywhere else in the
+    // engine (emits' projection) — the sweep over it is the empty lexicon,
+    // not an unresolved-column AnalysisException
+    if (!events.columns.contains(field)) return Vector.empty
     val spark = events.sparkSession
     val bound = spark.conf.getOption(MaxImplicitForeachKey)
       .map(_.toLong).getOrElse(MaxImplicitForeachDefault)
@@ -400,7 +404,16 @@ object TrailEngine {
             val src = srcArr(segLo)
             var segHi = segLo
             while (segHi < n && srcArr(segHi) == src) segHi += 1
-            val cut = if (src >= 0 && src < cuts.length) cuts(src.toInt) else 0L
+            // single-source runs carry no cuts (src tag 0, cuts empty); a
+            // TAGGED source beyond the cuts array means the caller lost the
+            // unionSources cuts — silently treating it as uncut would
+            // include events below that source's min_ts, so fail fast
+            val cut =
+              if (cuts.isEmpty) 0L
+              else if (src >= 0 && src < cuts.length) cuts(src.toInt)
+              else throw new IllegalStateException(
+                s"source index $src has no min_ts cut (${cuts.length} cuts) — " +
+                  "pass unionSources' cuts through srcCuts")
 
             var lastOut = carried
             var e = 0

@@ -60,7 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "trck_hll_estimate takes exactly 1 argument (hex sketch)")
         ScalaUDF(
-          (hex: String) => HllAggregator.estimate(hex),
+          // NULL sketch → NULL estimate, like any SQL scalar function
+          (hex: String) =>
+            (if (hex == null) null
+             else java.lang.Double.valueOf(HllAggregator.estimate(hex))): java.lang.Double,
           DoubleType, args.toList,
           List(Some(ExpressionEncoder(AgnosticEncoders.StringEncoder))),
           None, Some("trck_hll_estimate"), true, true)

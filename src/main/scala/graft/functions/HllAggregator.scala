@@ -33,7 +33,9 @@ object HllAggregator {
         }
         a
       }
-      override def finish(buf: Array[Byte]): String = Hll.wrap(buf).toHexString
+      // serializeRegisters: a group whose items were all null must emit the
+      // reference's empty form "0e00", not a version-01 RLE of zeros
+      override def finish(buf: Array[Byte]): String = Hll.serializeRegisters(buf)
       override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
       override def outputEncoder: Encoder[String] = Encoders.STRING
     }
@@ -45,10 +47,11 @@ object HllAggregator {
   def estimate(hex: String): Double = Hll.fromHexString(hex).estimate
 
   /** Column form of [[estimate]] (sketches are tiny post-aggregation rows,
-    * so a UDF here is off the hot path).
+    * so a UDF here is off the hot path). NULL sketch → NULL estimate, like
+    * any SQL function — not an NPE that fails the query.
     */
   val estimateUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udf((hex: String) => estimate(hex))
+    org.apache.spark.sql.functions.udf((hex: String) => Option(hex).map(estimate))
 
   /** Merge-aggregator over already-serialized sketches (e.g. the per-trail
     * sketches the TrailEngine emits): register-max union.
@@ -68,7 +71,7 @@ object HllAggregator {
         }
         a
       }
-      override def finish(buf: Array[Byte]): String = Hll.wrap(buf).toHexString
+      override def finish(buf: Array[Byte]): String = Hll.serializeRegisters(buf)
       override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
       override def outputEncoder: Encoder[String] = Encoders.STRING
     }

@@ -113,6 +113,21 @@ object Hll {
     new Hll(registers)
   }
 
+  /** RLE-hex of a raw register buffer, with the reference's empty-sketch
+    * form: a never-populated (all-zero) sketch serializes as [[EmptyHex]]
+    * (hll_to_string's NULL case — version 01 means a non-empty sketch), not
+    * as a version-01 run of zeros. Aggregation faces (HllAggregator) must
+    * go through this so byte parity holds for empty groups too.
+    */
+  def serializeRegisters(regs: Array[Byte]): String = {
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) != 0) return wrap(regs).toHexString
+      i += 1
+    }
+    EmptyHex
+  }
+
   def fromHexString(s: String): Hll = {
     // reference: src/utils.c:164-210 hll_rle_decode
     val hll = Hll()

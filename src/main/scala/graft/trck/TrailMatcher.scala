@@ -84,8 +84,16 @@ object TrailMatcher {
 
       val (st, scratch, used) = runOne(j)
       if (!used) {
+        // the representative's run applies to every tuple in the group, but
+        // each tuple must OWN its state object: finalizeTrail mutates states
+        // in place, so an alias would fire its after-yields for the first
+        // tuple only and arrive spent (quit) at every other — the reference
+        // keeps per-tuple state structs by value (src/match_traildb.c:579-744)
         var k = j
-        while (k < j + n) { out(k) = st; onResult(k, scratch); k += 1 }
+        while (k < j + n) {
+          out(k) = if (k == j) st else st.copyOf()
+          onResult(k, scratch); k += 1
+        }
         j += n
       } else {
         out(j) = st
@@ -97,9 +105,12 @@ object TrailMatcher {
           if (!dvOk || tupleInTrail(k)) {
             val (s2, r2, _) = runOne(k)
             out(k) = s2; onResult(k, r2)
+          } else if (memo == null) {
+            val (s2, r2, _) = runOne(k); memo = (s2, r2)
+            out(k) = s2; onResult(k, r2)
           } else {
-            if (memo == null) { val (s2, r2, _) = runOne(k); memo = (s2, r2) }
-            out(k) = memo._1; onResult(k, memo._2)
+            // same aliasing hazard as above: later memo users get copies
+            out(k) = memo._1.copyOf(); onResult(k, memo._2)
           }
           k += 1
         }

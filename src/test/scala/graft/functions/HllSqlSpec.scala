@@ -45,6 +45,28 @@ class HllSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - 97.0) / 97.0 < 0.05, s"estimate off: $est")
   }
 
+  test("empty and null edge cases: empty sketch form, null-safe estimate") {
+    val s = spark
+    import s.implicits._
+    // a group whose items are all NULL serializes as the reference's
+    // empty-sketch form "0e00" (hll_to_string NULL case), not a
+    // version-01 RLE of zero registers
+    val df = Seq(("g1", Some("x")), ("g2", None), ("g2", None))
+      .toDF("g", "s").withColumn("item", encode(col("s"), "UTF-8"))
+    val hexes = df.groupBy("g").agg(HllAggregator.trckHllHex(col("item")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hexes("g2") == Hll.EmptyHex, hexes.toString)
+    assert(hexes("g1") != Hll.EmptyHex)
+    // NULL sketch → NULL estimate (not an NPE), in both the Column UDF and
+    // the SQL function
+    val nulls = Seq((1, Option.empty[String])).toDF("i", "h")
+    assert(nulls.select(HllAggregator.estimateUdf(col("h"))).head.isNullAt(0))
+    nulls.createOrReplaceTempView("hll_null_t")
+    assert(spark.sql("SELECT trck_hll_estimate(h) FROM hll_null_t").head.isNullAt(0))
+    // the empty form estimates 0 distinct
+    assert(Hll.fromHexString(Hll.EmptyHex).estimate == 0.0)
+  }
+
   test("grouped + repartitioned SQL sketches merge to per-group reference sketches") {
     val s = spark
     import s.implicits._
