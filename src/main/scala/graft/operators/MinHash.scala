@@ -69,6 +69,10 @@ object MinHash {
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3, h: Int = 64): DataFrame = {
     OpChecks.requireIntegralId(docs, idCol)
+    // the family is h1 xor rotl(h2, i): rotations wrap at 64, so g_64+ would
+    // silently DUPLICATE g_0+ — perfectly correlated minhashes that double
+    // compute and add zero LSH discrimination
+    require(h >= 1 && h <= 64, s"signature width h=$h must be in [1, 64] (rotl family)")
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
@@ -212,14 +216,19 @@ object MinHash {
   /** (idCol, band, bk) — exploded LSH bucket memberships, hot buckets
     * (> maxBucket members) dropped. `sigs` = output of [[signatures]]
     * (pass a cached frame when also using the signatures downstream).
+    * Windowed count, like every other bucket shape here — the former
+    * groupBy + join-back evaluated the whole shingle→minhash lineage once
+    * per join side and leaked undocumented columns.
     */
   def bandedBucketsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
                             h: Int = 64, bands: Int = 16, maxBucket: Int = 50): DataFrame = {
     val rows = h / bands
-    val banded = sigs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bk")
+    sigs
       .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
-    val sized = banded.groupBy("band", "bk").agg(count(lit(1)).as("n"), min(idCol).as("bucket_min"))
-    banded.join(sized.filter(col("n") <= maxBucket), Seq("band", "bk"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucket)
+      .select(col(idCol), col("band"), col("bk"))
   }
 
   def bandedBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",

@@ -140,14 +140,18 @@ object SimHash {
     */
   def nearDupCanonical(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                        maxBucket: Int = 100): DataFrame = {
-    // one pass, no joins (the simhash pipeline — explode + 64 aggregates —
-    // is the dominant cost; a join-back would recompute it per side): a
-    // window over the chunk key attaches (size, min) to each membership
-    // row, then a per-doc min over non-hot chunks. Hot chunks (> maxBucket)
-    // are low-information and fall out of the conditional min; a doc whose
-    // every chunk is hot keeps itself as canonical via the coalesce.
+    // single evaluation of the expensive lineage (the simhash pipeline —
+    // explode + 64 aggregates — is the dominant cost; a SELF-join would
+    // recompute it per side): a window over the chunk key attaches
+    // (size, min) to each membership row, then a per-doc min over non-hot
+    // chunks. Hot chunks (> maxBucket) are low-information and fall out of
+    // the conditional min; a doc whose every chunk is hot keeps itself as
+    // canonical via the coalesce. The final left join back from the cheap
+    // id-only scan keeps null-text docs (no shingles → no simhash rows)
+    // self-canonical instead of silently dropping them — same contract as
+    // the md5 twin and the MinHash family.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")
-    simhashOf(docs, idCol, textCol)
+    val computed = simhashOf(docs, idCol, textCol)
       .select(
         col(idCol), col("simhash"),
         posexplode(chunks(col("simhash"))).as(Seq("chunk_idx", "chunk")),
@@ -159,6 +163,8 @@ object SimHash {
         first("simhash").as("simhash"),
         min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"),
       )
+    docs.select(col(idCol))
+      .join(computed, Seq(idCol), "left")
       .select(col(idCol), col("simhash"),
         coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
   }

@@ -17,6 +17,15 @@ object Skew {
     * the join key becomes (key, salt), spreading each hot key over
     * `factor` reducers. Row-identical to `big.join(small, key)`; costs a
     * `factor`× replication of the small side, the standard trade.
+    *
+    * PRECONDITION for the spreading (not for correctness): the hot key's
+    * rows must differ somewhere outside the key — content-identical
+    * duplicate rows hash to ONE salt and still land on one reducer. That
+    * is the price of a deterministic salt: a random or positional salt
+    * would spread them, but nondeterministic shuffle keys corrupt results
+    * under partial stage retries (the reason Spark sorts round-robin
+    * partitions), so rows with no distinguishing content keep the skew.
+    * De-duplicate such rows (or carry a precomputed row id) first.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int = 8): DataFrame = {
     require(factor >= 1)

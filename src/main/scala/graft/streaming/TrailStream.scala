@@ -42,8 +42,38 @@ object TrailStream {
   final case class StateData(ri: Int, windowExpires: Long, outerIds: Array[Int], outerExpires: Array[Long])
   final case class TrailState(states: Array[StateData], maxTs: Long)
 
-  final case class InEvent(uuid: String, ts: Long, eventTime: java.sql.Timestamp, fields: Array[String])
+  /** `fields` is prog.fields-ordered for the FSM; `dedupFields` carries ALL
+    * non-reserved input columns — consecutive-duplicate elision compares the
+    * FULL event (reference: src/ctx.c:112-131; an event differing only in a
+    * column the program never references is NOT a duplicate), exactly like
+    * the batch engine's dedup projection.
+    */
+  final case class InEvent(uuid: String, ts: Long, eventTime: java.sql.Timestamp,
+                           fields: Array[String], dedupFields: Array[String])
+
+  /** `uuid` carries the result ctx id — the window entry id for window
+    * runs, the cookie otherwise — matching the batch engine's emit keying.
+    */
   final case class EmitRow(uuid: String, tupleIdx: Int, kind: String, dst: String, item: Array[Byte], n: Long)
+
+  /** Consecutive-dup elision over the full projected event (mirrors
+    * Fsm.TrailCtx.dedupConsecutive, but on the WIDE dedup projection — the
+    * FSM-field array is a subset and would elide too much).
+    */
+  private def dedupConsecutiveIn(evs: Array[InEvent]): Array[InEvent] = {
+    if (evs.length < 2) return evs
+    val out = new scala.collection.mutable.ArrayBuffer[InEvent](evs.length)
+    out += evs(0)
+    var i = 1
+    while (i < evs.length) {
+      val a = evs(i - 1); val b = evs(i)
+      val dup = a.ts == b.ts && java.util.Arrays.equals(
+        a.dedupFields.asInstanceOf[Array[AnyRef]], b.dedupFields.asInstanceOf[Array[AnyRef]])
+      if (!dup) out += b
+      i += 1
+    }
+    out.toArray
+  }
 
   private def toData(s: FsmState): StateData =
     StateData(s.ri, s.windowExpires, s.outerIds.clone(), s.outerExpires.clone())
@@ -97,6 +127,9 @@ object TrailStream {
     import spark.implicits._
 
     val fieldCols = prog.fields.toSeq
+    // every non-reserved column joins the dedup compare (batch-engine
+    // parity); the FSM-field array stays prog.fields-ordered
+    val dedupCols = events.columns.filterNot(Set(uuidCol, tsCol)).toSeq
     val projectedAll = events
       .select(
         col(uuidCol).cast("string").as("uuid"),
@@ -105,6 +138,7 @@ object TrailStream {
         array(fieldCols.map(f =>
           if (events.columns.contains(f)) coalesce(col(f).cast("string"), lit("")) else lit("")): _*
         ).as("fields"),
+        array(dedupCols.map(c => col(c).cast("string")): _*).as("dedupFields"),
       )
     // window runs: unlisted trails never reach the stateful operator
     val projected0 = windows match {
@@ -137,18 +171,22 @@ object TrailStream {
         (uuid: String, rows: Iterator[InEvent], state: GroupState[TrailState]) => {
           val buf = scala.collection.mutable.ArrayBuffer[EmitRow]()
 
-          def emit(j: Int, r: Results): Unit = {
-            r.counters.foreach { case (d, v) => if (v != 0) buf += EmitRow(uuid, j, "c", d, null, v) }
-            r.sets.foreach { case (d, m) => m.foreach { case (t, c) => buf += EmitRow(uuid, j, "s", d, t, c) } }
-            r.msets.foreach { case (d, m) => m.foreach { case (t, c) => buf += EmitRow(uuid, j, "m", d, t, c) } }
-            r.hlls.foreach { case (d, h) => buf += EmitRow(uuid, j, "h", d, h.registers, 1L) }
+          // emit rows carry the result ctx id: the window ENTRY id inside an
+          // entry's run (batch parity — TrailEngine emits per entry id), the
+          // cookie otherwise (including finalization, like LocalRunner's
+          // per-cookie finalizeTrail)
+          def emit(ctxId: String)(j: Int, r: Results): Unit = {
+            r.counters.foreach { case (d, v) => if (v != 0) buf += EmitRow(ctxId, j, "c", d, null, v) }
+            r.sets.foreach { case (d, m) => m.foreach { case (t, c) => buf += EmitRow(ctxId, j, "s", d, t, c) } }
+            r.msets.foreach { case (d, m) => m.foreach { case (t, c) => buf += EmitRow(ctxId, j, "m", d, t, c) } }
+            r.hlls.foreach { case (d, h) => buf += EmitRow(ctxId, j, "h", d, h.registers, 1L) }
           }
 
           if (state.hasTimedOut) {
             // end-of-input analog: MAX_TIMESTAMP finalization, state dropped
             state.getOption.foreach { ts0 =>
               val sts = ts0.states.map(fromData(_, prog.nWindowRules))
-              TrailMatcher.finalizeTrail(prog, tuples, sts, uuid, params, fcalls, emit)
+              TrailMatcher.finalizeTrail(prog, tuples, sts, uuid, params, fcalls, emit(uuid))
             }
             state.remove()
           } else {
@@ -164,7 +202,7 @@ object TrailStream {
                 // entry's output carries forward; the high-water cut folds
                 // into each entry's window start (LocalRunner's
                 // max(start, minTs)); dedup runs per entry on the
-                // bounds-filtered events
+                // bounds-filtered events, comparing the FULL event
                 val entries = m.getOrElse(uuid, IndexedSeq.empty)
                 var lastOut = saved
                 entries.foreach { entry =>
@@ -172,17 +210,20 @@ object TrailStream {
                   val we = entry.end
                   val inBounds = evs.filter(e =>
                     (ws == 0L || e.ts >= ws) && (we == 0L || e.ts < we))
-                  val trail = Fsm.TrailCtx.dedupConsecutive(
-                    inBounds.map(e => new TrailEvent(e.ts, e.fields)))
+                  val trail = dedupConsecutiveIn(inBounds)
+                    .map(e => new TrailEvent(e.ts, e.fields))
                   lastOut = TrailMatcher.processTrail(
-                    prog, tuples, saved, trail, entry.id, ws, we, params, fcalls, emit)
+                    prog, tuples, saved, trail, entry.id, ws, we, params, fcalls, emit(entry.id))
                 }
                 lastOut
               case None =>
                 val cut = evs.filter(e => prev.maxTs == 0L || e.ts >= prev.maxTs)
-                val trail = Fsm.TrailCtx.dedupConsecutive(cut.map(e => new TrailEvent(e.ts, e.fields)))
+                val trail = dedupConsecutiveIn(cut).map(e => new TrailEvent(e.ts, e.fields))
+                // wStart = the high-water cut, like LocalRunner's
+                // max(0, minTs): Y5 filter-start yields must render the cut,
+                // not 0, from the second micro-batch on
                 TrailMatcher.processTrail(
-                  prog, tuples, saved, trail, uuid, 0L, 0L, params, fcalls, emit)
+                  prog, tuples, saved, trail, uuid, prev.maxTs, 0L, params, fcalls, emit(uuid))
             }
             val newMax = if (evs.isEmpty) prev.maxTs else math.max(prev.maxTs, evs.map(_.ts).max)
             state.update(TrailState(out.map(toData), newMax))

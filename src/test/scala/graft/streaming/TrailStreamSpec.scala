@@ -133,6 +133,37 @@ class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed == expected, s"streamed $streamed != local $expected")
       // unlisted u9 must never reach the stateful operator
       assert(spark.sql("SELECT * FROM fsm_win_out WHERE uuid = 'u9'").count() == 0)
+      // batch-engine parity: emit rows are keyed by the window ENTRY id,
+      // so u1's two entries stay distinguishable downstream
+      val keys = spark.sql("SELECT DISTINCT uuid FROM fsm_win_out")
+        .collect().map(_.getString(0)).toSet
+      assert(keys.subsetOf(Set("e1", "e2", "e3")), s"expected entry-id keys, got $keys")
+      assert(keys.contains("e1") && keys.contains("e2"), keys.toString)
+    } finally query.stop()
+  }
+
+  test("consecutive-dup elision compares the FULL event, not just program fields") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // count every "click"; the two ts=100 events differ ONLY in a column
+    // the program never references — the reference compares the whole item
+    // array (src/ctx.c:112-131), so BOTH count; a third truly identical
+    // event IS elided
+    val prog = Compiled.compile(TrckQueries.countProgram)
+    val input = MemoryStream[(String, Long, String, String)]
+    val events = input.toDF().toDF("uuid", "ts", "event_type", "session_id")
+    val query = TrailStream.emits(prog, events, "uuid", "ts")
+      .writeStream.format("memory").queryName("fsm_dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        ("u1", 100L, "click", "s1"),
+        ("u1", 100L, "click", "s2"), // differs only in session_id → kept
+        ("u1", 100L, "click", "s2"), // true consecutive duplicate → elided
+        ("u1", 200L, "click", "s2"))
+      query.processAllAvailable()
+      val n = spark.sql("SELECT sum(n) FROM fsm_dedup_out WHERE kind = 'c'").head.getLong(0)
+      assert(n == 3L, s"expected 3 clicks (dup elided, session-diff kept), got $n")
     } finally query.stop()
   }
 
