@@ -417,6 +417,30 @@ object Curation {
        ' ref ' || CAST(doc_id AS VARCHAR) AS pii_text
     FROM documents"""
 
+  /** The ONE DuckDB mirror of [[piiScan]], parameterized on the scanned
+    * relation/column/group — both registered scans generate from it, so a
+    * new pattern family lands in one place (previously two 17-line
+    * near-identical blocks that could drift apart silently).
+    */
+  private def piiScanOracleSql(from: String, strCol: String, groupCol: String): String = s"""
+        WITH h AS (
+          SELECT $groupCol,
+                 CAST(len(regexp_extract_all($strCol, '$NumberRe')) AS BIGINT) AS n_num,
+                 CAST(len(regexp_extract_all($strCol, '$EmailRe')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all($strCol, '$Ipv4Re')) AS BIGINT) AS n_ip,
+                 CAST(len($strCol)
+                   - len(regexp_replace($strCol, '$NumberRe', '#', 'g')) AS BIGINT) AS n_red
+          FROM $from
+        )
+        SELECT $groupCol,
+               COUNT(*) AS n_rows,
+               CAST(SUM(n_num) AS BIGINT) AS n_number_hits,
+               CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_number,
+               CAST(SUM(n_email) AS BIGINT) AS n_email_hits,
+               CAST(SUM(n_ip) AS BIGINT) AS n_ip_hits,
+               CAST(SUM(n_red) AS BIGINT) AS n_chars_redacted
+        FROM h GROUP BY $groupCol ORDER BY $groupCol"""
+
   /** The ONE decontamination oracle, shared verbatim by both registered
     * shapes (they are output-identical by construction): joins on raw
     * shingle STRINGS — the exact semantics, hash-free — so the compare
@@ -521,24 +545,8 @@ object Curation {
       "c_pii_scan",
       (s, dir) =>
         piiScan(Tables(s, dir, "events"), "props", "event_type").orderBy("event_type"),
-      Some(s"""
-        WITH h AS (
-          SELECT event_type,
-                 CAST(len(regexp_extract_all(COALESCE(props, ''), '$NumberRe')) AS BIGINT) AS n_num,
-                 CAST(len(regexp_extract_all(COALESCE(props, ''), '$EmailRe')) AS BIGINT) AS n_email,
-                 CAST(len(regexp_extract_all(COALESCE(props, ''), '$Ipv4Re')) AS BIGINT) AS n_ip,
-                 CAST(len(COALESCE(props, ''))
-                   - len(regexp_replace(COALESCE(props, ''), '$NumberRe', '#', 'g')) AS BIGINT) AS n_red
-          FROM events
-        )
-        SELECT event_type,
-               COUNT(*) AS n_rows,
-               CAST(SUM(n_num) AS BIGINT) AS n_number_hits,
-               CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_number,
-               CAST(SUM(n_email) AS BIGINT) AS n_email_hits,
-               CAST(SUM(n_ip) AS BIGINT) AS n_ip_hits,
-               CAST(SUM(n_red) AS BIGINT) AS n_chars_redacted
-        FROM h GROUP BY event_type ORDER BY event_type"""),
+      Some(piiScanOracleSql(from = "events", strCol = "COALESCE(props, '')",
+        groupCol = "event_type")),
     ),
     // PII scan over the synthetic PII column: unlike c_pii_scan (whose
     // corpus has no emails/IPs), every pattern family is non-zero here, so
@@ -549,25 +557,8 @@ object Curation {
       (s, dir) =>
         piiScan(withSyntheticPii(Tables(s, dir, "documents")), "pii_text", "source")
           .orderBy("source"),
-      Some(s"""
-        WITH p AS ($PiiTextSql),
-        h AS (
-          SELECT source,
-                 CAST(len(regexp_extract_all(pii_text, '$NumberRe')) AS BIGINT) AS n_num,
-                 CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_email,
-                 CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ip,
-                 CAST(len(pii_text)
-                   - len(regexp_replace(pii_text, '$NumberRe', '#', 'g')) AS BIGINT) AS n_red
-          FROM p
-        )
-        SELECT source,
-               COUNT(*) AS n_rows,
-               CAST(SUM(n_num) AS BIGINT) AS n_number_hits,
-               CAST(SUM(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_number,
-               CAST(SUM(n_email) AS BIGINT) AS n_email_hits,
-               CAST(SUM(n_ip) AS BIGINT) AS n_ip_hits,
-               CAST(SUM(n_red) AS BIGINT) AS n_chars_redacted
-        FROM h GROUP BY source ORDER BY source"""),
+      Some(piiScanOracleSql(from = s"($PiiTextSql)", strCol = "pii_text",
+        groupCol = "source")),
     ),
     // The redaction OUTPUT itself, row by row — the doc-level transform a
     // real pipeline ships, oracled on the text (not just counts).

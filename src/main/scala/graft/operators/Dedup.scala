@@ -11,17 +11,25 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** Exact dedup: canonical id per identical text. One scan, one shuffle:
-    * project to (doc_id, md5 fingerprint) — at 100 TB you shuffle 16-byte
-    * keys, not document bodies — and take the per-fingerprint min via a
-    * window (the groupBy+join-back formulation read the corpus twice).
+  /** Exact dedup: canonical id per identical text. The fingerprint pass is
+    * one scan and one shuffle: project to (doc_id, md5 fingerprint) — at
+    * 100 TB you shuffle 16-byte keys, not document bodies — and take the
+    * per-fingerprint min via a window. NULL-text docs stay SELF-canonical
+    * via the cheap id-scan left join (module-wide contract — see
+    * SimHash/MinHash): md5(NULL) is NULL, and running them through the
+    * window would both declare all null-text docs mutual duplicates AND
+    * pile every one of them onto a single NULL-fingerprint reducer.
     */
   def exactCanonical(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    docs
+    val clustered = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("canonical_id", min("doc_id").over(w))
       .select("doc_id", "canonical_id")
+    docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
   }
 
   /** Connected components over an undirected edge list — the exact closure
@@ -88,13 +96,10 @@ object Dedup {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
       }
-      val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
-      ids.foreach { id =>
-        val r = find(id)
-        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), id)
-      }
+      // unions always attach the larger root beneath the smaller, so every
+      // root IS its component's min id — find() alone yields the label
       import spark.implicits._
-      return ids.toSeq.map(id => (id, minOfRoot(find(id)))).toDF("id", "comp")
+      return ids.toSeq.map(id => (id, find(id))).toDF("id", "comp")
     }
 
     val sym = edg.select(col("a").as("src"), col("b").as("dst"))
@@ -280,10 +285,10 @@ object Dedup {
       "d_exact_dup",
       (s, dir) => exactCanonical(Tables(s, dir, "documents")).orderBy("doc_id"),
       Some("""
-        SELECT d.doc_id, m.canonical_id
+        SELECT d.doc_id, COALESCE(m.canonical_id, d.doc_id) AS canonical_id
         FROM documents d
-        JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
-              FROM documents GROUP BY md5(text)) m
+        LEFT JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
+              FROM documents WHERE text IS NOT NULL GROUP BY md5(text)) m
           ON md5(d.text) = m.fp
         ORDER BY d.doc_id"""),
     ),

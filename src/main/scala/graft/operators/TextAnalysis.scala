@@ -186,7 +186,7 @@ object TextAnalysis {
              $scoreExprs
             FROM p)
       SELECT doc_id,
-             CASE WHEN $g <= 0 THEN 'und'
+             CASE WHEN $g IS NULL OR $g <= 0 THEN 'und'
                $cases
                ELSE '${langs.head}' END AS lang_pred,
              lang

@@ -19,6 +19,35 @@ import graft.{Q, Tables}
   */
 object TrainingDataQueries {
 
+  /** The ONE embedding near-dup edge definition — threshold and SQL shared
+    * by d_embed_neardup_exact and BOTH CC closures, so the three queries can
+    * only ever verify the same graph (they previously inlined the 0.35 and
+    * the 15-line recursive CTE independently; a partial edit would have
+    * silently desynchronized them). MUST be declared BEFORE `queries`: the
+    * oracle strings are built during that val's initialization, and a
+    * later-declared val would still read as 0.0 there (the Spark closures
+    * run after init and would see 0.35 — a silent Spark/oracle split).
+    */
+  private val EmbedSimThreshold = 0.35
+
+  private def embedEdgeSql: String = s"""
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $EmbedSimThreshold"""
+
+  private def embedCcOracleSql: String = s"""
+        WITH RECURSIVE e AS ($embedEdgeSql
+        ),
+        sym AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e),
+        r(a, b) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+        )
+        SELECT a AS vec_id, min(b) AS component
+        FROM r GROUP BY a ORDER BY vec_id"""
+
   val queries: Seq[Q] = Seq(
     // MinHash+LSH near-dup canonicalization (D2), md5 oracle family —
     // full hash-match against the generated DuckDB twin.
@@ -80,6 +109,9 @@ object TrainingDataQueries {
           .partitionBy(pmod(col("n_chars"), lit(16)))
           .orderBy("doc_id")
         Tables(s, dir, "documents")
+          // null text has no shingles and would NPE the JVM kernel; pair
+          // only real documents (the oracle filters identically)
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), col("text"), col("n_chars"))
           .withColumn("next_id", lead("doc_id", 1).over(w))
           .withColumn("next_text", lead("text", 1).over(w))
@@ -102,7 +134,7 @@ object TrainingDataQueries {
           SELECT doc_id, text,
                  lead(doc_id) OVER (PARTITION BY n_chars % 16 ORDER BY doc_id) AS next_id,
                  lead(text)   OVER (PARTITION BY n_chars % 16 ORDER BY doc_id) AS next_text
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         ),
         g AS (
           SELECT doc_id, next_id,
@@ -128,14 +160,11 @@ object TrainingDataQueries {
       "d_embed_neardup_exact",
       (s, dir) =>
         Similarity
-          .exactPairsAbove(Tables(s, dir, "embeddings"), threshold = 0.35)
+          .exactPairsAbove(Tables(s, dir, "embeddings"), threshold = EmbedSimThreshold)
           .orderBy("id_a", "id_b"),
-      Some("""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
-        ORDER BY id_a, id_b"""),
+      Some(s"""
+        SELECT ia AS id_a, ib AS id_b FROM ($embedEdgeSql
+        ) ORDER BY id_a, id_b"""),
     ),
     // Connected-components closure of the exact near-dup relation into
     // canonical clusters, oracled against a DuckDB recursive-CTE transitive
@@ -144,26 +173,12 @@ object TrainingDataQueries {
       "d_embed_cc",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val edges = Similarity.exactPairsAbove(emb, threshold = 0.35)
+        val edges = Similarity.exactPairsAbove(emb, threshold = EmbedSimThreshold)
         Dedup.connectedComponents(emb.select("vec_id"), edges)
           .select(col("id").as("vec_id"), col("comp").as("component"))
           .orderBy("vec_id")
       },
-      Some("""
-        WITH RECURSIVE e AS (
-          SELECT a.vec_id AS ia, b.vec_id AS ib
-          FROM embeddings a, embeddings b
-          WHERE a.vec_id < b.vec_id
-            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
-        ),
-        sym AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e),
-        r(a, b) AS (
-          SELECT vec_id, vec_id FROM embeddings
-          UNION
-          SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
-        )
-        SELECT a AS vec_id, min(b) AS component
-        FROM r GROUP BY a ORDER BY vec_id"""),
+      Some(embedCcOracleSql),
     ),
     // Same closure through the Kiveris large/small-star contraction — the
     // O(log² n)-rounds-at-any-diameter variant (plain min-label needs
@@ -174,26 +189,12 @@ object TrainingDataQueries {
       "d_embed_cc_stars",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val edges = Similarity.exactPairsAbove(emb, threshold = 0.35)
+        val edges = Similarity.exactPairsAbove(emb, threshold = EmbedSimThreshold)
         Dedup.connectedComponentsStars(emb.select("vec_id"), edges)
           .select(col("id").as("vec_id"), col("comp").as("component"))
           .orderBy("vec_id")
       },
-      Some("""
-        WITH RECURSIVE e AS (
-          SELECT a.vec_id AS ia, b.vec_id AS ib
-          FROM embeddings a, embeddings b
-          WHERE a.vec_id < b.vec_id
-            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
-        ),
-        sym AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e),
-        r(a, b) AS (
-          SELECT vec_id, vec_id FROM embeddings
-          UNION
-          SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
-        )
-        SELECT a AS vec_id, min(b) AS component
-        FROM r GROUP BY a ORDER BY vec_id"""),
+      Some(embedCcOracleSql),
     ),
     // Quantized-integer near-dup pairs: cos ≥ 7/20 over floor(x·1e6)
     // vectors via the cross-multiplied squared compare — exact integer

@@ -182,9 +182,13 @@ object RelationalQueries {
 
     // ----------------------------------------------------- f2_window_filter
     // Reference F2 (--window-file): per-uuid [start,end) time windows; only
-    // listed uuids survive (reference: src/window_set.c:30-180). The window
-    // table is small by construction → broadcast inner join + range
-    // predicate; unlisted trails drop out via the inner join.
+    // listed uuids survive (reference: src/window_set.c:30-180). A real
+    // window FILE is a small external table (the engine path broadcasts it,
+    // TrckSparkRunner.EngineFilters) — but THIS query derives its windows
+    // from the fact table itself (one row per distinct user, grows with the
+    // corpus), so the join must NOT carry a broadcast hint: AQE picks
+    // broadcast at test scale and a shuffle join when the derived set is
+    // actually big.
     Q(
       "f2_window_filter",
       (s, dir) => {
@@ -193,7 +197,7 @@ object RelationalQueries {
           .groupBy("user_id")
           .agg(min("ts_sec").as("w_start"))
           .withColumn("w_end", col("w_start") + lit(604800L))
-        ev.join(broadcast(windows), Seq("user_id"))
+        ev.join(windows, Seq("user_id"))
           .filter(col("ts_sec") >= col("w_start") && col("ts_sec") < col("w_end"))
           .groupBy(col("user_id").as("uuid"))
           .agg(count(lit(1)).as("n_in_window"))
@@ -211,13 +215,16 @@ object RelationalQueries {
 
     // ---------------------------------------------------------- f3_exclude
     // Reference F3 (--exclude-file): drop whole trails by uuid
-    // (reference: src/exclude_set.c:23-70) → broadcast left_anti join.
+    // (reference: src/exclude_set.c:23-70) → left_anti join. Same hint
+    // stance as f2: a real exclude FILE is small and the engine path
+    // broadcasts it; this query derives ~20% of all users from the fact
+    // table, so sizing stays with AQE.
     Q(
       "f3_exclude",
       (s, dir) => {
         val ev = Tables.events(s, dir)
         val excluded = ev.select("user_id").distinct().filter(col("user_id") % 5 === 0)
-        ev.join(broadcast(excluded), Seq("user_id"), "left_anti")
+        ev.join(excluded, Seq("user_id"), "left_anti")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"))
           .orderBy("event_type")
