@@ -24,6 +24,9 @@ object ScaleProbe {
     // large/small-star scale path, so the documented "use stars at scale"
     // claim carries a measured ratio
     "ann_ivf_topk", "d_embed_cc", "d_embed_cc_stars",
+    // r9: the registered production CC shape — LSH candidate edges + stars
+    // closure; its ratio should sit well under min-label-over-exact-pairs'
+    "d_embed_cc_lsh",
     // the heaviest curation queries: their r4→r5 bench swings (c_repetition
     // 14.2→3.9 s with no code change) showed we had no measured cost model
     // for them — probe them at 10×/30× like everything else

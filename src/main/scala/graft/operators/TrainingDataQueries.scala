@@ -196,6 +196,26 @@ object TrainingDataQueries {
       },
       Some(embedCcOracleSql),
     ),
+    // THE production-scale CC registration: candidate edges from the
+    // quantized-LSH bucket mechanism (O(N·B) pair work inside bounded
+    // buckets — never the O(N²) all-pairs kernel) closed with the
+    // large/small-star contraction. Both halves were already
+    // cross-engine exact (d_embed_neardup_quant_lsh pins the edge set,
+    // d_embed_cc_stars pins the closure); this composes them so the
+    // 100×-safe shape is what a user gets by name. d_embed_cc /
+    // d_embed_cc_stars stay as the exact-edge small-sf twins.
+    Q(
+      "d_embed_cc_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val edges = Similarity.quantizedLshPairsAbove(
+          emb, tNum = 7, tDen = 20, planes = 4)
+        Dedup.connectedComponentsStars(emb.select("vec_id"), edges)
+          .select(col("id").as("vec_id"), col("comp").as("component"))
+          .orderBy("vec_id")
+      },
+      Some(quantLshCcOracleSql),
+    ),
     // Quantized-integer near-dup pairs: cos ≥ 7/20 over floor(x·1e6)
     // vectors via the cross-multiplied squared compare — exact integer
     // arithmetic end-to-end (BigInt / HUGEINT), so the pair set
@@ -595,16 +615,19 @@ object TrainingDataQueries {
       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
-  /** ≡ Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=4):
+  /** CTE chain qz→…→qe producing the quantized-LSH near-dup edge set of
+    * Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=4):
     * integer-hyperplane buckets, hot-bucket policy, and the
     * cross-multiplied squared threshold compare, all in exact arithmetic.
+    * Shared by d_embed_neardup_quant_lsh (the pair set itself) and
+    * d_embed_cc_lsh (its transitive closure) so the two queries can only
+    * ever verify the same candidate graph.
     */
-  private def quantLshNearDupOracleSql: String = {
+  private def quantLshEdgeCtes: String = {
     val bucketExpr = quantBucketExpr(planes = 4)
     val (tNum, tDen, maxBucket) = (7, 20, 1000)
     val (n2, d2) = (tNum * tNum, tDen * tDen)
-    s"""
-      WITH qz AS (
+    s"""qz AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
@@ -621,11 +644,32 @@ object TrainingDataQueries {
                    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
                      i -> a.qv[i] * b.qv[i])) AS HUGEINT) AS dot,
                    a.nn AS na2, b.nn AS nb2
-            FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      SELECT id_a, id_b FROM p
-      WHERE dot > 0 AND $d2 * dot * dot >= $n2 * na2 * nb2
-      ORDER BY id_a, id_b"""
+            FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      qe AS (SELECT id_a, id_b FROM p
+             WHERE dot > 0 AND $d2 * dot * dot >= $n2 * na2 * nb2)"""
   }
+
+  /** ≡ Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=4). */
+  private def quantLshNearDupOracleSql: String =
+    s"""
+      WITH $quantLshEdgeCtes
+      SELECT id_a, id_b FROM qe ORDER BY id_a, id_b"""
+
+  /** ≡ the d_embed_cc_lsh closure: recursive-CTE transitive closure over
+    * the SAME quantized-LSH edge set, component label = min member id.
+    */
+  private def quantLshCcOracleSql: String =
+    s"""
+      WITH RECURSIVE $quantLshEdgeCtes,
+      sym AS (SELECT id_a AS a, id_b AS b FROM qe
+              UNION ALL SELECT id_b, id_a FROM qe),
+      r(a, b) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+      )
+      SELECT a AS vec_id, min(b) AS component
+      FROM r GROUP BY a ORDER BY vec_id"""
 
   /** ≡ Similarity.quantizedIvfTopK(embeddings, vec_id<10, k=5, nCells=8,
     * nProbe=2): centroids re-derived in-SQL from the 8 lowest-id quantized
