@@ -10,18 +10,20 @@ import org.apache.spark.sql.types._
   *
   * The decode step is REAL: `javax.imageio` (in the JDK — no new
   * dependency) parses the container header for width/height/components/
-  * format without decoding pixel data. What the container env still can't
-  * provide is a real media corpus, so the registered query renders
-  * deterministic tiny PNGs per document ([[synthesizeImages]]) and the
-  * oracle checks the real decoder returns exactly the encoded dimensions —
-  * an end-to-end codec round-trip. The remaining stub is
-  * [[featuresStub]]: feature extraction needs an encoder model the
-  * environment does not ship. Everything else is the real thing a 100 TB
-  * media pipeline needs: the schema (blob + struct metadata), the
-  * partition-level batch loop (mapPartitions — the Scala analog of
-  * mapInPandas batches: amortize per-batch setup, stream rows, never
-  * materialize a partition), and narrow one-pass processing with no
-  * shuffle.
+  * format without decoding pixel data. The feature step is REAL too:
+  * deterministic perceptual hashes (aHash over an 8×8 area-mean luminance
+  * grid, dHash over 9×8 — the textbook public algorithms, no model
+  * required) computed from the fully-decoded raster, plus the 64-cell
+  * luminance grid itself as a float vector so the embedding operators have
+  * a genuine image-derived input. What the container env can't provide is
+  * a real media corpus, so the registered queries render deterministic
+  * tiny PNGs per document ([[synthesizeImages]]) and the oracles recompute
+  * the decoder/hash output from first principles — an end-to-end codec
+  * round-trip. Everything here is the real thing a 100 TB media pipeline
+  * needs: the schema (blob + struct metadata), the partition-level batch
+  * loop (mapPartitions — the Scala analog of mapInPandas batches: amortize
+  * per-batch setup, stream rows, never materialize a partition), and
+  * narrow one-pass processing with no shuffle.
   */
 object Multimodal {
 
@@ -134,46 +136,155 @@ object Multimodal {
     val inSchema = df.schema
     val outSchema = inSchema.add(blobCol, BinaryType)
     val idIdx = inSchema.fieldIndex(idCol)
+    // resolve the id extractor from the schema ONCE — a non-long integral
+    // id must widen (r.getLong on an IntegerType column ClassCastExceptions
+    // inside the task), and a non-integral id must fail at plan time, not
+    // mid-job
+    val getId: Row => Long = inSchema.fields(idIdx).dataType match {
+      case LongType    => _.getLong(idIdx)
+      case IntegerType => _.getInt(idIdx).toLong
+      case ShortType   => _.getShort(idIdx).toLong
+      case ByteType    => _.getByte(idIdx).toLong
+      case dt => throw new IllegalArgumentException(
+        s"$idCol must be an integral type (got ${dt.simpleString})")
+    }
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       val png = new PngEncoder // per-partition codec setup
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = getId(r)
         Row.fromSeq(r.toSeq :+ syntheticPng(id, (8 + id % 32).toInt, (8 + (id / 3) % 32).toInt, png))
       }
     }(enc)
   }
 
-  /** STUB feature extraction: deterministic 8-dim float vector from blob
-    * content (a real pipeline would run an encoder model per batch).
+  /** Integer Rec.601-weighted luminance with 8-bit fixed-point weights
+    * (77 + 151 + 28 = 256). The exact formula is part of the operator
+    * contract — the mm_features oracle recomputes it bit-for-bit.
     */
-  def featuresStub(blob: Array[Byte]): Array[Float] = {
-    if (blob == null) return Array.fill(8)(0f)
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < blob.length) { out(i % 8) += (blob(i) & 0xff) / 255.0f; i += 1 }
+  def luminance(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (77 * r + 151 * g + 28 * b) >> 8
+  }
+
+  /** `cols`×`rows` area-mean luminance grid over a decoded raster — the
+    * downsampling step of aHash/dHash, in pure integer arithmetic so the
+    * result is engine-reproducible (no interpolation kernel, no float
+    * rounding): pixel (i, j) belongs to cell (i·cols/w, j·rows/h) (integer
+    * floor — an exact partition of the raster into contiguous blocks), and
+    * the cell value is floor(sum/count) of the cell's luminances. Images
+    * narrower/shorter than the grid point-sample each cell's anchor pixel
+    * instead (floor(gx·w/cols), floor(gy·h/rows)) so tiny thumbnails still
+    * hash rather than hitting empty cells.
+    */
+  def luminanceGrid(img: java.awt.image.BufferedImage, cols: Int, rows: Int): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Long](cols * rows)
+    if (w >= cols && h >= rows) {
+      val sums = new Array[Long](cols * rows)
+      val counts = new Array[Long](cols * rows)
+      var j = 0
+      while (j < h) {
+        val gy = j * rows / h
+        var i = 0
+        while (i < w) {
+          val c = gy * cols + i * cols / w
+          sums(c) += luminance(img.getRGB(i, j))
+          counts(c) += 1
+          i += 1
+        }
+        j += 1
+      }
+      var c = 0
+      while (c < out.length) { out(c) = sums(c) / counts(c); c += 1 }
+    } else {
+      var gy = 0
+      while (gy < rows) {
+        var gx = 0
+        while (gx < cols) {
+          out(gy * cols + gx) = luminance(img.getRGB(gx * w / cols, gy * h / rows)).toLong
+          gx += 1
+        }
+        gy += 1
+      }
+    }
     out
   }
 
-  /** Attach decoded metadata (REAL header parse, [[decodeImageMeta]]) +
-    * features (stub — model-blocked) to a DataFrame with a binary
-    * `blobCol`, in batch shape via mapPartitions (rows streamed; per-batch
-    * setup happens once per partition — where a real pipeline would load
-    * its feature model).
+  /** aHash: bit (gy·8+gx) set iff the 8×8 grid cell exceeds the grid's
+    * floor-mean. Ties clear the bit (strict >).
+    */
+  def aHash(grid8: Array[Long]): Long = {
+    require(grid8.length == 64, s"aHash needs an 8x8 grid, got ${grid8.length} cells")
+    var sum = 0L; var c = 0
+    while (c < 64) { sum += grid8(c); c += 1 }
+    val mean = sum / 64
+    var bits = 0L; c = 0
+    while (c < 64) { if (grid8(c) > mean) bits |= 1L << c; c += 1 }
+    bits
+  }
+
+  /** dHash: bit (gy·8+gx) set iff cell (gx+1, gy) of the 9×8 grid exceeds
+    * cell (gx, gy) — the horizontal-gradient hash.
+    */
+  def dHash(grid9: Array[Long]): Long = {
+    require(grid9.length == 72, s"dHash needs a 9x8 grid, got ${grid9.length} cells")
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (grid9(gy * 9 + gx + 1) > grid9(gy * 9 + gx)) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Full pixel decode for the feature path — unlike [[decodeImageMeta]]'s
+    * header-only parse, features need the raster. Undecodable/null blobs
+    * return null (classify, never throw — crawl-corpus contract).
+    */
+  private def readImage(blob: Array[Byte]): java.awt.image.BufferedImage =
+    if (blob == null || blob.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Attach decoded metadata (REAL header parse, [[decodeImageMeta]]) and
+    * REAL perceptual features to a DataFrame with a binary `blobCol`, in
+    * batch shape via mapPartitions (rows streamed; per-partition setup —
+    * where a pipeline with a learned encoder would also load its model).
+    * Output columns: `meta` (struct), `features` (the 64-cell area-mean
+    * luminance grid as floats in [0,1] — a deterministic image-derived
+    * vector the embedding/ANN operators can consume directly), `ahash` and
+    * `dhash` (64-bit perceptual hashes; Hamming distance = visual
+    * near-duplicate distance). Rows whose blob doesn't pixel-decode get
+    * null features/hashes alongside their classified `meta`.
     */
   def decodeAndFeaturize(df: DataFrame, blobCol: String): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema
       .add("meta", metaSchema)
       .add("features", ArrayType(FloatType))
+      .add("ahash", LongType)
+      .add("dhash", LongType)
     val blobIdx = inSchema.fieldIndex(blobCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // per-partition setup: a real feature extractor initializes its
-      // model here, once, and processes rows in batches
       rows.map { r =>
         val blob = r.get(blobIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ decodeImageMeta(blob) :+ featuresStub(blob).toSeq)
+        val meta = decodeImageMeta(blob)
+        val img = readImage(blob)
+        if (img == null)
+          Row.fromSeq(r.toSeq :+ meta :+ null :+ null :+ null)
+        else {
+          val g8 = luminanceGrid(img, 8, 8)
+          val g9 = luminanceGrid(img, 9, 8)
+          Row.fromSeq(r.toSeq :+ meta :+ g8.map(_ / 255.0f).toSeq
+            :+ aHash(g8) :+ dHash(g9))
+        }
       }
     }(enc)
   }

@@ -445,6 +445,28 @@ object TrainingDataQueries {
                'png' AS format
         FROM documents ORDER BY doc_id"""),
     ),
+    // REAL perceptual features end-to-end: synthesize PNGs, pixel-decode
+    // them back, and compute aHash/dHash — while DuckDB re-derives the
+    // SAME hashes from first principles (the LCG pixel stream in closed
+    // form a_n·seed + b_n, the PNG round-trip being lossless, the integer
+    // luminance/grid/threshold pipeline). img_id = 4·doc_id+1 is never
+    // ≡ 0 (mod 4), so every image takes the 3-channel path whose stored
+    // samples are exactly the LCG bytes; the gray path's samples go
+    // through the JDK's ICC gray conversion — deterministic and
+    // spec-covered, but not SQL-re-derivable.
+    Q(
+      "mm_features",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") * 4 + 1).as("img_id"))
+        val blobs = Multimodal.synthesizeImages(docs, "img_id")
+        Multimodal
+          .decodeAndFeaturize(blobs, "blob")
+          .select(col("doc_id"), col("ahash"), col("dhash"))
+          .orderBy("doc_id")
+      },
+      Some(mmFeaturesOracleSql),
+    ),
     // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4
     // frames per blob, per-blob frame_idx from the generator. Frames are
     // compared as md5-of-hex (DuckDB cannot slice BLOBs, but hex strings
@@ -708,6 +730,86 @@ object TrainingDataQueries {
             FROM s)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** ≡ the mm_features Spark pipeline, re-derived from first principles:
+    * the synthesized image's pixel ints come from an LCG whose n-th state
+    * has the closed form x_n = a_n·seed + b_n (mod 2^64) with a_n = A^n,
+    * b_n = b_{n-1}·A + C — so a 1521-row recursive CTE (max raster is
+    * 39×39) gives every pixel of every doc without sequential iteration.
+    * Pixel idx (0-based, row-major) uses x_{idx+1} (the generator steps
+    * BEFORE each setRGB); the stored int is bits 40..63, split into
+    * r/g/b bytes; then the same integer luminance, floor-partition grid,
+    * floor-mean, and strict-> threshold as the Scala kernel. Bit 63 is
+    * added as the signed long minimum so the packed hash lands in BIGINT
+    * exactly like the JVM's Long.
+    */
+  private def mmFeaturesOracleSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val A = "6364136223846793005"  // syntheticPng LCG multiplier
+    val C = "1442695040888963407"  // syntheticPng LCG increment
+    // CAST the SUM back down: DuckDB widens SUM(BIGINT) to HUGEINT, but
+    // the packed hash must compare as a 64-bit integer like the JVM Long
+    def packBits(cond: String, idx: String): String =
+      s"""CAST(SUM(CASE WHEN $cond THEN
+         |             CASE WHEN $idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                  ELSE CAST(1 AS BIGINT) << CAST($idx AS INT) END
+         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+    s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, CAST(doc_id * 4 + 1 AS HUGEINT) AS s,
+               CAST(8 + (doc_id * 4 + 1) % 32 AS BIGINT) AS w,
+               CAST(8 + ((doc_id * 4 + 1) // 3) % 32 AS BIGINT) AS h
+        FROM documents
+      ),
+      lcg(n, a, b) AS (
+        SELECT 1, CAST($A AS HUGEINT), CAST($C AS HUGEINT)
+        UNION ALL
+        SELECT n + 1, (a * $A) % CAST($M AS HUGEINT),
+               (b * $A + $C) % CAST($M AS HUGEINT)
+        FROM lcg WHERE n < 1521
+      ),
+      px AS (
+        SELECT d.doc_id, d.w, d.h,
+               CAST((l.n - 1) % d.w AS BIGINT) AS i,
+               CAST((l.n - 1) // d.w AS BIGINT) AS j,
+               CAST(((l.a * d.s + l.b) % CAST($M AS HUGEINT)) // 1099511627776 AS BIGINT) AS v
+        FROM d JOIN lcg l ON l.n <= d.w * d.h
+      ),
+      lum AS (
+        SELECT doc_id, w, h, i, j,
+               (77 * (v // 65536) + 151 * ((v // 256) % 256) + 28 * (v % 256)) // 256 AS lum
+        FROM px
+      ),
+      g8 AS (
+        SELECT doc_id, (j * 8) // h AS gy, (i * 8) // w AS gx,
+               SUM(lum) // COUNT(*) AS cell
+        FROM lum GROUP BY doc_id, (j * 8) // h, (i * 8) // w
+      ),
+      g9 AS (
+        SELECT doc_id, (j * 8) // h AS gy, (i * 9) // w AS gx,
+               SUM(lum) // COUNT(*) AS cell
+        FROM lum GROUP BY doc_id, (j * 8) // h, (i * 9) // w
+      ),
+      m8 AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM g8 GROUP BY doc_id),
+      ah AS (
+        SELECT g8.doc_id,
+               ${packBits("cell > mean", "gy * 8 + gx")} AS ahash
+        FROM g8 JOIN m8 ON g8.doc_id = m8.doc_id
+        GROUP BY g8.doc_id
+      ),
+      dh AS (
+        SELECT a.doc_id,
+               ${packBits("b.cell > a.cell", "a.gy * 8 + a.gx")} AS dhash
+        FROM g9 a JOIN g9 b
+          ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8
+        GROUP BY a.doc_id
+      )
+      SELECT d.doc_id, ah.ahash, dh.dhash
+      FROM d JOIN ah ON d.doc_id = ah.doc_id
+             JOIN dh ON d.doc_id = dh.doc_id
+      ORDER BY d.doc_id"""
   }
 
   /** ≡ SimHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */

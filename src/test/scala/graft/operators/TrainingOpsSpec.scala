@@ -344,7 +344,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getInt(1) == 8 + (id % 32).toInt && r.getInt(2) == 8 + ((id / 3) % 32).toInt &&
         r.getInt(3) == (if (id % 4 == 0) 1 else 3) && r.getString(4) == "png"
     }, rows.take(5).mkString(", "))
-    assert(rows.forall(r => r.getSeq[Float](5).length == 8))
+    assert(rows.forall(r => r.getSeq[Float](5).length == 64))
     // non-image bytes classify as undecodable, never throw — the common
     // row on a real crawl corpus
     val junk = Multimodal.decodeImageMeta("not an image".getBytes("UTF-8"))
@@ -357,5 +357,63 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // deterministic: same seed → identical bytes (streaming replay safety)
     assert(java.util.Arrays.equals(Multimodal.syntheticPng(7L, 12, 9),
       Multimodal.syntheticPng(7L, 12, 9)))
+  }
+
+  test("perceptual hashes: deterministic, sensitive, Hamming-meaningful; gray path covered") {
+    def img(seed: Long, w: Int = 24, h: Int = 16): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(seed, w, h)))
+    def hashes(seed: Long, w: Int = 24, h: Int = 16): (Long, Long) = {
+      val im = img(seed, w, h)
+      (Multimodal.aHash(Multimodal.luminanceGrid(im, 8, 8)),
+        Multimodal.dHash(Multimodal.luminanceGrid(im, 9, 8)))
+    }
+    // deterministic across decodes (replay safety)
+    assert(hashes(11L) == hashes(11L))
+    // different content → different hashes (sensitivity; LCG noise images
+    // are maximally far apart, so equality would mean a dead kernel)
+    assert(hashes(11L) != hashes(13L))
+    // a solid image and its one-bright-block variant are CLOSE in Hamming
+    // distance but not equal — the property perceptual hashing exists for.
+    // (The block is BRIGHTER than the background: one bright cell leaves
+    // the floor-mean at the background level, flipping exactly that cell's
+    // bit; a darker block would drag the mean under the 63 background
+    // cells and flip all of them — aHash's known near-uniform edge.)
+    val flat = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (j <- 0 until 32; i <- 0 until 32) flat.setRGB(i, j, 0xc0c0c0)
+    val dent = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (j <- 0 until 32; i <- 0 until 32)
+      dent.setRGB(i, j, if (i < 4 && j < 4) 0xffffff else 0xc0c0c0)
+    def d64(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val fa = Multimodal.aHash(Multimodal.luminanceGrid(flat, 8, 8))
+    val da = Multimodal.aHash(Multimodal.luminanceGrid(dent, 8, 8))
+    assert(fa != da && d64(fa, da) <= 8, s"ahash dist ${d64(fa, da)}")
+    // gray images (seed % 4 == 0 → TYPE_BYTE_GRAY) flow through the same
+    // kernel deterministically — the JDK ICC gray conversion is stable
+    // within a JVM even though it is not SQL-re-derivable
+    assert(hashes(8L) == hashes(8L))
+    assert(img(8L).getColorModel.getNumComponents == 1)
+    // tiny images take the point-sample fallback and still hash
+    val tiny = Multimodal.luminanceGrid(img(5L, 4, 3), 8, 8)
+    assert(tiny.length == 64 && tiny.forall(v => v >= 0 && v <= 255))
+    // known fixture: hand-computable 2-level image — left half dark,
+    // right half bright → aHash sets exactly the right-half bits;
+    // dHash fires exactly at the dark→bright column boundary
+    val half = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (j <- 0 until 16; i <- 0 until 16)
+      half.setRGB(i, j, if (i < 8) 0x000000 else 0xffffff)
+    val hg8 = Multimodal.luminanceGrid(half, 8, 8)
+    // grid mean = (0*32 + 255*32)/64 = 127 (floor) → bright cells (gx>=4) set
+    val expectA = (0 until 64).filter(c => c % 8 >= 4).map(1L << _).sum
+    assert(Multimodal.aHash(hg8) == expectA)
+    val hg9 = Multimodal.luminanceGrid(half, 9, 8)
+    // 9-col cells: gx = i*9/16 → cols 0..3 dark (i<8), col 4 mixed
+    // (i=8 dark? i*9/16: i=7→3, i=8→4 bright 255... i in cell 4: 8
+    // → bright), cols 4..8 bright → single rising edge at gx=3→4
+    val expectD = (0 until 8).map(gy => 1L << (gy * 8 + 3)).sum
+    assert(Multimodal.dHash(hg9) == expectD)
   }
 }
