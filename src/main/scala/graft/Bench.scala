@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   *     "arbitrated", with a top-level "suspect_contamination" flag. At
   *     most 16 suspects (worst first/band ratios) are re-measured — on a
   *     fully-contaminated run the reps are contaminated too, so beyond
-  *     that the remaining names are listed under "unarbitrated_suspects".
+  *     that the remaining names are listed under "unarbitrated_suspects";
+  *   - the headline `corrected_total_sec` (raw total minus the
+  *     contaminated deltas) is the number to quote, and `commit` stamps
+  *     which code state was measured.
   *
   * The bands are measurements, not goals: re-record them (one clean warm
   * Bench run) whenever queries are added or made faster, and keep the file
@@ -106,7 +109,11 @@ object Bench {
 
     // ---- outlier arbitration against recorded clean bands ---------------
     val bands = loadBands(bandsPath)
-    val sfMismatch = bands.exists { case (sf, _) => !sfDir.stripSuffix("/").endsWith(sf) }
+    // basename EQUALITY, not endsWith: a dir named .../mysf0.1 must not
+    // silently adopt the sf0.1 bands
+    val sfMismatch = bands.exists { case (sf, _) =>
+      new java.io.File(sfDir.stripSuffix("/")).getName != sf
+    }
     val bandMap = if (sfMismatch) Map.empty[String, Double] else bands.map(_._2).getOrElse(Map.empty)
     val unbanded = results.collect { case (n, Some(_), _) if !bandMap.contains(n) => n }
     val suspects = results.flatMap { case (name, tOpt, _) =>
@@ -152,8 +159,20 @@ object Bench {
       s""""$k":{"first":${num(first)},"band":${num(band)},"reps":[${reps.map(num).mkString(",")}],"min":$minJs,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    // the headline number a reader should quote: raw total minus the
+    // arbitrated contamination deltas (first reading − clean rep minimum
+    // for every query self-classified "contaminated"). Equals the raw
+    // total on a clean run.
+    val correctedTotal = total - arbitrated.collect {
+      case (_, first, _, _, best, "contaminated") if !best.isNaN => first - best
+    }.sum
+    // stamp the artifact with the commit it measured — SURVEY prose citing
+    // probe/bench numbers is only checkable when runs are attributable
+    val commit =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","corrected_total_sec":${num(correctedTotal)},"commit":"$commit","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},""" +
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""bands_file":${bands.fold("null")(_ => "\"" + bandsPath + "\"")},"bands_sf_mismatch":$sfMismatch,""" +
         s""""unbanded":[${unbanded.map("\"" + _ + "\"").mkString(",")}],""" +

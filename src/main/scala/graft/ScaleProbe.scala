@@ -113,8 +113,13 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val errs = (baseE.map { case (k, v) => s""""base:$k":"$v"""" } ++
       scaledE.map { case (k, v) => s""""scaled:$k":"$v"""" }).mkString("{", ",", "}")
+    // commit stamp: probe numbers quoted in SURVEY must be attributable
+    // to the code state that produced them
+    val commit =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
     println(
-      s"""{"metric":"scale_probe","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,"errors":$errs}""")
+      s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,"errors":$errs}""")
     spark.stop()
   }
 }

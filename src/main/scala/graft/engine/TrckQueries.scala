@@ -208,14 +208,21 @@ object TrckQueries {
         // to feeding it every event: register-max insertion is idempotent
         // on duplicates. The null filter preserves countDistinct semantics
         // (and the oracle's COUNT(DISTINCT …)): distinct() would keep a
-        // (type, NULL) row that count(1) then counts.
-        ev.filter(col("uuid").isNotNull).distinct()
+        // (type, NULL) row that count(1) then counts. The aggregated rows
+        // then left-join back to the UNFILTERED event_type set — an
+        // event_type whose uuids are all NULL must still emit (n_exact=0,
+        // estimate 0 ≙ the empty sketch), exactly like the oracle's GROUP
+        // BY over all events; filtering before groupBy dropped the group.
+        val agged = ev.filter(col("uuid").isNotNull).distinct()
           .groupBy("event_type")
           .agg(
             HllAggregator.trckHllHex(encode(col("uuid"), "UTF-8")).as("hll_hex"),
             count(lit(1)).cast("long").as("n_exact"))
+        ev.select("event_type").distinct()
+          .join(agged, Seq("event_type"), "left")
+          .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
           .withColumn("within_tol",
-            abs(HllAggregator.estimateUdf(col("hll_hex")) - col("n_exact")) <=
+            abs(coalesce(HllAggregator.estimateUdf(col("hll_hex")), lit(0.0)) - col("n_exact")) <=
               lit(0.04) * greatest(col("n_exact"), lit(1L)))
           .select(col("event_type"), col("n_exact"), col("within_tol"))
           .orderBy("event_type")

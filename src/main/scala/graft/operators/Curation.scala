@@ -364,8 +364,13 @@ object Curation {
     // would silently vanish from the mixture regardless of defaultPct.
     // Null sources take defaultPct (same as the when-cascade below); null
     // ids share one bucket per source — deterministic, if coarse.
+    // The source is LENGTH-PREFIXED to make the key unambiguous: plain
+    // `source:id` collides (source 'a:1', id 'x') with (source 'a', id
+    // '1:x') when a source name contains ':', correlating those rows'
+    // sampling coins.
+    val srcSafe = coalesce(col(srcCol), lit(""))
     val bucket = conv(substring(
-      md5(concat(coalesce(col(srcCol), lit("")), lit(":"),
+      md5(concat(length(srcSafe).cast("string"), lit(":"), srcSafe, lit(":"),
         coalesce(col(idCol).cast("string"), lit("")))), 1, 4), 16, 10)
       .cast("long") % 100
     val pct = weightsPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
@@ -534,7 +539,7 @@ object Curation {
           .orderBy("doc_id"),
       Some("""
         SELECT doc_id, source FROM documents
-        WHERE CAST('0x' || substring(md5(COALESCE(source, '') || ':' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) AS BIGINT) % 100 <
+        WHERE CAST('0x' || substring(md5(CAST(len(COALESCE(source, '')) AS VARCHAR) || ':' || COALESCE(source, '') || ':' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) AS BIGINT) % 100 <
               CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 30 END
         ORDER BY doc_id"""),
     ),

@@ -118,6 +118,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sampled set must not be a subset/superset of one split bucket
     val splits = a.count(id => splitOf(id) == "train").toDouble / a.size
     assert(splits > 0.6 && splits < 0.95, s"train fraction in sample $splits")
+    // the salt key is length-prefixed: a ':' inside a source name must not
+    // make (source 'a:1', id 'x') share (source 'a', id '1:x')'s coin —
+    // with a plain source:id concat both hash 'a:1:x' and correlate
+    val ambiguous = Seq(("a:1", "x"), ("a", "1:x"))
+      .toDF("source", "doc_id")
+    // identical coins would flip 0→2 at one threshold; independent coins
+    // pass through exactly 1 at some p
+    val independent = (0 to 99).exists { p =>
+      Curation.sampleBySourceWeights(
+        ambiguous, Map.empty, defaultPct = p, idCol = "doc_id").count() == 1L
+    }
+    assert(independent, "ambiguous keys still share one sampling coin")
   }
 
   test("passageDupStats counts exactly the chunks shared across docs") {
