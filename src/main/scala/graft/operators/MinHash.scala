@@ -300,6 +300,54 @@ object MinHash {
     canonicalFromMemberships(docs, memberships, idCol, maxBucket)
   }
 
+  /** JVM-side signature kernel for per-row pipelines (the streaming dedup
+    * face): the SAME hash family as [[signatures]] — g_i = h1 XOR
+    * rotl(xxhash64(h1), i), folded with signed min over the doc's
+    * [[graft.functions.ShingleHash64]] array — without the explode +
+    * aggregate shuffle (a stream row already carries all of its doc's
+    * shingles). xxhash64 parity: Spark's XxHash64 over a LongType column
+    * is exactly `XXH64.hashLong(v, 42)`. Bit-parity with the Column
+    * pipeline is pinned by MinHashSpec's kernel-parity test.
+    */
+  def signatureJvm(shingleHashes: Array[Long], h: Int = 64): Array[Long] = {
+    require(h >= 1 && h <= 64, s"signature width h=$h must be in [1, 64] (rotl family)")
+    val sig = Array.fill(h)(Long.MaxValue)
+    var s = 0
+    while (s < shingleHashes.length) {
+      val h1 = shingleHashes(s)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h1, 42L)
+      var i = 0
+      while (i < h) {
+        val r = i & 63
+        val g = h1 ^ (if (r == 0) h2 else (h2 << r) | (h2 >>> (64 - r)))
+        if (g < sig(i)) sig(i) = g
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** JVM-side band keys, bit-identical to [[bandKeys]]'
+    * `hash(lit(b), slice(sig, b·rows+1, rows))`: Spark's murmur3 `hash`
+    * folds children left-to-right from seed 42 — int literal first, then
+    * the array slice element-wise — which is exactly the
+    * Murmur3HashFunction composition below.
+    */
+  def bandKeysJvm(sig: Array[Long], bands: Int = 16): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    require(bands >= 1 && sig.length % bands == 0,
+      s"signature width ${sig.length} must divide into $bands bands")
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      val s1 = Murmur3HashFunction.hash(b, IntegerType, 42L).toInt
+      val slice = new GenericArrayData(java.util.Arrays.copyOfRange(sig, b * rows, (b + 1) * rows))
+      Murmur3HashFunction.hash(slice, ArrayType(LongType), s1.toLong).toInt
+    }
+  }
+
   /** candidate near-dup pairs (id_a < id_b), deduped across bands */
   def candidatePairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
                              h: Int = 64, bands: Int = 16, maxBucket: Int = 20): DataFrame =

@@ -2,8 +2,25 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.{Curation, TextAnalysis}
+import graft.operators.{Curation, MinHash, TextAnalysis}
+
+/** One doc's membership in one LSH band bucket (streaming shuffle row).
+  * Carries the event time as a real timestamp field: the watermark is
+  * (re)declared on THIS stream — a typed flatMap erases the upstream
+  * column's watermark metadata, which the event-time-timeout check needs
+  * on its direct input.
+  */
+private[streaming] case class BucketMember(band: Int, bk: Int, docId: Long, ts: java.sql.Timestamp)
+
+/** Cross-batch per-bucket dedup state: first (smallest) claimant id and
+  * total membership count (for the prospective hot-bucket cap).
+  */
+private[streaming] case class BucketState(firstId: Long, count: Long)
+
+/** A bucket's claim on one member doc (Long.MaxValue = no claim). */
+private[streaming] case class BucketClaim(docId: Long, claim: Long)
 
 /** Streaming face of the training-data document pipeline: the same
   * fingerprint/quality/split primitives the batch operators use, wired
@@ -41,6 +58,126 @@ object DocStream {
           concat(lit("null:"), col(idCol).cast("string"))))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Cross-batch NEAR-duplicate dedup — the streaming face of
+    * [[MinHash.nearDupCanonical]]: per doc, emit (id, canonical_id) where
+    * canonical is the smallest doc id this doc shares any MinHash-LSH band
+    * bucket with, across every micro-batch inside the watermark horizon.
+    *
+    * Shape: signatures and band keys are computed PER ROW with the
+    * bit-identical JVM kernels ([[MinHash.signatureJvm]] /
+    * [[MinHash.bandKeysJvm]] over the same native ShingleHash64 input) —
+    * a stream row carries all of its doc's shingles, so the batch
+    * operator's explode + aggregate shuffle would buy nothing — then ONE
+    * stateful pass keyed by (band, bucket) assigns each member the
+    * bucket's first claimant (`flatMapGroupsWithState`, the TrailStream
+    * state shape), and a batch-local repartition + mapPartitions fold (a
+    * doc's B claims always share a micro-batch; a second STATEFUL op
+    * downstream of flatMapGroupsWithState is both unnecessary and
+    * rejected by Spark) reduces them to the per-doc min. State per bucket
+    * is two longs, evicted once the watermark
+    * passes the bucket's last member + `watermarkDelay` — bounded by the
+    * horizon, not the corpus, like [[dedupByFingerprint]].
+    *
+    * Batch parity: with in-order arrival (ids assigned in event-time
+    * order) the result equals the batch operator on the union of all
+    * batches — a bucket's first claimant IS its min id, and within one
+    * micro-batch every member sees min(state, batch-min) exactly like the
+    * batch window. Two documented divergences, both inherent to streams:
+    * the hot-bucket cap applies PROSPECTIVELY (a bucket stops claiming
+    * once its running count passes `maxBucket`; the batch operator drops
+    * such buckets retroactively), and bucket state is forgotten past the
+    * watermark horizon (the batch operators cover the at-rest corpus).
+    * NULL-text docs carry no shingles and route around the stateful pass,
+    * self-canonical — the module-wide null-text contract.
+    */
+  def dedupNearMinHash(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       eventTimeCol: String = "event_time",
+                       watermarkDelay: String = "10 minutes",
+                       k: Int = 3, h: Int = 64, bands: Int = 16,
+                       maxBucket: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delayMs = durationMs(watermarkDelay)
+    val nullBranch = docs.filter(col(textCol).isNull)
+      .select(col(idCol).cast("long").as(idCol), col(idCol).cast("long").as("canonical_id"))
+
+    // the watermark is declared on the MEMBERSHIP stream (same event-time
+    // values): a typed flatMap erases column metadata, and the event-time
+    // timeout check requires watermark metadata on its direct input
+    val members = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(eventTimeCol).as("__t"),
+        graft.functions.ShingleHash64(col(textCol), k).as("__hs"))
+      .as[(Long, java.sql.Timestamp, Array[Long])]
+      .flatMap { case (id, ts, hs) =>
+        val bks = MinHash.bandKeysJvm(MinHash.signatureJvm(hs, h), bands)
+        bks.iterator.zipWithIndex.map { case (bk, band) =>
+          BucketMember(band, bk, id, ts)
+        }
+      }
+      .withWatermark("ts", watermarkDelay)
+
+    val claims = members
+      .groupByKey(m => (m.band, m.bk))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: (Int, Int), it: Iterator[BucketMember], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ms = it.toArray
+            var batchMin = Long.MaxValue; var maxTs = Long.MinValue
+            ms.foreach { m =>
+              if (m.docId < batchMin) batchMin = m.docId
+              if (m.ts.getTime > maxTs) maxTs = m.ts.getTime
+            }
+            val prior = state.getOption
+            val first = math.min(prior.fold(Long.MaxValue)(_.firstId), batchMin)
+            val total = prior.fold(0L)(_.count) + ms.length
+            // prospective hot-bucket cap: once the bucket's running count
+            // passes maxBucket it claims nothing (this batch onward)
+            val claim = if (total > maxBucket) Long.MaxValue else first
+            state.update(BucketState(first, total))
+            // evict once the watermark passes last member + delay; clamp
+            // above the current watermark (Spark rejects timeouts at or
+            // behind it — a late row could otherwise compute one)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1L))
+            ms.iterator.map(m => BucketClaim(m.docId, claim))
+          }
+        })
+
+    // a doc's B memberships all travel in its own micro-batch, so the
+    // per-doc fold is BATCH-LOCAL — and must not be a second stateful
+    // operator (Spark rejects any stateful op downstream of
+    // flatMapGroupsWithState: the global-watermark check can't see that
+    // this fold drops nothing). repartition + mapPartitions is a plain
+    // per-micro-batch exchange: co-locate each doc's B claim rows, fold
+    // them with a bounded hash map, emit one row per doc.
+    val canon = claims
+      .repartition(col("docId"))
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap[Long, Long]()
+        it.foreach(c => m(c.docId) = math.min(m.getOrElse(c.docId, Long.MaxValue), c.claim))
+        m.iterator.map { case (id, cl) =>
+          BucketClaim(id, if (cl == Long.MaxValue) id else math.min(cl, id))
+        }
+      }
+      .toDF(idCol, "canonical_id")
+
+    canon.unionByName(nullBranch)
+  }
+
+  /** Millisecond duration of a day-time interval string like
+    * "10 minutes" (the watermark-delay grammar; month-grained intervals
+    * have no fixed millisecond length and are rejected).
+    */
+  private def durationMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"month-grained delay '$s' has no fixed ms length")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** Per-window ingestion quality stats: doc count, token sum, and how
     * many docs pass a minimal quality gate (token count ≥ minTokens).

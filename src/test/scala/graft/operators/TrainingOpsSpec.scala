@@ -329,6 +329,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT cosine_similarity(a, b) FROM cos_probe").head.getDouble(0) == 1.0)
   }
 
+  test("JVM minhash kernels are bit-identical to the batch Column pipeline") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull).limit(60)
+    val fromCols = MinHash.signatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("sig"), MinHash.bandKeys(col("sig"), 16, 4).as("bks"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toVector, r.getSeq[Int](2).toVector)))
+      .toMap
+    val s = spark
+    import s.implicits._
+    val fromJvm = docs
+      .select(col("doc_id"), graft.functions.ShingleHash64(col("text"), 3).as("hs"))
+      .as[(Long, Array[Long])]
+      .collect()
+      .map { case (id, hs) =>
+        val sig = MinHash.signatureJvm(hs, 64)
+        id -> ((sig.toVector, MinHash.bandKeysJvm(sig, 16).toVector))
+      }
+      .toMap
+    assert(fromJvm.size == fromCols.size && fromJvm.nonEmpty)
+    fromCols.foreach { case (id, (sig, bks)) =>
+      assert(fromJvm(id)._1 == sig, s"signature drift at doc $id")
+      assert(fromJvm(id)._2 == bks, s"band-key drift at doc $id")
+    }
+  }
+
   test("multimodal real decode round-trips synthesized PNG headers; non-images classify") {
     val docs = Multimodal.synthesizeImages(
       graft.Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -50,6 +50,80 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("dedupNearMinHash: multi-batch stream equals the batch LSH canonical on in-order arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // three near-dup clusters (exact dups + tail-perturbed variants),
+    // distinct singletons, and a null-text doc — ids in event-time order
+    val rows: Seq[(Long, Timestamp, String)] = Seq(
+      (0L, ts(100), base),
+      (1L, ts(101), "completely different content about spark catalyst optimizer rules"),
+      (2L, ts(102), base),                   // exact dup of 0
+      (3L, ts(103), base + " tail3"),        // near dup of 0
+      (4L, ts(104), "another unrelated document with its very own words entirely"),
+      (5L, ts(105), null),
+      (6L, ts(106), base + " tail6"),        // near dup of 0
+      (7L, ts(107), "completely different content about spark catalyst optimizer rules"),
+      (8L, ts(108), "yet more unrelated text that shares nothing with the others"),
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.dedupNearMinHash(docs, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      input.addData(rows.slice(0, 3): _*)
+      query.processAllAvailable()
+      input.addData(rows.slice(3, 6): _*)
+      query.processAllAvailable()
+      input.addData(rows.slice(6, 9): _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, canonical_id FROM neardup_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.MinHash
+        .nearDupCanonical(rows.toDF("doc_id", "event_time", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"stream must equal batch on in-order arrival\nstream $streamed\nbatch  $batch")
+      // non-vacuity: the equality must be exercised by real cross-batch
+      // claims, not an all-self-canonical corpus
+      assert(streamed(2L) == 0L && streamed(7L) == 1L, s"exact dups must fold: $streamed")
+      assert(streamed.count { case (id, c) => c != id } >= 3, s"too few dups: $streamed")
+      assert(streamed(5L) == 5L, "null-text doc must stay self-canonical")
+    } finally query.stop()
+  }
+
+  test("dedupNearMinHash: bucket state evicts past the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "some shared boilerplate text that repeats across far apart arrivals exactly"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.dedupNearMinHash(docs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_evict").outputMode("append").start()
+    try {
+      input.addData((0L, ts(1000), text))
+      query.processAllAvailable()
+      // far-future unrelated doc advances the watermark past 1000 + 10 min
+      input.addData((1L, ts(1000 + 7200), "unrelated words one two three four five six"))
+      query.processAllAvailable()
+      // next trigger fires doc 0's bucket timeouts (expired groups are
+      // evicted on a trigger where they receive no data)
+      input.addData((2L, ts(1000 + 7260), "still unrelated filler text seven eight nine ten"))
+      query.processAllAvailable()
+      // same text as doc 0 — its buckets were evicted, so it re-claims them
+      input.addData((3L, ts(1000 + 7320), text))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, canonical_id FROM neardup_evict")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(3L) == 3L,
+        s"doc 0's buckets must be forgotten past the horizon — got $got")
+      assert(got(0L) == 0L && got(1L) == 1L && got(2L) == 2L, got.toString)
+    } finally query.stop()
+  }
+
   test("windowed quality stats emit once the watermark passes the window") {
     val s = spark
     import s.implicits._
