@@ -104,6 +104,42 @@ object ScaleProbe {
 
     val (baseT, baseE) = timeAt(base)
     val (scaledT, scaledE) = timeAt(work)
+
+    // ---- adversarial-cardinality foreach arm ----------------------------
+    // 10k foreach tuples over the base corpus: the reference bounds match
+    // calls per trail at ~N+1 for N distinct foreach values PRESENT in the
+    // trail (src/match_traildb.c:596-608); TrailMatcher's early-break +
+    // distinct-value memo must reproduce that bound — calls and wall time
+    // must NOT scale with |@arr|. matchCalls is a JVM-wide adder, valid
+    // under local[*] only (which is how this probe runs).
+    val foreachProbe: String = try {
+      import graft.trck.LocalRunner.ForeachTuple
+      val prog = graft.trck.Compiled.compile(engine.TrckQueries.foreachProgram)
+      val nTrails = Tables.events(spark, base).select("user_id").distinct().count()
+      def run(nAbsent: Int): (Double, Double) = {
+        val tuples = (Vector("click", "purchase", "signup") ++
+          (0 until nAbsent).map(i => s"absent$i"))
+          .map(v => ForeachTuple(Vector(Left(v))))
+        graft.trck.TrailMatcher.matchCalls.reset()
+        val t0 = System.nanoTime()
+        engine.TrailEngine.emits(
+          prog, engine.TrckQueries.trailEvents(spark, base), "uuid", "ts_sec",
+          Seq("event_id"), foreachTuples = Some(tuples))
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, graft.trck.TrailMatcher.matchCalls.sum().toDouble / math.max(nTrails, 1L))
+      }
+      val (tSmall, cSmall) = run(13)    // 16 tuples
+      val (tBig, cBig) = run(9997)      // 10_000 tuples
+      def r2(v: Double) = math.round(v * 100) / 100.0
+      s""""foreach_probe":{"trails":$nTrails,"small_tuples":16,"small_sec":${r2(tSmall)},""" +
+        s""""small_calls_per_trail":${r2(cSmall)},"big_tuples":10000,"big_sec":${r2(tBig)},""" +
+        s""""big_calls_per_trail":${r2(cBig)}}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale-probe] foreach arm failed: $e")
+        s""""foreach_probe":{"error":"${e.getClass.getSimpleName}"}"""
+    }
     def js(m: Map[String, Double]) =
       probeQueries.flatMap(q => m.get(q).map(v => s""""$q":${math.round(v * 1000) / 1000.0}"""))
         .mkString("{", ",", "}")
@@ -119,7 +155,7 @@ object ScaleProbe {
       try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
       catch { case scala.util.control.NonFatal(_) => "unknown" }
     println(
-      s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,"errors":$errs}""")
+      s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,$foreachProbe,"errors":$errs}""")
     spark.stop()
   }
 }

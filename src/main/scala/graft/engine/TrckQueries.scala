@@ -19,7 +19,7 @@ object TrckQueries {
   /** events prepped for trail matching: uuid, epoch-second ts, event_type;
     * event_id kept as order tiebreak and dedup uniqueness.
     */
-  private def trailEvents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def trailEvents(s: SparkSession, dir: String): DataFrame =
     Tables
       .events(s, dir)
       .select(

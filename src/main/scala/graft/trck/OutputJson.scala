@@ -43,7 +43,40 @@ object OutputJson {
     m.map { case (k, v) => "\"" + esc(k) + "\":" + renderValue(v) }
       .mkString("{", ",", "}")
 
-  def render(outputs: Vector[mutable.LinkedHashMap[String, Any]], grouped: Boolean): String =
-    if (!grouped) renderOne(outputs.head)
-    else outputs.map(renderOne).mkString("[", ",\n", "]")
+  /** Driver-side render budget. Results are small by reference contract
+    * (per-tuple counters/set tallies — the reason the reference renders
+    * them in one buffer, src/results_json.c:233-295), but a pathological
+    * set-yield program over a wide lexicon can render gigabytes; rather
+    * than dying as an opaque driver OOM mid-string-build, [[render]]
+    * fails fast with a clear message once the rendered size crosses this
+    * bound. 256 MiB is ~100× the largest legitimate result the golden
+    * corpus produces; pass an explicit bound to raise it deliberately.
+    */
+  val DefaultMaxRenderBytes: Long = 256L << 20
+
+  def render(outputs: Vector[mutable.LinkedHashMap[String, Any]], grouped: Boolean,
+             maxRenderBytes: Long = DefaultMaxRenderBytes): String =
+    if (!grouped) {
+      val one = renderOne(outputs.head)
+      requireWithinBudget(one.length.toLong, maxRenderBytes)
+      one
+    } else {
+      val sb = new java.lang.StringBuilder("[")
+      var i = 0
+      while (i < outputs.length) {
+        if (i > 0) sb.append(",\n")
+        sb.append(renderOne(outputs(i)))
+        requireWithinBudget(sb.length.toLong, maxRenderBytes)
+        i += 1
+      }
+      sb.append("]").toString
+    }
+
+  private def requireWithinBudget(size: Long, maxRenderBytes: Long): Unit =
+    if (size > maxRenderBytes)
+      throw new IllegalStateException(
+        s"JSON result exceeds the ${maxRenderBytes}-byte render budget — results are " +
+          "driver-rendered (reference semantics: small per-tuple tallies); a set yield " +
+          "over a huge lexicon should aggregate through the relational engine instead, " +
+          "or pass a larger maxRenderBytes to OutputJson.render deliberately")
 }

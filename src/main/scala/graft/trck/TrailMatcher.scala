@@ -23,6 +23,16 @@ import LocalRunner.ForeachTuple
   */
 object TrailMatcher {
 
+  /** Local-mode instrumentation: total [[Fsm.matchTrail]] invocations made
+    * by [[processTrail]] — the quantity the reference bounds at ~N+1 per
+    * trail for N distinct foreach values present in the trail
+    * (src/match_traildb.c:596-608). A JVM-wide adder, so it is meaningful
+    * only under local[*] where every task shares the driver JVM; the
+    * ScaleProbe foreach arm resets and reads it around a run. One
+    * uncontended add per match call — negligible.
+    */
+  val matchCalls = new java.util.concurrent.atomic.LongAdder
+
   /** Run every foreach tuple over one trail. `saved` holds per-tuple
     * starting states (mutated copies are returned); `onResult(j, scratch)`
     * receives each tuple's yields (scratch may be shared across tuples —
@@ -69,6 +79,7 @@ object TrailMatcher {
     }
 
     def runOne(j: Int): (FsmState, Results, Boolean) = {
+      matchCalls.increment()
       val st = saved(j).copyOf()
       val scratch = new Results(prog)
       stats.reset()

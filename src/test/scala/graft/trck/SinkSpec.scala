@@ -141,4 +141,26 @@ class SinkSpec extends AnyFunSuite {
     def prefix(n: Long) = (0 until 8).map(i => f"${(n >> (8 * i)) & 0xff}%02x").mkString
     assert(hex(got) == prefix(m1.length.toLong / 2) + m1 + prefix(m2.length.toLong / 2) + m2)
   }
+
+  test("JSON render budget fails fast with a clear error, not a driver OOM") {
+    import scala.collection.mutable
+    def out(n: Int): mutable.LinkedHashMap[String, Any] =
+      mutable.LinkedHashMap[String, Any](
+        "n" -> 1L, "big" -> OutputJson.Mset(Vector.tabulate(n)(i => s"key$i" -> 1L)))
+    // within budget: renders normally (both shapes)
+    assert(OutputJson.render(Vector(out(3)), grouped = false).contains("\"key2\":1"))
+    assert(OutputJson.render(Vector(out(3), out(2)), grouped = true).startsWith("["))
+    // over budget: clear IllegalStateException naming the bound, in both
+    // the single-object and grouped-array shapes; the grouped path checks
+    // incrementally (per tuple), so the failure happens at ~the bound,
+    // not after building the whole oversized string
+    val e1 = intercept[IllegalStateException] {
+      OutputJson.render(Vector(out(1000)), grouped = false, maxRenderBytes = 64)
+    }
+    assert(e1.getMessage.contains("render budget"))
+    val e2 = intercept[IllegalStateException] {
+      OutputJson.render(Vector.fill(100)(out(100)), grouped = true, maxRenderBytes = 1024)
+    }
+    assert(e2.getMessage.contains("render budget"))
+  }
 }
