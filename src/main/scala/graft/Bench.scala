@@ -169,7 +169,7 @@ object Bench {
     // stamp the artifact with the commit it measured — SURVEY prose citing
     // probe/bench numbers is only checkable when runs are attributable
     val commit =
-      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
       catch { case scala.util.control.NonFatal(_) => "unknown" }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","corrected_total_sec":${num(correctedTotal)},"commit":"$commit","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},""" +

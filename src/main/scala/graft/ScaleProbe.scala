@@ -152,7 +152,7 @@ object ScaleProbe {
     // commit stamp: probe numbers quoted in SURVEY must be attributable
     // to the code state that produced them
     val commit =
-      try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
+      try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
       catch { case scala.util.control.NonFatal(_) => "unknown" }
     println(
       s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,$foreachProbe,"errors":$errs}""")

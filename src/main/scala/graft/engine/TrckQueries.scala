@@ -312,10 +312,14 @@ object TrckQueries {
       (s, dir) => {
         val prog = Compiled.compile(funnelProgram)
         val em = TrailEngine.emits(prog, trailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"))
-        TrailEngine
-          .countersByUuid(em)
-          .filter(col("dst") === "conv")
-          .agg(count(lit(1)).as("n_converted"))
+        // count CONVERTED uuids directly: counters only increment and the
+        // emit stream skips zeros, so "summed conv counter > 0" ≡ "any conv
+        // emission" ≡ distinct uuid over the filtered rows. This keeps the
+        // shuffle to the converted minority (map-side partial distinct)
+        // instead of countersByUuid's (uuid, dst) aggregation over every
+        // trail's counter rows — the fold that matters at 1000× trails.
+        em.filter(col("kind") === "c" && col("dst") === "conv")
+          .agg(countDistinct(col("uuid")).as("n_converted"))
       },
       Some(s"""
         WITH o AS (
@@ -342,10 +346,9 @@ object TrckQueries {
         val em = TrailEngine.emits(
           prog, preparedTrailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
           prepared = true)
-        TrailEngine
-          .countersByUuid(em)
-          .filter(col("dst") === "conv")
-          .agg(count(lit(1)).as("n_converted"))
+        // same converted-minority fold as m1_fsm_funnel (see its comment)
+        em.filter(col("kind") === "c" && col("dst") === "conv")
+          .agg(countDistinct(col("uuid")).as("n_converted"))
       },
       Some(s"""
         WITH o AS (

@@ -204,12 +204,16 @@ object TrainingDataQueries {
     // d_embed_cc_stars pins the closure); this composes them so the
     // 100×-safe shape is what a user gets by name. d_embed_cc /
     // d_embed_cc_stars stay as the exact-edge small-sf twins.
+    // planes=8 (256 buckets), not the pair query's 4: bucket count is
+    // the occupancy knob, and at the 30× probe scale 16 buckets all
+    // blow past the hot cap — the query would "scale" by degenerating
+    // to an edgeless no-op instead of doing bounded real work.
     Q(
       "d_embed_cc_lsh",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val edges = Similarity.quantizedLshPairsAbove(
-          emb, tNum = 7, tDen = 20, planes = 4)
+          emb, tNum = 7, tDen = 20, planes = 8)
         Dedup.connectedComponentsStars(emb.select("vec_id"), edges)
           .select(col("id").as("vec_id"), col("comp").as("component"))
           .orderBy("vec_id")
@@ -638,15 +642,19 @@ object TrainingDataQueries {
   }
 
   /** CTE chain qz→…→qe producing the quantized-LSH near-dup edge set of
-    * Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=4):
+    * Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=p):
     * integer-hyperplane buckets, hot-bucket policy, and the
     * cross-multiplied squared threshold compare, all in exact arithmetic.
-    * Shared by d_embed_neardup_quant_lsh (the pair set itself) and
-    * d_embed_cc_lsh (its transitive closure) so the two queries can only
-    * ever verify the same candidate graph.
+    * ONE template shared by d_embed_neardup_quant_lsh (planes=4, the pair
+    * set itself) and d_embed_cc_lsh (planes=8, its transitive closure) so
+    * the two queries can only ever verify the same edge DEFINITION; the
+    * plane count is the bucket-count sizing knob (2^planes buckets — the
+    * CC registration uses more so expected occupancy stays under the
+    * hot-bucket cap as the corpus grows; at 100 TB you would size planes
+    * ≈ log2(N/targetOccupancy)).
     */
-  private def quantLshEdgeCtes: String = {
-    val bucketExpr = quantBucketExpr(planes = 4)
+  private def quantLshEdgeCtes(planes: Int): String = {
+    val bucketExpr = quantBucketExpr(planes)
     val (tNum, tDen, maxBucket) = (7, 20, 1000)
     val (n2, d2) = (tNum * tNum, tDen * tDen)
     s"""qz AS (
@@ -674,15 +682,16 @@ object TrainingDataQueries {
   /** ≡ Similarity.quantizedLshPairsAbove(embeddings, 7/20, planes=4). */
   private def quantLshNearDupOracleSql: String =
     s"""
-      WITH $quantLshEdgeCtes
+      WITH ${quantLshEdgeCtes(planes = 4)}
       SELECT id_a, id_b FROM qe ORDER BY id_a, id_b"""
 
   /** ≡ the d_embed_cc_lsh closure: recursive-CTE transitive closure over
-    * the SAME quantized-LSH edge set, component label = min member id.
+    * the same quantized-LSH edge template at planes=8, component label =
+    * min member id.
     */
   private def quantLshCcOracleSql: String =
     s"""
-      WITH RECURSIVE $quantLshEdgeCtes,
+      WITH RECURSIVE ${quantLshEdgeCtes(planes = 8)},
       sym AS (SELECT id_a AS a, id_b AS b FROM qe
               UNION ALL SELECT id_b, id_a FROM qe),
       r(a, b) AS (
