@@ -252,6 +252,25 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       catch { case scala.util.control.NonFatal(_) => null }
 
+  /** Attach decoded metadata ONLY (REAL header parse, [[decodeImageMeta]]
+    * — no pixel decompression) to a DataFrame with a binary `blobCol`.
+    * The metadata pass a 100 TB media audit runs: use this when features
+    * aren't needed — [[decodeAndFeaturize]] pays the full pixel decode
+    * its hashes require.
+    */
+  def decodeMeta(df: DataFrame, blobCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add("meta", metaSchema)
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ decodeImageMeta(blob))
+      }
+    }(enc)
+  }
+
   /** Attach decoded metadata (REAL header parse, [[decodeImageMeta]]) and
     * REAL perceptual features to a DataFrame with a binary `blobCol`, in
     * batch shape via mapPartitions (rows streamed; per-partition setup —

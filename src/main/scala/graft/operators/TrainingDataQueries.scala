@@ -430,8 +430,10 @@ object TrainingDataQueries {
       (s, dir) => {
         val blobs = Multimodal.synthesizeImages(
           Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        // header-only decode: the metadata pass must not pay the pixel
+        // decompression the feature path (mm_features) requires
         Multimodal
-          .decodeAndFeaturize(blobs, "blob")
+          .decodeMeta(blobs, "blob")
           .select(
             col("doc_id"),
             col("meta.width").as("width"),

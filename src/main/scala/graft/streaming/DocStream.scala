@@ -112,9 +112,18 @@ object DocStream {
         graft.functions.ShingleHash64(col(textCol), k).as("__hs"))
       .as[(Long, java.sql.Timestamp, Array[Long])]
       .flatMap { case (id, ts, hs) =>
-        val bks = MinHash.bandKeysJvm(MinHash.signatureJvm(hs, h), bands)
-        bks.iterator.zipWithIndex.map { case (bk, band) =>
-          BucketMember(band, bk, id, ts)
+        // ShingleHash64 never returns an empty array for non-null text
+        // (< k tokens ⇒ one joined shingle), so this branch is
+        // unreachable today — but if the kernel ever changed, a signature
+        // of untouched Long.MaxValue sentinels would silently cluster
+        // every shingle-less doc into one bucket; dropping the doc's
+        // memberships is the visibly-safe failure
+        if (hs.isEmpty) Iterator.empty
+        else {
+          val bks = MinHash.bandKeysJvm(MinHash.signatureJvm(hs, h), bands)
+          bks.iterator.zipWithIndex.map { case (bk, band) =>
+            BucketMember(band, bk, id, ts)
+          }
         }
       }
       .withWatermark("ts", watermarkDelay)
