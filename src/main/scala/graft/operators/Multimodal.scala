@@ -242,15 +242,30 @@ object Multimodal {
     bits
   }
 
+  /** Decompression-bomb guard for [[readImage]]: the largest raster the
+    * feature path will allocate (64 Mpx ≈ 256 MB ARGB). A crafted PNG can
+    * declare enormous dimensions in a few hundred compressed bytes — THE
+    * classic crawl-corpus attack on an image pipeline — and
+    * `ImageIO.read` would faithfully allocate the full raster and OOM the
+    * executor. The header carries the dimensions, so the guard costs a
+    * header parse, not a decode.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Full pixel decode for the feature path — unlike [[decodeImageMeta]]'s
-    * header-only parse, features need the raster. Undecodable/null blobs
-    * return null (classify, never throw — crawl-corpus contract).
+    * header-only parse, features need the raster. Undecodable/null blobs,
+    * and blobs whose declared raster exceeds [[MaxDecodePixels]], return
+    * null (classify, never throw — crawl-corpus contract).
     */
   private def readImage(blob: Array[Byte]): java.awt.image.BufferedImage =
     if (blob == null || blob.isEmpty) null
     else
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-      catch { case scala.util.control.NonFatal(_) => null }
+      try {
+        val meta = decodeImageMeta(blob)
+        val (w, h) = (meta.getInt(0).toLong, meta.getInt(1).toLong)
+        if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Attach decoded metadata ONLY (REAL header parse, [[decodeImageMeta]]
     * — no pixel decompression) to a DataFrame with a binary `blobCol`.

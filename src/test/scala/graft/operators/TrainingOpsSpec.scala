@@ -424,6 +424,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tiny images take the point-sample fallback and still hash
     val tiny = Multimodal.luminanceGrid(img(5L, 4, 3), 8, 8)
     assert(tiny.length == 64 && tiny.forall(v => v >= 0 && v <= 255))
+    // decompression-bomb guard: a PNG declaring a raster past
+    // MaxDecodePixels must classify (null features), never allocate.
+    // Forge the dims in a real tiny PNG's IHDR (bytes 16-23 w/h,
+    // big-endian) — the header parse sees 1 Gpx, the guard refuses
+    // before ImageIO.read can try to build a 4 GB raster
+    val bomb = Multimodal.syntheticPng(9L, 10, 10).clone()
+    def put32(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    put32(16, 32768); put32(20, 32768)
+    // re-sign the IHDR chunk (type + 13 data bytes) so the header parse
+    // sees a VALID header with huge dims, not a CRC error
+    val crc = new java.util.zip.CRC32
+    crc.update(bomb, 12, 17)
+    put32(29, crc.getValue.toInt)
+    val s2 = spark
+    import s2.implicits._
+    val bombed = Multimodal.decodeAndFeaturize(
+      Seq((1L, bomb)).toDF("doc_id", "blob"), "blob")
+      .select(col("meta.width"), col("features")).head
+    assert(bombed.getInt(0) == 32768 && bombed.isNullAt(1),
+      "oversized raster must classify with null features, not allocate")
     // known fixture: hand-computable 2-level image — left half dark,
     // right half bright → aHash sets exactly the right-half bits;
     // dHash fires exactly at the dark→bright column boundary
