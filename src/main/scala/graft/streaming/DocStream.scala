@@ -70,8 +70,11 @@ object DocStream {
     * a stream row carries all of its doc's shingles, so the batch
     * operator's explode + aggregate shuffle would buy nothing — then ONE
     * stateful pass keyed by (band, bucket) assigns each member the
-    * bucket's first claimant (`flatMapGroupsWithState`, the TrailStream
-    * state shape), and a batch-local repartition + mapPartitions fold (a
+    * bucket's RUNNING-MIN member id (`flatMapGroupsWithState`, the
+    * TrailStream state shape; equal to the first arrival under in-order
+    * ids — an out-of-order smaller id lowers the claim for future rows
+    * but already-emitted rows are never retracted), and a batch-local
+    * repartition + mapPartitions fold (a
     * doc's B claims always share a micro-batch; a second STATEFUL op
     * downstream of flatMapGroupsWithState is both unnecessary and
     * rejected by Spark) reduces them to the per-doc min. State per bucket

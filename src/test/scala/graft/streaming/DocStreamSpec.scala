@@ -94,6 +94,46 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("dedupNearMinHash: documented stream semantics — first ARRIVAL claims, cap is prospective") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "a stable piece of shared text used by every document in this test"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    // maxBucket = 3: the cap trips cheaply
+    val query = DocStream.dedupNearMinHash(docs, watermarkDelay = "2 hours", maxBucket = 3)
+      .writeStream.format("memory").queryName("neardup_sem").outputMode("append").start()
+    try {
+      // OUT-OF-ORDER arrival: the higher id arrives in an earlier batch.
+      // Stream semantics: a bucket claims with its RUNNING MIN member id,
+      // so the already-emitted row for id 7 keeps canonical 7 (streams
+      // can't retract), while the later-arriving smaller id 2 becomes the
+      // bucket's min and claims itself — the one-sided divergence from
+      // the batch operator (which would fold 7 → 2 retroactively).
+      input.addData((7L, ts(100), text))
+      query.processAllAvailable()
+      input.addData((2L, ts(101), text))
+      query.processAllAvailable()
+      // prospective hot-bucket cap: these two arrivals push every shared
+      // bucket's running count past maxBucket=3 — from the batch where
+      // the count crosses the cap onward, the bucket claims nothing
+      input.addData((8L, ts(102), text))
+      query.processAllAvailable()
+      input.addData((9L, ts(103), text))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, canonical_id FROM neardup_sem")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(7L) == 7L && got(2L) == 2L,
+        s"running-min claim; earlier emissions are not retracted — got $got")
+      // doc 8 is the bucket's 3rd member (count 3 ≤ cap): claimed by the
+      // running min 2; doc 9 is the 4th (count 4 > cap): the bucket is
+      // hot, claims nothing, doc 9 stays self-canonical
+      assert(got(8L) == 2L, s"at-cap member folds to the running min — got $got")
+      assert(got(9L) == 9L, s"past-cap member must be unclaimed — got $got")
+    } finally query.stop()
+  }
+
   test("dedupNearMinHash: bucket state evicts past the watermark horizon") {
     val s = spark
     import s.implicits._
