@@ -122,4 +122,55 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!exchangeSchemas.exists(s => s.contains("text#") || s.contains("ptext#")),
       "chunk shuffles must carry fingerprints, not document bodies:\n" + exchangeSchemas.mkString("\n"))
   }
+
+  test("mm_features: narrow per-row pipeline — no join, no aggregate, no cartesian") {
+    // synthesize → decode → hash is mapPartitions chains; the ONLY wide
+    // operation should be the registered deterministic orderBy. A join or
+    // aggregate appearing here means someone re-shaped the feature path
+    // into a shuffle it does not need.
+    val df = SparkEntry.queries("mm_features")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+      "feature extraction must not join")
+    assert(opt.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty,
+      "feature extraction must not aggregate")
+    assert(!plan("mm_features").contains("CartesianProduct"))
+  }
+
+  test("d_embed_cc_lsh edge build: bucketed expansion only — no join at all in the kernel") {
+    // the registered production CC path must candidate-generate via the
+    // bucket mechanism. The registered query's own plan starts from the
+    // stars closure's eager checkpoints, so audit the edge KERNEL the
+    // query feeds it — whose plan must contain no join of any kind
+    // (pairs expand inside each bounded bucket group), let alone the
+    // cartesian the exact O(N²) kernel would show.
+    import org.apache.spark.sql.functions.col
+    val edges = graft.operators.Similarity.quantizedLshPairsAbove(
+      Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding")),
+      tNum = 7, tDen = 20, planes = 8)
+    val p = edges.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "the LSH edge kernel must not join:\n" + p.take(1500))
+    val schemas = "ReadSchema: [^\n]+".r.findAllIn(p).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("text")), schemas.mkString("\n"))
+  }
+
+  test("m1_fsm_funnel folds the converted minority: exactly one aggregate pair after the trail pass") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("m1_fsm_funnel")(spark, sfDir).queryExecution.executedPlan
+      val aggs = exec.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }
+      // countDistinct plans as partial/final (+ distinct expand stages) of
+      // ONE logical aggregation — at most 4 physical agg nodes; the old
+      // countersByUuid fold added a full (uuid, dst) aggregation pair on
+      // top, pushing this count up. The bound fails if that fold returns.
+      assert(aggs.nonEmpty && aggs.length <= 4,
+        s"funnel should fold once over the filtered conv stream, got ${aggs.length} agg nodes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
