@@ -473,6 +473,30 @@ object TrainingDataQueries {
       },
       Some(mmFeaturesOracleSql),
     ),
+    // The multimodal → similarity COMPOSITION, fully oracled: synthesized
+    // images → perceptual 64-cell luminance-grid features → quantized
+    // integer MIPS top-k over those feature vectors. Pins that the
+    // feature output really is a usable embedding-operator input (the
+    // stated point of emitting the grid), end-to-end across engines:
+    // DuckDB re-derives the grid from the LCG closed form, quantizes the
+    // identical float32 division (IEEE single division is deterministic),
+    // and ranks by exact integer dot products.
+    Q(
+      "mm_feature_ann",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") * 4 + 1).as("img_id"))
+        val feats = Multimodal
+          .decodeAndFeaturize(Multimodal.synthesizeImages(docs, "img_id"), "blob")
+          .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+        val queries = feats.filter(col("vec_id") < 5)
+        Similarity
+          .quantizedMipsTopK(feats, queries, k = 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(mmFeatureAnnOracleSql),
+    ),
     // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4
     // frames per blob, per-blob frame_idx from the generator. Frames are
     // compared as md5-of-hex (DuckDB cannot slice BLOBs, but hex strings
@@ -755,19 +779,16 @@ object TrainingDataQueries {
     * added as the signed long minimum so the packed hash lands in BIGINT
     * exactly like the JVM's Long.
     */
-  private def mmFeaturesOracleSql: String = {
+  /** Shared CTE chain d→lcg→px→lum→g8: documents → synthesized-image
+    * pixels (closed-form LCG) → integer luminance → 8×8 area-mean grid.
+    * Used by both mm_features (hash bits over the grid) and
+    * mm_feature_ann (the grid as a feature vector for retrieval).
+    */
+  private def mmGridCtes: String = {
     val M = "18446744073709551616" // 2^64
     val A = "6364136223846793005"  // syntheticPng LCG multiplier
     val C = "1442695040888963407"  // syntheticPng LCG increment
-    // CAST the SUM back down: DuckDB widens SUM(BIGINT) to HUGEINT, but
-    // the packed hash must compare as a 64-bit integer like the JVM Long
-    def packBits(cond: String, idx: String): String =
-      s"""CAST(SUM(CASE WHEN $cond THEN
-         |             CASE WHEN $idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-         |                  ELSE CAST(1 AS BIGINT) << CAST($idx AS INT) END
-         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
-    s"""
-      WITH RECURSIVE d AS (
+    s"""d AS (
         SELECT doc_id, CAST(doc_id * 4 + 1 AS HUGEINT) AS s,
                CAST(8 + (doc_id * 4 + 1) % 32 AS BIGINT) AS w,
                CAST(8 + ((doc_id * 4 + 1) // 3) % 32 AS BIGINT) AS h
@@ -796,7 +817,42 @@ object TrainingDataQueries {
         SELECT doc_id, (j * 8) // h AS gy, (i * 8) // w AS gx,
                SUM(lum) // COUNT(*) AS cell
         FROM lum GROUP BY doc_id, (j * 8) // h, (i * 8) // w
-      ),
+      )"""
+  }
+
+  /** ≡ the mm_feature_ann Spark pipeline: the g8 grid as a 64-dim float
+    * feature vector (cell/255 in float32 — IEEE single division, so both
+    * engines round identically), quantized floor(x·1e6), ranked by exact
+    * integer dot products (the quantizedMipsTopK contract).
+    */
+  private def mmFeatureAnnOracleSql: String =
+    s"""
+      WITH RECURSIVE $mmGridCtes,
+      fq AS (SELECT doc_id, gy * 8 + gx AS idx,
+                    CAST(floor(CAST(CAST(cell AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS qc
+             FROM g8),
+      vec AS (SELECT doc_id AS vec_id, list(qc ORDER BY idx) AS qv FROM fq GROUP BY doc_id),
+      qp AS (SELECT vec_id AS query_id, qv AS q_qv FROM vec WHERE vec_id < 5),
+      sc AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+                    CAST(list_sum(list_transform(range(1, 65),
+                      i -> qp.q_qv[i] * c.qv[i])) AS BIGINT) AS score
+             FROM vec c, qp WHERE c.vec_id <> qp.query_id),
+      rk AS (SELECT query_id, neighbor_id, score,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+             FROM sc)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+      FROM rk WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  private def mmFeaturesOracleSql: String = {
+    // CAST the SUM back down: DuckDB widens SUM(BIGINT) to HUGEINT, but
+    // the packed hash must compare as a 64-bit integer like the JVM Long
+    def packBits(cond: String, idx: String): String =
+      s"""CAST(SUM(CASE WHEN $cond THEN
+         |             CASE WHEN $idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |                  ELSE CAST(1 AS BIGINT) << CAST($idx AS INT) END
+         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+    s"""
+      WITH RECURSIVE $mmGridCtes,
       g9 AS (
         SELECT doc_id, (j * 8) // h AS gy, (i * 9) // w AS gx,
                SUM(lum) // COUNT(*) AS cell
