@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * (and optionally multi-probe neighbors). Corpus bucketing is a narrow
   * map; the join is an equi-join on the bucket id, turning O(N·Q) into
   * O(N·Q/2^bits) with recall traded for probes.
+  *
+  * NULL-vector contract (mirror of the text operators' null-text stance):
+  * every kernel drops rows whose vector column is NULL before its typed
+  * pass — a null embedding (e.g. `decodeAndFeaturize`'s features for an
+  * undecodable blob) joins no candidate set, scores against nothing, and
+  * stays its own connected component, instead of NPE-ing the task mid-job.
+  * This matches the SQL oracles by construction: NULL list comparisons
+  * and dot products are NULL, never admitted by any threshold or rank.
   */
 object Similarity {
 
@@ -56,13 +64,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .collect()
       .map { case (id, v) => (id, (v, norm(v))) }
     val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (sim, id) => (-sim, id) }
     val scored = broadcastHeapTopK[(Array[Float], Double), (Array[Float], Double), Double](
-      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
       q, k,
       prep = cv => (cv, norm(cv)),
       scoreOf = { case ((qv, nq), (cv, nc)) =>
@@ -142,6 +152,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, (v, norm(v))) }
@@ -233,6 +244,7 @@ object Similarity {
     val n2 = BigInt(tNum) * tNum
     val d2 = BigInt(tDen) * tDen
     val ds = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -290,6 +302,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val ds = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
     val side = spark.sparkContext.broadcast(
@@ -327,13 +340,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .collect()
       .map { case (id, v) => (id, quantizeChecked(v, scale)) }
     val worstFirst = Ordering.by[(Long, Long), (Long, Long)] { case (sc, id) => (-sc, id) }
     val scored = broadcastHeapTopK[Array[Long], Array[Long], Long](
-      corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
       q, k,
       prep = cv => quantizeChecked(cv, scale),
       scoreOf = { (qv, cq) =>
@@ -405,6 +420,7 @@ object Similarity {
     import spark.implicits._
     val nPlanes = planes
     val cb = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -413,6 +429,7 @@ object Similarity {
       }
       .toDF("neighbor_id", "c_q", "bucket")
     val qArr = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .collect()
@@ -483,11 +500,13 @@ object Similarity {
     import spark.implicits._
     val nPlanes = planes
     val cb = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, lshBucketJvm(v, nPlanes)) }
       .toDF("neighbor_id", "c_vec", "bucket")
     val qb = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, lshBucketJvm(v, nPlanes)) }
@@ -537,6 +556,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .orderBy("id")
@@ -591,11 +611,13 @@ object Similarity {
     val cb = spark.sparkContext.broadcast(cent)
 
     val cells = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (nearestCells(cb.value, v, 1)(0), id, v) }
       .toDF("cell", "neighbor_id", "c_vec")
     val probes = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) => nearestCells(cb.value, v, nProbe).map(c => (c, id, v)) }
@@ -631,6 +653,7 @@ object Similarity {
     val nPlanes = planes
     val w = Window.partitionBy("bucket")
     corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, lshBucketJvm(v, nPlanes)) }
@@ -678,6 +701,7 @@ object Similarity {
     val d2 = BigInt(tDen) * tDen
     val w = Window.partitionBy("bucket")
     corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -745,6 +769,7 @@ object Similarity {
     // deterministic seed centroids: quantized vectors of the nCells
     // lowest-id rows (a bounded ordered collect, like ivfCentroids' sample)
     val cent: Array[Array[Long]] = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .orderBy("id")
@@ -767,6 +792,7 @@ object Similarity {
     }
 
     val cells = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -775,6 +801,7 @@ object Similarity {
       }
       .toDF("cell", "neighbor_id", "c_q")
     val probes = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>

@@ -329,6 +329,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT cosine_similarity(a, b) FROM cos_probe").head.getDouble(0) == 1.0)
   }
 
+  test("null embedding rows are dropped by every similarity kernel, never NPE") {
+    val s = spark
+    import s.implicits._
+    // 5 real vectors + one null row — the shape decodeAndFeaturize emits
+    // for an undecodable blob composed into a retrieval stage
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val withNull = base.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val qs = withNull.filter(col("vec_id") < 2 || col("vec_id") === 99L)
+    // each family: runs clean, and id 99 appears as neither query nor
+    // neighbor in any result
+    def ids(df: org.apache.spark.sql.DataFrame, cols: String*): Set[Long] =
+      df.collect().flatMap(r => cols.map(c => r.getLong(r.fieldIndex(c)))).toSet
+    val brute = ids(Similarity.bruteForceTopK(withNull, qs, k = 2), "query_id", "neighbor_id")
+    val mips = ids(Similarity.quantizedMipsTopK(withNull, qs, k = 2), "query_id", "neighbor_id")
+    val pairs = ids(Similarity.exactPairsAbove(withNull, threshold = -1.0), "id_a", "id_b")
+    val qpairs = ids(Similarity.quantizedLshPairsAbove(withNull, 1, 100), "id_a", "id_b")
+    for ((got, name) <- Seq((brute, "brute"), (mips, "mips"), (pairs, "pairs"), (qpairs, "lsh-pairs")))
+      assert(!got.contains(99L), s"$name must drop the null-vector row, got $got")
+    // and the CC closure keeps the null-vector id as its own component
+    val cc = graft.operators.Dedup.connectedComponentsStars(
+      withNull.select("vec_id"),
+      Similarity.quantizedLshPairsAbove(withNull, 1, 100, planes = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(99L) == 99L, s"null-vector doc must stay self-canonical: $cc")
+  }
+
   test("JVM minhash kernels are bit-identical to the batch Column pipeline") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("text").isNotNull).limit(60)
