@@ -256,7 +256,9 @@ object Similarity {
     blockPairsDF[(Array[Long], Long)](ds, blocks, { (a, c) =>
       var d = 0L; var x = 0
       val qa = a._1; val qc = c._1
-      while (x < qa.length) { d += qa(x) * qc(x); x += 1 }
+      // common-prefix dot on mismatched dims (module NULL/dim contract)
+      val nx = math.min(qa.length, qc.length)
+      while (x < nx) { d += qa(x) * qc(x); x += 1 }
       d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(a._2) * c._2)
     })
   }
@@ -526,7 +528,10 @@ object Similarity {
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    // common-prefix dot on mismatched dims — the same documented contract
+    // as the native CosineSimilarity expression (zip semantics)
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
   private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
@@ -726,7 +731,9 @@ object Similarity {
             val (ida, qa, na, _) = items(x)
             val (idb, qb, nb, _) = items(y)
             var d = 0L; var i = 0
-            while (i < qa.length) { d += qa(i) * qb(i); i += 1 }
+            // common-prefix dot on mismatched dims (module contract)
+            val nd = math.min(qa.length, qb.length)
+            while (i < nd) { d += qa(i) * qb(i); i += 1 }
             if (d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(na) * nb))
               out += ((ida, idb))
             y += 1
@@ -785,7 +792,8 @@ object Similarity {
       var c = 0
       while (c < cs.length) {
         var d = 0L; var i = 0
-        while (i < q.length) { d += q(i) * cs(c)(i); i += 1 }
+        val nd = math.min(q.length, cs(c).length)
+        while (i < nd) { d += q(i) * cs(c)(i); i += 1 }
         dots(c) = d; c += 1
       }
       cs.indices.sortBy(c => (-dots(c), c)).take(n).toArray
