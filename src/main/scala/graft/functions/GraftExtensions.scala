@@ -39,6 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHash64(args(0), k)
       },
     ))
+    // perceptual image hashes over a binary blob column — the SQL face of
+    // Multimodal.decodeAndFeaturize's kernels (NULL on undecodable /
+    // oversized blobs; decode-per-row is the documented cost)
+    for ((name, gradient) <- Seq(("ahash64", false), ("dhash64", true)))
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[PerceptualHash64].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name takes exactly 1 argument (binary blob)")
+          PerceptualHash64(args(0), gradient)
+        },
+      ))
     // trck-format HLL sketch of a binary column → reference RLE-hex.
     // Spark's partial aggregation runs the register-max merge, so the SQL
     // form distributes exactly like the Column API one.

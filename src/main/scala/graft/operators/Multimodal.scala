@@ -257,7 +257,7 @@ object Multimodal {
     * and blobs whose declared raster exceeds [[MaxDecodePixels]], return
     * null (classify, never throw — crawl-corpus contract).
     */
-  private def readImage(blob: Array[Byte]): java.awt.image.BufferedImage =
+  private[graft] def readImage(blob: Array[Byte]): java.awt.image.BufferedImage =
     if (blob == null || blob.isEmpty) null
     else
       try {

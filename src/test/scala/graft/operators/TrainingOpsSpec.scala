@@ -413,6 +413,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.syntheticPng(7L, 12, 9)))
   }
 
+  test("ahash64/dhash64 SQL expressions match decodeAndFeaturize bit-for-bit; nulls classify") {
+    val s = spark
+    import s.implicits._
+    val blobs = Multimodal.synthesizeImages(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .limit(30).select(col("doc_id")), "doc_id")
+    val op = Multimodal.decodeAndFeaturize(blobs, "blob")
+      .select(col("doc_id"), col("ahash"), col("dhash"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    blobs.createOrReplaceTempView("ph_probe")
+    val sql = spark.sql("SELECT doc_id, ahash64(blob) AS a, dhash64(blob) AS d FROM ph_probe")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sql == op, "SQL expressions must emit the operator's exact bits")
+    // undecodable and null blobs evaluate to NULL, never throw
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    junk.createOrReplaceTempView("ph_junk")
+    val nulls = spark.sql("SELECT ahash64(blob), dhash64(blob) FROM ph_junk").collect()
+    assert(nulls.forall(r => r.isNullAt(0) && r.isNullAt(1)), nulls.mkString(","))
+  }
+
   test("perceptual hashes: deterministic, sensitive, Hamming-meaningful; gray path covered") {
     def img(seed: Long, w: Int = 24, h: Int = 16): java.awt.image.BufferedImage =
       javax.imageio.ImageIO.read(

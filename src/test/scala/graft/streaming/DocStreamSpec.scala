@@ -94,6 +94,56 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("dedupNearMinHash fuzz: random corpora × random batch splits ≡ batch (in-order)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // randomized corpora of near-dup families + singletons + nulls, cut at
+    // random micro-batch boundaries — the cross-batch bucket-state
+    // accounting is the risky part of the face, and a fixed corpus only
+    // exercises one path through it (the shape that found real bugs in
+    // the trail-stream fuzz arm)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val families = (0 until 3).map(f =>
+        (0 until 8).map(_ => s"fam$f word${rnd.nextInt(6)}").mkString(" "))
+      val n = 24 + rnd.nextInt(12)
+      val rows: Seq[(Long, Timestamp, String)] = (0 until n).map { i =>
+        val text = rnd.nextInt(10) match {
+          case 0 => null
+          case 1 | 2 | 3 => families(rnd.nextInt(families.length)) + s" tail${rnd.nextInt(3)}"
+          case 4 | 5 => families(rnd.nextInt(families.length))
+          case _ => (0 until 10).map(_ => s"uniq${i}w${rnd.nextInt(9)}").mkString(" ")
+        }
+        (i.toLong, ts(1000 + i), text)
+      }
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val docs = input.toDF().toDF("doc_id", "event_time", "text")
+      val sink = s"neardup_fuzz_$seed"
+      val query = DocStream.dedupNearMinHash(docs, watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        var off = 0
+        while (off < n) {
+          val take = 1 + rnd.nextInt(7)
+          input.addData(rows.slice(off, off + take): _*)
+          query.processAllAvailable()
+          off += take
+        }
+        val streamed = spark.sql(s"SELECT doc_id, canonical_id FROM $sink")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val batch = graft.operators.MinHash
+          .nearDupCanonical(rows.toDF("doc_id", "event_time", "text"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(streamed == batch,
+          s"seed $seed: stream != batch\nstream $streamed\nbatch  $batch")
+        // non-vacuity: every seed's corpus must actually fold some dups
+        assert(streamed.count { case (id, c) => c != id } >= 3,
+          s"seed $seed produced too few dups to be meaningful: $streamed")
+      } finally query.stop()
+    }
+  }
+
   test("dedupNearMinHash: documented stream semantics — first ARRIVAL claims, cap is prospective") {
     val s = spark
     import s.implicits._
