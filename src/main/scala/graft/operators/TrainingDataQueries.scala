@@ -497,6 +497,30 @@ object TrainingDataQueries {
       },
       Some(mmFeatureAnnOracleSql),
     ),
+    // Image-level dedup by perceptual hash, fully oracled: every doc
+    // renders the image of seed (doc_id % 50)·4+1 — ~10 docs share each
+    // exact image (the engineered-duplicate technique of d_passage_dup)
+    // — and canonical = min doc_id per ahash64. DuckDB re-derives the
+    // hash bits from the LCG closed form over the SAME seed mapping, so
+    // the dedup clusters hash-match end-to-end. Uses the SQL expression
+    // face (ahash64) — pinning expression, kernel, and grouping in one
+    // registered query.
+    Q(
+      "mm_image_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 50 * 4 + 1).as("img_id"))
+        val blobs = Multimodal.synthesizeImages(docs, "img_id")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ah")
+        blobs
+          .select(col("doc_id"),
+            graft.functions.PerceptualHash64.aHash(col("blob")).as("ah"))
+          .withColumn("canonical_id", min("doc_id").over(w))
+          .select(col("doc_id"), col("ah"), col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some(mmImageDedupOracleSql),
+    ),
     // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4
     // frames per blob, per-blob frame_idx from the generator. Frames are
     // compared as md5-of-hex (DuckDB cannot slice BLOBs, but hex strings
@@ -784,14 +808,16 @@ object TrainingDataQueries {
     * Used by both mm_features (hash bits over the grid) and
     * mm_feature_ann (the grid as a feature vector for retrieval).
     */
-  private def mmGridCtes: String = {
+  private def mmGridCtes: String = mmGridCtes("doc_id * 4 + 1")
+
+  private def mmGridCtes(seedExpr: String): String = {
     val M = "18446744073709551616" // 2^64
     val A = "6364136223846793005"  // syntheticPng LCG multiplier
     val C = "1442695040888963407"  // syntheticPng LCG increment
     s"""d AS (
-        SELECT doc_id, CAST(doc_id * 4 + 1 AS HUGEINT) AS s,
-               CAST(8 + (doc_id * 4 + 1) % 32 AS BIGINT) AS w,
-               CAST(8 + ((doc_id * 4 + 1) // 3) % 32 AS BIGINT) AS h
+        SELECT doc_id, CAST($seedExpr AS HUGEINT) AS s,
+               CAST(8 + ($seedExpr) % 32 AS BIGINT) AS w,
+               CAST(8 + (($seedExpr) // 3) % 32 AS BIGINT) AS h
         FROM documents
       ),
       lcg(n, a, b) AS (
@@ -843,14 +869,32 @@ object TrainingDataQueries {
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
       FROM rk WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  // CAST the SUM back down: DuckDB widens SUM(BIGINT) to HUGEINT, but
+  // the packed hash must compare as a 64-bit integer like the JVM Long
+  private def packBits(cond: String, idx: String): String =
+    s"""CAST(SUM(CASE WHEN $cond THEN
+       |             CASE WHEN $idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                  ELSE CAST(1 AS BIGINT) << CAST($idx AS INT) END
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
+
+  /** ≡ the mm_image_dedup Spark pipeline: seed (doc_id%50)·4+1 images,
+    * aHash bits from the LCG closed form, canonical = min doc_id per
+    * hash. ~10 docs share each exact image so the clusters are
+    * non-vacuous at every sf.
+    */
+  private def mmImageDedupOracleSql: String =
+    s"""
+      WITH RECURSIVE ${mmGridCtes("(doc_id % 50) * 4 + 1")},
+      m8 AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM g8 GROUP BY doc_id),
+      ah AS (SELECT g8.doc_id,
+               ${packBits("cell > mean", "gy * 8 + gx")} AS ahash
+             FROM g8 JOIN m8 ON g8.doc_id = m8.doc_id
+             GROUP BY g8.doc_id)
+      SELECT doc_id, ahash AS ah,
+             MIN(doc_id) OVER (PARTITION BY ahash) AS canonical_id
+      FROM ah ORDER BY doc_id"""
+
   private def mmFeaturesOracleSql: String = {
-    // CAST the SUM back down: DuckDB widens SUM(BIGINT) to HUGEINT, but
-    // the packed hash must compare as a 64-bit integer like the JVM Long
-    def packBits(cond: String, idx: String): String =
-      s"""CAST(SUM(CASE WHEN $cond THEN
-         |             CASE WHEN $idx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-         |                  ELSE CAST(1 AS BIGINT) << CAST($idx AS INT) END
-         |             ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin
     s"""
       WITH RECURSIVE $mmGridCtes,
       g9 AS (
