@@ -59,6 +59,27 @@ object DocStream {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming image dedup: keep the first arrival of each perceptual
+    * hash ([[graft.functions.PerceptualHash64]] `ahash64` — the same bits
+    * as the batch mm_image_dedup clusters), watermark-bounded like
+    * [[dedupByFingerprint]]. Blobs that don't decode (null / corrupt /
+    * decompression-bomb-guarded) hash to NULL and take a per-document
+    * sentinel instead — every undecodable blob is KEPT, mirroring the
+    * null-text contract, because "undecodable" is a classification, not
+    * an identity.
+    */
+  def dedupByImageHash(docs: DataFrame, blobCol: String = "blob",
+                       eventTimeCol: String = "event_time",
+                       watermarkDelay: String = "10 minutes",
+                       idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("img_fp",
+        coalesce(
+          graft.functions.PerceptualHash64.aHash(col(blobCol)).cast("string"),
+          concat(lit("undecodable:"), col(idCol).cast("string"))))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("img_fp")
+
   /** Cross-batch NEAR-duplicate dedup — the streaming face of
     * [[MinHash.nearDupCanonical]]: per doc, emit (id, canonical_id) where
     * canonical is the smallest doc id this doc shares any MinHash-LSH band

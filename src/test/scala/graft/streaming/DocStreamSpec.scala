@@ -94,6 +94,29 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming image dedup keeps first arrival per perceptual hash; undecodables all kept") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def png(seed: Long) = graft.operators.Multimodal.syntheticPng(seed, 16, 12)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val docs = input.toDF().toDF("doc_id", "event_time", "blob")
+    val query = DocStream.dedupByImageHash(docs)
+      .writeStream.format("memory").queryName("imgdedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(10), png(7)), (2L, ts(11), png(9)))
+      query.processAllAvailable()
+      // same image again (different doc), a new image, and TWO
+      // undecodable blobs — which must NOT dedup against each other
+      input.addData((3L, ts(12), png(7)), (4L, ts(13), png(11)),
+        (5L, ts(14), "junk".getBytes("UTF-8")), (6L, ts(15), null))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM imgdedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L, 5L, 6L),
+        s"duplicate image dropped, undecodable blobs all kept — got $ids")
+    } finally query.stop()
+  }
+
   test("dedupNearMinHash fuzz: random corpora × random batch splits ≡ batch (in-order)") {
     val s = spark
     import s.implicits._
