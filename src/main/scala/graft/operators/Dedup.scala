@@ -271,6 +271,88 @@ object Dedup {
         sum(when(col("__cnt").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
+  /** Content-defined chunk dedup stats — the insertion-robust counterpart
+    * of [[passageDupStats]]: chunk boundaries fall AFTER words whose
+    * md5-60 hash is ≡ 0 (mod `avgChunkWords`), so they are determined by
+    * CONTENT, not position. Insert a word near the top of a document and
+    * a fixed-stride passage split shifts every later chunk (nothing
+    * deduplicates any more); the CDC split re-synchronizes at the next
+    * boundary word and every later chunk is byte-identical again — the
+    * reason crawl pipelines chunk content-defined (spec-pinned property).
+    *
+    * Per doc the split is one sequential pass in a typed flatMap (CDC is
+    * inherently sequential; exploding words through a windowed cumulative
+    * sum would shuffle and sort EVERY WORD of the corpus — the typed
+    * kernel ships only 16-byte chunk fingerprints into the same two
+    * aggregations as passageDupStats). The md5 family keeps the boundary
+    * rule and fingerprints bit-reproducible in DuckDB; same output schema
+    * as passageDupStats: (id, n_chunks, n_dup_chunks), within-doc repeats
+    * included.
+    */
+  def cdcChunkStats(docs: DataFrame, avgChunkWords: Int = 8, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(avgChunkWords >= 2 && Integer.bitCount(avgChunkWords) == 1,
+      "avgChunkWords must be a power of two >= 2 (the boundary rule is a mask test)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mask = avgChunkWords - 1
+    val chunks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => cdcChunkHashes(t, mask).map(h => (id, h)) }
+      .toDF(idCol, "h")
+    val dup = chunks.groupBy("h").agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
+    chunks
+      .join(dup, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("__cnt").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  /** One sequential CDC pass: tokenize like the SQL side (sqlTrim +
+    * `\s+`, limit -1 — OpChecks contract), append each word to the open
+    * chunk, close it after a boundary word (md5-60(word) & mask == 0).
+    * Returns the md5 hex fingerprint of each chunk ("word word ..."),
+    * the trailing partial chunk included; "" yields one ""-word chunk.
+    */
+  private[graft] def cdcChunkHashes(text: String, mask: Int): Seq[String] = {
+    val words = OpChecks.sqlTrim(text).split("\\s+", -1)
+    val out = Seq.newBuilder[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < words.length) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(words(i))
+      if ((md5Hash60Jvm(words(i)) & mask) == 0L) {
+        out += md5Hex(sb.toString); sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0 || words.isEmpty) out += md5Hex(sb.toString)
+    out.result()
+  }
+
+  /** first 15 hex chars of md5 as a long — ≡ MinHash.md5Hash60 /
+    * DuckDB `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`
+    */
+  private def md5Hash60Jvm(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** 16-word boilerplate block `i` — the engineered duplicate passages for
     * the d_passage_dup oracle (the synthetic corpus's random texts share no
     * natural 16-word chunk, which would leave the dup arm vacuously zero;
@@ -325,6 +407,54 @@ object Dedup {
                         i -> md5(array_to_string(ws[i:i+15], ' ')))) AS h
           FROM w
         ),
+        d AS (SELECT h FROM c GROUP BY h HAVING COUNT(*) > 1)
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        FROM c LEFT JOIN d ON c.h = d.h
+        GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    ),
+    // Content-defined chunk dedup over the same engineered boilerplate
+    // prefixes as d_passage_dup — but chunk boundaries fall after
+    // content-determined boundary words, so blocks 0/2/3 (which contain
+    // boundary words) dedup their leading chunks corpus-wide while
+    // block 1 (no boundary word) shows the chunk-spans-into-the-doc
+    // case. The windowed cumulative sum in the oracle mirrors the
+    // kernel's sequential boundary scan exactly (md5-60 & mask parity).
+    Q(
+      "d_cdc_dup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("ptext", concat(
+            when(col("doc_id") % 4 === 0, boilerplate(0))
+              .when(col("doc_id") % 4 === 1, boilerplate(1))
+              .when(col("doc_id") % 4 === 2, boilerplate(2))
+              .otherwise(boilerplate(3)),
+            lit(" "), col("text")))
+        cdcChunkStats(docs, avgChunkWords = 8, textCol = "ptext").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN '${boilerplate(0)}'
+                   WHEN 1 THEN '${boilerplate(1)}'
+                   WHEN 2 THEN '${boilerplate(2)}'
+                   ELSE '${boilerplate(3)}' END || ' ' || text AS ptext
+          FROM documents WHERE text IS NOT NULL
+        ),
+        w AS (SELECT doc_id, string_split_regex(trim(ptext), '\\s+') AS ws FROM p),
+        t AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM w),
+        x AS (SELECT doc_id, pos, ws[pos] AS word,
+                     CASE WHEN CAST('0x' || substring(md5(ws[pos]), 1, 15) AS BIGINT) % 8 = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM t),
+        y AS (SELECT doc_id, pos, word,
+                     COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+              FROM x),
+        c AS (SELECT doc_id, cid, md5(string_agg(word, ' ' ORDER BY pos)) AS h
+              FROM y GROUP BY doc_id, cid),
         d AS (SELECT h FROM c GROUP BY h HAVING COUNT(*) > 1)
         SELECT c.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_chunks,

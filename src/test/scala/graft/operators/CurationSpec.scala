@@ -132,6 +132,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(independent, "ambiguous keys still share one sampling coin")
   }
 
+  test("cdcChunkStats: insertion-robust where fixed-stride passages are not") {
+    val s = spark
+    import s.implicits._
+    // a long shared tail; doc 2 = doc 1 with ONE word inserted up front.
+    // CDC must re-synchronize at the first boundary word after the
+    // insertion so the tail chunks deduplicate; a fixed 16-word stride
+    // shifts every chunk and finds zero duplication.
+    val tail = (0 until 120).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, tail),
+      (2L, s"inserted $tail"),
+      (3L, (0 until 60).map(i => s"other$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkStats(docs, avgChunkWords = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val passage = Dedup.passageDupStats(docs, w = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // passage split: the insertion shifts every 16-word window → no dups
+    assert(passage(1L)._2 == 0 && passage(2L)._2 == 0,
+      s"stride chunks should all shift: $passage")
+    // CDC split: most of the shared tail deduplicates despite the insertion
+    assert(cdc(1L)._2 > cdc(1L)._1 / 2,
+      s"CDC should dedup most of doc 1's chunks against doc 2: $cdc")
+    assert(cdc(2L)._2 >= cdc(1L)._2 - 1, s"and symmetrically for doc 2: $cdc")
+    assert(cdc(3L)._2 == 0, s"unrelated doc stays unique: $cdc")
+    // determinism
+    assert(Dedup.cdcChunkStats(docs, avgChunkWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap ==
+      cdc.map { case (k, v) => k -> v._2 })
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._
