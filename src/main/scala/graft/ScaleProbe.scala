@@ -32,7 +32,9 @@ object ScaleProbe {
     // for them — probe them at 10×/30× like everything else
     "c_repetition", "c_decontaminate", "c_decontaminate_bloom", "c_pii_scan",
     // r8 additions: passage-level dedup (explode-heavy) + mixing filter
-    "d_passage_dup", "c_source_sample")
+    "d_passage_dup", "c_source_sample",
+    // r9: content-defined chunking (typed sequential kernel per doc)
+    "d_cdc_dup")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -316,8 +316,11 @@ object Dedup {
     * chunk, close it after a boundary word (md5-60(word) & mask == 0).
     * Returns the md5 hex fingerprint of each chunk ("word word ..."),
     * the trailing partial chunk included; "" yields one ""-word chunk.
+    * ONE MessageDigest per call, reset between hashes — getInstance is a
+    * provider-registry lookup, and this runs twice per word.
     */
   private[graft] def cdcChunkHashes(text: String, mask: Int): Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val words = OpChecks.sqlTrim(text).split("\\s+", -1)
     val out = Seq.newBuilder[String]
     val sb = new java.lang.StringBuilder
@@ -325,24 +328,24 @@ object Dedup {
     while (i < words.length) {
       if (sb.length > 0) sb.append(' ')
       sb.append(words(i))
-      if ((md5Hash60Jvm(words(i)) & mask) == 0L) {
-        out += md5Hex(sb.toString); sb.setLength(0)
+      if ((md5Hash60Jvm(md, words(i)) & mask) == 0L) {
+        out += md5Hex(md, sb.toString); sb.setLength(0)
       }
       i += 1
     }
-    if (sb.length > 0 || words.isEmpty) out += md5Hex(sb.toString)
+    if (sb.length > 0 || words.isEmpty) out += md5Hex(md, sb.toString)
     out.result()
   }
 
   /** first 15 hex chars of md5 as a long — ≡ MinHash.md5Hash60 /
     * DuckDB `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`
     */
-  private def md5Hash60Jvm(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+  private def md5Hash60Jvm(md: java.security.MessageDigest, s: String): Long =
+    java.lang.Long.parseLong(md5Hex(md, s).substring(0, 15), 16)
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < d.length) {
