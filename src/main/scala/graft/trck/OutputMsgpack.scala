@@ -187,11 +187,22 @@ object OutputMsgpack {
     }
   }
 
-  def render(out: LocalRunner.RunOutput): Array[Byte] = {
+  def render(out: LocalRunner.RunOutput,
+             maxRenderBytes: Long = OutputJson.DefaultMaxRenderBytes): Array[Byte] = {
     val bos = new ByteArrayOutputStream(1024)
     val pk = new Packer(bos)
-    if (out.prog.groupbyVars.isEmpty || out.merged) packResult(pk, out.results.head)
-    else {
+    // same driver-side render budget as OutputJson (shared constant and
+    // error contract), checked per tuple — results are small by reference
+    // contract; a pathological set yield must fail clearly, not OOM
+    def check(): Unit =
+      if (bos.size() > maxRenderBytes)
+        throw new IllegalStateException(
+          s"msgpack result exceeds the ${maxRenderBytes}-byte render budget — results " +
+            "are driver-rendered (reference semantics: small per-tuple tallies); " +
+            "aggregate huge set yields through the relational engine instead")
+    if (out.prog.groupbyVars.isEmpty || out.merged) {
+      packResult(pk, out.results.head); check()
+    } else {
       pk.arrayHeader(out.tuples.length)
       out.tuples.zip(out.results).foreach { case (t, r) =>
         pk.mapHeader(2)
@@ -206,6 +217,7 @@ object OutputMsgpack {
             pk.arrayHeader(ss.length)
             ss.foreach(pk.str(_: String))
         }
+        check()
       }
     }
     bos.toByteArray

@@ -114,14 +114,21 @@ object OutputProto {
   }
 
   /** full stream: one 8-byte-LE-length-prefixed message per result row */
-  def render(out: LocalRunner.RunOutput, fieldNumsOpt: Option[Map[String, Int]] = None): Array[Byte] = {
+  def render(out: LocalRunner.RunOutput, fieldNumsOpt: Option[Map[String, Int]] = None,
+             maxRenderBytes: Long = OutputJson.DefaultMaxRenderBytes): Array[Byte] = {
     val fieldNums = fieldNumsOpt.getOrElse(defaultFieldNums(out.prog))
     val bos = new ByteArrayOutputStream(1024)
+    // same per-tuple driver-side render budget as OutputJson/OutputMsgpack
     def emit(msg: Array[Byte]): Unit = {
       val len = msg.length.toLong
       var i = 0
       while (i < 8) { bos.write(((len >> (8 * i)) & 0xff).toInt); i += 1 }
       bos.write(msg, 0, msg.length)
+      if (bos.size() > maxRenderBytes)
+        throw new IllegalStateException(
+          s"protobuf result exceeds the ${maxRenderBytes}-byte render budget — results " +
+            "are driver-rendered (reference semantics: small per-tuple tallies); " +
+            "aggregate huge set yields through the relational engine instead")
     }
     if (out.prog.groupbyVars.isEmpty || out.merged)
       emit(message(out.results.head, out.prog, Nil, fieldNums))

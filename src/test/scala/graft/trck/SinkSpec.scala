@@ -163,4 +163,18 @@ class SinkSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("render budget"))
   }
+
+  test("msgpack and protobuf renders enforce the same budget") {
+    val out = LocalRunner.run(Compiled.compile(program), Seq(db))
+    // normal render fits comfortably
+    assert(OutputMsgpack.render(out).nonEmpty)
+    assert(OutputProto.render(out).nonEmpty)
+    // a 4-byte budget trips on the same clear error
+    val em = intercept[IllegalStateException] { OutputMsgpack.render(out, maxRenderBytes = 4) }
+    assert(em.getMessage.contains("render budget"))
+    val ep = intercept[IllegalStateException] {
+      OutputProto.render(out, maxRenderBytes = 4)
+    }
+    assert(ep.getMessage.contains("render budget"))
+  }
 }
