@@ -274,7 +274,10 @@ object Dedup {
   /** Content-defined chunk dedup stats — the insertion-robust counterpart
     * of [[passageDupStats]]: chunk boundaries fall AFTER words whose
     * md5-60 hash is ≡ 0 (mod `avgChunkWords`), so they are determined by
-    * CONTENT, not position. Insert a word near the top of a document and
+    * CONTENT, not position. (Content-defined chunking is the published
+    * technique of Muthitacharoen et al., "A Low-bandwidth Network File
+    * System", SOSP'01 — Rabin-fingerprint boundaries — re-expressed here
+    * at word granularity with the md5-60 oracle family.) Insert a word near the top of a document and
     * a fixed-stride passage split shifts every later chunk (nothing
     * deduplicates any more); the CDC split re-synchronizes at the next
     * boundary word and every later chunk is byte-identical again — the
