@@ -218,8 +218,13 @@ object TrckQueries {
           .agg(
             HllAggregator.trckHllHex(encode(col("uuid"), "UTF-8")).as("hll_hex"),
             count(lit(1)).cast("long").as("n_exact"))
+        // null-safe (<=>) join: a NULL event_type group (kept by the
+        // oracle's GROUP BY) must re-join its aggregate row — Spark's
+        // equi-join would drop the NULL key and misreport n_exact=0
         ev.select("event_type").distinct()
-          .join(agged, Seq("event_type"), "left")
+          .join(agged.withColumnRenamed("event_type", "__et"),
+            col("event_type") <=> col("__et"), "left")
+          .drop("__et")
           .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
           .withColumn("within_tol",
             abs(coalesce(HllAggregator.estimateUdf(col("hll_hex")), lit(0.0)) - col("n_exact")) <=

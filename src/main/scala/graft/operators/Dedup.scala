@@ -318,7 +318,11 @@ object Dedup {
     * `\s+`, limit -1 — OpChecks contract), append each word to the open
     * chunk, close it after a boundary word (md5-60(word) & mask == 0).
     * Returns the md5 hex fingerprint of each chunk ("word word ..."),
-    * the trailing partial chunk included; "" yields one ""-word chunk.
+    * the trailing partial chunk included; an empty/whitespace-only text
+    * yields exactly one ""-word chunk REGARDLESS of mask (md5_60("") &
+    * mask happens to be 0 for mask 7 but not 63 — the trailing-emit
+    * guard below pins one chunk either way, so no doc ever vanishes
+    * from the per-doc accounting).
     * ONE MessageDigest per call, reset between hashes — getInstance is a
     * provider-registry lookup, and this runs twice per word.
     */
@@ -326,17 +330,18 @@ object Dedup {
     val md = java.security.MessageDigest.getInstance("MD5")
     val words = OpChecks.sqlTrim(text).split("\\s+", -1)
     val out = Seq.newBuilder[String]
+    var nChunks = 0
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < words.length) {
       if (sb.length > 0) sb.append(' ')
       sb.append(words(i))
       if ((md5Hash60Jvm(md, words(i)) & mask) == 0L) {
-        out += md5Hex(md, sb.toString); sb.setLength(0)
+        out += md5Hex(md, sb.toString); nChunks += 1; sb.setLength(0)
       }
       i += 1
     }
-    if (sb.length > 0 || words.isEmpty) out += md5Hex(md, sb.toString)
+    if (sb.length > 0 || nChunks == 0) out += md5Hex(md, sb.toString)
     out.result()
   }
 

@@ -39,9 +39,11 @@ object OutputJson {
     case other => "\"" + esc(other.toString) + "\""
   }
 
-  def renderOne(m: mutable.LinkedHashMap[String, Any]): String =
-    m.map { case (k, v) => "\"" + esc(k) + "\":" + renderValue(v) }
-      .mkString("{", ",", "}")
+  def renderOne(m: mutable.LinkedHashMap[String, Any]): String = {
+    val sb = new java.lang.StringBuilder
+    appendOne(sb, m, Long.MaxValue)
+    sb.toString
+  }
 
   /** Driver-side render budget. Results are small by reference contract
     * (per-tuple counters/set tallies — the reason the reference renders
@@ -49,27 +51,71 @@ object OutputJson {
     * set-yield program over a wide lexicon can render gigabytes; rather
     * than dying as an opaque driver OOM mid-string-build, [[render]]
     * fails fast with a clear message once the rendered size crosses this
-    * bound. 256 MiB is ~100× the largest legitimate result the golden
-    * corpus produces; pass an explicit bound to raise it deliberately.
+    * bound — checked INCREMENTALLY (per map entry and per Mset/array
+    * element), so even a single pathological ungrouped result stops at
+    * ~the bound instead of materializing first. The bound is measured in
+    * UTF-16 chars of the rendered string (≥ half the UTF-8 byte count,
+    * = it for the ASCII-dominated JSON the sinks emit) — an OOM
+    * pre-empter, not a wire-format quota. 256 MiB is ~100× the largest
+    * legitimate result the golden corpus produces; pass an explicit
+    * bound to raise it deliberately.
     */
   val DefaultMaxRenderBytes: Long = 256L << 20
 
   def render(outputs: Vector[mutable.LinkedHashMap[String, Any]], grouped: Boolean,
              maxRenderBytes: Long = DefaultMaxRenderBytes): String =
     if (!grouped) {
-      val one = renderOne(outputs.head)
-      requireWithinBudget(one.length.toLong, maxRenderBytes)
-      one
+      val sb = new java.lang.StringBuilder
+      appendOne(sb, outputs.head, maxRenderBytes)
+      sb.toString
     } else {
       val sb = new java.lang.StringBuilder("[")
       var i = 0
       while (i < outputs.length) {
         if (i > 0) sb.append(",\n")
-        sb.append(renderOne(outputs(i)))
-        requireWithinBudget(sb.length.toLong, maxRenderBytes)
+        appendOne(sb, outputs(i), maxRenderBytes)
         i += 1
       }
       sb.append("]").toString
+    }
+
+  private def appendOne(sb: java.lang.StringBuilder, m: mutable.LinkedHashMap[String, Any],
+                        maxRenderBytes: Long): Unit = {
+    sb.append('{')
+    var first = true
+    m.foreach { case (k, v) =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"').append(esc(k)).append("\":")
+      appendValue(sb, v, maxRenderBytes)
+      requireWithinBudget(sb.length.toLong, maxRenderBytes)
+    }
+    sb.append('}')
+  }
+
+  private def appendValue(sb: java.lang.StringBuilder, v: Any, maxRenderBytes: Long): Unit =
+    v match {
+      case Mset(es) =>
+        sb.append('{')
+        var first = true
+        es.foreach { case (k, c) =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"').append(esc(k)).append("\":").append(c)
+          requireWithinBudget(sb.length.toLong, maxRenderBytes)
+        }
+        sb.append('}')
+      case xs: Vector[_] =>
+        sb.append('[')
+        var first = true
+        xs.foreach { x =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append('"').append(esc(x.toString)).append('"')
+          requireWithinBudget(sb.length.toLong, maxRenderBytes)
+        }
+        sb.append(']')
+      case other => sb.append(renderValue(other))
     }
 
   private def requireWithinBudget(size: Long, maxRenderBytes: Long): Unit =

@@ -163,6 +163,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       cdc.map { case (k, v) => k -> v._2 })
   }
 
+  test("cdcChunkHashes: empty text yields exactly one chunk for every mask") {
+    // md5_60("") & 7 == 0 (boundary fires) but & 63 == 0x20 != 0 — before
+    // the trailing-emit guard an empty doc silently vanished at mask 63,
+    // breaking the one-row-per-doc accounting contract
+    for (mask <- Seq(1, 7, 63, 255)) {
+      val hs = Dedup.cdcChunkHashes("", mask)
+      assert(hs.length == 1, s"mask $mask: $hs")
+      // spaces only: SQL trim strips spaces, not tabs (a surviving tab
+      // splits into two empty words on BOTH the kernel and SQL sides)
+      assert(hs == Dedup.cdcChunkHashes("     ", mask),
+        s"space-only ≡ empty at mask $mask")
+    }
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._
