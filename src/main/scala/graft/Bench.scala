@@ -34,8 +34,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** bench_bands.json, parsed with Spark's shipped Jackson — no new deps. */
-  private def loadBands(path: String): Option[(String, Map[String, Double])] =
+  /** bench_bands.json, parsed with Spark's shipped Jackson — no new deps.
+    * Shared with [[ScaleProbe]], which arbitrates its base-arm readings
+    * against the same clean bands.
+    */
+  private[graft] def loadBands(path: String): Option[(String, Map[String, Double])] =
     try {
       val f = new java.io.File(path)
       if (!f.exists()) None
@@ -58,7 +61,7 @@ object Bench {
     * sub-second jitter on the cheap queries never triggers — the real
     * contamination events were multi-second, 2-10×.
     */
-  private def threshold(band: Double): Double = math.max(2 * band, band + 0.75)
+  private[graft] def threshold(band: Double): Double = math.max(2 * band, band + 0.75)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,11 +125,13 @@ object Bench {
     }
     // bound the arbitration pass: on a fully-contaminated run, re-measuring
     // every query re-measures inside the same contamination and triples the
-    // runtime for nothing — arbitrate the worst offenders by ratio and list
-    // the rest, which is already enough signal to classify the artifact
-    val MaxArbitrations = 16
+    // runtime for nothing. Up to 25 suspects every one gets arbitrated — the
+    // r9 artifact left 5 unarbitrated under a hard cap of 16 and the round's
+    // official number stayed unsettled; only beyond 25 (a run so polluted
+    // the reps would be polluted too) fall back to worst-16 + listing.
+    val cap = if (suspects.size <= 25) suspects.size else 16
     val (toArbitrate, overflow) =
-      suspects.sortBy { case (_, first, band) => -(first / band) }.splitAt(MaxArbitrations)
+      suspects.sortBy { case (_, first, band) => -(first / band) }.splitAt(cap)
     val arbitrated = toArbitrate.map { case (name, first, band) =>
       System.err.println(
         f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")

@@ -107,6 +107,102 @@ object ScaleProbe {
     val (baseT, baseE) = timeAt(base)
     val (scaledT, scaledE) = timeAt(work)
 
+    def rep(dir: String, name: String): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale-probe] $name rep failed at $dir: $e"); None
+      }
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+
+    // ---- arbitration 1: base arm vs the Bench clean bands ---------------
+    // A contaminated BASE reading silently corrupts every ratio (r9:
+    // d_passage_dup read 17.04@10× from one polluted shot, contradicted by
+    // its own 30× arm). The base dir is the same sf0.1 corpus Bench bands
+    // were recorded on, so the same suspect rule applies: first reading
+    // above max(2×band, band+0.75) → 3 in-process reps, min wins, verdict
+    // embedded. Base times used for ratios are the arbitrated minima.
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "bench_bands.json")
+    val bands = Bench.loadBands(bandsPath)
+    val bandMap =
+      if (bands.exists { case (sf, _) => new java.io.File(base.stripSuffix("/")).getName == sf })
+        bands.map(_._2).getOrElse(Map.empty[String, Double])
+      else Map.empty[String, Double]
+    val baseArb = scala.collection.mutable.LinkedHashMap[String, String]()
+    val baseUsed = scala.collection.mutable.LinkedHashMap[String, Double]() ++ baseT
+    baseT.foreach { case (name, first) =>
+      bandMap.get(name).filter(b => first > Bench.threshold(b)).foreach { band =>
+        System.err.println(f"[scale-probe] base $name: $first%.2f s vs band $band%.2f — 3 reps")
+        val reps = (0 until 3).flatMap(_ => rep(base, name))
+        val best = if (reps.nonEmpty) (first +: reps).min else first
+        val verdict =
+          if (reps.isEmpty) "reps_failed"
+          else if (reps.min <= Bench.threshold(band)) "contaminated" else "regression"
+        baseUsed(name) = best
+        baseArb(name) =
+          s"""{"first":${r3(first)},"band":${r3(band)},"reps":[${reps.map(r3).mkString(",")}],"min":${r3(best)},"verdict":"$verdict"}"""
+      }
+    }
+
+    // ---- arbitration 2: scaled arm vs the run's own ratio census --------
+    // No pre-recorded bands exist for a synthetic mult× corpus, but the run
+    // carries its own expectation: most probe queries are linear-shape and
+    // land in a tight ratio cluster (0.5–3.5 at 10–30× on 32 cores), so the
+    // MEDIAN ratio is a robust in-run baseline. Any first reading whose
+    // ratio exceeds max(3×median, 2.0) — with a 1 s absolute floor so
+    // sub-second jitter never triggers — gets 3 in-process reps and a
+    // verdict: min back inside ⇒ "noise" (environment), still outside ⇒
+    // "persistent_superlinear" ("quadratic_by_design" for the two exact
+    // O(N²) oracle twins, whose super-linear ratio is the documented
+    // contract, not a finding). Headline ratios use the arbitrated minima.
+    val quadByDesign = Set("d_embed_cc", "d_embed_cc_stars")
+    val firstRatios = probeQueries.flatMap { q =>
+      for (b <- baseUsed.get(q); s <- scaledT.get(q) if b > 0) yield q -> s / b
+    }.toMap
+    val medianRatio = {
+      val rs = firstRatios.values.toSeq.sorted
+      if (rs.isEmpty) 1.0
+      else if (rs.size % 2 == 1) rs(rs.size / 2)
+      else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
+    }
+    val ratioThreshold = math.max(3 * medianRatio, 2.0)
+    val scaledArb = scala.collection.mutable.LinkedHashMap[String, String]()
+    val scaledUsed = scala.collection.mutable.LinkedHashMap[String, Double]() ++ scaledT
+    firstRatios.toSeq.sortBy(-_._2).foreach { case (name, fr) =>
+      val first = scaledT(name)
+      if (fr > ratioThreshold && first > 1.0) {
+        System.err.println(
+          f"[scale-probe] scaled $name: ratio $fr%.2f vs threshold $ratioThreshold%.2f — 3 reps")
+        val reps = (0 until 3).flatMap(_ => rep(work, name))
+        val best = if (reps.nonEmpty) (first +: reps).min else first
+        val minRatio = best / baseUsed(name)
+        val verdict =
+          if (reps.isEmpty) "reps_failed"
+          else if (minRatio <= ratioThreshold) "noise"
+          else if (quadByDesign(name)) "quadratic_by_design"
+          else "persistent_superlinear"
+        scaledUsed(name) = best
+        scaledArb(name) =
+          s"""{"first":${r3(first)},"first_ratio":${r2(fr)},"reps":[${reps.map(r3).mkString(",")}],""" +
+            s""""min":${r3(best)},"min_ratio":${r2(minRatio)},"verdict":"$verdict"}"""
+      }
+    }
+
+    // ---- persisted-layout storage witness -------------------------------
+    // If the prepared trail layout no longer fits executor storage at mult×,
+    // m1_fsm_count_prepared pays recompute/disk-read per query — a genuine
+    // scale finding, not noise. Report what the block manager actually holds
+    // so a persistent super-linear prepared ratio is explainable from the
+    // artifact alone.
+    val preparedStorage = spark.sparkContext.getRDDStorageInfo.toSeq
+      .sortBy(-_.memSize).headOption.map { i =>
+        s""""prepared_storage":{"name":"${i.name.replace("\"", "")}","cached_partitions":${i.numCachedPartitions},""" +
+          s""""total_partitions":${i.numPartitions},"mem_mb":${i.memSize / (1 << 20)},"disk_mb":${i.diskSize / (1 << 20)}}"""
+      }.getOrElse(""""prepared_storage":null""")
+
     // ---- adversarial-cardinality foreach arm ----------------------------
     // 10k foreach tuples over the base corpus: the reference bounds match
     // calls per trail at ~N+1 for N distinct foreach values PRESENT in the
@@ -142,12 +238,15 @@ object ScaleProbe {
         System.err.println(s"[scale-probe] foreach arm failed: $e")
         s""""foreach_probe":{"error":"${e.getClass.getSimpleName}"}"""
     }
-    def js(m: Map[String, Double]) =
-      probeQueries.flatMap(q => m.get(q).map(v => s""""$q":${math.round(v * 1000) / 1000.0}"""))
+    def js(m: collection.Map[String, Double]) =
+      probeQueries.flatMap(q => m.get(q).map(v => s""""$q":${r3(v)}"""))
         .mkString("{", ",", "}")
+    // headline ratios from the arbitrated minima; the raw single-shot pair
+    // is still in "base"/"scaled" and every re-measured reading is under
+    // the arbitration blocks, so the artifact carries its own audit trail
     val ratios = probeQueries.flatMap { q =>
-      for (b <- baseT.get(q); s <- scaledT.get(q) if b > 0)
-        yield s""""$q":${math.round(s / b * 100) / 100.0}"""
+      for (b <- baseUsed.get(q); s <- scaledUsed.get(q) if b > 0)
+        yield s""""$q":${r2(s / b)}"""
     }.mkString("{", ",", "}")
     val errs = (baseE.map { case (k, v) => s""""base:$k":"$v"""" } ++
       scaledE.map { case (k, v) => s""""scaled:$k":"$v"""" }).mkString("{", ",", "}")
@@ -156,8 +255,24 @@ object ScaleProbe {
     val commit =
       try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
       catch { case scala.util.control.NonFatal(_) => "unknown" }
-    println(
-      s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseT)},"scaled":${js(scaledT)},"ratio":$ratios,$foreachProbe,"errors":$errs}""")
+    val json =
+      s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseUsed)},"scaled":${js(scaledUsed)},"ratio":$ratios,""" +
+        s""""base_first":${js(baseT)},"scaled_first":${js(scaledT)},""" +
+        s""""median_ratio":${r2(medianRatio)},"ratio_threshold":${r2(ratioThreshold)},""" +
+        s""""base_arbitrated":${baseArb.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +
+        s""""scaled_arbitrated":${scaledArb.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +
+        s"""$preparedStorage,$foreachProbe,"errors":$errs}"""
+    // file first (Bench's lesson): a truncated stdout capture must not
+    // lose the artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "probe_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale-probe] could not write $outPath: $e")
+    }
+    println(json)
     spark.stop()
   }
 }
