@@ -323,6 +323,190 @@ object Multimodal {
     }(enc)
   }
 
+  /** One GIF sequence writer + output buffer, reused across a partition's
+    * rows (the [[PngEncoder]] pattern for the animated fixture). NOT
+    * thread-safe; one instance per task.
+    */
+  final class GifEncoder {
+    private val writer = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(it.hasNext, "JDK GIF writer missing")
+      it.next()
+    }
+    private val buf = new java.io.ByteArrayOutputStream(4096)
+    def encode(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      buf.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally ios.close()
+      buf.toByteArray
+    }
+  }
+
+  /** One deterministic gray frame: LCG bytes written DIRECTLY into the
+    * raster (`setSample`), not through `setRGB` — the RGB path runs the
+    * JDK's gray ICC conversion, which is deterministic but not
+    * SQL-re-derivable; raw samples are, and a gray GIF palette round-trips
+    * them exactly (decoded pixel (v,v,v) has integer luminance
+    * (77+151+28)·v/256 = v). Pixel (i,j) row-major uses the (j·w+i+1)-th
+    * LCG state's bits 40..47.
+    */
+  def syntheticGifFrame(seed: Long, width: Int, height: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var x = seed
+    var j = 0
+    while (j < height) {
+      var i = 0
+      while (i < width) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        raster.setSample(i, j, 0, ((x >>> 40) & 0xff).toInt)
+        i += 1
+      }
+      j += 1
+    }
+    img
+  }
+
+  /** Attach a deterministic multi-frame (animated) GIF per row: 2–4 gray
+    * frames of `(8 + id%9) × (8 + (id/3)%9)` pixels, frame k seeded
+    * `(id+1)·1000003 + k` — every parameter SQL-derivable so the
+    * frame-decode oracle recomputes each frame's pixels from the LCG
+    * closed form. Fixture generator for [[decodeFrames]]' real-decode
+    * round-trip, in the same per-partition-encoder batch shape as
+    * [[synthesizeImages]].
+    */
+  def synthesizeGifs(df: DataFrame, idCol: String, blobCol: String = "blob"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(blobCol, BinaryType)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val getId: Row => Long = inSchema.fields(idIdx).dataType match {
+      case LongType    => _.getLong(idIdx)
+      case IntegerType => _.getInt(idIdx).toLong
+      case ShortType   => _.getShort(idIdx).toLong
+      case ByteType    => _.getByte(idIdx).toLong
+      case dt => throw new IllegalArgumentException(
+        s"$idCol must be an integral type (got ${dt.simpleString})")
+    }
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val gif = new GifEncoder // per-partition codec setup
+      rows.map { r =>
+        val id = getId(r)
+        val w = (8 + id % 9).toInt
+        val h = (8 + (id / 3) % 9).toInt
+        val frames = (0 until (2 + id % 3).toInt)
+          .map(k => syntheticGifFrame((id + 1) * 1000003L + k, w, h))
+        Row.fromSeq(r.toSeq :+ gif.encode(frames))
+      }
+    }(enc)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", LongType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame_ahash", LongType),
+    StructField("n_frames", IntegerType),
+  ))
+
+  /** REAL multi-frame decode: open the container once per blob with
+    * javax.imageio, enumerate its frames, decode each frame's raster and
+    * emit one row per frame with its dimensions and 64-bit perceptual
+    * aHash (`kind = "frame"`). The guards a crawl corpus forces:
+    *
+    *   - the [[MaxDecodePixels]] decompression-bomb check runs PER FRAME
+    *     from the frame header, before its raster is allocated — an
+    *     animated container can hide one enormous frame behind small ones
+    *     (`kind = "oversize"`, dims reported, no decode paid);
+    *   - a frame that throws mid-decode (truncated stream) classifies as
+    *     `kind = "corrupt"` and stops the frame loop — never the task;
+    *   - a blob no installed reader recognizes falls back to the honest
+    *     byte-slice sampler ([[frameSample]]'s contract: every
+    *     `sliceEveryNth`-th `sliceBytes` slice, `frame_idx` = source slice
+    *     ordinal, `kind = "slice"`, null dims/hash) so undecodable rows
+    *     still flow through the same schema;
+    *   - null/empty blobs emit no rows.
+    *
+    * Per-frame fanout is bounded by `maxFrames`; `n_frames` carries the
+    * container's true frame count so truncation is visible. Runs in the
+    * mapPartitions batch shape — one reader/stream per row, rows streamed,
+    * frame lists bounded, nothing partition-wide materialized.
+    */
+  def decodeFrames(df: DataFrame, blobCol: String, maxFrames: Int = 8,
+                   sliceEveryNth: Int = 4, sliceBytes: Int = 1024): DataFrame = {
+    require(maxFrames >= 1 && sliceEveryNth >= 1 && sliceBytes >= 1)
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ frameSchema.fields)
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.get(blobIdx).asInstanceOf[Array[Byte]]
+        if (blob == null || blob.isEmpty) Iterator.empty
+        else {
+          val frames = decodeFrameRows(blob, maxFrames, sliceEveryNth, sliceBytes)
+          frames.iterator.map(f => Row.fromSeq(r.toSeq ++ f.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** The per-blob frame loop of [[decodeFrames]], returning bounded
+    * frame-column rows (see [[frameSchema]]). Separated so specs can pin
+    * the classification contract without a Spark job.
+    */
+  private[graft] def decodeFrameRows(blob: Array[Byte], maxFrames: Int,
+                                     sliceEveryNth: Int, sliceBytes: Int): Vector[Row] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) {
+        // undecodable → byte-slice fallback, frameSample's slicing contract
+        val nSlices = (blob.length + sliceBytes - 1) / sliceBytes
+        val lastIdx = math.min(nSlices - 1, (maxFrames - 1) * sliceEveryNth)
+        (0 to lastIdx by sliceEveryNth).iterator
+          .map(k => Row(k.toLong, "slice", null, null, null, null)).toVector
+      } else {
+        val rd = readers.next()
+        try {
+          rd.setInput(iis)
+          val n = rd.getNumImages(true)
+          val out = Vector.newBuilder[Row]
+          var k = 0
+          var corrupt = false
+          while (k < math.min(n, maxFrames) && !corrupt) {
+            out += (try {
+              val w = rd.getWidth(k); val h = rd.getHeight(k)
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
+                Row(k.toLong, "oversize", w, h, null, n)
+              else {
+                val g8 = luminanceGrid(rd.read(k), 8, 8)
+                Row(k.toLong, "frame", w, h, aHash(g8), n)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                corrupt = true
+                Row(k.toLong, "corrupt", null, null, null, n)
+            })
+            k += 1
+          }
+          out.result()
+        } finally rd.dispose()
+      }
+    } catch {
+      // container so broken even enumeration throws: classify the blob
+      case scala.util.control.NonFatal(_) => Vector(Row(0L, "corrupt", null, null, null, null))
+    } finally iis.close()
+  }
+
   /** Frame-sample stub for video-like blobs: every nth 1 KiB slice as a
     * "frame" (one row per frame — the exploding-fanout shape a real frame
     * sampler has; fanout bounded by maxFrames). Pure column expressions

@@ -554,6 +554,28 @@ object TrainingDataQueries {
                CAST(len(substring(hx, frame_idx * 2048 + 1, 2048)) // 2 AS BIGINT) AS frame_len
         FROM i ORDER BY doc_id, frame_idx"""),
     ),
+    // REAL multi-frame decode end-to-end: deterministic 2–4-frame animated
+    // GIFs per doc (gray LCG rasters written sample-direct, so the gray
+    // GIF palette round-trips them exactly), decoded frame-by-frame with
+    // javax.imageio, per-frame dims + perceptual aHash. DuckDB re-derives
+    // every frame's pixels from the LCG closed form (frame k of doc d
+    // seeds (d+1)·1000003+k) and recomputes the identical grid/mean/
+    // threshold hash — a codec round-trip per FRAME, not per blob. The
+    // per-frame decompression-bomb guard and the byte-slice fallback for
+    // undecodable blobs are spec-covered (MultimodalSpec).
+    Q(
+      "mm_frame_decode",
+      (s, dir) => {
+        val blobs = Multimodal.synthesizeGifs(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Multimodal
+          .decodeFrames(blobs, "blob")
+          .select(col("doc_id"), col("frame_idx"), col("kind"),
+            col("width"), col("height"), col("frame_ahash"), col("n_frames"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(mmFrameDecodeOracleSql),
+    ),
   )
 
   // --------------------------------------------- generated md5-family SQL
@@ -893,6 +915,65 @@ object TrainingDataQueries {
       SELECT doc_id, ahash AS ah,
              MIN(doc_id) OVER (PARTITION BY ahash) AS canonical_id
       FROM ah ORDER BY doc_id"""
+
+  /** ≡ the mm_frame_decode Spark pipeline: per doc, nf = 2 + d%3 frames of
+    * (8 + d%9)×(8 + (d//3)%9) gray pixels; frame k's pixel stream is the
+    * LCG from seed (d+1)·1000003+k in closed form x_n = a_n·s + b_n
+    * (mod 2^64), value = bits 40..47; gray decode makes luminance ≡ the
+    * sample byte, then the same floor-partition 8×8 grid, floor-mean and
+    * strict-> threshold as the JVM kernel. Max raster is 16×16 so the
+    * coefficient CTE stops at 256 states.
+    */
+  private def mmFrameDecodeOracleSql: String = {
+    val M = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    s"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(2 + doc_id % 3 AS BIGINT) AS nf,
+               CAST(8 + doc_id % 9 AS BIGINT) AS w,
+               CAST(8 + (doc_id // 3) % 9 AS BIGINT) AS h
+        FROM documents
+      ),
+      fr AS (
+        SELECT doc_id, nf, w, h, CAST(unnest(range(0, nf)) AS BIGINT) AS k FROM d
+      ),
+      fs AS (
+        SELECT doc_id, nf, w, h, k,
+               CAST((doc_id + 1) * 1000003 + k AS HUGEINT) AS s
+        FROM fr
+      ),
+      lcg(n, a, b) AS (
+        SELECT 1, CAST($A AS HUGEINT), CAST($C AS HUGEINT)
+        UNION ALL
+        SELECT n + 1, (a * $A) % $M, (b * $A + $C) % $M
+        FROM lcg WHERE n < 256
+      ),
+      px AS (
+        SELECT fs.doc_id, fs.k, fs.nf, fs.w, fs.h,
+               CAST((l.n - 1) % fs.w AS BIGINT) AS i,
+               CAST((l.n - 1) // fs.w AS BIGINT) AS j,
+               CAST(((l.a * fs.s + l.b) % $M) // 1099511627776 % 256 AS BIGINT) AS v
+        FROM fs JOIN lcg l ON l.n <= fs.w * fs.h
+      ),
+      g8 AS (
+        SELECT doc_id, k, nf, w, h, (j * 8) // h AS gy, (i * 8) // w AS gx,
+               SUM(v) // COUNT(*) AS cell
+        FROM px GROUP BY doc_id, k, nf, w, h, (j * 8) // h, (i * 8) // w
+      ),
+      m8 AS (SELECT doc_id, k, SUM(cell) // 64 AS mean FROM g8 GROUP BY doc_id, k),
+      ah AS (
+        SELECT g8.doc_id, g8.k, MAX(g8.w) AS w, MAX(g8.h) AS h, MAX(g8.nf) AS nf,
+               ${packBits("cell > mean", "gy * 8 + gx")} AS ahash
+        FROM g8 JOIN m8 ON g8.doc_id = m8.doc_id AND g8.k = m8.k
+        GROUP BY g8.doc_id, g8.k
+      )
+      SELECT doc_id, k AS frame_idx, 'frame' AS kind,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             ahash AS frame_ahash, CAST(nf AS INT) AS n_frames
+      FROM ah ORDER BY doc_id, frame_idx"""
+  }
 
   private def mmFeaturesOracleSql: String = {
     s"""

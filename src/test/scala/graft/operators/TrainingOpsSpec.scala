@@ -210,6 +210,90 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(blobs.repartition(7)) == out)
   }
 
+  test("multi-frame GIF decode: exact round-trip, slice fallback, bomb guard, corrupt classify") {
+    val s = spark
+    import s.implicits._
+    // round-trip: every synthesized frame decodes back to EXACTLY the
+    // aHash of the raster that was encoded (gray palette is lossless)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(30).select(col("doc_id"))
+    val out = Multimodal.decodeFrames(Multimodal.synthesizeGifs(docs, "doc_id"), "blob")
+      .select(col("doc_id"), col("frame_idx"), col("kind"), col("width"),
+        col("height"), col("frame_ahash"), col("n_frames"))
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.size == 30)
+    byDoc.foreach { case (id, rows) =>
+      val nf = (2 + id % 3).toInt
+      val (w, h) = ((8 + id % 9).toInt, (8 + (id / 3) % 9).toInt)
+      assert(rows.length == nf && rows.forall(_.getString(2) == "frame"))
+      assert(rows.forall(r => r.getInt(3) == w && r.getInt(4) == h && r.getInt(6) == nf))
+      rows.foreach { r =>
+        val k = r.getLong(1)
+        // expectation from the RAW LCG bytes (what the oracle derives) —
+        // NOT getRGB over the gray source image, whose color model runs
+        // the ICC gray→sRGB conversion; the decoded GIF palette returns
+        // the raw samples, which is the whole point of the fixture
+        val sums = new Array[Long](64); val counts = new Array[Long](64)
+        var x = (id + 1) * 1000003L + k
+        for (j <- 0 until h; i <- 0 until w) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          val c = (j * 8 / h) * 8 + i * 8 / w
+          sums(c) += (x >>> 40) & 0xff; counts(c) += 1
+        }
+        val expected = Multimodal.aHash(
+          Array.tabulate(64)(c => sums(c) / counts(c)))
+        assert(r.getLong(5) == expected, s"doc $id frame $k hash drift")
+      }
+    }
+    // undecodable blob → byte-slice fallback rows in the same schema
+    // (frameSample's stride contract), null/empty blobs → no rows
+    val junk = Seq(
+      (1L, Array.fill[Byte](2560)(7)),
+      (2L, null: Array[Byte]),
+      (3L, Array.emptyByteArray),
+    ).toDF("doc_id", "blob")
+    val slices = Multimodal.decodeFrames(junk, "blob", maxFrames = 3, sliceEveryNth = 2)
+      .select(col("doc_id"), col("frame_idx"), col("kind"), col("width")).collect()
+    assert(slices.forall(r => r.getLong(0) == 1L && r.getString(2) == "slice" && r.isNullAt(3)))
+    assert(slices.map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L))
+    // decompression bomb: patch a real GIF's logical-screen + image
+    // descriptor dims (little-endian u16) to 65535×65535 ≈ 4.3 Gpx — the
+    // per-frame header guard must classify "oversize" without decoding
+    val (bw, bh) = (9, 8)
+    val bomb = {
+      val g = new Multimodal.GifEncoder()
+        .encode(Seq(Multimodal.syntheticGifFrame(5L, bw, bh))).clone()
+      def le16(v: Int) = ((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      // logical screen descriptor dims at offsets 6..9
+      g(6) = 0xff.toByte; g(7) = 0xff.toByte; g(8) = 0xff.toByte; g(9) = 0xff.toByte
+      // image descriptor: 0x2C sep, left(2), top(2), w LE, h LE
+      val i = g.indices.indexWhere { i =>
+        i + 8 < g.length && g(i) == 0x2c.toByte &&
+          (g(i + 5), g(i + 6)) == le16(bw) && (g(i + 7), g(i + 8)) == le16(bh)
+      }
+      assert(i > 0, "image descriptor not found")
+      g(i + 5) = 0xff.toByte; g(i + 6) = 0xff.toByte
+      g(i + 7) = 0xff.toByte; g(i + 8) = 0xff.toByte
+      g
+    }
+    val bombRows = Multimodal.decodeFrameRows(bomb, 8, 4, 1024)
+    assert(bombRows.nonEmpty && bombRows.head.getString(1) == "oversize",
+      bombRows.mkString(","))
+    assert(bombRows.head.getInt(2) == 65535 && bombRows.head.isNullAt(4))
+    // truncated container (valid magic, headers gone): classifies corrupt,
+    // never throws out of the task
+    val truncated = new Multimodal.GifEncoder()
+      .encode(Seq(Multimodal.syntheticGifFrame(5L, 9, 8))).take(20)
+    val corrupt = Multimodal.decodeFrameRows(truncated, 8, 4, 1024)
+    assert(corrupt.forall(_.getString(1) == "corrupt"), corrupt.mkString(","))
+    // deterministic fixture bytes (streaming replay safety)
+    val enc = new Multimodal.GifEncoder
+    assert(java.util.Arrays.equals(
+      enc.encode(Seq(Multimodal.syntheticGifFrame(7L, 10, 9))),
+      enc.encode(Seq(Multimodal.syntheticGifFrame(7L, 10, 9)))))
+  }
+
   test("lsh ann recall vs brute force on sf0.001 embeddings") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
