@@ -576,6 +576,80 @@ object TrainingDataQueries {
       },
       Some(mmFrameDecodeOracleSql),
     ),
+    // Audio modality, REAL codec round-trip: deterministic closed-form
+    // sawtooth waveforms encoded as RIFF/WAVE PCM per doc, then
+    // javax.sound.sampled header-only decode. The oracle asserts the real
+    // parser returns exactly the encoded rate/channels/bits/frames; any
+    // header regression breaks the hash.
+    Q(
+      "au_decode_meta",
+      (s, dir) => {
+        val blobs = Audio.synthesizeAudio(
+          Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+        Audio
+          .decodeMeta(blobs, "blob")
+          .select(
+            col("doc_id"),
+            col("meta.sample_rate").as("sample_rate"),
+            col("meta.channels").as("channels"),
+            col("meta.bits").as("bits"),
+            col("meta.n_samples").as("n_samples"),
+            col("meta.format").as("format"),
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels,
+               CAST(8 AS INT) AS bits,
+               CAST(2048 + (doc_id % 5) * 512 AS BIGINT) AS n_samples,
+               'wave' AS format
+        FROM documents ORDER BY doc_id"""),
+    ),
+    // Audio-level dedup by banded fingerprint, fully oracled: every doc
+    // carries the waveform of seed doc_id % 50 — ~10 docs share each
+    // exact waveform (the engineered-duplicate technique of
+    // mm_image_dedup) — the REAL decoder streams the PCM back and the
+    // 32-band integer fingerprint clusters them; canonical = min doc_id
+    // per fingerprint. DuckDB recomputes the fingerprint from the
+    // closed-form sawtooth (50 distinct waveforms, derived once and
+    // joined back, not per doc).
+    Q(
+      "au_fingerprint_dup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 50).as("aid"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        Audio
+          .fingerprint(Audio.synthesizeAudio(docs, "aid"), "blob")
+          .withColumn("canonical_id", min("doc_id").over(w))
+          .select(col("doc_id"), col("fp"), col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH a AS (SELECT DISTINCT doc_id % 50 AS aid FROM documents),
+        p AS (SELECT aid, CAST(2048 + (aid % 5) * 512 AS BIGINT) AS n,
+                     CAST(1 + aid % 16 AS BIGINT) AS st
+              FROM a),
+        sm AS (SELECT aid, n, st, unnest(range(0, n)) AS i FROM p),
+        v AS (SELECT aid, n, CAST(i AS BIGINT) AS i,
+                     (CAST(i AS BIGINT) * st + aid) % 256 AS v
+              FROM sm),
+        bd AS (SELECT aid, (i * 32) // n AS b, SUM(v) // COUNT(*) AS cell
+               FROM v GROUP BY aid, (i * 32) // n),
+        mn AS (SELECT aid, SUM(cell) // 32 AS mean FROM bd GROUP BY aid),
+        f AS (SELECT bd.aid,
+                     CAST(SUM(CASE WHEN cell > mean
+                              THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+              FROM bd JOIN mn ON bd.aid = mn.aid GROUP BY bd.aid)
+        SELECT d.doc_id, f.fp,
+               MIN(d.doc_id) OVER (PARTITION BY f.fp) AS canonical_id
+        FROM (SELECT doc_id, doc_id % 50 AS aid FROM documents) d
+        JOIN f ON d.aid = f.aid
+        ORDER BY doc_id"""),
+    ),
   )
 
   // --------------------------------------------- generated md5-family SQL
