@@ -674,6 +674,23 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** The plane count is the occupancy knob of every sign-bit LSH path
+    * here: 2^planes buckets over N rows ⇒ expected occupancy N/2^planes.
+    * Undersized planes fail QUIETLY — every bucket trips the hot-bucket
+    * cap and the kernel degenerates to an edgeless no-op (the observed
+    * planes=4-at-30× incident) — so size from the corpus, not by hand:
+    * planes ≈ log2(N / targetOccupancy), clamped. Feed it a cheap
+    * cardinality (`count` on the source table, or
+    * `approx_count_distinct(idCol)` when rows duplicate ids).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Long = 500,
+                 minPlanes: Int = 4, maxPlanes: Int = 62): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 1 && maxPlanes >= minPlanes)
+    val needed = math.ceil(
+      math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
   /** Near-duplicate pairs with BOTH the bucketing and the threshold in
     * exact integer arithmetic — the fully-oracle-able twin of
     * [[nearDupPairs]]: buckets from [[quantizedLshBucket]] sign bits over
@@ -683,6 +700,14 @@ object Similarity {
     * hot buckets above `maxBucket` are dropped via a windowed count BEFORE
     * any member array materializes, the pair expansion runs inside each
     * bounded bucket group, output is the deterministic (id_a < id_b) set.
+    *
+    * `maxHotDropFrac` < 1 arms the mis-sizing guard: a pre-flight
+    * aggregation measures the fraction of rows living in dropped hot
+    * buckets and FAILS LOUDLY (with an [[autoPlanes]] sizing hint) when it
+    * exceeds the bound — without it, undersized planes silently shrink
+    * the candidate set toward an edgeless no-op. The pre-flight is one
+    * extra bucket-count job over the corpus; at any scale that is noise
+    * next to the pair expansion it protects.
     */
   def quantizedLshPairsAbove(
       corpus: DataFrame,
@@ -693,6 +718,7 @@ object Similarity {
       vecCol: String = "embedding",
       scale: Double = 1e6,
       maxBucket: Int = 1000,
+      maxHotDropFrac: Double = 1.0,
   ): DataFrame = {
     requireIntegralId(corpus, idCol)
     require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
@@ -717,6 +743,22 @@ object Similarity {
       }
       .toDF("id", "qv", "nn", "bucket")
       .withColumn("__n", count(lit(1)).over(w))
+      .transform { bucketed =>
+        if (maxHotDropFrac < 1.0) {
+          val r = bucketed.agg(
+            count(lit(1)).as("total"),
+            sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("dropped")).head
+          val (total, dropped) = (r.getLong(0), r.getLong(1))
+          if (total > 0 && dropped.toDouble / total > maxHotDropFrac)
+            throw new IllegalStateException(
+              f"quantizedLshPairsAbove: $dropped of $total rows " +
+                f"(${dropped * 100.0 / total}%.1f%%) sit in buckets over the " +
+                f"hot cap ($maxBucket) at planes=$planes — undersized planes " +
+                f"degenerate to an edgeless no-op; size with autoPlanes" +
+                f"(n=$total) = ${autoPlanes(total)}")
+        }
+        bucketed
+      }
       .filter(col("__n").between(2, maxBucket))
       .drop("__n")
       .as[(Long, Array[Long], Long, Long)]

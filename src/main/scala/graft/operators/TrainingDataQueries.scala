@@ -207,13 +207,19 @@ object TrainingDataQueries {
     // planes=8 (256 buckets), not the pair query's 4: bucket count is
     // the occupancy knob, and at the 30× probe scale 16 buckets all
     // blow past the hot cap — the query would "scale" by degenerating
-    // to an edgeless no-op instead of doing bounded real work.
+    // to an edgeless no-op instead of doing bounded real work. planes
+    // stays PINNED (the oracle SQL derives the same 8-plane buckets);
+    // at runtime-sized deployments use Similarity.autoPlanes. The armed
+    // maxHotDropFrac guard turns the silent degeneration into a loud
+    // failure: if over half the corpus lands in dropped hot buckets,
+    // the query dies with a sizing hint instead of returning an
+    // edgeless "result".
     Q(
       "d_embed_cc_lsh",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val edges = Similarity.quantizedLshPairsAbove(
-          emb, tNum = 7, tDen = 20, planes = 8)
+          emb, tNum = 7, tDen = 20, planes = 8, maxHotDropFrac = 0.5)
         Dedup.connectedComponentsStars(emb.select("vec_id"), edges)
           .select(col("id").as("vec_id"), col("comp").as("component"))
           .orderBy("vec_id")

@@ -325,6 +325,39 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mean recall too low: ${recalls.sum / recalls.size}")
   }
 
+  test("undersized LSH planes fail loudly when armed; autoPlanes sizes from occupancy") {
+    val s = spark
+    import s.implicits._
+    // 120 near-identical vectors: with planes=4 they all share one bucket,
+    // which blows a maxBucket of 10 — the silent outcome is an EMPTY edge
+    // set (the r9 degeneration incident); the armed guard must throw with
+    // a sizing hint instead
+    val clones = (0L until 120L)
+      .map(i => (i, Array.fill(8)(1.0f + (i % 3) * 1e-7f)))
+      .toDF("vec_id", "embedding")
+    val silent = Similarity.quantizedLshPairsAbove(
+      clones, tNum = 7, tDen = 20, planes = 4, maxBucket = 10)
+    assert(silent.count() == 0, "unarmed undersized planes degenerate silently (documented)")
+    val e = intercept[IllegalStateException] {
+      Similarity.quantizedLshPairsAbove(
+        clones, tNum = 7, tDen = 20, planes = 4, maxBucket = 10,
+        maxHotDropFrac = 0.5).count()
+    }
+    assert(e.getMessage.contains("autoPlanes") && e.getMessage.contains("120 of 120"),
+      e.getMessage)
+    // a healthy corpus passes with the guard armed (sf0.001 embeddings,
+    // the registered query's own configuration)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(Similarity.quantizedLshPairsAbove(
+      emb, tNum = 7, tDen = 20, planes = 8, maxHotDropFrac = 0.5).count() >= 0)
+    // the sizing rule: ≈log2(N/targetOccupancy), clamped to [min, max]
+    assert(Similarity.autoPlanes(1000, targetOccupancy = 500) == 4) // clamp floor
+    assert(Similarity.autoPlanes(512000, targetOccupancy = 500) == 10)
+    assert(Similarity.autoPlanes(1L << 40, targetOccupancy = 1) == 40)
+    assert(Similarity.autoPlanes(1L << 60, targetOccupancy = 1, maxPlanes = 62) == 60)
+    assert(Similarity.autoPlanes(0) == 4)
+  }
+
   test("quantized LSH near-dup pairs are a subset of the exact quantized pair set") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.quantizedPairsAbove(emb, tNum = 7, tDen = 20)
