@@ -204,40 +204,7 @@ object ScaleProbe {
       }.getOrElse(""""prepared_storage":null""")
 
     // ---- adversarial-cardinality foreach arm ----------------------------
-    // 10k foreach tuples over the base corpus: the reference bounds match
-    // calls per trail at ~N+1 for N distinct foreach values PRESENT in the
-    // trail (src/match_traildb.c:596-608); TrailMatcher's early-break +
-    // distinct-value memo must reproduce that bound — calls and wall time
-    // must NOT scale with |@arr|. matchCalls is a JVM-wide adder, valid
-    // under local[*] only (which is how this probe runs).
-    val foreachProbe: String = try {
-      import graft.trck.LocalRunner.ForeachTuple
-      val prog = graft.trck.Compiled.compile(engine.TrckQueries.foreachProgram)
-      val nTrails = Tables.events(spark, base).select("user_id").distinct().count()
-      def run(nAbsent: Int): (Double, Double) = {
-        val tuples = (Vector("click", "purchase", "signup") ++
-          (0 until nAbsent).map(i => s"absent$i"))
-          .map(v => ForeachTuple(Vector(Left(v))))
-        graft.trck.TrailMatcher.matchCalls.reset()
-        val t0 = System.nanoTime()
-        engine.TrailEngine.emits(
-          prog, engine.TrckQueries.trailEvents(spark, base), "uuid", "ts_sec",
-          Seq("event_id"), foreachTuples = Some(tuples))
-          .write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        (sec, graft.trck.TrailMatcher.matchCalls.sum().toDouble / math.max(nTrails, 1L))
-      }
-      val (tSmall, cSmall) = run(13)    // 16 tuples
-      val (tBig, cBig) = run(9997)      // 10_000 tuples
-      def r2(v: Double) = math.round(v * 100) / 100.0
-      s""""foreach_probe":{"trails":$nTrails,"small_tuples":16,"small_sec":${r2(tSmall)},""" +
-        s""""small_calls_per_trail":${r2(cSmall)},"big_tuples":10000,"big_sec":${r2(tBig)},""" +
-        s""""big_calls_per_trail":${r2(cBig)}}"""
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[scale-probe] foreach arm failed: $e")
-        s""""foreach_probe":{"error":"${e.getClass.getSimpleName}"}"""
-    }
+    val foreachProbe: String = ForeachProbe.json(spark, base)
     def js(m: collection.Map[String, Double]) =
       probeQueries.flatMap(q => m.get(q).map(v => s""""$q":${r3(v)}"""))
         .mkString("{", ",", "}")
@@ -273,6 +240,65 @@ object ScaleProbe {
         System.err.println(s"[scale-probe] could not write $outPath: $e")
     }
     println(json)
+    spark.stop()
+  }
+}
+
+/** Adversarial-cardinality foreach probe, standalone-runnable (also
+  * embedded in every [[ScaleProbe]] artifact): 10k foreach tuples over the
+  * base corpus. The reference bounds match calls per trail at ~N+1 for N
+  * distinct foreach values PRESENT in the trail
+  * (src/match_traildb.c:596-608); TrailMatcher's early-break +
+  * distinct-value memo must reproduce that bound — calls must NOT scale
+  * with |@arr|, and after the shared-initial-state/aliased-group work the
+  * WALL ratio big/small is the per-tuple bookkeeping residual (emit rows +
+  * state-array fill), targeted ≤ 2.5×. matchCalls is a JVM-wide adder,
+  * valid under local[*] only (which is how this probe runs).
+  *
+  * Usage: runMain graft.ForeachProbe [baseDir]
+  */
+object ForeachProbe {
+  def json(spark: org.apache.spark.sql.SparkSession, base: String): String = try {
+    import graft.trck.LocalRunner.ForeachTuple
+    val prog = graft.trck.Compiled.compile(engine.TrckQueries.foreachProgram)
+    val nTrails = Tables.events(spark, base).select("user_id").distinct().count()
+    def run(nAbsent: Int): (Double, Double) = {
+      val tuples = (Vector("click", "purchase", "signup") ++
+        (0 until nAbsent).map(i => s"absent$i"))
+        .map(v => ForeachTuple(Vector(Left(v))))
+      graft.trck.TrailMatcher.matchCalls.reset()
+      val t0 = System.nanoTime()
+      engine.TrailEngine.emits(
+        prog, engine.TrckQueries.trailEvents(spark, base), "uuid", "ts_sec",
+        Seq("event_id"), foreachTuples = Some(tuples))
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, graft.trck.TrailMatcher.matchCalls.sum().toDouble / math.max(nTrails, 1L))
+    }
+    val (tSmall, cSmall) = run(13)    // 16 tuples
+    val (tBig, cBig) = run(9997)      // 10_000 tuples
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    s""""foreach_probe":{"trails":$nTrails,"small_tuples":16,"small_sec":${r2(tSmall)},""" +
+      s""""small_calls_per_trail":${r2(cSmall)},"big_tuples":10000,"big_sec":${r2(tBig)},""" +
+      s""""big_calls_per_trail":${r2(cBig)}}"""
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[scale-probe] foreach arm failed: $e")
+      s""""foreach_probe":{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).appName("foreach-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the scan + FSM path so the small arm isn't charged startup
+    try {
+      Tables(spark, base, "events").count()
+      SparkEntry.queries("g1_fsm_foreach")(spark, base).count()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[foreach-probe] warmup failed: $e") }
+    println("{" + json(spark, base) + "}")
     spark.stop()
   }
 }

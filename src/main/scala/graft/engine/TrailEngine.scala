@@ -324,13 +324,23 @@ object TrailEngine {
               cur = if (rows.hasNext) rows.next() else null
             }
           }
-          val saved = Array.fill(ts.length)(FsmState.initial(prog))
+          // ONE shared initial state for all tuples: processTrail never
+          // mutates saved entries (runOne copies first) and groups aliases
+          // with an identity fast path — per-tuple initial allocation was
+          // pure overhead at wide foreach cardinalities
+          val init = FsmState.initial(prog)
+          val saved = Array.fill(ts.length)(init)
           val out = TrailMatcher.processTrail(
             prog, ts, saved, evs.toArray, uuid, 0L, 0L, params, fcalls, emitAs(uuid))
           TrailMatcher.finalizeTrail(prog, ts, out, uuid, params, fcalls, emitAs(uuid))
         }
 
         private def emitAs(ctxCookie: String)(j: Int, r: Results): Unit = {
+          // O(1) skip for identity results: a wide foreach broadcasts one
+          // scratch to thousands of absent-value tuples that yielded
+          // nothing — iterating four empty/zero maps per tuple was
+          // measurable at 10k-tuple cardinality
+          if (!r.touched) return
           r.counters.foreach { case (d, v) =>
             if (v != 0) buf += Row(ctxCookie, j, "c", d, null, v)
           }
@@ -398,7 +408,11 @@ object TrailEngine {
           // per-source segments in replay order; per segment, every window
           // entry runs from the state the previous source left and the LAST
           // entry's output carries (LocalRunner dbStates overwrite)
-          var carried = Array.fill(ts.length)(FsmState.initial(prog))
+          var carried = {
+            // one shared initial state — see processNextTrailSimple
+            val init = FsmState.initial(prog)
+            Array.fill(ts.length)(init)
+          }
           var segLo = 0
           while (segLo < n) {
             val src = srcArr(segLo)

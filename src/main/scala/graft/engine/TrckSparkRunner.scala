@@ -337,7 +337,11 @@ object TrckSparkRunner {
       em.filter(col("kind") === "c")
         .groupBy("tuple_idx", "dst").agg(sum("n").as("v"))
         .collect()
-        .foreach(r => results(slotIdx(r.getInt(0))).counters.updateWith(r.getString(1))(c => Some(c.getOrElse(0L) + r.getLong(2))))
+        .foreach { r =>
+          val res = results(slotIdx(r.getInt(0)))
+          res.touched = true // direct map writes bypass the emit methods
+          res.counters.updateWith(r.getString(1))(c => Some(c.getOrElse(0L) + r.getLong(2)))
+        }
     // sets + multisets: distinct encoded tuples with counts
     if (needSets)
       em.filter(col("kind").isin("s", "m"))
@@ -345,6 +349,7 @@ object TrckSparkRunner {
         .collect()
         .foreach { r =>
           val res = results(slotIdx(r.getInt(0)))
+          res.touched = true // direct map writes bypass the emit methods
           val m = if (r.getString(1) == "s") res.sets(r.getString(2)) else res.msets(r.getString(2))
           val k = r.getAs[Array[Byte]]("item")
           m.update(k, m.getOrElse(k, 0L) + r.getLong(4))
@@ -361,6 +366,7 @@ object TrckSparkRunner {
         .collect()
         .foreach { r =>
           val res = results(slotIdx(r.getInt(0)))
+          res.touched = true // direct map writes bypass the emit methods
           val h = Hll.fromHexString(r.getString(2))
           res.hlls.updateWith(r.getString(1))(prev => Some(prev.fold(h)(_.merge(h))))
         }

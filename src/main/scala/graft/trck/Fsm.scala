@@ -44,6 +44,7 @@ object Fsm {
 
     /** reference: gen_match_same_state (src/fsm2c.py:916-930) */
     def sameAs(o: FsmState): Boolean = {
+      if (o eq this) return true // aliased per-tuple states (TrailMatcher shares them)
       if (ri != o.ri || windowExpires != o.windowExpires) return false
       var i = 0
       while (i < outerIds.length - 1) {

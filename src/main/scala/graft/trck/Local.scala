@@ -15,6 +15,14 @@ import Fsm._
   * src/results_json.c:137-160).
   */
 final class Results(prog: CompiledProgram) extends Emitter {
+  /** False ⇔ every monoid is still at identity (no yield ever fired) — an
+    * O(1) emptiness witness. The wide-foreach hot loop broadcasts ONE
+    * scratch to thousands of tuples whose results are empty (absent
+    * foreach values yield nothing); consumers use this to skip the
+    * per-tuple map iteration entirely.
+    */
+  var touched: Boolean = false
+
   val counters: mutable.LinkedHashMap[String, Long] =
     mutable.LinkedHashMap(prog.yieldCounters.map(c => Ir.stripType(c) -> 0L): _*)
   val sets: mutable.LinkedHashMap[String, mutable.TreeMap[Array[Byte], Long]] =
@@ -23,28 +31,35 @@ final class Results(prog: CompiledProgram) extends Emitter {
     mutable.LinkedHashMap(prog.yieldMultisets.map(_ -> new mutable.TreeMap[Array[Byte], Long]()(Tuple.byteOrdering)): _*)
   val hlls: mutable.LinkedHashMap[String, Hll] = mutable.LinkedHashMap()
 
-  override def counter(dst: String): Unit =
+  override def counter(dst: String): Unit = {
+    touched = true
     counters(dst) = counters(dst) + 1L
+  }
 
   override def set(dst: String, values: Array[String], types: Array[Byte]): Unit = {
+    touched = true
     val k = Tuple.encode(values, types)
     val m = sets(dst)
     m.update(k, m.getOrElse(k, 0L) + 1L)
   }
 
   override def multiset(dst: String, values: Array[String], types: Array[Byte]): Unit = {
+    touched = true
     val k = Tuple.encode(values, types)
     val m = msets(dst)
     m.update(k, m.getOrElse(k, 0L) + 1L)
   }
 
   override def hll(dst: String, values: Array[String], types: Array[Byte]): Unit = {
+    touched = true
     val h = hlls.getOrElseUpdate(dst, Hll())
     h.add(Tuple.encode(values, types))
   }
 
   /** Monoid add (reference: match_add_results). */
   def merge(other: Results): Unit = {
+    if (!other.touched) return // identity — nothing to add
+    touched = true
     other.counters.foreach { case (k, v) => counters(k) = counters(k) + v }
     other.sets.foreach { case (k, m) =>
       val dst = sets(k); m.foreach { case (t, c) => dst.update(t, dst.getOrElse(t, 0L) + c) }
@@ -64,6 +79,8 @@ final class Results(prog: CompiledProgram) extends Emitter {
     * to a run of equal-state tuples).
     */
   def mergeTimes(other: Results, n: Int): Unit = {
+    if (!other.touched) return // identity — nothing to add
+    touched = true
     other.counters.foreach { case (k, v) => counters(k) = counters(k) + v * n }
     other.sets.foreach { case (k, m) =>
       val dst = sets(k); m.foreach { case (t, c) => dst.update(t, dst.getOrElse(t, 0L) + c * n) }
@@ -287,7 +304,12 @@ object LocalRunner {
           new TrailEvent(e.ts, arr)
         }.toArray
 
-        val saved = states.getOrElseUpdate(cookie, Array.fill(nTuples)(FsmState.initial(prog)))
+        val saved = states.getOrElseUpdate(cookie, {
+          // one shared initial state: processTrail copies before mutating
+          // and groups aliases via identity (TrailMatcher aliasing contract)
+          val init = FsmState.initial(prog)
+          Array.fill(nTuples)(init)
+        })
         dbStates(cookie) = TrailMatcher.processTrail(
           prog, tuples, saved, events, ctxCookie, wStart, wEnd, params, fcalls,
           (j, scratch) => slot(j).merge(scratch),

@@ -72,10 +72,18 @@ object TrailMatcher {
             b.result()
           }
         }.toArray
-      tuples(k).items.zipWithIndex.exists {
-        case (Left(v), i)   => trailVals(i).contains(v)
-        case (Right(vs), i) => vs.exists(trailVals(i).contains)
+      // index loop, no zipWithIndex: this runs once per (trail × tuple) at
+      // wide foreach cardinality — a per-call collection alloc is hot
+      val items = tuples(k).items
+      var i = 0
+      while (i < items.length) {
+        items(i) match {
+          case Left(v)   => if (trailVals(i).contains(v)) return true
+          case Right(vs) => if (vs.exists(trailVals(i).contains)) return true
+        }
+        i += 1
       }
+      false
     }
 
     def runOne(j: Int): (FsmState, Results, Boolean) = {
@@ -95,14 +103,16 @@ object TrailMatcher {
 
       val (st, scratch, used) = runOne(j)
       if (!used) {
-        // the representative's run applies to every tuple in the group, but
-        // each tuple must OWN its state object: finalizeTrail mutates states
-        // in place, so an alias would fire its after-yields for the first
-        // tuple only and arrive spent (quit) at every other — the reference
-        // keeps per-tuple state structs by value (src/match_traildb.c:579-744)
+        // the representative's run applies to every tuple in the group, and
+        // every tuple SHARES the one result-state object: nothing mutates a
+        // state in place except finalizeTrail, which is identity-aware (it
+        // snapshots a shared state before its first binding-sensitive run).
+        // The previous per-tuple copyOf here was the dominant cost of wide
+        // foreach loops — 10k state copies per trail at 10k tuples, for
+        // states the reference's own N+1 bound says are identical.
         var k = j
         while (k < j + n) {
-          out(k) = if (k == j) st else st.copyOf()
+          out(k) = st
           onResult(k, scratch); k += 1
         }
         j += n
@@ -120,8 +130,8 @@ object TrailMatcher {
             val (s2, r2, _) = runOne(k); memo = (s2, r2)
             out(k) = s2; onResult(k, r2)
           } else {
-            // same aliasing hazard as above: later memo users get copies
-            out(k) = memo._1.copyOf(); onResult(k, memo._2)
+            // memo users share the memoized state too (see early-break note)
+            out(k) = memo._1; onResult(k, memo._2)
           }
           k += 1
         }
@@ -150,6 +160,17 @@ object TrailMatcher {
 
   /** MAX_TIMESTAMP finalization for one trail's surviving states
     * (reference: src/match_traildb.c:899-944).
+    *
+    * Identity-aware: [[processTrail]]'s early-break and memo paths ALIAS
+    * one state object across a whole tuple group (the reference's N+1
+    * bound says they are identical — copying them per tuple was the
+    * dominant cost of wide foreach loops). An aliased group finalizes
+    * ONCE when the run never consults the foreach binding — the same
+    * groupby-independence rule the per-event loop uses — and falls back
+    * to one run per tuple from a pre-run snapshot when it does. Skip/run
+    * membership is decided from the PRE-finalization states (the
+    * representative's in-place run must not change later aliases'
+    * eligibility).
     */
   def finalizeTrail(
       prog: CompiledProgram,
@@ -163,16 +184,67 @@ object TrailMatcher {
     val gvars = prog.groupbyVars
     val groupbySet = gvars.toSet
     val stats = new RunStats
+    val n = states.length
+    val fin = new Array[Boolean](n)
+    val shares = new java.util.IdentityHashMap[FsmState, Integer]()
+    // aliases are overwhelmingly CONSECUTIVE (processTrail's early-break
+    // groups) — walk runs so the map sees one op per run, not per tuple
     var j = 0
-    while (j < states.length) {
+    while (j < n) {
+      var e = j + 1
+      while (e < n && (states(e) eq states(j))) e += 1
       if (!states(j).isInitial(prog.entrypoint)) {
-        val scratch = new Results(prog)
-        stats.reset()
-        Fsm.matchTrail(
-          prog, states(j), TrailCtx.finalization(cookie),
-          tuples(j).bind(gvars, params), scratch, stats, groupbySet, fcalls,
-        )
-        onResult(j, scratch)
+        java.util.Arrays.fill(fin, j, e, true)
+        val c = shares.get(states(j))
+        shares.put(states(j), if (c == null) e - j else c + (e - j))
+      }
+      j = e
+    }
+    val done = new java.util.IdentityHashMap[FsmState, Results]()
+    val preSnap = new java.util.IdentityHashMap[FsmState, FsmState]()
+    // consecutive-alias cache: a broadcastable result flows to the next
+    // tuples of the same run with zero map lookups
+    var prevSt: FsmState = null
+    var prevRes: Results = null
+    j = 0
+    while (j < n) {
+      if (fin(j)) {
+        val st = states(j)
+        if ((st eq prevSt) && prevRes != null) onResult(j, prevRes)
+        else {
+          prevSt = st
+          prevRes = null
+          val cached = done.get(st)
+          if (cached != null) { prevRes = cached; onResult(j, cached) }
+          else {
+            val pre = preSnap.get(st)
+            if (pre != null) {
+              // shared state whose finalization IS binding-sensitive: each
+              // tuple runs from its own copy of the pre-run snapshot
+              val scratch = new Results(prog)
+              stats.reset()
+              Fsm.matchTrail(
+                prog, pre.copyOf(), TrailCtx.finalization(cookie),
+                tuples(j).bind(gvars, params), scratch, stats, groupbySet, fcalls,
+              )
+              onResult(j, scratch)
+            } else {
+              val shared = shares.get(st) > 1
+              val snap = if (shared) st.copyOf() else null
+              val scratch = new Results(prog)
+              stats.reset()
+              Fsm.matchTrail(
+                prog, st, TrailCtx.finalization(cookie),
+                tuples(j).bind(gvars, params), scratch, stats, groupbySet, fcalls,
+              )
+              onResult(j, scratch)
+              if (shared) {
+                if (!stats.groupbyUsed) { done.put(st, scratch); prevRes = scratch }
+                else preSnap.put(st, snap)
+              }
+            }
+          }
+        }
       }
       j += 1
     }
