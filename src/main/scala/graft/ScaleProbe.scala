@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val probeQueries = Seq(
-    "m1_fsm_count", "m1_fsm_count_prepared", "m1_fsm_funnel",
+    "m1_fsm_count", "m1_fsm_count_prepared", "m1_fsm_count_durable", "m1_fsm_funnel",
     "d_exact_dup", "d_minhash_lsh", "d_ngram_jaccard", "d_simhash",
     // both CC formulations: min-label (diameter-bound) AND the
     // large/small-star scale path, so the documented "use stars at scale"
@@ -87,6 +87,9 @@ object ScaleProbe {
         Tables(spark, dir, "events").count()
         SparkEntry.queries("m1_fsm_count")(spark, dir).count()
         engine.TrckQueries.preparedTrailEvents(spark, dir)
+        // the durable table write is the amortized one-time step — the
+        // probe times the cold bucketed read, not the build
+        engine.TrckQueries.durableTrailEvents(spark, dir).count()
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[scale-probe] warmup failed at $dir: $e") }
       val times = scala.collection.mutable.LinkedHashMap[String, Double]()

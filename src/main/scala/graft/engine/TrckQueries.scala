@@ -51,6 +51,37 @@ object TrckQueries {
       df
     })
 
+  /** Durable bucketed trail layout per sf dir — the CROSS-SESSION
+    * amortization story the persist-based [[preparedTrailEvents]] can't
+    * tell: at 100 TB "prepare once" is a `bucketBy(uuid).sortBy(uuid, ts,
+    * seq)` TABLE on storage, rebuilt never, re-read by every session, with
+    * zero executor memory pinned. Written once per (session, dir) here
+    * (the in-memory catalog forgets tables between sessions; the parquet
+    * files persist and are overwritten on rebuild); the write aligns task
+    * partitioning with the bucket hash so each bucket is ONE sorted file
+    * (multi-file buckets concatenate sorted runs and would break the
+    * prepared contract — EngineEquivalenceSpec pins this). The bucketed
+    * SCAN must be forced on: Catalyst can't see that the FSM mapPartitions
+    * consumer needs bucket alignment, so autoBucketedScan would silently
+    * fall back to file-split partitioning and feed the prepared path
+    * unsorted mixed-uuid partitions.
+    */
+  private val durableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def durableTrailEvents(s: SparkSession, dir: String): DataFrame =
+    durableCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val tbl = "trails_durable_" + java.lang.Integer.toHexString(dir.hashCode)
+      val nBuckets = 32
+      if (!s.catalog.tableExists(tbl))
+        trailEvents(s, dir)
+          .repartition(nBuckets, col("uuid"))
+          .write.bucketBy(nBuckets, "uuid").sortBy("uuid", "ts_sec", "event_id")
+          .option("path", s"/tmp/graft_durable/$tbl")
+          .mode("overwrite").saveAsTable(tbl)
+      s.table(tbl)
+    })
+
   private def clause(attrs: Map[String, List[String]], action: String, yields: List[Yield] = Nil) =
     Clause(attrs, negated = false, Some(action), yields)
 
@@ -282,6 +313,26 @@ object TrckQueries {
         val prog = Compiled.compile(countProgram)
         val em = TrailEngine.emits(
           prog, preparedTrailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
+          prepared = true)
+        em.filter(col("kind") === "c")
+          .agg(sum("n").cast("long").as("n_clicks"))
+      },
+      Some("SELECT COUNT(*) AS n_clicks FROM events WHERE event_type = 'click'"),
+    ),
+    // m1 over the DURABLE bucketed layout: same results and oracle as
+    // m1_fsm_count, but the shuffle-free trail partitioning comes from a
+    // saved bucketBy(uuid).sortBy(uuid, ts, seq) table read cold from
+    // storage — the cross-session amortization shape a 100 TB deployment
+    // runs (no executor memory pinned, nothing rebuilt per session). The
+    // bench-visible delta vs m1_fsm_count measures what the durable
+    // layout buys; vs m1_fsm_count_prepared, what memory-resident persist
+    // adds on top.
+    Q(
+      "m1_fsm_count_durable",
+      (s, dir) => {
+        val prog = Compiled.compile(countProgram)
+        val em = TrailEngine.emits(
+          prog, durableTrailEvents(s, dir), "uuid", "ts_sec", Seq("event_id"),
           prepared = true)
         em.filter(col("kind") === "c")
           .agg(sum("n").cast("long").as("n_clicks"))

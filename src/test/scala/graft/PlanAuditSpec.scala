@@ -41,6 +41,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("m1_fsm_count_durable reads the bucketed table with no pre-FSM shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("m1_fsm_count_durable")(spark, sfDir).queryExecution
+      // the only exchange allowed is the final single-partition fold of the
+      // counter rows — the trail pass itself must ride the bucketed layout
+      val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length <= 1,
+        s"durable run must not shuffle trails (bucketed scan broken?): $shuffles")
+      assert(qe.explainString(ExplainMode.fromString("formatted")).contains("Bucketed: true"),
+        "the scan must engage the bucketed layout")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))
