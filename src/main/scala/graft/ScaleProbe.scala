@@ -202,7 +202,10 @@ object ScaleProbe {
     // artifact alone.
     val preparedStorage = spark.sparkContext.getRDDStorageInfo.toSeq
       .sortBy(-_.memSize).headOption.map { i =>
-        s""""prepared_storage":{"name":"${i.name.replace("\"", "")}","cached_partitions":${i.numCachedPartitions},""" +
+        // an InMemoryRelation's RDD name is a multi-line plan string —
+        // JSON-sanitize: printable ASCII only, quotes dropped, truncated
+        val nm = i.name.filter(c => c >= ' ' && c < 127 && c != '"' && c != '\\').take(80)
+        s""""prepared_storage":{"name":"$nm","cached_partitions":${i.numCachedPartitions},""" +
           s""""total_partitions":${i.numPartitions},"mem_mb":${i.memSize / (1 << 20)},"disk_mb":${i.diskSize / (1 << 20)}}"""
       }.getOrElse(""""prepared_storage":null""")
 
