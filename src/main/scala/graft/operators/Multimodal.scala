@@ -408,6 +408,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL resize: decode the raster ([[readImage]] — bomb guard included),
+    * area-mean downscale the integer luminance onto an `outW`×`outH` grid
+    * (the same exact floor-partition arithmetic as the hash grids, so the
+    * resized CONTENT is engine-reproducible — no interpolation kernel, no
+    * float rounding), and re-encode as an 8-bit gray PNG written
+    * sample-direct (PNG grayscale stores the samples verbatim, so the
+    * resized blob round-trips losslessly). Images narrower/shorter than
+    * the target point-sample ([[luminanceGrid]]'s documented fallback).
+    * Undecodable/oversized blobs get a null `resized` — classify, never
+    * throw. mapPartitions batch shape; one PNG writer per partition.
+    */
+  def resizeLuma(df: DataFrame, blobCol: String, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1 && outW <= 4096 && outH <= 4096)
+    val inSchema = df.schema
+    val outSchema = inSchema.add("resized", BinaryType)
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val png = new PngEncoder
+      rows.map { r =>
+        val img = readImage(r.get(blobIdx).asInstanceOf[Array[Byte]])
+        val out =
+          if (img == null) null
+          else {
+            val grid = luminanceGrid(img, outW, outH)
+            val g = new java.awt.image.BufferedImage(outW, outH,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = g.getRaster
+            var c = 0
+            while (c < grid.length) {
+              raster.setSample(c % outW, c / outW, 0, grid(c).toInt)
+              c += 1
+            }
+            png.encode(g)
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Row-major lowercase-hex dump of a gray image's RAW samples (raster
+    * reads, NOT getRGB — getRGB runs the ICC gray→sRGB conversion and
+    * would destroy the reproducibility the sample-direct encode paid
+    * for). Null for undecodable blobs. The verification face of
+    * [[resizeLuma]]: decoding the resized blob back and hexing its
+    * samples proves the whole resize→encode→decode chain bit-exact.
+    */
+  def graySamplesHex(blob: Array[Byte]): String = {
+    val img = readImage(blob)
+    if (img == null || img.getRaster.getNumBands != 1) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sb = new java.lang.StringBuilder(w * h * 2)
+    val raster = img.getRaster
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val v = raster.getSample(i, j, 0)
+        sb.append(Character.forDigit(v >> 4, 16)).append(Character.forDigit(v & 15, 16))
+        i += 1
+      }
+      j += 1
+    }
+    sb.toString
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("frame_idx", LongType),
     StructField("kind", StringType),

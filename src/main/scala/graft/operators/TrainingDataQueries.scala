@@ -582,6 +582,42 @@ object TrainingDataQueries {
       },
       Some(mmFrameDecodeOracleSql),
     ),
+    // REAL resize end-to-end: synthesized RGB PNGs → pixel decode →
+    // integer area-mean luminance downscale to 6×5 → gray PNG re-encode
+    // (sample-direct) → decode BACK and hex the raw samples. DuckDB
+    // re-derives the resized pixels from the LCG closed form (the same
+    // lum CTE as the hash oracles, grouped on the 6×5 floor partition),
+    // so the hash-match pins the whole resize→encode→decode chain
+    // bit-exact across engines.
+    Q(
+      "mm_resize",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") * 4 + 1).as("img_id"))
+        val resized = Multimodal.resizeLuma(
+          Multimodal.synthesizeImages(docs, "img_id"), "blob", outW = 6, outH = 5)
+        val hexUdf = udf((b: Array[Byte]) => Multimodal.graySamplesHex(b))
+        resized
+          .select(col("doc_id"), lit(6).as("out_w"), lit(5).as("out_h"),
+            hexUdf(col("resized")).as("resized_hex"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $mmGridCtes,
+        rs AS (
+          SELECT doc_id, (j * 5) // h AS gy, (i * 6) // w AS gx,
+                 SUM(lum) // COUNT(*) AS cell
+          FROM lum GROUP BY doc_id, (j * 5) // h, (i * 6) // w
+        ),
+        hx AS (
+          SELECT doc_id,
+                 string_agg(lower(right('0' || hex(cell), 2)), ''
+                            ORDER BY gy * 6 + gx) AS resized_hex
+          FROM rs GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(6 AS INT) AS out_w, CAST(5 AS INT) AS out_h, resized_hex
+        FROM hx ORDER BY doc_id"""),
+    ),
     // Audio modality, REAL codec round-trip: deterministic closed-form
     // sawtooth waveforms encoded as RIFF/WAVE PCM per doc, then
     // javax.sound.sampled header-only decode. The oracle asserts the real

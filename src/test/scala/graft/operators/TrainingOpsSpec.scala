@@ -294,6 +294,39 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       enc.encode(Seq(Multimodal.syntheticGifFrame(7L, 10, 9)))))
   }
 
+  test("resizeLuma: lossless gray round-trip, point-sample fallback, undecodable classifies") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(25).select(col("doc_id"), (col("doc_id") * 4 + 1).as("img_id"))
+    val blobs = Multimodal.synthesizeImages(docs, "img_id")
+    val out = Multimodal.resizeLuma(blobs, "blob", outW = 6, outH = 5)
+      .select(col("doc_id"), col("img_id"), col("resized")).collect()
+    assert(out.length == 25 && out.forall(!_.isNullAt(2)))
+    out.foreach { r =>
+      // decoding the resized blob back must return EXACTLY the area-mean
+      // grid of the original raster — the sample-direct gray PNG encode
+      // is lossless by construction
+      val original = Multimodal.synthesizeImages(
+        Seq((r.getLong(1), r.getLong(1))).toDF("doc_id", "img_id"), "img_id")
+        .select("blob").head.getAs[Array[Byte]](0)
+      val grid = Multimodal.luminanceGrid(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(original)), 6, 5)
+      val expectedHex = grid.map(v => f"$v%02x").mkString
+      assert(Multimodal.graySamplesHex(r.getAs[Array[Byte]](2)) == expectedHex,
+        s"doc ${r.getLong(0)} resize round-trip drift")
+    }
+    // tiny source (4×3 < 6×5 target): the point-sample fallback still
+    // produces a full 6×5 resized raster
+    val tiny = Seq((1L, Multimodal.syntheticPng(5L, 4, 3))).toDF("doc_id", "blob")
+    val tinyOut = Multimodal.resizeLuma(tiny, "blob", 6, 5)
+      .select("resized").head.getAs[Array[Byte]](0)
+    assert(tinyOut != null && Multimodal.graySamplesHex(tinyOut).length == 6 * 5 * 2)
+    // undecodable → null resized, never throws
+    val junk = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    assert(Multimodal.resizeLuma(junk, "blob", 6, 5).select("resized").head.isNullAt(0))
+  }
+
   test("lsh ann recall vs brute force on sf0.001 embeddings") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
