@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PerceptualHash64(args(0), gradient)
         },
       ))
+    // banded audio fingerprint over a binary WAV column — the SQL face of
+    // Audio.fingerprintPcm8 (NULL on undecodable / truncated / oversized
+    // blobs; streamed decode-per-row is the documented cost)
+    ext.injectFunction((
+      FunctionIdentifier("afp32"),
+      new ExpressionInfo(classOf[AudioFingerprint32].getName, "afp32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "afp32 takes exactly 1 argument (binary blob)")
+        AudioFingerprint32(args(0))
+      },
+    ))
     // trck-format HLL sketch of a binary column → reference RLE-hex.
     // Spark's partial aggregation runs the register-max merge, so the SQL
     // form distributes exactly like the Column API one.

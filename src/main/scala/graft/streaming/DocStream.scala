@@ -80,6 +80,26 @@ object DocStream {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("img_fp")
 
+  /** Streaming audio dedup: keep the first arrival of each 32-band
+    * fingerprint ([[graft.functions.AudioFingerprint32]] `afp32` — the
+    * same bits as the batch au_fingerprint_dup clusters),
+    * watermark-bounded like [[dedupByImageHash]]. Blobs that don't decode
+    * (null / truncated / forged-length-guarded / wrong layout) fingerprint
+    * to NULL and take a per-document sentinel instead — every undecodable
+    * blob is KEPT: "undecodable" is a classification, not an identity.
+    */
+  def dedupByAudioFingerprint(docs: DataFrame, blobCol: String = "blob",
+                              eventTimeCol: String = "event_time",
+                              watermarkDelay: String = "10 minutes",
+                              idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("au_fp",
+        coalesce(
+          graft.functions.AudioFingerprint32.afp32(col(blobCol)).cast("string"),
+          concat(lit("undecodable:"), col(idCol).cast("string"))))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("au_fp")
+
   /** Cross-batch NEAR-duplicate dedup — the streaming face of
     * [[MinHash.nearDupCanonical]]: per doc, emit (id, canonical_id) where
     * canonical is the smallest doc id this doc shares any MinHash-LSH band

@@ -100,6 +100,29 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Audio.fingerprintPcm8(stereo16, 32).isEmpty)
   }
 
+  test("afp32 SQL expression matches fingerprintPcm8 bit-for-bit; nulls classify") {
+    val s = spark
+    import s.implicits._
+    val blobs = Audio.synthesizeAudio(
+      (0L until 30L).map(d => (d, d % 50)).toDF("doc_id", "aid"), "aid")
+    val op = Audio.fingerprint(blobs, "blob")
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    blobs.createOrReplaceTempView("afp_probe")
+    val sql = spark.sql("SELECT doc_id, afp32(blob) AS fp FROM afp_probe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == op, "SQL expression must emit the operator's exact bits")
+    // undecodable / truncated / null blobs evaluate to NULL, never throw
+    val junk = Seq(
+      (1L, "not audio".getBytes("UTF-8")),
+      (2L, Audio.syntheticWav(3L).dropRight(100)),
+      (3L, null.asInstanceOf[Array[Byte]]),
+    ).toDF("doc_id", "blob")
+    junk.createOrReplaceTempView("afp_junk")
+    val nulls = spark.sql("SELECT afp32(blob) FROM afp_junk").collect()
+    assert(nulls.forall(_.isNullAt(0)), nulls.mkString(","))
+  }
+
   test("au_fingerprint_dup clusters exactly the docs sharing a waveform seed") {
     val s = spark
     import s.implicits._

@@ -117,6 +117,29 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming audio dedup keeps first arrival per fingerprint; undecodables all kept") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def wav(seed: Long) = graft.operators.Audio.syntheticWav(seed)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val docs = input.toDF().toDF("doc_id", "event_time", "blob")
+    val query = DocStream.dedupByAudioFingerprint(docs)
+      .writeStream.format("memory").queryName("audedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(10), wav(3)), (2L, ts(11), wav(4)))
+      query.processAllAvailable()
+      // same waveform again (different doc), a truncated blob and a junk
+      // blob — undecodables must NOT dedup against each other
+      input.addData((3L, ts(12), wav(3)),
+        (4L, ts(13), wav(3).dropRight(100)), (5L, ts(14), "junk".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM audedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L, 5L),
+        s"duplicate waveform dropped, undecodable blobs all kept — got $ids")
+    } finally query.stop()
+  }
+
   test("dedupNearMinHash fuzz: random corpora × random batch splits ≡ batch (in-order)") {
     val s = spark
     import s.implicits._
