@@ -77,6 +77,50 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Verified Hamming self-join over precomputed fingerprints — the
+    * "Hamming join" the hash faces advertise, as an operator: all pairs
+    * with `bit_count(a XOR b) ≤ r`, found by multi-index pigeonhole
+    * banding (4 chunks of bits/4; distance ≤ 3 forces at least one EQUAL
+    * chunk, so same-chunk buckets are a complete candidate filter for
+    * r ≤ 3) and then VERIFIED by the exact bit count — unlike the
+    * canonicalization faces, whose chunk sharing is complete but not
+    * sound, the emitted pair set is exactly the distance-≤-r set.
+    *
+    * Scale shape: the only shuffle is the chunk-bucket exchange on
+    * (chunk_idx, chunk) keys; pairs expand inside each bucket's member
+    * array (no self-join — the fingerprint lineage evaluates once), hot
+    * buckets above `maxBucket` are dropped BEFORE member arrays
+    * materialize (windowed count; a hot chunk is low-information —
+    * same contract as every bucketed kernel here), and cross-bucket
+    * duplicate pairs collapse with a distinct on the 3 small output
+    * columns. Null fingerprints (null text upstream) never join.
+    */
+  def hammingPairs(sh: DataFrame, r: Int = 3, bits: Int = 64,
+                   idCol: String = "doc_id", shCol: String = "simhash",
+                   maxBucket: Int = 1000): DataFrame = {
+    require(r >= 0 && r <= 3, "4-chunk pigeonhole banding is complete only for r <= 3")
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64)
+    val chunkBits = bits / 4
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")
+    sh.filter(col(shCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(shCol).cast("long").as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n").between(2, maxBucket))
+      .groupBy("chunk_idx", "chunk")
+      .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
+      .select(explode(MinHash.pairExpand("ms")).as("p"))
+      .select(
+        col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        hamming(col("p.a.sh"), col("p.b.sh")).as("dist"))
+      .filter(col("dist") <= r)
+      .distinct()
+  }
+
   // ------------------------------------------------- md5 oracle hash family
 
   /** [[simhashOf]] in the md5 oracle family (see MinHash.md5Hash60): token

@@ -69,6 +69,21 @@ object TrainingDataQueries {
           .orderBy("doc_id"),
       Some(simhashOracleSql),
     ),
+    // Verified Hamming join over the simhash fingerprints: ALL pairs at
+    // bit distance ≤ 3, via the complete 4-chunk pigeonhole candidate
+    // filter + exact bit-count verify — sound AND complete, unlike the
+    // canonicalization face's chunk sharing. The oracle brute-forces the
+    // cross join (fine at oracle sf); the operator's only shuffle is the
+    // chunk-bucket exchange.
+    Q(
+      "d_simhash_hamming",
+      (s, dir) =>
+        SimHash
+          .hammingPairs(
+            SimHash.simhashOfMd5(Tables(s, dir, "documents")), r = 3, bits = 32)
+          .orderBy("id_a", "id_b"),
+      Some(simhashHammingOracleSql),
+    ),
     // n-gram Jaccard verification of LSH candidates (D4): top-20 candidate
     // pairs by exact 3-gram Jaccard, candidates from the md5-family bands.
     Q(
@@ -1120,21 +1135,45 @@ object TrainingDataQueries {
       ORDER BY d.doc_id"""
   }
 
-  /** ≡ SimHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */
-  private def simhashOracleSql: String = {
-    val bits = 32; val chunkBits = 8; val maxBucket = 100
+  /** Shared CTE chain t→hh→c→f: documents → md5-family simhash
+    * fingerprints (token = md5_60, low `bits` bits). Used by the
+    * canonicalization oracle and the verified Hamming-join oracle.
+    */
+  private def md5SimhashFpCtes(bits: Int): String = {
     val cs = (0 until bits).map(j =>
       s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j").mkString(",\n             ")
     val fp = (0 until bits).map(j => s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString("\n             + ")
-    val chunkVals = (0 until 4).map(i => s"($i, ${i * chunkBits})").mkString(", ")
-    s"""
-      WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    s"""t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
                  FROM documents WHERE text IS NOT NULL),
       hh AS (SELECT doc_id, ${md5_60("tok")} AS hv FROM t),
       c AS (SELECT doc_id,
              $cs
             FROM hh GROUP BY doc_id),
-      f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM c),
+      f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM c)"""
+  }
+
+  /** ≡ SimHash.hammingPairs(simhashOfMd5(documents), r=3, bits=32): the
+    * banded candidate filter is COMPLETE for r ≤ 3 (pigeonhole) and the
+    * operator verifies the exact bit count, so the emitted set equals the
+    * brute-force distance-≤-3 join — which is exactly what this oracle
+    * computes (125k pairs at sf0.01, trivial for DuckDB; the operator
+    * never materializes that cross join).
+    */
+  private def simhashHammingOracleSql: String =
+    s"""
+      WITH ${md5SimhashFpCtes(32)}
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
+      FROM f a JOIN f b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY id_a, id_b"""
+
+  /** ≡ SimHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */
+  private def simhashOracleSql: String = {
+    val bits = 32; val chunkBits = 8; val maxBucket = 100
+    val chunkVals = (0 until 4).map(i => s"($i, ${i * chunkBits})").mkString(", ")
+    s"""
+      WITH ${md5SimhashFpCtes(bits)},
       ch AS (SELECT f.doc_id, v.ci AS chunk_idx, (f.fp >> v.sh) & ${(1L << chunkBits) - 1} AS chunk
              FROM f, (VALUES $chunkVals) v(ci, sh)),
       sz AS (SELECT chunk_idx, chunk, COUNT(*) AS n, MIN(doc_id) AS bmin

@@ -124,6 +124,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("hammingPairs == brute-force distance join on the production 64-bit face") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = docsDf(Seq(
+      (0L, base), (1L, base), (2L, base + " tail"), (3L, base + " different tail"),
+      (4L, "completely unrelated text about catalyst optimizer internals"),
+      (5L, "another fully distinct document with its own vocabulary set"),
+      (6L, null), (7L, base + " tail"),
+    ))
+    val sh = SimHash.simhashOf(docs.filter(col("text").isNotNull), "doc_id", "text")
+    val banded = SimHash.hammingPairs(sh, r = 3, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same fingerprints (test-only cross join)
+    val fps = sh.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(banded == brute, s"banded $banded\nbrute $brute")
+    // non-vacuity: the planted exact dups must appear at distance 0
+    assert(banded.exists { case (a, b, d) => Set(a, b).subsetOf(Set(0L, 1L)) && d == 0 })
+    // hot-bucket cap drops pairs (documented prospective-cap semantics):
+    // 120 identical docs in one bucket with maxBucket=10 → empty output
+    val clones = (0L until 120L).map(i => (i, base)).toDF("doc_id", "text")
+    val shc = SimHash.simhashOf(clones, "doc_id", "text")
+    assert(SimHash.hammingPairs(shc, r = 3, bits = 64, maxBucket = 10).count() == 0)
+  }
+
   test("simhash: small edits stay within small hamming distance") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val edited = base.replace("twelve", "thirteen")
