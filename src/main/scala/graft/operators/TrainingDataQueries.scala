@@ -633,6 +633,26 @@ object TrainingDataQueries {
         SELECT doc_id, CAST(6 AS INT) AS out_w, CAST(5 AS INT) AS out_h, resized_hex
         FROM hx ORDER BY doc_id"""),
     ),
+    // The Hamming join composed onto the image face: perceptual ahash64
+    // over engineered near-duplicate images (seed doc_id % 50 — ~10 docs
+    // per exact image, so distance-0 pairs exist at every sf), banded
+    // candidates + exact bit-count verify. DuckDB re-derives the hash
+    // bits from the LCG closed form and brute-forces the distance join;
+    // the operator's only shuffle is the chunk-bucket exchange.
+    Q(
+      "mm_phash_hamming",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 50 * 4 + 1).as("img_id"))
+        val blobs = Multimodal.synthesizeImages(docs, "img_id")
+        val sh = blobs.select(col("doc_id"),
+          graft.functions.PerceptualHash64.aHash(col("blob")).as("ah"))
+        SimHash
+          .hammingPairs(sh, r = 2, bits = 64, idCol = "doc_id", shCol = "ah")
+          .orderBy("id_a", "id_b")
+      },
+      Some(mmPhashHammingOracleSql),
+    ),
     // Audio modality, REAL codec round-trip: deterministic closed-form
     // sawtooth waveforms encoded as RIFF/WAVE PCM per doc, then
     // javax.sound.sampled header-only decode. The oracle asserts the real
@@ -1105,6 +1125,25 @@ object TrainingDataQueries {
              ahash AS frame_ahash, CAST(nf AS INT) AS n_frames
       FROM ah ORDER BY doc_id, frame_idx"""
   }
+
+  /** ≡ SimHash.hammingPairs over ahash64 of the seed-(doc_id%50) images:
+    * hash bits from the LCG closed form, brute-force distance join (the
+    * operator's banded filter is complete for r ≤ 3 and verifies, so the
+    * sets are equal by construction).
+    */
+  private def mmPhashHammingOracleSql: String =
+    s"""
+      WITH RECURSIVE ${mmGridCtes("(doc_id % 50) * 4 + 1")},
+      m8 AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM g8 GROUP BY doc_id),
+      ah AS (SELECT g8.doc_id,
+               ${packBits("cell > mean", "gy * 8 + gx")} AS ahash
+             FROM g8 JOIN m8 ON g8.doc_id = m8.doc_id
+             GROUP BY g8.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS dist
+      FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+      ORDER BY id_a, id_b"""
 
   private def mmFeaturesOracleSql: String = {
     s"""
