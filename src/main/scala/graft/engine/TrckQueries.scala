@@ -71,7 +71,11 @@ object TrckQueries {
   def durableTrailEvents(s: SparkSession, dir: String): DataFrame =
     durableCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val tbl = "trails_durable_" + java.lang.Integer.toHexString(dir.hashCode)
+      // table name from the SANITIZED FULL PATH, not a hash: ScaleProbe
+      // builds durable layouts for two dirs in one session, and a hash
+      // collision would silently serve the wrong corpus
+      val tbl = "trails_durable_" + dir.stripSuffix("/")
+        .map(c => if (c.isLetterOrDigit) c else '_').dropWhile(_ == '_')
       val nBuckets = 32
       if (!s.catalog.tableExists(tbl))
         trailEvents(s, dir)
