@@ -34,7 +34,10 @@ object ScaleProbe {
     // r8 additions: passage-level dedup (explode-heavy) + mixing filter
     "d_passage_dup", "c_source_sample",
     // r9: content-defined chunking (typed sequential kernel per doc)
-    "d_cdc_dup")
+    "d_cdc_dup",
+    // r10: verified Hamming join (chunk-bucket exchange + in-bucket pair
+    // expansion; replica text clusters stress the hot-cap path at mult×)
+    "d_simhash_hamming")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
