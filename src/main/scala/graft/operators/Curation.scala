@@ -248,6 +248,44 @@ object Curation {
     * superset of the global cap-lowest rows per source (each global winner
     * is among the cap lowest of whichever partition holds it).
     */
+  /** Corpus-statistics quality signal — the integer-exact skeleton of
+    * LM-likelihood filtering (the production pipeline pattern: score each
+    * document by how "expected" its token transitions are under corpus
+    * statistics, drop the tails): per doc, the floor-mean corpus
+    * frequency of its word bigrams. Low support ⇒ text whose transitions
+    * appear nowhere else (OCR noise, word salad, wrong-language
+    * fragments); high support ⇒ boilerplate. Exact integer arithmetic so
+    * the score cross-engine hash-matches — a float log-prob would differ
+    * in last-ulp libm digits between engines.
+    *
+    * Scale shape: ONE pass builds the bigram frequency table (explode →
+    * map-side-combined count on bigram keys), one shuffle join of doc
+    * bigrams against it (both sides keyed by bigram — co-partitioned;
+    * hot boilerplate bigrams distribute across their key's partition,
+    * and AQE's skew split handles a pathological head), one per-doc
+    * fold. Nothing is collected; the frequency table is a DataFrame,
+    * never a driver map. Docs shorter than 2 words use their whole text
+    * as the single "bigram" ([[MinHash.shingles]] k=2 contract);
+    * null-text docs emit null support.
+    */
+  def bigramSupport(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(MinHash.shingles(col(textCol), 2)).as("bg"))
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("n"))
+    val perDoc = bg
+      .join(counts, Seq("bg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("n").as("tot"))
+      .select(col(idCol), col("n_bigrams"),
+        // integer div, not floor(double /): exact at any magnitude
+        expr("tot div n_bigrams").as("support"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   def capPerSource(docs: DataFrame, cap: Int, idCol: String = "doc_id",
                    srcCol: String = "source", preReduce: Boolean = false): DataFrame = {
     val order = Seq(md5(col(idCol).cast("string")), col(idCol))

@@ -84,6 +84,33 @@ object TrainingDataQueries {
           .orderBy("id_a", "id_b"),
       Some(simhashHammingOracleSql),
     ),
+    // Corpus-statistics quality signal: per-doc floor-mean corpus
+    // frequency of its word bigrams — the integer-exact skeleton of
+    // LM-likelihood filtering. One bigram-count pass (map-side combined),
+    // one co-partitioned join, one per-doc fold.
+    Q(
+      "c_bigram_support",
+      (s, dir) =>
+        Curation
+          .bigramSupport(Tables(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents WHERE text IS NOT NULL),
+        bgl AS (SELECT doc_id,
+                  CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                       ELSE list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')) END AS bgs
+                FROM w),
+        e AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+        c AS (SELECT bg, COUNT(*) AS n FROM e GROUP BY bg),
+        d AS (SELECT e.doc_id, COUNT(*) AS n_bigrams, SUM(c.n) AS tot
+              FROM e JOIN c USING (bg) GROUP BY e.doc_id)
+        SELECT doc.doc_id,
+               CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(d.tot // d.n_bigrams AS BIGINT) AS support
+        FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+        ORDER BY doc.doc_id"""),
+    ),
     // n-gram Jaccard verification of LSH candidates (D4): top-20 candidate
     // pairs by exact 3-gram Jaccard, candidates from the md5-family bands.
     Q(

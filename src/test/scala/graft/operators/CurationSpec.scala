@@ -177,6 +177,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigramSupport: hand-computed corpus frequencies, short docs, null text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c"),    // bigrams: "a b", "b c"
+      (1L, "a b d"),    // bigrams: "a b", "b d"
+      (2L, "x"),        // short doc: single "bigram" = whole text
+      (3L, "x"),        // same — the two short docs support each other
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = Curation.bigramSupport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // corpus counts: "a b"→2, "b c"→1, "b d"→1, "x"→2
+    assert(out(0L) == ((2L, (2L + 1L) / 2)), out.toString)  // (2+1) div 2 = 1
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((1L, 2L)) && out(3L) == ((1L, 2L)))
+    assert(out(4L) == ((0L, -1L)), "null text → zero bigrams, null support")
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._
