@@ -323,6 +323,48 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       enc.encode(Seq(Multimodal.syntheticGifFrame(7L, 10, 9)))))
   }
 
+  test("GIF frame decode fuzz: random dims × frame counts round-trip exactly") {
+    // the registered fixture covers dims 8..16 and 2..4 frames; the codec
+    // contract (gray palette losslessness, frame enumeration) must hold
+    // across the wider space, including 1-pixel-wide and single-frame
+    // containers
+    val enc = new Multimodal.GifEncoder
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val nF = 1 + rnd.nextInt(6)
+      val frames = (0 until nF).map(k => Multimodal.syntheticGifFrame(seed * 1000L + k, w, h))
+      val rows = Multimodal.decodeFrameRows(enc.encode(frames), maxFrames = 8,
+        sliceEveryNth = 4, sliceBytes = 1024)
+      assert(rows.length == nF && rows.forall(_.getString(1) == "frame"),
+        s"seed $seed ${w}x$h x$nF: $rows")
+      rows.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(5) == nF)
+        // recompute the expected hash from the raw LCG bytes (grid the
+        // samples exactly as luminanceGrid does, incl. the point-sample
+        // fallback for sources smaller than 8x8)
+        val img = frames(k)
+        val expected = {
+          val sums = new Array[Long](64); val counts = new Array[Long](64)
+          if (w >= 8 && h >= 8) {
+            for (j <- 0 until h; i <- 0 until w) {
+              val c = (j * 8 / h) * 8 + i * 8 / w
+              sums(c) += img.getRaster.getSample(i, j, 0); counts(c) += 1
+            }
+            Multimodal.aHash(Array.tabulate(64)(c => sums(c) / counts(c)))
+          } else Multimodal.aHash(Array.tabulate(64) { c =>
+            img.getRaster.getSample((c % 8) * w / 8, (c / 8) * h / 8, 0).toLong
+          })
+        }
+        assert(r.getLong(4) == expected, s"seed $seed frame $k hash drift")
+      }
+    }
+    // maxFrames truncation is bounded and visible via n_frames
+    val many = enc.encode((0 until 6).map(k => Multimodal.syntheticGifFrame(k, 9, 9)))
+    val capped = Multimodal.decodeFrameRows(many, maxFrames = 3, 4, 1024)
+    assert(capped.length == 3 && capped.forall(_.getInt(5) == 6))
+  }
+
   test("resizeLuma: lossless gray round-trip, point-sample fallback, undecodable classifies") {
     val s = spark
     import s.implicits._
