@@ -581,6 +581,55 @@ object Curation {
               CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 30 END
         ORDER BY doc_id"""),
     ),
+    // The COMPOSED curation pipeline — what a training-data user actually
+    // runs, as one registered query: quality gate (token floor + language
+    // score) → exact-dedup canonical keep → deterministic weighted mixing
+    // → per-source stats. Every stage is an already-oracled operator; the
+    // composition pins that they chain without seams (the oracle rebuilds
+    // the same four stages in SQL). Scale shape: narrow filters → one
+    // fingerprint-keyed window → the mixing filter (map-only) → one
+    // final tiny aggregation.
+    Q(
+      "c_pipeline_e2e",
+      (s, dir) => {
+        val w = Window.partitionBy(md5(col("text")))
+        val gated = Tables(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+          .filter(col("text").isNotNull && col("n_tokens") >= 5 &&
+            TextAnalysis.langScore(col("text"), "en") >= 2)
+        val deduped = gated
+          .withColumn("__canon", min("doc_id").over(w))
+          .filter(col("doc_id") === col("__canon"))
+        sampleBySourceWeights(deduped,
+          Map("src0" -> 80, "src1" -> 50, "src2" -> 10), defaultPct = 30)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, source, text,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+          WHERE text IS NOT NULL
+            AND len(string_split_regex(trim(text), '\s+')) >= 5
+            AND ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5 +
+                 (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) // 5 +
+                 (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) // 4 +
+                 (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) // 4 +
+                 (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) // 4) >= 2
+        ),
+        dd AS (SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM g),
+        k AS (SELECT * FROM dd WHERE doc_id = canon),
+        m AS (
+          SELECT * FROM k
+          WHERE CAST('0x' || substring(md5(CAST(len(COALESCE(source, '')) AS VARCHAR) || ':' || COALESCE(source, '') || ':' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4) AS BIGINT) % 100 <
+                CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 30 END
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM m GROUP BY source ORDER BY source"""),
+    ),
     // PII scan over event props: per-event-type pattern hit counts +
     // redaction size. The number-run counts are non-zero on this corpus,
     // so the regex and global-replace parity is exercised by real data.
