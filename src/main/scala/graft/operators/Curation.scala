@@ -258,24 +258,24 @@ object Curation {
     * the score cross-engine hash-matches — a float log-prob would differ
     * in last-ulp libm digits between engines.
     *
-    * Scale shape: ONE pass builds the bigram frequency table (explode →
-    * map-side-combined count on bigram keys), one shuffle join of doc
-    * bigrams against it (both sides keyed by bigram — co-partitioned;
-    * hot boilerplate bigrams distribute across their key's partition,
-    * and AQE's skew split handles a pathological head), one per-doc
-    * fold. Nothing is collected; the frequency table is a DataFrame,
-    * never a driver map. Docs shorter than 2 words use their whole text
+    * Scale shape: bigrams hash to 60-bit keys BEFORE any exchange (the
+    * md5-60 cross-engine family — 8-byte shuffle rows, never strings),
+    * then ONE windowed count over the hash key attaches each bigram's
+    * corpus frequency without a join — the join formulation scanned and
+    * exploded the corpus twice and benched 3× slower — and one per-doc
+    * fold. Nothing is collected; the frequency "table" never exists as a
+    * driver structure. Docs shorter than 2 words use their whole text
     * as the single "bigram" ([[MinHash.shingles]] k=2 contract);
     * null-text docs emit null support.
     */
   def bigramSupport(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val bg = docs
+    val w = Window.partitionBy("bgh")
+    val perDoc = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(MinHash.shingles(col(textCol), 2)).as("bg"))
-    val counts = bg.groupBy("bg").agg(count(lit(1)).as("n"))
-    val perDoc = bg
-      .join(counts, Seq("bg"))
+      .select(col(idCol), MinHash.md5Hash60(col("bg")).as("bgh"))
+      .withColumn("n", count(lit(1)).over(w))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("n").as("tot"))
       .select(col(idCol), col("n_bigrams"),
