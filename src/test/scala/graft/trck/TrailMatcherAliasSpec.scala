@@ -48,6 +48,37 @@ class TrailMatcherAliasSpec extends AnyFunSuite {
       s"every tuple must finalize independently, got $expired")
   }
 
+  test("binding-sensitive finalization over aliased states yields per-tuple values") {
+    // the after-clause yields %g ITSELF: finalization consults the foreach
+    // binding (groupbyUsed), so an aliased state group cannot broadcast one
+    // result — finalizeTrail must re-run each tuple from the pre-run
+    // snapshot (the identity-aware path's binding-sensitive branch) and
+    // every tuple must see ITS OWN %g in its set
+    val bindingProgram = Ir.Program(
+      Vector(
+        Ir.Rule(None, None, None, entrypoint = false, List(
+          Ir.Clause(Map("event_type" -> List("start")), negated = false, Some("break"), Nil),
+          Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)), None),
+        Ir.Rule(None, Some(100L), None, entrypoint = false, List(
+          Ir.Clause(Map.empty, negated = false, Some("repeat"), Nil)),
+          Some(Ir.Clause(Map.empty, negated = false, Some("quit"),
+            List(Ir.Yield("#who", List(Ir.ParamTerm("%g"))))))),
+      ),
+      Some(Ir.GroupBy(List("%g"), Some("@arr"), mergeResults = false)),
+    )
+    val prog = Compiled.compile(bindingProgram)
+    // no tuple value appears in the trail and the window rule never
+    // consults %g per event → ONE aliased state object covers all tuples
+    // going into finalization
+    val tuples = Vector("a1", "a2", "a3").map(v => ForeachTuple(Vector(Left(v))))
+    val db = Db(Seq("u1" -> Seq(
+      RawEvent(10L, Map("event_type" -> "start", "advertisable_eid" -> "zz")))))
+    val out = LocalRunner.run(prog, Seq(db), foreachTuples = Some(tuples))
+    val who = out.results.map(_.sets("who").keys.map(Tuple.render).toVector)
+    assert(who == Vector(Vector("a1"), Vector("a2"), Vector("a3")),
+      s"each tuple must finalize with ITS OWN binding, got $who")
+  }
+
   test("every foreach tuple fires its own finalization after-yield (memo path)") {
     val prog = Compiled.compile(program)
     val tuples = Vector("a1", "a2", "a3").map(v => ForeachTuple(Vector(Left(v))))
