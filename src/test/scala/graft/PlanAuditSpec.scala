@@ -56,6 +56,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("r10 queries keep their scale shapes: no joins/cartesians where none belong") {
+    // bigram support is ONE windowed count — the join formulation it
+    // replaced scanned the corpus twice and benched 3x slower
+    val bg = plan("c_bigram_support")
+    assert(!bg.contains("SortMergeJoin") && !bg.contains("ShuffledHashJoin") &&
+      !bg.contains("CartesianProduct"), bg.take(2000))
+    // resize is a narrow per-row pipeline: decode → grid → encode
+    val rz = plan("mm_resize")
+    assert(!rz.contains("Join") && !rz.contains("CartesianProduct") &&
+      !rz.contains("HashAggregate"), rz.take(2000))
+    // the Hamming joins never materialize a pair cross join: candidates
+    // expand inside chunk-bucket member arrays
+    for (q <- Seq("d_simhash_hamming", "mm_phash_hamming")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
+    // frame decode and the audio queries are narrow per-row pipelines too
+    for (q <- Seq("mm_frame_decode", "au_decode_meta", "au_fingerprint_dup")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))
