@@ -37,7 +37,10 @@ object ScaleProbe {
     "d_cdc_dup",
     // r10: verified Hamming join (chunk-bucket exchange + in-bucket pair
     // expansion; replica text clusters stress the hot-cap path at mult×)
-    "d_simhash_hamming")
+    "d_simhash_hamming",
+    // r10: corpus-stats quality score (ONE windowed count over hashed
+    // bigram keys — 75M rows at 30×) and the composed curation pipeline
+    "c_bigram_support", "c_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
