@@ -145,12 +145,17 @@ object ProgramFuzzSpec {
   def randomProgram(rnd: scala.util.Random): Ir.Program = {
     val nRules = 2 + rnd.nextInt(2) // 2-3
     def randomYields(): List[Ir.Yield] =
-      List.fill(rnd.nextInt(3))(rnd.nextInt(4) match {
+      List.fill(rnd.nextInt(3))(rnd.nextInt(5) match {
         case 0 => Ir.Yield("$c" + rnd.nextInt(2), Nil)
         case 1 => Ir.Yield("#s" + rnd.nextInt(2),
           List(Ir.FieldTerm(if (rnd.nextBoolean()) "type" else "cookie")))
         case 2 => Ir.Yield("&m0", List(Ir.FieldTerm("type")))
         case 3 => Ir.Yield("^h0", List(Ir.FieldTerm("advertisable_eid")))
+        // the foreach var ITSELF — in an after-clause this makes
+        // finalization binding-sensitive, exercising the identity-aware
+        // finalizeTrail's snapshot branch under random programs (unbound
+        // %g renders "" identically in both engines)
+        case 4 => Ir.Yield("#sg", List(Ir.ParamTerm("%g")))
       })
     def randomAction(ri: Int): String = rnd.nextInt(5) match {
       case 0 => "repeat"
