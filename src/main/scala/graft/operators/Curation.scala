@@ -267,6 +267,14 @@ object Curation {
     * driver structure. Docs shorter than 2 words use their whole text
     * as the single "bigram" ([[MinHash.shingles]] k=2 contract);
     * null-text docs emit null support.
+    *
+    * Skew posture: the window co-locates every occurrence of a bigram in
+    * one partition, so an extreme-skew corpus (one boilerplate bigram
+    * dominating) concentrates that key's rows. At that scale prefer the
+    * aggregate-then-join shape (groupBy(bgh).count — map-side partials
+    * are skew-immune — joined back under AQE skew-join, which can split
+    * a hot probe partition; a window cannot be split). The windowed form
+    * is the right default: one pass, and 30× probing reads ratio 1.88.
     */
   def bigramSupport(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
