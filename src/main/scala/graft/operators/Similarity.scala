@@ -289,10 +289,24 @@ object Similarity {
     out
   }
 
+  /** Conf key bounding [[exactPairsAboveBroadcast]]'s driver collect; the
+    * same fail-loud posture as [[graft.engine.TrailEngine.lexiconSweep]]'s
+    * implicit-foreach bound: a pre-flight count against a configurable cap
+    * instead of a silent driver OOM at production corpus size.
+    */
+  val MaxBroadcastRowsKey = "graft.similarity.maxBroadcastRows"
+  val MaxBroadcastRowsDefault = 2000000L
+
   /** Broadcast formulation of [[exactPairsAbove]] — collects the corpus to
     * the driver, so only usable when it fits a broadcast. Kept as the
     * reference implementation the block-partitioned kernel is spec-checked
     * against.
+    *
+    * Guarded: a pre-flight count fails loudly above
+    * [[MaxBroadcastRowsKey]] (default 2M rows) — the distributed paths for
+    * a corpus past that size are [[exactPairsAbove]] (block-partitioned,
+    * still O(n²) work) or the LSH-bucketed twin [[quantizedLshPairsAbove]]
+    * (the production shape).
     */
   def exactPairsAboveBroadcast(
       corpus: DataFrame,
@@ -307,6 +321,16 @@ object Similarity {
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
+    val cap = spark.conf.getOption(MaxBroadcastRowsKey)
+      .map(_.toLong).getOrElse(MaxBroadcastRowsDefault)
+    val n = ds.count()
+    if (n > cap)
+      throw new IllegalArgumentException(
+        s"exactPairsAboveBroadcast would collect $n corpus rows to the driver " +
+          s"(bound $cap): this kernel is the broadcast reference implementation, " +
+          s"not a scale path — use quantizedLshPairsAbove (LSH-bucketed) or " +
+          s"exactPairsAbove (block-partitioned) for corpora past the bound, or " +
+          s"raise $MaxBroadcastRowsKey")
     val side = spark.sparkContext.broadcast(
       ds.collect().map { case (id, v) => (id, v, norm(v)) }.sortBy(_._1))
     ds.flatMap { case (ida, va) =>
