@@ -51,10 +51,10 @@ object Tdb2Json {
       .filter(col(uuidCol).isNotNull && col(tsCol).isNotNull) // undumpable rows
       .repartition(col(uuidCol))
       .sortWithinPartitions(
-        col(uuidCol).cast("string") +: col(tsCol).cast("long") +: tiebreak.reverse.map(col): _*)
+        col(uuidCol).cast("string") +: Tables.tsLong(df0, tsCol) +: tiebreak.reverse.map(col): _*)
       .select(
         col(uuidCol).cast("string").as("__uuid") +:
-          col(tsCol).cast("long").as("__ts") +:
+          Tables.tsLong(df0, tsCol).as("__ts") +:
           fields.map(c => col(c).cast("string").as(c)): _*)
 
     // stream row by row to stdout; trails are contiguous per partition so

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One registered query: a Spark implementation plus (when SQL-expressible)
   * an equivalent DuckDB oracle. Column names MUST match between the two —
@@ -26,21 +26,43 @@ object Tables {
 
   /** `events` with a normalized epoch-second `ts_sec: Long` column.
     *
-    * The events parquet stores TIMESTAMP(NANOS). Spark either reads it as
-    * TimestampType (micros, truncating) or — with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — as LongType nanos. Either
-    * way `ts_sec` is the floor-seconds value, which matches the reference's
-    * uint64-seconds event time (reference: src/fns_imported.h:5) and is what
-    * every oracle compares against (`floor(epoch(ts))` in DuckDB).
+    * The events parquet has stored `ts` three ways across driver testdata
+    * generations, and all must normalize to the same floor-seconds value —
+    * the reference's uint64-seconds event time (reference:
+    * src/fns_imported.h:5), which every oracle compares against
+    * (`floor(epoch(ts))` in DuckDB):
+    *   - INT64 TIMESTAMP(NANOS) → LongType under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`: integer-divide.
+    *   - timestamp[us] with tz → TimestampType: cast to long (seconds).
+    *   - timestamp[us] without tz (pandas-written) → TimestampNTZType:
+    *     Spark forbids a direct numeric cast, so hop through TimestampType
+    *     first. The session is pinned to UTC, so the naive wall-clock
+    *     reinterprets as the same epoch instant DuckDB's `epoch(ts)` sees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")
     val tsSec = df.schema("ts").dataType match {
       case LongType => expr("ts div 1000000000")
-      case _        => col("ts").cast("long")
+      case _        => tsLong(df, "ts")
     }
     df.withColumn("ts_sec", tsSec)
   }
+
+  /** Cast a user-named ts column to epoch-second Long, tolerating
+    * TIMESTAMP_NTZ — Spark forbids the direct numeric cast on NTZ, so it
+    * hops through TimestampType (the session is pinned UTC, making the
+    * naive wall-clock the same epoch instant). Every other type keeps the
+    * plain `cast("long")` this replaced: numeric columns pass through
+    * unchanged, TimestampType yields floor-seconds. Used by every boundary
+    * that accepts an arbitrary events frame (CLI `--ts-col`, streaming
+    * faces, engine sort keys) so a pandas-written parquet doesn't fail
+    * analysis.
+    */
+  def tsLong(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType => col(c).cast(TimestampType).cast("long")
+      case _                => col(c).cast("long")
+    }
 }
 
 /** Session factory used by Verify/Bench/tests AND the spark-submit mains.

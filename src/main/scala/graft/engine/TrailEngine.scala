@@ -160,7 +160,7 @@ object TrailEngine {
       .sortWithinPartitions(
         col(uuidCol) +:
           (srcCol.map(c => col(c).cast(LongType)).toSeq ++
-            (col(tsCol).cast(LongType) +: tiebreak.map(col))): _*)
+            (graft.Tables.tsLong(withGhosts, tsCol) +: tiebreak.map(col))): _*)
   }
 
   /** Run `prog` over `events`, which must contain `uuidCol`, `tsCol`
@@ -245,7 +245,7 @@ object TrailEngine {
       if (hasGhost) Seq(col("__ghost").cast(IntegerType).as("__ghost")) else Nil
     val projected = events.select(
       (col(uuidCol).cast(StringType).as("__uuid") +:
-        col(tsCol).cast(LongType).as("__ts") +:
+        graft.Tables.tsLong(events, tsCol).as("__ts") +:
         srcSel) ++
         dedupCols.map(c => col(c).cast(StringType).as(c)) ++ tbSel ++ ghostSel: _*
     )

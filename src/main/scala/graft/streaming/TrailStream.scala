@@ -133,8 +133,8 @@ object TrailStream {
     val projectedAll = events
       .select(
         col(uuidCol).cast("string").as("uuid"),
-        col(tsCol).cast("long").as("ts"),
-        timestamp_seconds(col(tsCol).cast("long")).as("eventTime"),
+        graft.Tables.tsLong(events, tsCol).as("ts"),
+        timestamp_seconds(graft.Tables.tsLong(events, tsCol)).as("eventTime"),
         array(fieldCols.map(f =>
           if (events.columns.contains(f)) coalesce(col(f).cast("string"), lit("")) else lit("")): _*
         ).as("fields"),

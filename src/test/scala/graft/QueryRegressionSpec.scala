@@ -40,4 +40,34 @@ class QueryRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val clickRow = out.find(r => !r.isNullAt(0) && r.getString(0) == "click").get
     assert(clickRow.getLong(1) == 2L && clickRow.getBoolean(2))
   }
+
+  test("Tables.events normalizes a TIMESTAMP_NTZ ts column (pandas-written parquet)") {
+    // round-12 regression: the driver's regenerated testdata stores ts as
+    // timestamp[us] WITHOUT timezone, which Spark reads as TIMESTAMP_NTZ —
+    // and `cast(ts as long)` on NTZ fails analysis outright
+    // (DATATYPE_MISMATCH), taking down every events-family query. The fix
+    // hops NTZ → TimestampType (UTC session) → long; pin both the value
+    // semantics and an end-to-end FSM query over such a dir.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    val utc = java.time.ZoneOffset.UTC
+    val rows = Seq(
+      (1L, java.time.LocalDateTime.ofEpochSecond(1700000000L, 0, utc), 10L, "click"),
+      (2L, java.time.LocalDateTime.ofEpochSecond(1700000060L, 500000000, utc), 10L, "view"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    assert(rows.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType,
+      "parquet round-trip must preserve NTZ or this spec pins nothing")
+    val got = ev.select("event_id", "ts_sec").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1700000000L, s"exact-second value: $got")
+    assert(got(2L) == 1700000060L, s"fractional second must floor: $got")
+
+    val n = SparkEntry.queries("m1_fsm_count")(spark, dir).collect()
+    assert(n.head.getLong(0) == 1L, "FSM query must analyze and run over an NTZ events dir")
+  }
 }
