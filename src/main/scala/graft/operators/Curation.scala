@@ -268,16 +268,38 @@ object Curation {
     * as the single "bigram" ([[MinHash.shingles]] k=2 contract);
     * null-text docs emit null support.
     *
-    * Skew posture: the window co-locates every occurrence of a bigram in
-    * one partition, so an extreme-skew corpus (one boilerplate bigram
-    * dominating) concentrates that key's rows. At that scale prefer the
-    * aggregate-then-join shape (groupBy(bgh).count — map-side partials
-    * are skew-immune — joined back under AQE skew-join, which can split
-    * a hot probe partition; a window cannot be split). The windowed form
-    * is the right default: one pass, and 30× probing reads ratio 1.88.
+    * Skew posture, AUTOMATED: the window co-locates every occurrence of a
+    * bigram in one partition, so an extreme-skew corpus (one boilerplate
+    * bigram dominating) concentrates that key's rows on one task — a
+    * window partition cannot be split, not even by AQE. A cheap sampled
+    * pre-flight (fraction `skewSampleFrac` of docs through the same
+    * shingle+hash lineage, one map-side-combined count, ~1% of one
+    * explode pass) estimates the hottest key's row count; above
+    * `maxWindowKeyRows` the plan switches to [[bigramSupportAggJoin]],
+    * whose every aggregation is map-side partial (skew-immune) and whose
+    * one join AQE can skew-split. Both shapes produce identical rows (the
+    * spec pins equality and the oracle hash covers the registered query
+    * whichever shape runs). The windowed form stays the default at benign
+    * skew: one pass, and 30× probing reads ratio 1.88. `skewSampleFrac =
+    * 0` disables the pre-flight (always windowed).
     */
   def bigramSupport(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    skewSampleFrac: Double = 0.01,
+                    maxWindowKeyRows: Long = 1L << 22): DataFrame = {
+    require(skewSampleFrac >= 0.0 && skewSampleFrac <= 1.0)
+    if (skewSampleFrac > 0) {
+      val top = docs
+        .filter(col(textCol).isNotNull)
+        .sample(withReplacement = false, skewSampleFrac, seed = 42)
+        .select(explode(MinHash.shingles(col(textCol), 2)).as("bg"))
+        .select(MinHash.md5Hash60(col("bg")).as("bgh"))
+        .groupBy("bgh").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head
+      val topEst = (if (top.isNullAt(0)) 0L else top.getLong(0)) / skewSampleFrac
+      if (topEst > maxWindowKeyRows)
+        return bigramSupportAggJoin(docs, idCol, textCol)
+    }
     val w = Window.partitionBy("bgh")
     val perDoc = docs
       .filter(col(textCol).isNotNull)
@@ -288,6 +310,37 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"), sum("n").as("tot"))
       .select(col(idCol), col("n_bigrams"),
         // integer div, not floor(double /): exact at any magnitude
+        expr("tot div n_bigrams").as("support"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /** The skew-immune shape of [[bigramSupport]] — identical output, no
+    * window: per-(doc, bigram) counts first (map-side partials collapse a
+    * doc's repeats before any exchange), corpus frequency as a second
+    * partial-aggregated groupBy (a hot bigram reaches the reducer as one
+    * partial row PER MAP TASK, never as raw occurrences), then one
+    * bgh-equi-join (probe side skew-splittable by AQE — build rows are
+    * unique per key) and the per-doc fold using sum(c) / sum(c·n) in
+    * place of the window's per-occurrence rows. Dispatched automatically
+    * by [[bigramSupport]]'s pre-flight; callable directly when the skew
+    * is known ahead of time.
+    */
+  def bigramSupportAggJoin(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val perDocBg = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(MinHash.shingles(col(textCol), 2)).as("bg"))
+      .select(col(idCol), MinHash.md5Hash60(col("bg")).as("bgh"))
+      .groupBy(col(idCol), col("bgh"))
+      .agg(count(lit(1)).as("c"))
+    val freq = perDocBg.groupBy("bgh").agg(sum("c").as("n"))
+    val perDoc = perDocBg
+      .join(freq, Seq("bgh"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("n")).as("tot"))
+      .select(col(idCol), col("n_bigrams"),
         expr("tot div n_bigrams").as("support"))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")

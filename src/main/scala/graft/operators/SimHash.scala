@@ -82,33 +82,61 @@ object SimHash {
     * with `bit_count(a XOR b) ≤ r`, found by multi-index pigeonhole
     * banding (4 chunks of bits/4; distance ≤ 3 forces at least one EQUAL
     * chunk, so same-chunk buckets are a complete candidate filter for
-    * r ≤ 3) and then VERIFIED by the exact bit count — unlike the
-    * canonicalization faces, whose chunk sharing is complete but not
-    * sound, the emitted pair set is exactly the distance-≤-r set.
+    * r ≤ 3) and then VERIFIED by the exact bit count. The emitted set is
+    * exactly the distance-≤-r set PROVIDED no candidate bucket exceeds
+    * `maxBucket` — a dropped hot bucket loses every pair whose only
+    * shared chunk it was, and at scale the hottest buckets are exactly
+    * the most-replicated content. That completeness hole is why the
+    * `maxHotDropFrac` guard is ARMED BY DEFAULT: a pre-flight bucket
+    * count (one map-side-combined aggregation over the memberships —
+    * noise next to the pair expansion it protects) measures the fraction
+    * of membership rows living in over-cap buckets and fails loudly with
+    * a sizing hint when it exceeds the bound. Pass `maxHotDropFrac = 1.0`
+    * to opt into the old prospective-cap semantics (silent subset).
     *
     * Scale shape: the only shuffle is the chunk-bucket exchange on
     * (chunk_idx, chunk) keys; pairs expand inside each bucket's member
     * array (no self-join — the fingerprint lineage evaluates once), hot
     * buckets above `maxBucket` are dropped BEFORE member arrays
-    * materialize (windowed count; a hot chunk is low-information —
-    * same contract as every bucketed kernel here), and cross-bucket
-    * duplicate pairs collapse with a distinct on the 3 small output
-    * columns. Null fingerprints (null text upstream) never join.
+    * materialize (windowed count), and cross-bucket duplicate pairs
+    * collapse with a distinct on the 3 small output columns. Null
+    * fingerprints (null text upstream) never join.
     */
   def hammingPairs(sh: DataFrame, r: Int = 3, bits: Int = 64,
                    idCol: String = "doc_id", shCol: String = "simhash",
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000,
+                   maxHotDropFrac: Double = 0.05): DataFrame = {
     require(r >= 0 && r <= 3, "4-chunk pigeonhole banding is complete only for r <= 3")
     require(bits % 4 == 0 && bits >= 4 && bits <= 64)
+    require(maxHotDropFrac >= 0.0 && maxHotDropFrac <= 1.0)
     val chunkBits = bits / 4
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")
-    sh.filter(col(shCol).isNotNull)
+    val memberships = sh.filter(col(shCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(shCol).cast("long").as("sh"))
       .select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("chunk_idx", "chunk")))
+    if (maxHotDropFrac < 1.0) {
+      val r0 = memberships
+        .groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n")).as("total"),
+          sum(when(col("n") > maxBucket, col("n")).otherwise(0L)).as("dropped"))
+        .head
+      val total = if (r0.isNullAt(0)) 0L else r0.getLong(0)
+      val dropped = if (r0.isNullAt(1)) 0L else r0.getLong(1)
+      if (total > 0 && dropped.toDouble / total > maxHotDropFrac)
+        throw new IllegalStateException(
+          f"hammingPairs: $dropped of $total chunk memberships " +
+            f"(${dropped * 100.0 / total}%.1f%%) sit in buckets over the hot " +
+            f"cap ($maxBucket) — dropping them silently loses pairs among the " +
+            f"MOST-replicated fingerprints. Raise maxBucket past the largest " +
+            f"duplicate cluster, pre-collapse exact-duplicate fingerprints, " +
+            f"or pass maxHotDropFrac = 1.0 to accept a documented subset.")
+    }
+    memberships
       .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n").between(2, maxBucket))
       .groupBy("chunk_idx", "chunk")

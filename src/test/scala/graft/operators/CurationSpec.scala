@@ -196,6 +196,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((0L, -1L)), "null text → zero bigrams, null support")
   }
 
+  test("bigramSupport skew fallback: boilerplate corpus auto-switches to the agg-join shape, identical rows") {
+    val s = spark
+    import s.implicits._
+    // one boilerplate bigram set dominating the corpus — the shape whose
+    // windowed plan would pin every occurrence of a hot key on one task
+    val docs = ((0L until 200L).map(i => (i, "the same boilerplate line")) ++
+      Seq((200L, "a b c"), (201L, "x"), (202L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    // full-sample pre-flight + tiny threshold → the dispatcher MUST take
+    // the agg-join shape; witness at the plan level: no Window node
+    val switched = Curation.bigramSupport(docs, skewSampleFrac = 1.0, maxWindowKeyRows = 10)
+    assert(!switched.queryExecution.optimizedPlan.toString.contains("Window"),
+      "skew fallback must not contain a window")
+    // pre-flight disabled → the windowed default (plan witness: Window)
+    val windowed = Curation.bigramSupport(docs, skewSampleFrac = 0.0)
+    assert(windowed.queryExecution.optimizedPlan.toString.contains("Window"))
+    // both shapes produce identical rows (the registered query's oracle
+    // hash therefore holds whichever shape the pre-flight dispatches)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val sw = rows(switched)
+    assert(sw == rows(windowed), s"shapes disagree:\n$sw")
+    // spot-check the dominant docs: 3 bigrams each, every one at corpus
+    // frequency 200 → support (3*200) div 3 = 200
+    assert(sw.contains((0L, 3L, 200L)))
+    assert(sw.contains((202L, 0L, -1L)), "null text → zero bigrams, null support")
+    // benign corpus at default thresholds stays windowed (no false switch)
+    val benign = Curation.bigramSupport(docs)
+    assert(benign.queryExecution.optimizedPlan.toString.contains("Window"))
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._

@@ -146,11 +146,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == brute, s"banded $banded\nbrute $brute")
     // non-vacuity: the planted exact dups must appear at distance 0
     assert(banded.exists { case (a, b, d) => Set(a, b).subsetOf(Set(0L, 1L)) && d == 0 })
-    // hot-bucket cap drops pairs (documented prospective-cap semantics):
-    // 120 identical docs in one bucket with maxBucket=10 → empty output
+    // hot-bucket guard (armed by default): 120 identical fingerprints in
+    // one bucket with maxBucket=10 would silently lose every pair among
+    // the MOST-replicated content — the default maxHotDropFrac must fail
+    // loudly instead of emitting the empty subset
     val clones = (0L until 120L).map(i => (i, base)).toDF("doc_id", "text")
     val shc = SimHash.simhashOf(clones, "doc_id", "text")
-    assert(SimHash.hammingPairs(shc, r = 3, bits = 64, maxBucket = 10).count() == 0)
+    val guardErr = intercept[IllegalStateException] {
+      SimHash.hammingPairs(shc, r = 3, bits = 64, maxBucket = 10).count()
+    }
+    assert(guardErr.getMessage.contains("hot"), guardErr.getMessage)
+    // explicit opt-out retains the documented prospective-cap subset
+    // semantics (here: everything hot → empty output)
+    assert(SimHash.hammingPairs(shc, r = 3, bits = 64, maxBucket = 10,
+      maxHotDropFrac = 1.0).count() == 0)
+    // and a corpus under the cap sails through the armed default: the
+    // 8-doc face above already proved that (banded == brute ran with the
+    // guard on), so the guard adds zero false positives at benign sizes
   }
 
   test("simhash: small edits stay within small hamming distance") {
