@@ -105,7 +105,7 @@ object ScaleProbe {
         try {
           SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
           times(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale-probe] $name failed at $dir: $e")
           errs(name) = e.getClass.getSimpleName
         }
@@ -121,7 +121,7 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[scale-probe] $name rep failed at $dir: $e"); None
       }
     def r2(v: Double) = math.round(v * 100) / 100.0

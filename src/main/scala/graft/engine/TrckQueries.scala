@@ -66,8 +66,33 @@ object TrckQueries {
     * fall back to file-split partitioning and feed the prepared path
     * unsorted mixed-uuid partitions.
     */
+  /** Conf key for the durable layout's storage root (default
+    * `/tmp/graft_durable`); on a cluster point it at a lake path.
+    */
+  val DurableRootKey = "graft.durable.root"
+
   private val durableCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Staleness contract: the layout is rebuilt only when the SESSION
+    * catalog lacks the table — that is the point of a durable layout
+    * (cross-session amortization; a fresh session's in-memory catalog is
+    * empty, so it overwrites from the current source files). If the
+    * source parquet changes UNDER a live session, the cached table keeps
+    * serving the old rows until the caller drops it
+    * (`spark.sql("DROP TABLE …")`) or starts a new session — the same
+    * semantics as any saved table over mutable files.
+    *
+    * NOTE the autoBucketedScan conf flip is deliberately session-wide and
+    * left set: the returned DataFrame executes arbitrarily later, and the
+    * bucketed SCAN must be forced on at that point — Catalyst can't see
+    * that the FSM mapPartitions consumer needs bucket alignment, and with
+    * autoBucketedScan enabled it would silently fall back to file-split
+    * partitioning and feed the prepared path unsorted mixed-uuid
+    * partitions. The flip only ever disables an optimizer ELECTIVE
+    * (plain scans are unaffected; bucketed scans stay correct, at worst
+    * unexploited elsewhere).
+    */
   def durableTrailEvents(s: SparkSession, dir: String): DataFrame =
     durableCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
@@ -77,11 +102,12 @@ object TrckQueries {
       val tbl = "trails_durable_" + dir.stripSuffix("/")
         .map(c => if (c.isLetterOrDigit) c else '_').dropWhile(_ == '_')
       val nBuckets = 32
+      val root = s.conf.getOption(DurableRootKey).getOrElse("/tmp/graft_durable")
       if (!s.catalog.tableExists(tbl))
         trailEvents(s, dir)
           .repartition(nBuckets, col("uuid"))
           .write.bucketBy(nBuckets, "uuid").sortBy("uuid", "ts_sec", "event_id")
-          .option("path", s"/tmp/graft_durable/$tbl")
+          .option("path", s"$root/$tbl")
           .mode("overwrite").saveAsTable(tbl)
       s.table(tbl)
     })

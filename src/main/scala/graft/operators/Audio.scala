@@ -158,8 +158,10 @@ object Audio {
     try {
       val f = in.getFormat
       val n = in.getFrameLength
+      // n < bands leaves empty bands; classify explicitly instead of
+      // letting the division throw (exception-as-control-flow)
       if (f.getChannels != 1 || f.getSampleSizeInBits != 8 || f.getFrameSize != 1 ||
-        n <= 0 || n > MaxFingerprintSamples) return None
+        n < bands || n > MaxFingerprintSamples) return None
       val sums = new Array[Long](bands)
       val counts = new Array[Long](bands)
       val buf = new Array[Byte](8192)

@@ -109,6 +109,7 @@ object SimHash {
     require(r >= 0 && r <= 3, "4-chunk pigeonhole banding is complete only for r <= 3")
     require(bits % 4 == 0 && bits >= 4 && bits <= 64)
     require(maxHotDropFrac >= 0.0 && maxHotDropFrac <= 1.0)
+    OpChecks.requireIntegralId(sh, idCol) // the long cast below would null out non-integral ids
     val chunkBits = bits / 4
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")

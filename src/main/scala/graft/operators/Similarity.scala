@@ -322,7 +322,19 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
     val cap = spark.conf.getOption(MaxBroadcastRowsKey)
-      .map(_.toLong).getOrElse(MaxBroadcastRowsDefault)
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$MaxBroadcastRowsKey must be a long row count, got '$v'")
+        }
+      }
+      .getOrElse(MaxBroadcastRowsDefault)
+    // NOTE: the pre-flight count is one extra action per call — acceptable
+    // for a reference-implementation kernel that is about to collect() the
+    // same rows anyway; the scale paths (exactPairsAbove /
+    // quantizedLshPairsAbove) pay nothing.
     val n = ds.count()
     if (n > cap)
       throw new IllegalArgumentException(

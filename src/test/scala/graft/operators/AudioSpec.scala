@@ -98,6 +98,10 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       out
     }
     assert(Audio.fingerprintPcm8(stereo16, 32).isEmpty)
+    // fewer frames than bands → empty bands; must classify via the
+    // explicit pre-check, and a bands-sized file is the smallest accepted
+    assert(Audio.fingerprintPcm8(Audio.wavEncodePcm8(new Array[Byte](31), 8000), 32).isEmpty)
+    assert(Audio.fingerprintPcm8(Audio.wavEncodePcm8(new Array[Byte](32), 8000), 32).isDefined)
   }
 
   test("afp32 SQL expression matches fingerprintPcm8 bit-for-bit; nulls classify") {

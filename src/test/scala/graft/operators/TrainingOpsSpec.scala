@@ -198,6 +198,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(Similarity.exactPairsAbove(emb, threshold = 0.35, blocks = 1)) == broadcastPairs)
   }
 
+  test("exactPairsAboveBroadcast collect cap: refusal, conf override, malformed conf") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val key = Similarity.MaxBroadcastRowsKey
+    try {
+      // cap below the corpus size → the pre-flight must refuse the collect
+      // and point at the scale paths, never reach the driver broadcast
+      spark.conf.set(key, "3")
+      val refusal = intercept[IllegalArgumentException] {
+        Similarity.exactPairsAboveBroadcast(emb, threshold = 0.35).count()
+      }
+      assert(refusal.getMessage.contains("quantizedLshPairsAbove"), refusal.getMessage)
+      assert(refusal.getMessage.contains(key), refusal.getMessage)
+      // cap above the corpus size → runs normally (whitespace tolerated)
+      spark.conf.set(key, " 100000 ")
+      assert(Similarity.exactPairsAboveBroadcast(emb, threshold = 0.35).count() > 0)
+      // malformed conf → loud parse error naming the key, not a bare
+      // NumberFormatException from deep inside an option chain
+      spark.conf.set(key, "lots")
+      val parseErr = intercept[IllegalArgumentException] {
+        Similarity.exactPairsAboveBroadcast(emb, threshold = 0.35).count()
+      }
+      assert(parseErr.getMessage.contains(key) && parseErr.getMessage.contains("lots"),
+        parseErr.getMessage)
+    } finally spark.conf.unset(key)
+    // default (conf unset) admits the tiny corpus
+    assert(Similarity.exactPairsAboveBroadcast(emb, threshold = 0.35).count() > 0)
+  }
+
   test("star-contraction CC == union-find CC on random, chain and isolated graphs") {
     val s = spark
     import s.implicits._
