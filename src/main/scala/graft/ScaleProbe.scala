@@ -86,6 +86,10 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$work/events.parquet")
 
     // ---- timed runs (Bench's noop-write protocol) -----------------------
+    // closureIters: per-query round count of the CC closures (the
+    // d_embed_cc_stars superlinearity witness — a logarithmic bound must
+    // show log-of-multiple growth in rounds, not multiple-of-rounds)
+    val closureIters = scala.collection.mutable.LinkedHashMap[String, Int]()
     def timeAt(dir: String): (Map[String, Double], Map[String, String]) = {
       // warm the session/scan path at this dir so the first query isn't
       // charged footer reads + codegen
@@ -101,10 +105,13 @@ object ScaleProbe {
       val times = scala.collection.mutable.LinkedHashMap[String, Double]()
       val errs = scala.collection.mutable.LinkedHashMap[String, String]()
       probeQueries.foreach { name =>
+        operators.Dedup.lastClosureIterations = -1
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
           times(name) = (System.nanoTime() - t0) / 1e9
+          if (operators.Dedup.lastClosureIterations >= 0)
+            closureIters(s"$dir:$name") = operators.Dedup.lastClosureIterations
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale-probe] $name failed at $dir: $e")
           errs(name) = e.getClass.getSimpleName
@@ -234,9 +241,13 @@ object ScaleProbe {
     val commit =
       try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
       catch { case scala.util.control.NonFatal(_) => "unknown" }
+    val closureJson = closureIters
+      .map { case (k, v) => s""""${k.replace(base, "base").replace(work, "scaled")}":$v""" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","commit":"$commit","mult":$mult,"base_dir":"$base","base":${js(baseUsed)},"scaled":${js(scaledUsed)},"ratio":$ratios,""" +
         s""""base_first":${js(baseT)},"scaled_first":${js(scaledT)},""" +
+        s""""closure_iterations":$closureJson,""" +
         s""""median_ratio":${r2(medianRatio)},"ratio_threshold":${r2(ratioThreshold)},""" +
         s""""base_arbitrated":${baseArb.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +
         s""""scaled_arbitrated":${scaledArb.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +

@@ -22,6 +22,9 @@ import graft.trck.LocalRunner.{WindowEntry, WindowSet}
   *   --uuid-col / --ts-col   column mapping for parquet inputs
   *   --tiebreak-col <c>      event-order tiebreak for equal timestamps
   *   --output-format <f>     json (default) | msgpack | proto
+  *   --fcall-class <fqcn>    user-fcall module on the classpath
+  *                           (graft.trck.FcallProvider) — the analog of the
+  *                           reference's sibling .tr.c (bin/trck:55-130)
   * }}}
   *
   * Inputs: `.json` files in the reference's test format
@@ -41,6 +44,7 @@ object Trck {
     var tsCol = "ts"
     var tiebreak: List[String] = Nil
     var outputFormat = "json"
+    var fcallClass: String = null
     val inputs = scala.collection.mutable.ListBuffer[String]()
 
     var i = 0
@@ -54,6 +58,7 @@ object Trck {
         case "--ts-col"       => tsCol = args(i + 1); i += 2
         case "--tiebreak-col" => tiebreak ::= args(i + 1); i += 2
         case "--output-format" => outputFormat = args(i + 1); i += 2
+        case "--fcall-class"  => fcallClass = args(i + 1); i += 2
         case a if programPath == null => programPath = a; i += 1
         case a                => inputs += a; i += 1
       }
@@ -90,6 +95,10 @@ object Trck {
       .map(p => Files.readAllLines(Paths.get(p)).asScala.filter(_.nonEmpty).map(hexToCookie).toSet)
       .getOrElse(Set.empty)
 
+    val module: Fsm.FcallModule = Option(fcallClass)
+      .map(FcallProvider.load)
+      .getOrElse(Fsm.FcallModule(Map.empty))
+
     val jsonInputs = inputs.forall(_.endsWith(".json"))
     val rawOutput: LocalRunner.RunOutput =
       if (jsonInputs) {
@@ -107,7 +116,7 @@ object Trck {
             case _ => LocalRunner.Db(Nil)
           }
         }
-        LocalRunner.run(prog, dbs.toSeq, binds, tuples, cnf, windows, exclude)
+        LocalRunner.runModule(module, prog, dbs.toSeq, binds, tuples, cnf, windows, exclude)
       } else {
         val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
@@ -140,8 +149,8 @@ object Trck {
               Some(exclude.toSeq.toDF(uuidCol))
             },
         )
-        val out = TrckSparkRunner.runRaw(
-          prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters,
+        val out = TrckSparkRunner.runRawModule(
+          module, prog, events, uuidCol, tsCol, tiebreak.reverse, binds, tuples, filters,
           lexiconEvents = lexicon, srcCuts = srcCuts, presence = presence)
         spark.stop()
         out

@@ -46,6 +46,17 @@ object Dedup {
     * contracts in O(log n) rounds regardless of diameter (spec-checked
     * equivalent on chain/random/isolated graphs).
     */
+  /** Round count of the most recent CC-closure call in this JVM (driver-
+    * side loop counters; 0 for the union-find collect path). The scale-
+    * probe witness for closure convergence: both closures carry
+    * logarithmic round bounds (stars O(log² n), min-label+jump
+    * O(log diameter)), so the round count between corpus sizes should
+    * grow like the log of the multiple — a round count tracking the DATA
+    * multiple would explain (and indict) any superlinear wall ratio.
+    * Probe-only observability; never read by the operators themselves.
+    */
+  @volatile var lastClosureIterations: Int = -1
+
   def connectedComponents(
       vertices: DataFrame, // one column: vertex id (long)
       edges: DataFrame,    // two columns: endpoint ids
@@ -99,6 +110,7 @@ object Dedup {
       // unions always attach the larger root beneath the smaller, so every
       // root IS its component's min id — find() alone yields the label
       import spark.implicits._
+      lastClosureIterations = 0
       return ids.toSeq.map(id => (id, find(id))).toDF("id", "comp")
     }
 
@@ -139,6 +151,7 @@ object Dedup {
     require(converged,
       s"min-label propagation did not converge within $maxIter rounds — raise " +
         "maxIter or use connectedComponentsStars (O(log² n) on any diameter)")
+    lastClosureIterations = iter
     labels
   }
 
@@ -232,6 +245,7 @@ object Dedup {
       s"star contraction did not converge within $maxIter rounds — raise maxIter " +
         "(the read-off below assumes a star forest; an unconverged edge set would " +
         "silently emit duplicate vertex rows)")
+    lastClosureIterations = iter
     // after convergence every edge is (root=min, member): components read
     // off directly; isolated vertices are their own component
     val comp = e.select(col("b").as("id"), col("a").as("comp"))

@@ -104,4 +104,48 @@ class CliSpec extends AnyFunSuite {
         """{"clauses":[[{"field":"event_type","value":"view","op":"notequal"}]]}""", input)))
     assert(new String(out2, "UTF-8").trim == "{\"$clicks\":3}")
   }
+
+  test("CLI --fcall-class runs a test_ffi-shaped program end-to-end (U1 CLI parity)") {
+    // nested user fcalls in a yield, exactly the reference's test_ffi.tr
+    // shape (outer_fn(x, inner_fn(x)) to a set) — but registered via
+    // --fcall-class instead of a compiled sibling .tr.c
+    val prog = writeTemp("ffi.tr",
+      """start ->
+        |    receive
+        |        event_type = "click" -> yield outer_fn(inner_fn(event_type)) to #bar, repeat
+        |        * -> repeat
+        |""".stripMargin)
+    val input = writeTemp("db.json",
+      """{"u1": [{"timestamp": 100, "event_type": "click"}]}""")
+    CliFfiModule.initialized = 0
+    CliFfiModule.finalized = 0
+    val (_, out) = withCapturedStdout(
+      Trck.main(Array(prog, "--fcall-class", "graft.CliFfiModule", input)))
+    assert(new String(out, "UTF-8").trim == "{\"#bar\":[\"outer_inner_click\"]}",
+      new String(out, "UTF-8"))
+    // lifecycle hooks fire exactly once around the run (reference:
+    // src/match_traildb.c:1248,1256 main-scope initialize/finalize)
+    assert(CliFfiModule.initialized == 1 && CliFfiModule.finalized == 1)
+    // a typo'd class must fail loudly, not run silently without fcalls
+    val err = intercept[IllegalArgumentException] {
+      Trck.main(Array(prog, "--fcall-class", "graft.NoSuchModule", input))
+    }
+    assert(err.getMessage.contains("graft.NoSuchModule"), err.getMessage)
+  }
+}
+
+/** Test fcall module loaded reflectively by the CLI spec — mirrors the
+  * functions of /root/reference/test/tr/test_ffi.tr.c.
+  */
+object CliFfiModule extends graft.trck.FcallProvider {
+  @volatile var initialized = 0
+  @volatile var finalized = 0
+  def module: graft.trck.Fsm.FcallModule = graft.trck.Fsm.FcallModule(
+    fcalls = Map(
+      "inner_fn" -> (a => "inner_" + a.head),
+      "outer_fn" -> (a => "outer_" + a.head),
+    ),
+    onInitialize = () => initialized += 1,
+    onFinalize = () => finalized += 1,
+  )
 }
