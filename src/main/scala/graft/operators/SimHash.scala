@@ -113,8 +113,16 @@ object SimHash {
     val chunkBits = bits / 4
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")
-    val memberships = sh.filter(col(shCol).isNotNull)
+    val fps0 = sh.filter(col(shCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(shCol).cast("long").as("sh"))
+    // armed guard ⇒ the memberships lineage is read TWICE (pre-flight +
+    // join path). The upstream fingerprint compute is the expensive part
+    // (64-agg simhash, image decode+hash), so materialize the 16-byte
+    // (id, sh) rows once — the eager checkpoint IS the pre-flight's scan,
+    // and the main pass re-reads checkpointed primitives instead of
+    // re-running the whole lineage.
+    val fps = if (maxHotDropFrac < 1.0) fps0.localCheckpoint(true) else fps0
+    val memberships = fps
       .select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(lit(mask))): _*))

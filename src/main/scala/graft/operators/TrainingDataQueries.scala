@@ -94,24 +94,19 @@ object TrainingDataQueries {
         Curation
           .bigramSupport(Tables(s, dir, "documents"))
           .orderBy("doc_id"),
-      Some("""
-        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                   FROM documents WHERE text IS NOT NULL),
-        bgl AS (SELECT doc_id,
-                  CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
-                       ELSE list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')) END AS bgs
-                FROM w),
-        e AS (SELECT doc_id,
-                     CAST('0x' || substring(md5(unnest(bgs)), 1, 15) AS BIGINT) AS bgh
-              FROM bgl),
-        c AS (SELECT bgh, COUNT(*) AS n FROM e GROUP BY bgh),
-        d AS (SELECT e.doc_id, COUNT(*) AS n_bigrams, SUM(c.n) AS tot
-              FROM e JOIN c USING (bgh) GROUP BY e.doc_id)
-        SELECT doc.doc_id,
-               CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-               CAST(d.tot // d.n_bigrams AS BIGINT) AS support
-        FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
-        ORDER BY doc.doc_id"""),
+      Some(BigramSupportOracleSql),
+    ),
+    // The skew-immune agg-join shape of the same operator, oracle-gated in
+    // its own right: bigramSupport's sampled pre-flight dispatches to this
+    // plan on hot-bigram corpora, so the fallback must hold the SAME
+    // oracle hash as the windowed default — not just spec-level equality.
+    Q(
+      "c_bigram_support_aggjoin",
+      (s, dir) =>
+        Curation
+          .bigramSupportAggJoin(Tables(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some(BigramSupportOracleSql),
     ),
     // n-gram Jaccard verification of LSH candidates (D4): top-20 candidate
     // pairs by exact 3-gram Jaccard, candidates from the md5-family bands.
@@ -767,6 +762,29 @@ object TrainingDataQueries {
   /** `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)` ≡ MinHash.md5Hash60 */
   private def md5_60(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
+  /** Shared by c_bigram_support and its agg-join twin — one oracle, two
+    * physical shapes that must hash-match it identically.
+    */
+  private def BigramSupportOracleSql: String =
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    bgl AS (SELECT doc_id,
+              CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')) END AS bgs
+            FROM w),
+    e AS (SELECT doc_id,
+                 CAST('0x' || substring(md5(unnest(bgs)), 1, 15) AS BIGINT) AS bgh
+          FROM bgl),
+    c AS (SELECT bgh, COUNT(*) AS n FROM e GROUP BY bgh),
+    d AS (SELECT e.doc_id, COUNT(*) AS n_bigrams, SUM(c.n) AS tot
+          FROM e JOIN c USING (bgh) GROUP BY e.doc_id)
+    SELECT doc.doc_id,
+           CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(d.tot // d.n_bigrams AS BIGINT) AS support
+    FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+    ORDER BY doc.doc_id"""
 
   /** CTEs w→bk computing md5-family band memberships (mirrors
     * MinHash.signaturesMd5 + bandKeysMd5 with k=3, h=16, bands=8, rows=2).

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.{GraftSession, Tables}
+
+/** Streaming-face scale probe: drives [[DocStream.dedupNearMinHash]] over
+  * `nBatches` micro-batches of the full documents corpus (ids shifted per
+  * batch, event time advancing one `stepSec` per batch) and records, per
+  * batch, the wall seconds and the stateful operator's state-store rows
+  * and bytes from the query progress.
+  *
+  * What it proves: with the event clock advancing past the watermark
+  * horizon each batch, bucket state from old batches must EVICT — state
+  * rows/bytes should plateau at the per-horizon working set instead of
+  * growing with total ingested volume, and per-batch wall time should stay
+  * flat (late/early ratio ~1). A state curve tracking cumulative input, or
+  * a rising per-batch time, is the unbounded-state regression this probe
+  * exists to catch.
+  *
+  * Usage: runMain graft.streaming.StreamProbe [sfDir] [nBatches]
+  * Prints one JSON line and writes it to SPARK_GRAFT_STREAM_PROBE_OUT
+  * (default stream_probe_out.json).
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).appName("stream-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // one driver-side copy of the corpus (probe-only; the stream itself
+    // carries nBatches × its size through the real streaming operator)
+    val corpus = Tables(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val nDocs = corpus.map(_._1).max + 1
+    // watermark 10 min, clock step 20 min per batch: every batch's buckets
+    // are PAST the horizon by the next batch — the eviction-forcing shape
+    val watermark = "10 minutes"
+    val stepSec = 1200L
+    val t0 = 1700000000L
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream
+      .dedupNearMinHash(docs, watermarkDelay = watermark)
+      .writeStream.format("noop").outputMode("append").start()
+
+    val batchSecs = Array.ofDim[Double](nBatches)
+    val stateRows = Array.ofDim[Long](nBatches)
+    val stateBytes = Array.ofDim[Long](nBatches)
+    try {
+      for (k <- 0 until nBatches) {
+        val ts = new Timestamp((t0 + k * stepSec) * 1000)
+        val batch = corpus.map { case (id, text) => (id + k * nDocs, ts, text) }
+        val w0 = System.nanoTime()
+        input.addData(batch.toIndexedSeq)
+        query.processAllAvailable()
+        batchSecs(k) = (System.nanoTime() - w0) / 1e9
+        val so = Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+        stateRows(k) = so.map(_.numRowsTotal).sum
+        stateBytes(k) = so.map(_.memoryUsedBytes).sum
+      }
+    } finally query.stop()
+
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    // skip batch 0 (plan + state-store cold start) on both ends of the
+    // flatness ratio; guard tiny denominators
+    val early = batchSecs.slice(1, 4).min
+    val late = batchSecs.takeRight(3).min
+    val ratio = if (early > 0) late / early else -1.0
+    val json =
+      s"""{"metric":"stream_probe","query":"dedupNearMinHash","sf_dir":"$dir",""" +
+        s""""batches":$nBatches,"docs_per_batch":${corpus.length},""" +
+        s""""watermark":"$watermark","step_sec":$stepSec,""" +
+        s""""batch_secs":[${batchSecs.map(r2).mkString(",")}],""" +
+        s""""state_rows":[${stateRows.mkString(",")}],""" +
+        s""""state_bytes":[${stateBytes.mkString(",")}],""" +
+        s""""late_over_early":${r2(ratio)},""" +
+        s""""state_rows_last_over_peak":${r2(
+          if (stateRows.max > 0) stateRows.last.toDouble / stateRows.max else -1.0)}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROBE_OUT", "stream_probe_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[stream-probe] could not write $outPath: $e")
+    }
+    println(json)
+    spark.stop()
+  }
+}
