@@ -8,7 +8,8 @@ package graft
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val ss = GraftSession.builder("16").appName("query-probe").getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val ss = GraftSession.builder(cpus).appName("query-probe").getOrCreate()
     ss.sparkContext.setLogLevel("WARN")
     for (q <- args) {
       val t0 = System.nanoTime()
@@ -16,7 +17,9 @@ object QueryProbe {
         val n = SparkEntry.queries(q)(ss, sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")).count()
         println(f"PROBE $q rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
       } catch {
-        case e: Throwable => println(s"PROBE $q FAILED: ${e.getMessage}")
+        // NonFatal only: an OOM must abort, not leave a corrupted JVM
+        // timing the remaining queries (the same fix ScaleProbe got)
+        case scala.util.control.NonFatal(e) => println(s"PROBE $q FAILED: ${e.getMessage}")
       }
     }
     ss.stop()

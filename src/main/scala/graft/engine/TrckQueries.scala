@@ -93,16 +93,22 @@ object TrckQueries {
     * (plain scans are unaffected; bucketed scans stay correct, at worst
     * unexploited elsewhere).
     */
-  def durableTrailEvents(s: SparkSession, dir: String): DataFrame =
-    durableCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+  def durableTrailEvents(s: SparkSession, dir: String): DataFrame = {
+    val root = s.conf.getOption(DurableRootKey).getOrElse("/tmp/graft_durable")
+    // root participates in BOTH the cache key and the table name: a live
+    // session re-pointing graft.durable.root must build (and read) a new
+    // table at the new root, not silently keep serving the old files
+    durableCache.computeIfAbsent(s"${System.identityHashCode(s)}:$root:$dir", _ => {
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // table name from the SANITIZED FULL PATH, not a hash: ScaleProbe
+      // table name from the SANITIZED FULL PATHS, not a hash: ScaleProbe
       // builds durable layouts for two dirs in one session, and a hash
       // collision would silently serve the wrong corpus
-      val tbl = "trails_durable_" + dir.stripSuffix("/")
+      def sanitize(p: String) = p.stripSuffix("/")
         .map(c => if (c.isLetterOrDigit) c else '_').dropWhile(_ == '_')
+      val tbl = "trails_durable_" + (
+        if (root == "/tmp/graft_durable") sanitize(dir) // r10-r12 layout name kept
+        else sanitize(root) + "__" + sanitize(dir))
       val nBuckets = 32
-      val root = s.conf.getOption(DurableRootKey).getOrElse("/tmp/graft_durable")
       if (!s.catalog.tableExists(tbl))
         trailEvents(s, dir)
           .repartition(nBuckets, col("uuid"))
@@ -111,6 +117,7 @@ object TrckQueries {
           .mode("overwrite").saveAsTable(tbl)
       s.table(tbl)
     })
+  }
 
   private def clause(attrs: Map[String, List[String]], action: String, yields: List[Yield] = Nil) =
     Clause(attrs, negated = false, Some(action), yields)

@@ -90,9 +90,12 @@ object SimHash {
     * `maxHotDropFrac` guard is ARMED BY DEFAULT: a pre-flight bucket
     * count (one map-side-combined aggregation over the memberships —
     * noise next to the pair expansion it protects) measures the fraction
-    * of membership rows living in over-cap buckets and fails loudly with
-    * a sizing hint when it exceeds the bound. Pass `maxHotDropFrac = 1.0`
-    * to opt into the old prospective-cap semantics (silent subset).
+    * of candidate-PAIR mass (Σ n·(n−1)/2 per bucket — pair loss is
+    * quadratic in bucket size, so a linear membership share would wave
+    * through a single huge duplicate cluster hiding in a big corpus)
+    * sitting in over-cap buckets, and fails loudly with a sizing hint
+    * when it exceeds the bound. Pass `maxHotDropFrac = 1.0` to opt into
+    * the old prospective-cap semantics (silent subset).
     *
     * Scale shape: the only shuffle is the chunk-bucket exchange on
     * (chunk_idx, chunk) keys; pairs expand inside each bucket's member
@@ -128,17 +131,20 @@ object SimHash {
           shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("chunk_idx", "chunk")))
     if (maxHotDropFrac < 1.0) {
+      // n·(n−1) not halved: the /2 cancels in the ratio, and staying in
+      // long arithmetic avoids Divide's double rounding at huge counts
+      val pairs = col("n") * (col("n") - 1)
       val r0 = memberships
         .groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("n"))
         .agg(
-          sum(col("n")).as("total"),
-          sum(when(col("n") > maxBucket, col("n")).otherwise(0L)).as("dropped"))
+          sum(pairs).as("total"),
+          sum(when(col("n") > maxBucket, pairs).otherwise(0L)).as("dropped"))
         .head
       val total = if (r0.isNullAt(0)) 0L else r0.getLong(0)
       val dropped = if (r0.isNullAt(1)) 0L else r0.getLong(1)
       if (total > 0 && dropped.toDouble / total > maxHotDropFrac)
         throw new IllegalStateException(
-          f"hammingPairs: $dropped of $total chunk memberships " +
+          f"hammingPairs: ${dropped / 2} of ${total / 2} candidate pairs " +
             f"(${dropped * 100.0 / total}%.1f%%) sit in buckets over the hot " +
             f"cap ($maxBucket) — dropping them silently loses pairs among the " +
             f"MOST-replicated fingerprints. Raise maxBucket past the largest " +

@@ -70,10 +70,13 @@ object StreamProbe {
 
     def r2(v: Double) = math.round(v * 100) / 100.0
     // skip batch 0 (plan + state-store cold start) on both ends of the
-    // flatness ratio; guard tiny denominators
-    val early = batchSecs.slice(1, 4).min
-    val late = batchSecs.takeRight(3).min
-    val ratio = if (early > 0) late / early else -1.0
+    // flatness ratio; -1 when too few batches for a meaningful pair (the
+    // raw curves are still in the artifact either way)
+    val earlyW = batchSecs.slice(1, 4)
+    val lateW = batchSecs.takeRight(3)
+    val ratio =
+      if (nBatches < 5 || earlyW.isEmpty || earlyW.min <= 0) -1.0
+      else lateW.min / earlyW.min
     val json =
       s"""{"metric":"stream_probe","query":"dedupNearMinHash","sf_dir":"$dir",""" +
         s""""batches":$nBatches,"docs_per_batch":${corpus.length},""" +
