@@ -80,6 +80,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r13 shapes: agg-join bigram twin is window-free and join-bounded") {
+    // the skew-fallback twin exists precisely because a window partition
+    // cannot be split: its plan must carry NO Window node, fold through
+    // partial hash aggregates, and join only on the bgh equi-key
+    val aj = plan("c_bigram_support_aggjoin")
+    assert(!aj.contains("Window"), aj.take(2000))
+    assert(aj.contains("HashAggregate"), aj.take(2000))
+    assert(!aj.contains("CartesianProduct") && !aj.contains("BroadcastNestedLoopJoin"),
+      aj.take(2000))
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))

@@ -232,10 +232,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def check(vs: Seq[Long], es: Seq[(Long, Long)], clue: String): Unit = {
       val vdf = vs.toDF("id")
       val edf = es.toDF("x", "y")
+      Dedup.lastClosureIterations = -1
       val stars = Dedup.connectedComponentsStars(vdf, edf)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the scale-probe witness must be armed by every closure call
+      assert(Dedup.lastClosureIterations >= 1, s"$clue: stars witness unset")
       val baseline = Dedup.connectedComponents(vdf, edf)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.lastClosureIterations >= 0, s"$clue: min-label witness unset")
       assert(stars == baseline, clue)
     }
     // long chain — the adversarial case for min-label propagation
