@@ -70,4 +70,21 @@ class QueryRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = SparkEntry.queries("m1_fsm_count")(spark, dir).collect()
     assert(n.head.getLong(0) == 1L, "FSM query must analyze and run over an NTZ events dir")
   }
+
+  test("durableTrailEvents honors a repointed graft.durable.root in a live session") {
+    // regression: root was read inside a cache keyed only by (session, dir)
+    // with a root-less table name, so re-pointing the conf silently kept
+    // serving the old files — on a cluster that means node-local /tmp data
+    val dir = "/root/testdata/sf0.001"
+    val newRoot = java.nio.file.Files.createTempDirectory("graft_durable_alt").toString
+    val before = graft.engine.TrckQueries.durableTrailEvents(spark, dir).count()
+    spark.conf.set(graft.engine.TrckQueries.DurableRootKey, newRoot)
+    try {
+      val after = graft.engine.TrckQueries.durableTrailEvents(spark, dir).count()
+      assert(after == before, "same corpus, different root: row counts must match")
+      val written = new java.io.File(newRoot).listFiles()
+      assert(written != null && written.exists(_.getName.startsWith("trails_durable_")),
+        s"repointed root must receive the bucketed table, found ${Option(written).map(_.toSeq)}")
+    } finally spark.conf.unset(graft.engine.TrckQueries.DurableRootKey)
+  }
 }
