@@ -10,60 +10,98 @@ import graft.trck.Ir
   * as edges), extended to all action kinds: break falls through to the
   * next rule, restart-from-here/next jump to their target, quit exits, and
   * `after` edges carry the window duration. Emits DOT text (render with
-  * `dot -Tpng`); no graphics dependency in the container.
+  * `dot -Tpng`, or use [[Tr2Png]] for a dependency-free PNG); the
+  * structured [[Tr2Dot.graph]] model is shared by both renderers.
   *
   * Usage: runMain graft.Tr2Dot prog.tr [out.dot]   (stdout when no out)
   */
 object Tr2Dot {
 
+  /** One FSM node (a rule, or the terminal "quit"). `windowSec` renders
+    * as a second label line; `dashed` marks window-block rules.
+    */
+  final case class Node(id: String, name: String, windowSec: Option[Long], dashed: Boolean)
+
+  /** One transition edge. `labelLines` are RAW (unescaped) text lines;
+    * `color` is a DOT color name ("gray" self-loops, "red" unknown
+    * actions); `dotted` marks `after` edges.
+    */
+  final case class Edge(src: String, dst: String, labelLines: Seq[String],
+                        color: Option[String], dotted: Boolean)
+
   private val RestartRe = """restart-from-(?:here|next)\((\d+)\)""".r
 
   private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  private def clauseLabel(c: Ir.Clause): String = {
-    // esc the raw parts BEFORE joining with the DOT "\n" escape
-    val conds = esc(
+  private def clauseLines(c: Ir.Clause): Seq[String] = {
+    val conds =
       if (c.attrs.isEmpty) "*"
-      else c.attrs.map { case (k, vs) => s"$k=${vs.mkString(",")}" }.mkString(", "))
+      else c.attrs.map { case (k, vs) => s"$k=${vs.mkString(",")}" }.mkString(", ")
     val neg = if (c.negated) "not " else ""
-    val ys = esc(c.yields.map(y => s"yield ${y.dst}").mkString(", "))
-    if (ys.isEmpty) neg + conds else s"$neg$conds\\n$ys"
+    val ys = c.yields.map(y => s"yield ${y.dst}").mkString(", ")
+    if (ys.isEmpty) Seq(neg + conds) else Seq(neg + conds, ys)
   }
 
-  /** edges for one clause's action from rule `i` */
-  private def actionEdges(i: Int, nRules: Int, c: Ir.Clause, style: String): Seq[String] = {
-    val label = clauseLabel(c)
+  /** prefix merged INTO the first line (a prefix is "after 600s: " or
+    * "action: " — it qualifies the condition, not a line of its own)
+    */
+  private def prefixed(prefix: String, lines: Seq[String]): Seq[String] = lines match {
+    case h +: t => (prefix + h) +: t
+    case _      => Seq(prefix)
+  }
+
+  /** edges for one clause's action from rule `i` (shared by DOT and PNG) */
+  private def actionEdges(i: Int, nRules: Int, c: Ir.Clause, dotted: Boolean,
+                          prefix: String = ""): Seq[Edge] = {
+    val label = prefixed(prefix, clauseLines(c))
     c.action.getOrElse("repeat") match {
-      case "repeat" => Seq(s"""  r$i -> r$i [label="$label", color=gray$style];""")
+      case "repeat" => Seq(Edge(s"r$i", s"r$i", label, Some("gray"), dotted))
       case "break" =>
         val dst = if (i + 1 < nRules) s"r${i + 1}" else "quit"
-        Seq(s"""  r$i -> $dst [label="$label"$style];""")
-      case "quit" => Seq(s"""  r$i -> quit [label="$label"$style];""")
-      case RestartRe(l) => Seq(s"""  r$i -> r$l [label="$label"$style];""")
-      case other => Seq(s"""  r$i -> r$i [label="${esc(other)}: $label", color=red$style];""")
+        Seq(Edge(s"r$i", dst, label, None, dotted))
+      case "quit"       => Seq(Edge(s"r$i", "quit", label, None, dotted))
+      case RestartRe(l) => Seq(Edge(s"r$i", s"r$l", label, None, dotted))
+      case other => Seq(Edge(s"r$i", s"r$i", prefixed(s"$other: ", label), Some("red"), dotted))
     }
+  }
+
+  /** The structured machine graph: nodes (rules + quit), edges, and the
+    * optional foreach caption — the single model both renderers draw.
+    */
+  def graph(program: Ir.Program): (Seq[Node], Seq[Edge], Option[String]) = {
+    val rules = program.rules
+    val caption = program.groupby.map(g =>
+      s"foreach ${g.vars.mkString(", ")}${g.values.fold("")(" in " + _)}")
+    val nodes = rules.zipWithIndex.map { case (r, i) =>
+      Node(s"r$i", r.name.getOrElse(s"rule$i"), r.window, r.outer.isDefined)
+    } :+ Node("quit", "quit", None, dashed = false)
+    val edges = rules.zipWithIndex.flatMap { case (r, i) =>
+      r.clauses.flatMap(c => actionEdges(i, rules.length, c, dotted = false)) ++
+        r.after.toSeq.flatMap { a =>
+          val dur = r.window.fold("")(d => s"after ${d}s: ")
+          actionEdges(i, rules.length, a.copy(attrs = Map.empty), dotted = true, prefix = dur)
+        }
+    }
+    (nodes, edges, caption)
   }
 
   def dot(program: Ir.Program): String = {
-    val rules = program.rules
+    val (nodes, edges, caption) = graph(program)
     val sb = new StringBuilder("digraph trck {\n  rankdir=TB;\n  node [shape=box];\n")
-    program.groupby.foreach(g =>
-      sb.append(s"""  label="foreach ${g.vars.mkString(", ")}${g.values.fold("")(" in " + _)}";\n"""))
-    rules.zipWithIndex.foreach { case (r, i) =>
-      val name = r.name.getOrElse(s"rule$i")
-      val window = r.window.fold("")(d => s"\\nwindow ${d}s")
-      val shape = if (r.outer.isDefined) ", style=dashed" else ""
-      sb.append(s"""  r$i [label="${esc(name)}$window"$shape];\n""")
-    }
-    sb.append("  quit [shape=doublecircle, label=\"quit\"];\n")
-    rules.zipWithIndex.foreach { case (r, i) =>
-      r.clauses.foreach(c => actionEdges(i, rules.length, c, "").foreach(e => sb.append(e + "\n")))
-      r.after.foreach { a =>
-        val dur = r.window.fold("")(d => s"after ${d}s: ")
-        actionEdges(i, rules.length, a.copy(attrs = Map.empty), ", style=dotted")
-          .map(_.replace("label=\"", s"""label="${esc(dur)}"""))
-          .foreach(e => sb.append(e + "\n"))
+    caption.foreach(c => sb.append(s"""  label="${esc(c)}";\n"""))
+    nodes.foreach { n =>
+      if (n.id == "quit") sb.append("  quit [shape=doublecircle, label=\"quit\"];\n")
+      else {
+        val window = n.windowSec.fold("")(d => s"\\nwindow ${d}s")
+        val shape = if (n.dashed) ", style=dashed" else ""
+        sb.append(s"""  ${n.id} [label="${esc(n.name)}$window"$shape];\n""")
       }
+    }
+    edges.foreach { e =>
+      val label = e.labelLines.map(esc).mkString("\\n")
+      val color = e.color.fold("")(c => s", color=$c")
+      val style = if (e.dotted) ", style=dotted" else ""
+      sb.append(s"""  ${e.src} -> ${e.dst} [label="$label"$color$style];\n""")
     }
     sb.append("}\n")
     sb.toString

@@ -24,6 +24,28 @@ class CliSpec extends AnyFunSuite {
     } finally System.setOut(old)
   }
 
+  test("Tr2Png renders the reference window program to a real PNG") {
+    val dir = Files.createTempDirectory("graft-tr2png")
+    val out = dir.resolve("machine.png").toString
+    graft.Tr2Png.main(Array("/root/reference/test/tr/test_set_result_tuple_window.tr", out))
+    val img = javax.imageio.ImageIO.read(new java.io.File(out))
+    assert(img != null, "output must be a decodable PNG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    assert(w > 400 && h > 200, s"diagram should have real extent, got ${w}x$h")
+    // non-vacuity: the canvas must contain drawn (non-white) pixels both in
+    // the node column and in the edge margins
+    def inked(x0: Int, x1: Int) = (for {
+      x <- x0 until x1 by 3; y <- 0 until h by 3
+    } yield img.getRGB(x, y) & 0xffffff).count(_ != 0xffffff)
+    assert(inked(w / 3, 2 * w / 3) > 50, "node column is blank")
+    assert(inked(0, w / 3) + inked(2 * w / 3, w) > 20, "edge margins are blank")
+    // default output path derives from the program name
+    val defaulted = dir.resolve("prog.tr")
+    Files.copy(java.nio.file.Paths.get("/root/reference/test/tr/test_filters.tr"), defaulted)
+    graft.Tr2Png.main(Array(defaulted.toString))
+    assert(Files.exists(dir.resolve("prog.png")))
+  }
+
   test("Tr2Dot dumps the reference window program as DOT") {
     val (_, bytes) = withCapturedStdout {
       graft.Tr2Dot.main(Array("/root/reference/test/tr/test_set_result_tuple_window.tr"))
