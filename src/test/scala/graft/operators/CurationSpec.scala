@@ -227,6 +227,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(benign.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("bigramSupport shapes agree on randomized corpora (duplication, short docs, nulls)") {
+    val s = spark
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    for (seed <- Seq(7, 19, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val docs = (0L until 60L).map { i =>
+        val t = rnd.nextInt(10) match {
+          case 0 => null // null text
+          case 1 => vocab(rnd.nextInt(vocab.size)) // sub-2-word: whole text as bigram
+          case 2 => "" // empty string (also sub-2-word path)
+          case _ =>
+            // duplication-heavy: small vocab, geometric lengths
+            Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        }
+        (i, t)
+      }.toDF("doc_id", "text")
+      val windowed = rows(Curation.bigramSupport(docs, skewSampleFrac = 0.0))
+      val aggjoin = rows(Curation.bigramSupportAggJoin(docs))
+      assert(windowed == aggjoin,
+        s"seed=$seed: shapes disagree\nwindow: $windowed\naggjoin: $aggjoin")
+    }
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._
