@@ -273,8 +273,10 @@ object Curation {
     * bigram dominating) concentrates that key's rows on one task — a
     * window partition cannot be split, not even by AQE. A cheap sampled
     * pre-flight (fraction `skewSampleFrac` of docs through the same
-    * shingle+hash lineage, one map-side-combined count, ~1% of one
-    * explode pass) estimates the hottest key's row count; above
+    * shingle+hash lineage, one map-side-combined count — the sample
+    * predicate still SCANS the text column once, but the explode+hash
+    * work runs on the sample only) estimates the hottest key's row
+    * count; above
     * `maxWindowKeyRows` the plan switches to [[bigramSupportAggJoin]],
     * whose every aggregation is map-side partial (skew-immune) and whose
     * one join AQE can skew-split. Both shapes produce identical rows (the
