@@ -349,6 +349,62 @@ object Curation {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Concat-and-chunk sequence packing — the standard pretraining step:
+    * documents are concatenated in deterministic `idCol` order into one
+    * global token stream, which is then chunked into fixed `maxLen`
+    * sequences; each doc gets its global start offset, so `seq_id =
+    * start div maxLen` and `seq_offset = start mod maxLen` (docs may span
+    * sequence boundaries, exactly like GPT-style packing). Null-text docs
+    * count 0 tokens (they occupy a position but no space).
+    *
+    * Scale shape: the naive formulation is ONE global cumulative-sum
+    * window (`SUM OVER (ORDER BY id)`) — a single-task sort at any real
+    * corpus size. This runs the classic two-level cumsum instead:
+    * range-partition by id, per-partition token totals (numPartitions
+    * values) prefix-summed on the driver, then a partition-local running
+    * sum seeded by the broadcast partition offset — every stage
+    * distributed, driver state O(partitions). The (id, n) frame is
+    * eagerly localCheckpoint'ed first: the totals pass and the packing
+    * pass must observe the SAME range partitioning (repartitionByRange
+    * samples per-job; two separate jobs over the lazy lineage could
+    * disagree on bounds).
+    *
+    * The DuckDB oracle IS the naive global window — fine at oracle scale,
+    * and exactly the semantics the distributed shape must reproduce.
+    */
+  def packSequences(docs: DataFrame, maxLen: Int, idCol: String = "doc_id",
+                    textCol: String = "text", numPartitions: Int = 0): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)).as("n"))
+      .repartitionByRange(nParts, col("id"))
+      .sortWithinPartitions("id")
+      .localCheckpoint(true)
+    val partTotals = ranged
+      .groupBy(spark_partition_id().as("pid")).agg(sum("n").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + partTotals.getOrElse(p, 0L))
+    val bc = spark.sparkContext.broadcast(offsets.toArray)
+    ranged
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bc.value(pid)
+        it.map { case (id, n) => val start = cum; cum += n; (id, n, start) }
+      }
+      .toDF(idCol, "n_tokens", "__start")
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__start div $maxLen").as("seq_id"),
+        (col("__start") % maxLen).as("seq_offset"))
+  }
+
   def capPerSource(docs: DataFrame, cap: Int, idCol: String = "doc_id",
                    srcCol: String = "source", preReduce: Boolean = false): DataFrame = {
     val order = Seq(md5(col(idCol).cast("string")), col(idCol))
@@ -611,6 +667,30 @@ object Curation {
         tm AS (SELECT doc_id, MAX(c) AS top_word_n FROM t GROUP BY doc_id)
         SELECT base.*, tm.top_word_n
         FROM base JOIN tm USING (doc_id) ORDER BY doc_id"""),
+    ),
+    // Concat-and-chunk sequence packing at maxLen=512: the distributed
+    // two-level cumsum must reproduce the oracle's naive global window
+    // exactly (same start offsets → same seq assignment).
+    Q(
+      "c_pack_sequences",
+      (s, dir) =>
+        packSequences(Tables(s, dir, "documents"), maxLen = 512).orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0) AS n
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               CAST(s // 512 AS BIGINT) AS seq_id,
+               CAST(s % 512 AS BIGINT) AS seq_offset
+        FROM c ORDER BY doc_id"""),
     ),
     // Deterministic per-source quota: at most 10 docs per source in
     // reproducible hash order.

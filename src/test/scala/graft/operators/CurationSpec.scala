@@ -253,6 +253,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packSequences: hand-computed offsets, boundary spans, nulls, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c"),                       // 3 tokens, start 0
+      (1L, null.asInstanceOf[String]),     // 0 tokens, start 3
+      (2L, "d e f g"),                     // 4 tokens, start 3 — spans the maxLen=5 boundary
+      (3L, "h"),                           // 1 token, start 7
+      (4L, "i j k l m n"),                 // 6 tokens, start 8 — longer than maxLen itself
+      (5L, "o"),                           // start 14
+    ).toDF("doc_id", "text")
+    def rows(np: Int) = Curation.packSequences(docs, maxLen = 5, numPartitions = np)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = rows(3)
+    assert(got == Map(
+      0L -> ((3L, 0L, 0L)),
+      1L -> ((0L, 0L, 3L)), // null text: zero tokens, still positioned
+      2L -> ((4L, 0L, 3L)), // starts in seq 0, spills into seq 1
+      3L -> ((1L, 1L, 2L)),
+      4L -> ((6L, 1L, 3L)), // longer than maxLen: starts at (1, 3)
+      5L -> ((1L, 2L, 4L)),
+    ), got.toString)
+    // the two-level cumsum must be partitioning-invariant: 1 partition
+    // (degenerate, pure local cumsum) == many partitions (offsets do the
+    // work) == more partitions than rows (empty partitions contribute 0)
+    assert(rows(1) == got && rows(16) == got)
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._
