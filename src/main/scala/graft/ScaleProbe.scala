@@ -45,7 +45,11 @@ object ScaleProbe {
     "d_simhash_hamming",
     // r10: corpus-stats quality score (ONE windowed count over hashed
     // bigram keys — 75M rows at 30×) and the composed curation pipeline
-    "c_bigram_support", "c_pipeline_e2e")
+    "c_bigram_support", "c_pipeline_e2e",
+    // r13: sequence packing — the two-level cumsum's totals pass + packing
+    // pass should scale linearly; a drifting ratio would indict the
+    // checkpoint or the per-partition offset plumbing
+    "c_pack_sequences")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
