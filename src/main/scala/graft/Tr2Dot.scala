@@ -29,7 +29,11 @@ object Tr2Dot {
   final case class Edge(src: String, dst: String, labelLines: Seq[String],
                         color: Option[String], dotted: Boolean)
 
-  private val RestartRe = """restart-from-(?:here|next)\((\d+)\)""".r
+  // parens optional: the parser emits a BARE "restart-from-here" for the
+  // default after-action (TrParser.scala:263), which Compiled.parseAction
+  // reads as target rule 0 — the bare form must draw the same jump edge,
+  // not fall through to the red unknown-action branch
+  private val RestartRe = """restart-from-(?:here|next)(?:\((\d+)\))?""".r
 
   private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
@@ -60,7 +64,10 @@ object Tr2Dot {
         val dst = if (i + 1 < nRules) s"r${i + 1}" else "quit"
         Seq(Edge(s"r$i", dst, label, None, dotted))
       case "quit"       => Seq(Edge(s"r$i", "quit", label, None, dotted))
-      case RestartRe(l) => Seq(Edge(s"r$i", s"r$l", label, None, dotted))
+      case RestartRe(l) =>
+        // bare form (no parens) ⇒ group is null ⇒ target 0, matching
+        // Compiled.parseAction's getOrElse(0)
+        Seq(Edge(s"r$i", s"r${Option(l).getOrElse("0")}", label, None, dotted))
       case other => Seq(Edge(s"r$i", s"r$i", prefixed(s"$other: ", label), Some("red"), dotted))
     }
   }

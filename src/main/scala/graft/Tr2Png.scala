@@ -25,15 +25,36 @@ object Tr2Png {
 
   private val NodeW = 220
   private val NodeH = 46
-  private val VGap = 84
-  private val MarginX = 260 // room for left jump curves + right loop arcs & labels
   private val MarginY = 48
 
   def render(program: graft.trck.Ir.Program): BufferedImage = {
     val (nodes, edges, caption) = Tr2Dot.graph(program)
     val n = nodes.length
-    val width = NodeW + 2 * MarginX
-    val height = MarginY * 2 + n * NodeH + (n - 1) * VGap + caption.fold(0)(_ => 28)
+    // size to CONTENT, like graphviz: measure every label up front (a 1x1
+    // scratch image supplies metrics) so long clause labels widen the
+    // right margin instead of clipping off-canvas, and stacked parallel
+    // labels deepen the inter-rank gap instead of running under the next
+    // node box
+    val labelFont = new Font(Font.SANS_SERIF, Font.PLAIN, 10)
+    val fm0 = {
+      val tmp = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+      val tg = tmp.createGraphics(); tg.setFont(labelFont)
+      val m = tg.getFontMetrics; tg.dispose(); m
+    }
+    val maxLabelW =
+      if (edges.isEmpty) 0
+      else edges.flatMap(_.labelLines).map(fm0.stringWidth).foldLeft(0)(math.max)
+    val pairLineTotals = edges.groupBy(e => (e.src, e.dst)).values
+      .map(_.map(_.labelLines.length max 1).sum).foldLeft(0)(math.max)
+    // self-loop reach (max lane 56+16*3) + label width; left side keeps the
+    // fixed jump-curve margin
+    val marginL = 260
+    val marginR = math.max(260, 110 + maxLabelW + 16)
+    val vGap = math.max(84, pairLineTotals * fm0.getHeight + 28)
+    val width = NodeW + marginL + marginR
+    val height = MarginY * 2 + n * NodeH + (n - 1) * vGap + caption.fold(0)(_ => 28)
+    val MarginX = marginL
+    val VGap = vGap
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     try {

@@ -375,6 +375,8 @@ object Curation {
   def packSequences(docs: DataFrame, maxLen: Int, idCol: String = "doc_id",
                     textCol: String = "text", numPartitions: Int = 0): DataFrame = {
     require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    require(numPartitions >= 0,
+      s"numPartitions must be >= 0 (0 = session default), got $numPartitions")
     OpChecks.requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
