@@ -258,15 +258,22 @@ object Curation {
     * the score cross-engine hash-matches — a float log-prob would differ
     * in last-ulp libm digits between engines.
     *
-    * Scale shape: bigrams hash to 60-bit keys BEFORE any exchange (the
-    * md5-60 cross-engine family — 8-byte shuffle rows, never strings),
-    * then ONE windowed count over the hash key attaches each bigram's
-    * corpus frequency without a join — the join formulation scanned and
-    * exploded the corpus twice and benched 3× slower — and one per-doc
-    * fold. Nothing is collected; the frequency "table" never exists as a
-    * driver structure. Docs shorter than 2 words use their whole text
-    * as the single "bigram" ([[MinHash.shingles]] k=2 contract);
-    * null-text docs emit null support.
+    * Scale shape: bigrams hash to 64-bit keys BEFORE any exchange via the
+    * native codegen'd [[graft.functions.ShingleHash64]] — one byte scan
+    * per doc, no word array, no per-bigram String (the same measured-7×
+    * win that took c_decontaminate from 3.1 s to 0.44 s; the md5-60
+    * slice+concat chain this replaced paid ~2 s/query at sf0.1 in string
+    * construction alone). 8-byte shuffle rows, never strings; the DuckDB
+    * oracle joins on the raw bigram STRINGS instead — the exact
+    * semantics, hash-free, so the compare also guards the 64-bit hashes
+    * against collisions. Then ONE windowed count over the hash key
+    * attaches each bigram's corpus frequency without a join — the join
+    * formulation scanned and exploded the corpus twice and benched 3×
+    * slower — and one per-doc fold. Nothing is collected; the frequency
+    * "table" never exists as a driver structure. Docs shorter than 2
+    * words use their whole text as the single "bigram"
+    * ([[MinHash.shingles]] k=2 contract); null-text docs emit null
+    * support.
     *
     * Skew posture, AUTOMATED: the window co-locates every occurrence of a
     * bigram in one partition, so an extreme-skew corpus (one boilerplate
@@ -294,8 +301,7 @@ object Curation {
       val top = docs
         .filter(col(textCol).isNotNull)
         .sample(withReplacement = false, skewSampleFrac, seed = 42)
-        .select(explode(MinHash.shingles(col(textCol), 2)).as("bg"))
-        .select(MinHash.md5Hash60(col("bg")).as("bgh"))
+        .select(explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
         .groupBy("bgh").agg(count(lit(1)).as("c"))
         .agg(max("c")).head
       val topEst = (if (top.isNullAt(0)) 0L else top.getLong(0)) / skewSampleFrac
@@ -305,8 +311,7 @@ object Curation {
     val w = Window.partitionBy("bgh")
     val perDoc = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(MinHash.shingles(col(textCol), 2)).as("bg"))
-      .select(col(idCol), MinHash.md5Hash60(col("bg")).as("bgh"))
+      .select(col(idCol), explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
       .withColumn("n", count(lit(1)).over(w))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("n").as("tot"))
@@ -333,8 +338,7 @@ object Curation {
                            textCol: String = "text"): DataFrame = {
     val perDocBg = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(MinHash.shingles(col(textCol), 2)).as("bg"))
-      .select(col(idCol), MinHash.md5Hash60(col("bg")).as("bgh"))
+      .select(col(idCol), explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
       .groupBy(col(idCol), col("bgh"))
       .agg(count(lit(1)).as("c"))
     val freq = perDocBg.groupBy("bgh").agg(sum("c").as("n"))
@@ -553,6 +557,141 @@ object Curation {
     top
       .withColumn("rk", row_number().over(Window.orderBy(col("__shuf"), col(idCol))))
       .select(col("rk").cast("long").as("rk"), col(idCol))
+  }
+
+  /** Bigram-LM likelihood scoring — the integer-exact skeleton of
+    * CCNet-style perplexity filtering (Wenzek et al. 2020: score every doc
+    * by a reference LM trained on held-out data, drop the tails). The "LM"
+    * is the bigram frequency table of the deterministic 10% train bucket
+    * (`md5(id) % 100 >= trainBucketMin`, the same hash-bucket family as
+    * [[TextAnalysis.splitName]]); each doc scores
+    *
+    *   - `n_bigrams`  — its total bigram occurrences,
+    *   - `n_oov`      — occurrences of bigrams the LM never saw
+    *                    (out-of-vocabulary mass, the strongest
+    *                    noise/wrong-language signal),
+    *   - `ll_score`   — Σ c·(1 + floor(log₂ n)) over seen bigrams, the
+    *                    integer log-likelihood surrogate: monotone in the
+    *                    true Σ c·log n, exact in 64-bit arithmetic, so the
+    *                    score cross-engine hash-matches where a float
+    *                    Σ c·ln(n) would differ in last-ulp libm digits
+    *                    (floor(log₂ n)+1 is just the bit length of n —
+    *                    `length(bin(n))` in both engines).
+    *
+    * Downstream, filtering is a plain predicate on the per-doc ratios
+    * (high `n_oov/n_bigrams` → drop; extreme `ll_score/n_bigrams` tails →
+    * head/tail buckets) — kept out of this operator so the thresholds stay
+    * a caller decision, not a baked constant.
+    *
+    * Scale shape: both passes reduce text to 64-bit
+    * [[graft.functions.ShingleHash64]] keys before any exchange (8-byte
+    * shuffle rows). The LM pass filters to the train bucket BEFORE the
+    * explode, so it scans ~(100−trainBucketMin)% of the corpus; both
+    * aggregations are map-side partial; the one bgh-equi-join is
+    * AQE-skew-splittable (LM rows are unique per key, so only the probe
+    * side can skew, which AQE splits). Train docs score themselves like
+    * any other doc — self-inclusion is the standard CCNet setup (the LM is
+    * a frequency prior, not a held-out eval). Null-text docs score
+    * (0, 0, 0). The DuckDB oracle joins on raw bigram strings, guarding
+    * the hashes against collisions.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", trainBucketMin: Int = 90): DataFrame = {
+    require(trainBucketMin >= 0 && trainBucketMin <= 100,
+      s"trainBucketMin is a percentage in [0, 100], got $trainBucketMin")
+    val bkt = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val text = docs.filter(col(textCol).isNotNull)
+    val lm = text
+      .filter(bkt >= trainBucketMin)
+      .select(explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
+      .groupBy("bgh").agg(count(lit(1)).as("n"))
+    val perDocBg = text
+      .select(col(idCol), explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
+      .groupBy(col(idCol), col("bgh")).agg(count(lit(1)).as("c"))
+    val scored = perDocBg
+      .join(lm, Seq("bgh"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum("c").as("n_bigrams"),
+        sum(when(col("n").isNull, col("c")).otherwise(0L)).as("n_oov"),
+        sum(when(col("n").isNull, 0L)
+          .otherwise(col("c") * length(bin(col("n"))))).as("ll_score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ll_score"), lit(0L)).as("ll_score"))
+  }
+
+  /** Deterministic shard assignment with within-shard write positions —
+    * the "materialize the training corpus as N shard files in a
+    * reproducible global shuffle order" step every pretraining pipeline
+    * ends with. Each doc gets `shard = md5-bucket(id) % nShards` and
+    * `pos` = its 0-based rank within the shard under (md5(id), id) order —
+    * so `ORDER BY pos` inside a shard IS the reproducible shuffle, and
+    * re-running the pipeline yields byte-identical shards (resumable
+    * ingestion and exact-repro training runs depend on that).
+    *
+    * Scale shape: the naive formulation is `row_number() OVER (PARTITION
+    * BY shard ORDER BY rk)` — at corpus scale each shard is a single-task
+    * sort of corpus/nShards rows. This runs the two-level rank instead
+    * (same machinery as [[packSequences]]' cumsum): range-partition by
+    * (shard, rk, id) — contiguous global order, every partition a bounded
+    * slice — then per-(partition, shard) counts prefix-summed on the
+    * driver (O(nParts + nShards) rows, since the leading range key means
+    * each partition touches at most a few shards) seed partition-local
+    * running counters. The keyed frame is eagerly localCheckpoint'ed so
+    * the count pass and the rank pass observe the SAME sampled range
+    * bounds. The DuckDB oracle IS the naive window — exactly the
+    * semantics the distributed shape must reproduce.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+                  numPartitions: Int = 0): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    require(numPartitions >= 0,
+      s"numPartitions must be >= 0 (0 = session default), got $numPartitions")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val rk = md5(col(idCol).cast("string"))
+    val shard =
+      (conv(substring(rk, 1, 4), 16, 10).cast("long") % nShards).cast("int")
+    val ranged = docs
+      .select(col(idCol).cast("long").as("id"), rk.as("rk"), shard.as("shard"))
+      .repartitionByRange(nParts, col("shard"), col("rk"), col("id"))
+      .sortWithinPartitions("shard", "rk", "id")
+      .localCheckpoint(true)
+    val counts = ranged
+      .groupBy(spark_partition_id().as("pid"), col("shard"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val starts: Map[(Int, Int), Long] = counts
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (sh, rows) =>
+        val byPid = rows.sortBy(_._1)
+        val offs = byPid.scanLeft(0L)(_ + _._3)
+        byPid.iterator.map(_._1).zip(offs.iterator).map { case (pid, off) => (pid, sh) -> off }
+      }
+      .toMap
+    val bc = spark.sparkContext.broadcast(starts)
+    ranged
+      .as[(Long, String, Int)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur = Int.MinValue
+        var cum = 0L
+        it.map { case (id, _, sh) =>
+          if (sh != cur) { cur = sh; cum = bc.value((pid, sh)) }
+          val p = cum; cum += 1L; (id, sh, p)
+        }
+      }
+      .toDF(idCol, "shard", "pos")
   }
 
   // ------------------------------------------------------------- queries
@@ -823,6 +962,54 @@ object Curation {
                doc_id
         FROM documents
         ORDER BY rk LIMIT 50"""),
+    ),
+    // CCNet-style LM likelihood scoring: integer-exact bigram log₂
+    // surrogate against the 10% held-out-bucket LM, with OOV mass. The
+    // oracle joins on raw bigram strings (hash-free), guarding the Spark
+    // side's ShingleHash64 keys against collisions.
+    Q(
+      "c_lm_score",
+      (s, dir) => lmScore(Tables(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (SELECT doc_id, bkt, ${shingleSql(2)} AS shs FROM w),
+        e AS (SELECT doc_id, bkt, unnest(shs) AS bg FROM sh),
+        pd AS (SELECT doc_id, bg, COUNT(*) AS c FROM e GROUP BY doc_id, bg),
+        lm AS (SELECT bg, COUNT(*) AS n FROM e WHERE bkt >= 90 GROUP BY bg),
+        sc AS (
+          SELECT pd.doc_id,
+                 CAST(SUM(pd.c) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(CASE WHEN lm.n IS NULL THEN pd.c ELSE 0 END) AS BIGINT) AS n_oov,
+                 CAST(SUM(CASE WHEN lm.n IS NULL THEN 0
+                           ELSE pd.c * length(bin(CAST(lm.n AS BIGINT))) END) AS BIGINT) AS ll_score
+          FROM pd LEFT JOIN lm USING (bg) GROUP BY pd.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+               COALESCE(sc.n_oov, 0) AS n_oov,
+               COALESCE(sc.ll_score, 0) AS ll_score
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        ORDER BY d.doc_id"""),
+    ),
+    // Deterministic 8-shard assignment with two-level within-shard ranks;
+    // the oracle is the naive per-shard window the distributed shape must
+    // reproduce exactly.
+    Q(
+      "c_shard_assign",
+      (s, dir) => shardAssign(Tables(s, dir, "documents"), nShards = 8).orderBy("doc_id"),
+      Some("""
+        WITH k AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,
+                 CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS INTEGER) AS shard
+          FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+        FROM k ORDER BY doc_id"""),
     ),
   )
 }

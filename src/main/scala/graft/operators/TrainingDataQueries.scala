@@ -764,7 +764,9 @@ object TrainingDataQueries {
     s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
   /** Shared by c_bigram_support and its agg-join twin — one oracle, two
-    * physical shapes that must hash-match it identically.
+    * physical shapes that must hash-match it identically. Joins on the raw
+    * bigram STRINGS (the Spark side groups by native ShingleHash64 keys),
+    * so the compare also guards the 64-bit hashes against collisions.
     */
   private def BigramSupportOracleSql: String =
     """
@@ -774,12 +776,10 @@ object TrainingDataQueries {
               CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
                    ELSE list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')) END AS bgs
             FROM w),
-    e AS (SELECT doc_id,
-                 CAST('0x' || substring(md5(unnest(bgs)), 1, 15) AS BIGINT) AS bgh
-          FROM bgl),
-    c AS (SELECT bgh, COUNT(*) AS n FROM e GROUP BY bgh),
+    e AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+    c AS (SELECT bg, COUNT(*) AS n FROM e GROUP BY bg),
     d AS (SELECT e.doc_id, COUNT(*) AS n_bigrams, SUM(c.n) AS tot
-          FROM e JOIN c USING (bgh) GROUP BY e.doc_id)
+          FROM e JOIN c USING (bg) GROUP BY e.doc_id)
     SELECT doc.doc_id,
            CAST(COALESCE(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(d.tot // d.n_bigrams AS BIGINT) AS support

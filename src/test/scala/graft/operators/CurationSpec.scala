@@ -496,4 +496,82 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.map(_._1) == (1L to 61L) &&
       all.map(_._2).toSet == (0L until 61L).toSet)
   }
+
+  test("lmScore matches a pure-Scala bigram-LM mirror incl. OOV, short and null text") {
+    val s = spark
+    import s.implicits._
+    def bkt(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 4), 16) % 100
+    // ids spanning both sides of the 90-bucket LM boundary, texts sharing
+    // bigrams across the boundary plus every degenerate shape
+    val ids = (0L until 300L).toVector
+    val lmIds = ids.filter(bkt(_) >= 90)
+    val applyIds = ids.filter(bkt(_) < 90)
+    assert(lmIds.size >= 10 && applyIds.size >= 10, "fixture needs both buckets")
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran")
+    val rnd = new scala.util.Random(13)
+    def sentence(): String =
+      Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts: Map[Long, String] = ids.map { id =>
+      id -> (id % 17 match {
+        case 0 => null                       // null text → (0,0,0)
+        case 1 => "solo"                     // sub-2-word: whole text is the "bigram"
+        case 2 => ""                         // empty string, same path
+        case 3 => "zzz qqq zzz qqq zzz"      // likely-OOV unless an LM doc draws it
+        case _ => sentence()
+      })
+    }.toMap
+    val docs = ids.map(id => (id, texts(id))).toDF("doc_id", "text")
+
+    // pure-Scala mirror, shared-code-free: LM = bigram occurrence counts
+    // over the >=90-bucket docs; ll uses the bit length of the LM count
+    val lmCounts: Map[String, Long] = lmIds
+      .flatMap(id => Option(texts(id)).toSeq.flatMap(t => shingles(t, 2)))
+      .groupBy(identity).map { case (bg, os) => bg -> os.size.toLong }
+    def expected(id: Long): (Long, Long, Long) = Option(texts(id)) match {
+      case None => (0L, 0L, 0L)
+      case Some(t) =>
+        val bgs = shingles(t, 2)
+        val oov = bgs.count(!lmCounts.contains(_)).toLong
+        val ll = bgs.flatMap(lmCounts.get)
+          .map(n => (64 - java.lang.Long.numberOfLeadingZeros(n)).toLong).sum
+        (bgs.size.toLong, oov, ll)
+    }
+    val got = Curation.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == ids.toSet, "every doc scores, including null text")
+    for (id <- ids)
+      assert(got(id) == expected(id), s"doc $id: got ${got(id)} want ${expected(id)}")
+    // the fixture must actually exercise both evidence classes
+    assert(got.values.exists(_._2 > 0), "no OOV mass in fixture")
+    assert(got.values.exists(v => v._3 > 0), "no in-LM mass in fixture")
+  }
+
+  test("shardAssign: dense per-shard ranks in (md5, id) order, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val nShards = 4
+    val ids = (0L until 157L).toVector
+    val docs = ids.map(id => (id, s"t$id")).toDF("doc_id", "text")
+    def shardOf(id: Long): Int =
+      (java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 4), 16) % nShards).toInt
+    // naive mirror: per-shard rank under (md5 hex, id) order
+    val expected: Map[Long, (Int, Long)] = ids.groupBy(shardOf).flatMap {
+      case (sh, members) =>
+        members.sortBy(id => (md5Hex(id.toString), id)).zipWithIndex
+          .map { case (id, i) => id -> ((sh, i.toLong)) }
+    }
+    def run(np: Int): Map[Long, (Int, Long)] =
+      Curation.shardAssign(docs, nShards, numPartitions = np).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val got = run(3)
+    assert(got == expected, s"two-level rank disagrees with the naive window\n$got")
+    // invariance: degenerate single partition == many == more than rows
+    assert(run(1) == got && run(16) == got && run(200) == got)
+    // dense positions 0..n-1 within every shard (no gaps, no dupes)
+    got.toSeq.groupBy(_._2._1).foreach { case (sh, rows) =>
+      val ps = rows.map(_._2._2).sorted
+      assert(ps == (0L until ps.size.toLong), s"shard $sh positions not dense: $ps")
+    }
+  }
 }
