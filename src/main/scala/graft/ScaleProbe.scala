@@ -49,7 +49,12 @@ object ScaleProbe {
     // r13: sequence packing — the two-level cumsum's totals pass + packing
     // pass should scale linearly; a drifting ratio would indict the
     // checkpoint or the per-partition offset plumbing
-    "c_pack_sequences")
+    "c_pack_sequences",
+    // r13: LM likelihood scoring (two explode passes + one bgh-equi-join;
+    // the LM side grows with the corpus, so a drifting ratio would indict
+    // the join strategy at scale) and shard assignment (two-level rank —
+    // same invariant as c_pack_sequences, keyed per shard)
+    "c_lm_score", "c_shard_assign")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

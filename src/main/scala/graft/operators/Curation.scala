@@ -596,17 +596,39 @@ object Curation {
     * the hashes against collisions.
     */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", trainBucketMin: Int = 90): DataFrame =
+    lmScoreAgainst(docs, lmTable(docs, idCol, textCol, trainBucketMin),
+      idCol, textCol)
+
+  /** The reference LM of [[lmScore]] as a standalone (bgh, n) frame:
+    * bigram occurrence counts over the deterministic `>= trainBucketMin`
+    * id bucket. Built separately so the STREAMING face
+    * ([[graft.streaming.DocStream.lmScoreByWindow]]) can score an
+    * unbounded stream against the same static LM via a stream-static
+    * join — the LM is unbounded-vocabulary (billions of distinct bigrams
+    * at corpus scale), so it rides the join's build side, never a
+    * driver/broadcast structure.
+    */
+  def lmTable(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", trainBucketMin: Int = 90): DataFrame = {
     require(trainBucketMin >= 0 && trainBucketMin <= 100,
       s"trainBucketMin is a percentage in [0, 100], got $trainBucketMin")
     val bkt = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long") % 100
-    val text = docs.filter(col(textCol).isNotNull)
-    val lm = text
+    docs.filter(col(textCol).isNotNull)
       .filter(bkt >= trainBucketMin)
       .select(explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
       .groupBy("bgh").agg(count(lit(1)).as("n"))
-    val perDocBg = text
+  }
+
+  /** Score `docs` against an explicit [[lmTable]]-shaped (bgh, n) LM —
+    * the batch fold of [[lmScore]], reusable with an LM built from a
+    * DIFFERENT corpus (the production shape: freeze the LM once, score
+    * every incoming shard against it).
+    */
+  def lmScoreAgainst(docs: DataFrame, lm: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val perDocBg = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
       .groupBy(col(idCol), col("bgh")).agg(count(lit(1)).as("c"))
     val scored = perDocBg
@@ -693,6 +715,52 @@ object Curation {
       }
       .toDF(idCol, "shard", "pos")
   }
+
+  // URL patterns: same shared Java-regex/RE2 subset discipline as the PII
+  // family (character classes only — no lookaround, no shorthand), so the
+  // Spark and DuckDB engines compile identical automata.
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Deterministic URL-bearing fixture column — the synthetic corpora
+    * carry no URLs in any string column (verified: zero `http` hits), so
+    * the extraction family would be vacuously green on raw text. Every
+    * 3rd doc gains a sited page URL, every 5th a CDN asset URL, both
+    * id-derived with a bounded domain alphabet so domain-level grouping
+    * has real fan-in. Mirrored expression-for-expression in the oracle.
+    */
+  def withSyntheticUrls(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    docs.withColumn("url_text", concat(
+      substring(coalesce(col(textCol), lit("")), 1, 40),
+      when(id % 3 === 0,
+        concat(lit(" see http://site"), (id % 7).cast("string"),
+          lit(".example.com/p/"), id.cast("string"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" https://cdn.example.org/a-"),
+          (id % 11).cast("string"))).otherwise(lit("")),
+    ))
+  }
+
+  /** Per-domain URL statistics — the C4/CommonCrawl-style provenance
+    * audit (which hosts does this corpus cite, how concentrated): extract
+    * every URL, lowercase its host, count occurrences and distinct citing
+    * docs per domain. Pure codegen'd row expressions into one
+    * map-side-partial aggregation; the distinct-doc count rides Spark's
+    * Expand-based partial distinct, so a hot domain reaches the reducer
+    * as per-map-task partials, never raw rows.
+    */
+  def urlDomainStats(df: DataFrame, idCol: String = "doc_id",
+                     urlCol: String = "url_text"): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(coalesce(col(urlCol), lit("")),
+          lit(UrlRe), lit(0))).as("__u"))
+      .select(col(idCol),
+        lower(regexp_extract(col("__u"), UrlHostRe, 1)).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
 
   // ------------------------------------------------------------- queries
 
@@ -1010,6 +1078,33 @@ object Curation {
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
         FROM k ORDER BY doc_id"""),
+    ),
+    // Domain-level URL provenance audit over the synthetic URL fixture
+    // (same *_syn convention as c_pii_scan_syn: the raw corpus has no
+    // URLs, so the fixture keeps every arm non-vacuous and fully oracled).
+    Q(
+      "c_url_stats_syn",
+      (s, dir) =>
+        urlDomainStats(withSyntheticUrls(Tables(s, dir, "documents"))).orderBy("domain"),
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 substring(COALESCE(text, ''), 1, 40) ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+                           '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' https://cdn.example.org/a-' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END AS url_text
+          FROM documents
+        ),
+        e AS (SELECT doc_id,
+                     unnest(regexp_extract_all(url_text, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?', 0)) AS uu
+              FROM u),
+        d AS (SELECT doc_id, lower(regexp_extract(uu, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM e)
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM d GROUP BY domain ORDER BY domain"""),
     ),
   )
 }

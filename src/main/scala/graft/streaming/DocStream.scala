@@ -365,4 +365,44 @@ object DocStream {
       .select(col("w.start").as("window_start"), col("n_rows"), col("n_number_hits"),
         col("n_with_number"), col("n_email_hits"), col("n_ip_hits"), col("n_chars_redacted"))
   }
+
+  /** Streaming face of [[Curation.lmScore]]: score an unbounded document
+    * stream against a STATIC frozen LM (a [[Curation.lmTable]]-shaped
+    * (bgh, n) frame) — the production shape for likelihood-filtering an
+    * ingestion stream: freeze the LM once from a curated corpus, score
+    * every arriving doc against it.
+    *
+    * Per doc: the same (n_bigrams, n_oov, ll_score) integer-exact columns
+    * as the batch operator. The LM rides a STREAM-STATIC left join — the
+    * one Structured Streaming join that needs no watermark state on the
+    * static side, and the right choice here because the LM's vocabulary is
+    * unbounded (billions of distinct bigrams at corpus scale — a broadcast
+    * map or bloom cannot carry the counts). The per-doc fold is a
+    * watermarked aggregation keyed by (event-time window, doc_id): every
+    * bigram row of a doc inherits the doc's single event time, so a doc
+    * never splits across windows and the streamed scores equal the batch
+    * [[Curation.lmScoreAgainst]] of the same rows (spec'd). State is one
+    * row per in-horizon doc, evicted as the watermark passes its window.
+    * Null-text docs carry no bigrams and are dropped (they score (0,0,0)
+    * in batch; a stream consumer sees them absent — callers needing the
+    * zero rows union them back from the raw stream).
+    */
+  def lmScoreByWindow(docs: DataFrame, lm: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      eventTimeCol: String = "event_time",
+                      windowDuration: String = "1 minute",
+                      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(eventTimeCol),
+        explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
+      .join(lm, Seq("bgh"), "left")
+      .groupBy(window(col(eventTimeCol), windowDuration), col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("n").isNull, 0L)
+          .otherwise(length(bin(col("n"))).cast("long"))).as("ll_score"))
+      .select(col(idCol), col("n_bigrams"), col("n_oov"), col("ll_score"))
 }

@@ -574,4 +574,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ps == (0L until ps.size.toLong), s"shard $sh positions not dense: $ps")
     }
   }
+
+  test("urlDomainStats: extraction edges (case, path, multiples, none, null)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "see http://A.Example.com/x and https://a.example.com no path"),
+      (2L, "dup http://a.example.com/y http://a.example.com/y"), // same doc twice
+      (3L, "plain text, no urls at all"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ftp://not.matched.org and httpx://also.not https://b.org/p_1/q-2"),
+    ).toDF("doc_id", "url_text")
+    val got = Curation.urlDomainStats(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // hosts lowercased; doc 1 cites a.example.com twice (n_urls 2, n_docs 1);
+    // doc 2 adds 2 more urls as one more distinct doc; non-http schemes skipped
+    assert(got == Map(
+      "a.example.com" -> ((4L, 2L)),
+      "b.org" -> ((1L, 1L)),
+    ), got.toString)
+    // the synthetic fixture column drives every 3rd/5th doc non-vacuously
+    val syn = Curation.urlDomainStats(
+      Curation.withSyntheticUrls(Seq((3L, "t"), (5L, null.asInstanceOf[String]), (7L, "u"))
+        .toDF("doc_id", "text"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(syn == Map(
+      "site3.example.com" -> ((1L, 1L)),   // doc 3: id%7=3
+      "cdn.example.org" -> ((1L, 1L)),     // doc 5 (null text still gains its URL)
+    ), syn.toString)
+  }
 }

@@ -446,4 +446,52 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"streamed $streamed\nbatch $batch")
     } finally query.stop()
   }
+
+  test("lmScoreByWindow against a frozen LM equals the batch lmScoreAgainst") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen LM corpus (every doc in the LM bucket: trainBucketMin = 0)
+    val lmDocs = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the cat ran"),
+      (102L, "dog ran far"),
+    ).toDF("doc_id", "text")
+    val lm = graft.operators.Curation.lmTable(lmDocs, trainBucketMin = 0)
+      .localCheckpoint(true) // freeze: static side of the stream-static join
+    val rows = Seq(
+      (1L, ts(10), "the cat sat"),          // all bigrams in-LM
+      (2L, ts(20), "the cat zzz qqq"),      // mixed in-LM / OOV
+      (3L, ts(25), null.asInstanceOf[String]), // null text: absent from stream out
+      (4L, ts(70), "solo"),                 // sub-2-word whole-text "bigram", OOV
+      (5L, ts(80), "dog ran far far far"),  // partly in-LM, repeats
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.lmScoreByWindow(docs, lm,
+        windowDuration = "1 minute", watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("lm_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      input.addData((6L, ts(600), "flush")) // advance watermark past both windows
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, n_bigrams, n_oov, ll_score FROM lm_out WHERE doc_id <= 5")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val batch = graft.operators.Curation
+        .lmScoreAgainst(rows.map(r => (r._1, r._3)).toDF("doc_id", "text"), lm)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // null-text doc 3 scores (0,0,0) in batch and is absent on the stream
+      assert(streamed.keySet == Set(1L, 2L, 4L, 5L), s"got ${streamed.keySet}")
+      assert(batch(3L) == ((0L, 0L, 0L)))
+      for (id <- streamed.keySet)
+        assert(streamed(id) == batch(id),
+          s"doc $id: streamed ${streamed(id)} batch ${batch(id)}")
+      // the fixture exercises both evidence classes through the stream
+      assert(streamed.values.exists(_._2 > 0) && streamed.values.exists(_._3 > 0))
+    } finally query.stop()
+  }
 }
