@@ -45,48 +45,70 @@ object StreamProbe {
     val stepSec = 1200L
     val t0 = 1700000000L
 
-    val input = MemoryStream[(Long, Timestamp, String)]
-    val docs = input.toDF().toDF("doc_id", "event_time", "text")
-    val query = DocStream
-      .dedupNearMinHash(docs, watermarkDelay = watermark)
-      .writeStream.format("noop").outputMode("append").start()
-
-    val batchSecs = Array.ofDim[Double](nBatches)
-    val stateRows = Array.ofDim[Long](nBatches)
-    val stateBytes = Array.ofDim[Long](nBatches)
-    try {
-      for (k <- 0 until nBatches) {
-        val ts = new Timestamp((t0 + k * stepSec) * 1000)
-        val batch = corpus.map { case (id, text) => (id + k * nDocs, ts, text) }
-        val w0 = System.nanoTime()
-        input.addData(batch.toIndexedSeq)
-        query.processAllAvailable()
-        batchSecs(k) = (System.nanoTime() - w0) / 1e9
-        val so = Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
-        stateRows(k) = so.map(_.numRowsTotal).sum
-        stateBytes(k) = so.map(_.memoryUsedBytes).sum
-      }
-    } finally query.stop()
-
     def r2(v: Double) = math.round(v * 100) / 100.0
-    // skip batch 0 (plan + state-store cold start) on both ends of the
-    // flatness ratio; -1 when too few batches for a meaningful pair (the
-    // raw curves are still in the artifact either way)
-    val earlyW = batchSecs.slice(1, 4)
-    val lateW = batchSecs.takeRight(3)
-    val ratio =
-      if (nBatches < 5 || earlyW.isEmpty || earlyW.min <= 0) -1.0
-      else lateW.min / earlyW.min
-    val json =
-      s"""{"metric":"stream_probe","query":"dedupNearMinHash","sf_dir":"$dir",""" +
-        s""""batches":$nBatches,"docs_per_batch":${corpus.length},""" +
-        s""""watermark":"$watermark","step_sec":$stepSec,""" +
+
+    /** Drive one streaming face over nBatches corpus replays; returns its
+      * JSON fragment. Each arm gets a fresh MemoryStream and query so the
+      * state stores never mix.
+      */
+    def runArm(name: String,
+               build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val docs = input.toDF().toDF("doc_id", "event_time", "text")
+      val query = build(docs)
+        .writeStream.format("noop").outputMode("append").start()
+      val batchSecs = Array.ofDim[Double](nBatches)
+      val stateRows = Array.ofDim[Long](nBatches)
+      val stateBytes = Array.ofDim[Long](nBatches)
+      try {
+        for (k <- 0 until nBatches) {
+          val ts = new Timestamp((t0 + k * stepSec) * 1000)
+          val batch = corpus.map { case (id, text) => (id + k * nDocs, ts, text) }
+          val w0 = System.nanoTime()
+          input.addData(batch.toIndexedSeq)
+          query.processAllAvailable()
+          batchSecs(k) = (System.nanoTime() - w0) / 1e9
+          val so = Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+          stateRows(k) = so.map(_.numRowsTotal).sum
+          stateBytes(k) = so.map(_.memoryUsedBytes).sum
+        }
+      } finally query.stop()
+      // skip batch 0 (plan + state-store cold start) on both ends of the
+      // flatness ratio; -1 when too few batches for a meaningful pair (the
+      // raw curves are still in the artifact either way)
+      val earlyW = batchSecs.slice(1, 4)
+      val lateW = batchSecs.takeRight(3)
+      val ratio =
+        if (nBatches < 5 || earlyW.isEmpty || earlyW.min <= 0) -1.0
+        else lateW.min / earlyW.min
+      s"""{"query":"$name",""" +
         s""""batch_secs":[${batchSecs.map(r2).mkString(",")}],""" +
         s""""state_rows":[${stateRows.mkString(",")}],""" +
         s""""state_bytes":[${stateBytes.mkString(",")}],""" +
         s""""late_over_early":${r2(ratio)},""" +
         s""""state_rows_last_over_peak":${r2(
           if (stateRows.max > 0) stateRows.last.toDouble / stateRows.max else -1.0)}}"""
+    }
+
+    // frozen LM for the stream-static arm — built once from the same
+    // corpus (the production freeze-then-score shape), checkpointed so
+    // every micro-batch joins the materialized frame, not the lineage
+    val lm = graft.operators.Curation
+      .lmTable(Tables(spark, dir, "documents")).localCheckpoint(true)
+
+    val arms = Seq(
+      runArm("dedupNearMinHash",
+        docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
+      // per-(window, doc) aggregation state must evict like the dedup
+      // buckets: the clock steps past the watermark every batch
+      runArm("lmScoreByWindow",
+        docs => DocStream.lmScoreByWindow(docs, lm, watermarkDelay = watermark)),
+    )
+    val json =
+      s"""{"metric":"stream_probe","sf_dir":"$dir",""" +
+        s""""batches":$nBatches,"docs_per_batch":${corpus.length},""" +
+        s""""watermark":"$watermark","step_sec":$stepSec,""" +
+        s""""arms":[${arms.mkString(",")}]}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROBE_OUT", "stream_probe_out.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
