@@ -54,26 +54,42 @@ object ScaleProbe {
     // the LM side grows with the corpus, so a drifting ratio would indict
     // the join strategy at scale) and shard assignment (two-level rank —
     // same invariant as c_pack_sequences, keyed per shard)
-    "c_lm_score", "c_shard_assign")
+    "c_lm_score", "c_shard_assign",
+    // r13: SemDeDup — probed with nCells scaled by mult at the scaled arm
+    // (see probeOverrides): the operator's contract is "nCells scales with
+    // N", which keeps per-cell pair work ~flat; probing at FIXED nCells
+    // would only re-measure the designed-quadratic in-cell scan
+    "d_semdedup")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
     * path's timing anyway — each override is the registered query with the
     * documented opt-out applied, never a different algorithm.
     */
-  private val probeOverrides: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+  private def probeOverrides(mult: Int, workDir: String):
+      Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "d_simhash_hamming" -> ((s, dir) =>
       operators.SimHash
         .hammingPairs(
           operators.SimHash.simhashOfMd5(Tables(s, dir, "documents")),
           r = 3, bits = 32, maxHotDropFrac = 1.0)
         .orderBy("id_a", "id_b")),
+    // the registered query's fixed nCells=8 is an oracle-scale setting;
+    // the contract at scale is nCells ∝ N, so the scaled arm runs 8·mult
+    // cells — the ratio then witnesses the ~flat per-cell pair work the
+    // design claims (fixed cells would witness only the in-cell O(s²))
+    "d_semdedup" -> ((s, dir) =>
+      operators.Similarity
+        .semDedup(Tables(s, dir, "embeddings"), tNum = 7, tDen = 20,
+          nCells = if (dir == workDir) 8 * mult else 8)
+        .orderBy("vec_id")),
   )
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse("/tmp/graft_scaleprobe")
+    val overrides = probeOverrides(mult, work)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).appName("scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -136,7 +152,7 @@ object ScaleProbe {
         operators.Dedup.lastClosureIterations = -1
         val t0 = System.nanoTime()
         try {
-          probeOverrides.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+          overrides.getOrElse(name, SparkEntry.queries(name))(spark, dir)
             .write.format("noop").mode("overwrite").save()
           times(name) = (System.nanoTime() - t0) / 1e9
           if (operators.Dedup.lastClosureIterations >= 0)
@@ -155,7 +171,7 @@ object ScaleProbe {
     def rep(dir: String, name: String): Option[Double] =
       try {
         val t0 = System.nanoTime()
-        probeOverrides.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+        overrides.getOrElse(name, SparkEntry.queries(name))(spark, dir)
           .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case scala.util.control.NonFatal(e) =>

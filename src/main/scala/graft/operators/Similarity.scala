@@ -836,6 +836,114 @@ object Similarity {
     * The float [[ivfTopK]] stays the production path (trained quantizer →
     * better recall); this twin pins the IVF mechanism end-to-end.
     */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering the embedding space and deduplicating WITHIN clusters
+    * only — the two-level design that makes embedding dedup tractable at
+    * corpus scale (the paper runs k-means with k≈50k on LAION; pair work
+    * drops from O(N²) to O(Σ cell²) ≈ O(N²/nCells)). Per vector:
+    * `(vec_id, cell, keep)` where `keep` is false iff a SMALLER-id
+    * cluster-mate sits at-or-above the cosine threshold — the paper's
+    * "keep one representative per intra-cluster duplicate group", made
+    * deterministic by id order.
+    *
+    * Kept integer-exact end-to-end so the DuckDB oracle hash-matches the
+    * whole mechanism (centroid assignment INCLUDED, not just the pair
+    * predicate): centroids are the quantized vectors of the `nCells`
+    * lowest-id rows (same deterministic contract as [[quantizedIvfTopK]]
+    * — a bounded ordered collect, no iterative training whose float
+    * updates would diverge cross-engine), assignment is argmax integer
+    * dot with ties to the lowest cell index, and the threshold compare is
+    * the cross-multiplied d²·dot² ≥ n²·|a|²·|b|² from
+    * [[quantizedPairsAbove]] (BigInt on the JVM, HUGEINT in the oracle —
+    * [[quantizeChecked]]'s magnitude bound keeps both exact).
+    *
+    * Scale shape: one broadcast of nCells quantized centroids, one
+    * map-side assignment pass, then per-cell pair scans via
+    * `groupByKey(cell).flatMapGroups` — each cell is buffered in ONE
+    * task (the SemDeDup regime: nCells scales with the corpus so a cell
+    * stays executor-sized), sorted by id, and scanned with early exit on
+    * the first dominator (a duplicate-heavy cell does ~1 dot per dropped
+    * row, not cell²/2). `maxCellRows` fails loudly when an under-sized
+    * nCells would silently buffer a corpus-scale cell — resize nCells,
+    * don't raise the cap, is almost always the fix.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      tNum: Int,
+      tDen: Int,
+      nCells: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+      maxCellRows: Int = 1 << 17,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(tDen <= 128, "threshold denominators above 128 can push the " +
+      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
+    require(nCells >= 1 && maxCellRows >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent: Array[Array[Long]] = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .orderBy("id")
+      .limit(nCells)
+      .collect()
+      .map { case (_, v) => quantizeChecked(v, scale) }
+    require(cent.nonEmpty, "cannot derive SemDeDup cells from an empty corpus")
+    val cb = spark.sparkContext.broadcast(cent)
+    val n2 = BigInt(tNum) * tNum
+    val d2 = BigInt(tDen) * tDen
+
+    corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        val cs = cb.value
+        var best = 0; var bestDot = Long.MinValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0L; var i = 0
+          val nd = math.min(q.length, cs(c).length)
+          while (i < nd) { d += q(i) * cs(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var nn = 0L; var i = 0
+        while (i < q.length) { nn += q(i) * q(i); i += 1 }
+        (best, id, q, nn)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        if (rows.length > maxCellRows)
+          throw new IllegalStateException(
+            s"SemDeDup cell $cell holds ${rows.length} rows (> maxCellRows=$maxCellRows): " +
+              "nCells is undersized for this corpus — scale nCells with N " +
+              "(the paper's regime) rather than raising the cap")
+        java.util.Arrays.sort(rows, Ordering.by((r: (Int, Long, Array[Long], Long)) => r._2))
+        rows.iterator.zipWithIndex.map { case ((_, id, q, nn), k) =>
+          var dominated = false
+          var j = 0
+          while (j < k && !dominated) {
+            val (_, _, qa, na) = rows(j)
+            var d = 0L; var x = 0
+            val nx = math.min(q.length, qa.length)
+            while (x < nx) { d += q(x) * qa(x); x += 1 }
+            if (d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(na) * nn))
+              dominated = true
+            j += 1
+          }
+          (id, cell, !dominated)
+        }
+      }
+      .toDF(idCol, "cell", "keep")
+  }
+
   def quantizedIvfTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -294,6 +294,55 @@ object TrainingDataQueries {
         WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
         ORDER BY id_a, id_b"""),
     ),
+    // SemDeDup (Abbas et al. 2023): cluster-then-dedup-within-cluster,
+    // whole mechanism integer-exact — deterministic centroid assignment,
+    // per-cell smaller-id domination at cosine >= 7/20 — so the oracle
+    // hash-matches clustering AND dedup decisions, not just pair scores.
+    Q(
+      "d_semdedup",
+      (s, dir) =>
+        Similarity
+          .semDedup(Tables(s, dir, "embeddings"), tNum = 7, tDen = 20, nCells = 8)
+          .orderBy("vec_id"),
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cqv
+          FROM (SELECT vec_id, qv FROM qz ORDER BY vec_id LIMIT 8)
+        ),
+        asg0 AS (
+          SELECT q.vec_id, q.qv, cent.c,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * cent.cqv[i])) AS HUGEINT) AS cdot
+          FROM qz q CROSS JOIN cent
+        ),
+        asg AS (
+          SELECT vec_id, qv, c AS cell FROM (
+            SELECT vec_id, qv, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, c) AS rn
+            FROM asg0)
+          WHERE rn = 1
+        ),
+        n AS (SELECT vec_id, cell, qv,
+                     CAST(list_sum(list_transform(qv, x -> x * x)) AS HUGEINT) AS n2
+              FROM asg),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                       i -> a.qv[i] * b.qv[i])) AS HUGEINT) AS dot,
+                     a.n2 AS na2, b.n2 AS nb2
+              FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        dom AS (SELECT DISTINCT id_b FROM p
+                WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2)
+        SELECT n.vec_id, CAST(n.cell AS INTEGER) AS cell,
+               (dom.id_b IS NULL) AS keep
+        FROM n LEFT JOIN dom ON n.vec_id = dom.id_b
+        ORDER BY n.vec_id"""),
+    ),
     // Near-dup pairs with bucketing AND threshold in exact integer
     // arithmetic: integer-hyperplane LSH buckets (literal-embedded in the
     // oracle SQL) + the cross-multiplied squared threshold compare — the

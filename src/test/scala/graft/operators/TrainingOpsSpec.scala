@@ -779,4 +779,57 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expectD = (0 until 8).map(gy => 1L << (gy * 8 + 3)).sum
     assert(Multimodal.dHash(hg9) == expectD)
   }
+
+  test("semDedup == pure-Scala mirror on planted clusters; cell cap fails loudly") {
+    val s = spark
+    import s.implicits._
+    // two planted directions; ids 0 and 1 seed the centroids (nCells = 2).
+    // Members of each cluster are near-parallel (cos >> 0.35); the
+    // cross-cluster pairs are orthogonal-ish; id 50 is a cluster-A dup of
+    // id 10's direction, id 51 sits BETWEEN clusters (assignment decides).
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1.0f, 0.02f), // centroid 0 (cluster A)
+      1L -> Array(0.03f, 1.0f), // centroid 1 (cluster B)
+      10L -> Array(0.9f, 0.05f),
+      11L -> Array(0.85f, -0.02f),
+      20L -> Array(-0.01f, 0.7f),
+      50L -> Array(0.88f, 0.06f),
+      51L -> Array(0.5f, 0.52f),
+      60L -> Array(-0.9f, -0.01f), // anti-parallel to A: assigned somewhere, dominates nothing
+    )
+    val df = vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+
+    // shared-code-free mirror of the documented semantics
+    def qz(v: Array[Float]): Array[Long] = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val cents = vecs.sortBy(_._1).take(2).map(p => qz(p._2))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cellOf(q: Array[Long]): Int =
+      cents.indices.minBy(c => (-dot(q, cents(c)), c))
+    def above(a: Array[Long], b: Array[Long]): Boolean = {
+      val d = dot(a, b)
+      d > 0 && BigInt(400) * (BigInt(d) * d) >= BigInt(49) * (BigInt(dot(a, a)) * dot(b, b))
+    }
+    val byCell = vecs.map { case (id, v) => (id, qz(v), cellOf(qz(v))) }
+    val expected = byCell.map { case (id, q, c) =>
+      val dominated = byCell.exists { case (id2, q2, c2) => c2 == c && id2 < id && above(q2, q) }
+      id -> ((c, !dominated))
+    }.toMap
+
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedup(d, tNum = 7, tDen = 20, nCells = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val got = run(df)
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the fixture must exercise both outcomes
+    assert(got.values.exists(!_._2) && got.values.exists(_._2))
+    // physical layout must not matter (cells re-shuffle by key)
+    assert(run(df.repartition(7)) == got)
+    // fail-loud cap: cluster A holds >2 rows
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.semDedup(df, tNum = 7, tDen = 20, nCells = 2, maxCellRows = 2).collect()
+    }
+    assert(e.getMessage.contains("maxCellRows") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCellRows")))
+  }
 }
