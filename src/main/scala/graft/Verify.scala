@@ -6,10 +6,23 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // driver contract: exactly (sfDir, outDir). A local-iteration third arg
-    // narrows the dump to a comma-separated query subset.
+    // narrows the dump to a comma-separated query subset — validated
+    // against the registry, because a typo'd name silently dumping nothing
+    // would leave the previous dump in place and compare.py would read a
+    // false green for the very operator being re-oracled.
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (names.isEmpty || unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown or empty query subset: ${unknown.toSeq.sorted.mkString(", ")}")
+        System.err.println(
+          s"[verify] registry: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

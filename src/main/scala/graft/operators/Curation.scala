@@ -613,8 +613,9 @@ object Curation {
               textCol: String = "text", trainBucketMin: Int = 90): DataFrame = {
     require(trainBucketMin >= 0 && trainBucketMin <= 100,
       s"trainBucketMin is a percentage in [0, 100], got $trainBucketMin")
-    val bkt = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
+    // the ONE split-bucket family (shared with train/val/test routing) —
+    // the LM train bucket must stay coupled to the corpus split it claims
+    val bkt = TextAnalysis.splitBucket(col(idCol))
     docs.filter(col(textCol).isNotNull)
       .filter(bkt >= trainBucketMin)
       .select(explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
@@ -717,10 +718,13 @@ object Curation {
   }
 
   // URL patterns: same shared Java-regex/RE2 subset discipline as the PII
-  // family (character classes only — no lookaround, no shorthand), so the
-  // Spark and DuckDB engines compile identical automata.
-  val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
-  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+  // family (character classes only — no lookarounds, no shorthand), so the
+  // Spark and DuckDB engines compile identical automata. The host must END
+  // on an alphanumeric: a bare [A-Za-z0-9.-]+ would greedily absorb a
+  // sentence-final period ("see http://a.com. Next") into the domain,
+  // splitting every end-of-sentence citation into a phantom "a.com." group.
+  val UrlRe = "https?://[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?(/[A-Za-z0-9._/-]*)?"
+  val UrlHostRe = "https?://([A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?)"
 
   /** Deterministic URL-bearing fixture column — the synthetic corpora
     * carry no URLs in any string column (verified: zero `http` hits), so
@@ -1098,9 +1102,9 @@ object Curation {
           FROM documents
         ),
         e AS (SELECT doc_id,
-                     unnest(regexp_extract_all(url_text, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?', 0)) AS uu
+                     unnest(regexp_extract_all(url_text, 'https?://[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?(/[A-Za-z0-9._/-]*)?', 0)) AS uu
               FROM u),
-        d AS (SELECT doc_id, lower(regexp_extract(uu, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM e)
+        d AS (SELECT doc_id, lower(regexp_extract(uu, 'https?://([A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?)', 1)) AS domain FROM e)
         SELECT domain,
                CAST(COUNT(*) AS BIGINT) AS n_urls,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -836,114 +836,6 @@ object Similarity {
     * The float [[ivfTopK]] stays the production path (trained quantizer →
     * better recall); this twin pins the IVF mechanism end-to-end.
     */
-  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
-    * clustering the embedding space and deduplicating WITHIN clusters
-    * only — the two-level design that makes embedding dedup tractable at
-    * corpus scale (the paper runs k-means with k≈50k on LAION; pair work
-    * drops from O(N²) to O(Σ cell²) ≈ O(N²/nCells)). Per vector:
-    * `(vec_id, cell, keep)` where `keep` is false iff a SMALLER-id
-    * cluster-mate sits at-or-above the cosine threshold — the paper's
-    * "keep one representative per intra-cluster duplicate group", made
-    * deterministic by id order.
-    *
-    * Kept integer-exact end-to-end so the DuckDB oracle hash-matches the
-    * whole mechanism (centroid assignment INCLUDED, not just the pair
-    * predicate): centroids are the quantized vectors of the `nCells`
-    * lowest-id rows (same deterministic contract as [[quantizedIvfTopK]]
-    * — a bounded ordered collect, no iterative training whose float
-    * updates would diverge cross-engine), assignment is argmax integer
-    * dot with ties to the lowest cell index, and the threshold compare is
-    * the cross-multiplied d²·dot² ≥ n²·|a|²·|b|² from
-    * [[quantizedPairsAbove]] (BigInt on the JVM, HUGEINT in the oracle —
-    * [[quantizeChecked]]'s magnitude bound keeps both exact).
-    *
-    * Scale shape: one broadcast of nCells quantized centroids, one
-    * map-side assignment pass, then per-cell pair scans via
-    * `groupByKey(cell).flatMapGroups` — each cell is buffered in ONE
-    * task (the SemDeDup regime: nCells scales with the corpus so a cell
-    * stays executor-sized), sorted by id, and scanned with early exit on
-    * the first dominator (a duplicate-heavy cell does ~1 dot per dropped
-    * row, not cell²/2). `maxCellRows` fails loudly when an under-sized
-    * nCells would silently buffer a corpus-scale cell — resize nCells,
-    * don't raise the cap, is almost always the fix.
-    */
-  def semDedup(
-      corpus: DataFrame,
-      tNum: Int,
-      tDen: Int,
-      nCells: Int = 8,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      scale: Double = 1e6,
-      maxCellRows: Int = 1 << 17,
-  ): DataFrame = {
-    requireIntegralId(corpus, idCol)
-    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
-    require(tDen <= 128, "threshold denominators above 128 can push the " +
-      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
-    require(nCells >= 1 && maxCellRows >= 1)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cent: Array[Array[Long]] = corpus
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .orderBy("id")
-      .limit(nCells)
-      .collect()
-      .map { case (_, v) => quantizeChecked(v, scale) }
-    require(cent.nonEmpty, "cannot derive SemDeDup cells from an empty corpus")
-    val cb = spark.sparkContext.broadcast(cent)
-    val n2 = BigInt(tNum) * tNum
-    val d2 = BigInt(tDen) * tDen
-
-    corpus
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val q = quantizeChecked(v, scale)
-        val cs = cb.value
-        var best = 0; var bestDot = Long.MinValue
-        var c = 0
-        while (c < cs.length) {
-          var d = 0L; var i = 0
-          val nd = math.min(q.length, cs(c).length)
-          while (i < nd) { d += q(i) * cs(c)(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
-        var nn = 0L; var i = 0
-        while (i < q.length) { nn += q(i) * q(i); i += 1 }
-        (best, id, q, nn)
-      }
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val rows = it.toArray
-        if (rows.length > maxCellRows)
-          throw new IllegalStateException(
-            s"SemDeDup cell $cell holds ${rows.length} rows (> maxCellRows=$maxCellRows): " +
-              "nCells is undersized for this corpus — scale nCells with N " +
-              "(the paper's regime) rather than raising the cap")
-        java.util.Arrays.sort(rows, Ordering.by((r: (Int, Long, Array[Long], Long)) => r._2))
-        rows.iterator.zipWithIndex.map { case ((_, id, q, nn), k) =>
-          var dominated = false
-          var j = 0
-          while (j < k && !dominated) {
-            val (_, _, qa, na) = rows(j)
-            var d = 0L; var x = 0
-            val nx = math.min(q.length, qa.length)
-            while (x < nx) { d += q(x) * qa(x); x += 1 }
-            if (d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(na) * nn))
-              dominated = true
-            j += 1
-          }
-          (id, cell, !dominated)
-        }
-      }
-      .toDF(idCol, "cell", "keep")
-  }
-
   def quantizedIvfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -959,31 +851,10 @@ object Similarity {
     require(k >= 1 && nCells >= 1 && nProbe >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
-    // deterministic seed centroids: quantized vectors of the nCells
-    // lowest-id rows (a bounded ordered collect, like ivfCentroids' sample)
-    val cent: Array[Array[Long]] = corpus
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .orderBy("id")
-      .limit(nCells)
-      .collect()
-      .map { case (_, v) => quantizeChecked(v, scale) }
-    require(cent.nonEmpty, "cannot derive IVF cells from an empty corpus")
+    val cent = seedCentroids(corpus, nCells, idCol, vecCol, scale)
     val cb = spark.sparkContext.broadcast(cent)
-
-    def bestCells(q: Array[Long], n: Int): Array[Int] = {
-      val cs = cb.value
-      val dots = new Array[Long](cs.length)
-      var c = 0
-      while (c < cs.length) {
-        var d = 0L; var i = 0
-        val nd = math.min(q.length, cs(c).length)
-        while (i < nd) { d += q(i) * cs(c)(i); i += 1 }
-        dots(c) = d; c += 1
-      }
-      cs.indices.sortBy(c => (-dots(c), c)).take(n).toArray
-    }
+    def bestCells(q: Array[Long], n: Int): Array[Int] =
+      Similarity.bestCells(cb.value, q, n)
 
     val cells = corpus
       .filter(col(vecCol).isNotNull)
@@ -1014,5 +885,143 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Quantized vectors of the `nCells` lowest-id corpus rows — the ONE
+    * deterministic seed-centroid contract shared by [[quantizedIvfTopK]]
+    * and [[semDedup]] (a bounded ordered collect; any engine re-derives
+    * the centroids from the table itself, so there is no training state
+    * to drift cross-engine).
+    */
+  private def seedCentroids(corpus: DataFrame, nCells: Int, idCol: String,
+                            vecCol: String, scale: Double): Array[Array[Long]] = {
+    import corpus.sparkSession.implicits._
+    val cent: Array[Array[Long]] = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .orderBy("id")
+      .limit(nCells)
+      .collect()
+      .map { case (_, v) => quantizeChecked(v, scale) }
+    require(cent.nonEmpty, "cannot derive seed centroids from an empty corpus")
+    cent
+  }
+
+  /** The `n` best cells for `q` by integer dot product, ties toward the
+    * lower cell index — the shared assignment kernel of the seed-centroid
+    * operators. n = 1 takes a linear argmax (the per-row assignment hot
+    * path must not pay a k·log k sort when nCells is corpus-scaled).
+    */
+  private def bestCells(cs: Array[Array[Long]], q: Array[Long], n: Int): Array[Int] = {
+    val dots = new Array[Long](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      var d = 0L; var i = 0
+      val nd = math.min(q.length, cs(c).length)
+      while (i < nd) { d += q(i) * cs(c)(i); i += 1 }
+      dots(c) = d; c += 1
+    }
+    if (n == 1) {
+      var best = 0; var bc = 1
+      while (bc < cs.length) { if (dots(bc) > dots(best)) best = bc; bc += 1 }
+      Array(best)
+    } else cs.indices.sortBy(c => (-dots(c), c)).take(n).toArray
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering the embedding space and deduplicating WITHIN clusters
+    * only — the two-level design that makes embedding dedup tractable at
+    * corpus scale (the paper runs k-means with k≈50k on LAION; pair work
+    * drops from O(N²) to O(Σ cell²) ≈ O(N²/nCells)). Per vector:
+    * `(vec_id, cell, keep)` where `keep` is false iff a SMALLER-id
+    * cluster-mate sits at-or-above the cosine threshold — the paper's
+    * "keep one representative per intra-cluster duplicate group", made
+    * deterministic by id order (duplicate ids never dominate each other:
+    * the compare is strict on id, not on sort position).
+    *
+    * Kept integer-exact end-to-end so the DuckDB oracle hash-matches the
+    * whole mechanism (centroid assignment INCLUDED, not just the pair
+    * predicate): centroids are the shared [[seedCentroids]] contract,
+    * assignment is argmax integer dot with ties to the lowest cell index
+    * ([[bestCells]]), and the threshold compare is the cross-multiplied
+    * d²·dot² ≥ n²·|a|²·|b|² from [[quantizedPairsAbove]] (BigInt on the
+    * JVM, HUGEINT in the oracle — [[quantizeChecked]]'s magnitude bound
+    * keeps both exact).
+    *
+    * Scale shape: one broadcast of nCells quantized centroids, one
+    * map-side assignment pass, then per-cell pair scans via
+    * `groupByKey(cell).flatMapGroups` — each cell is buffered in ONE
+    * task (the SemDeDup regime: nCells scales with the corpus so a cell
+    * stays executor-sized), sorted by id, and scanned with early exit on
+    * the first dominator (a duplicate-heavy cell does ~1 dot per dropped
+    * row, not cell²/2). `maxCellRows` fails loudly when an under-sized
+    * nCells would silently buffer a corpus-scale cell — the check runs on
+    * a bounded `take(maxCellRows + 1)` of the group iterator, so the
+    * refusal fires BEFORE an oversized cell is materialized (guarding
+    * against the OOM it exists to prevent, not after it). Resize nCells,
+    * don't raise the cap, is almost always the fix.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      tNum: Int,
+      tDen: Int,
+      nCells: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+      maxCellRows: Int = 1 << 17,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(tDen <= 128, "threshold denominators above 128 can push the " +
+      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
+    require(nCells >= 1 && maxCellRows >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(
+      seedCentroids(corpus, nCells, idCol, vecCol, scale))
+    val n2 = BigInt(tNum) * tNum
+    val d2 = BigInt(tDen) * tDen
+
+    corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        var nn = 0L; var i = 0
+        while (i < q.length) { nn += q(i) * q(i); i += 1 }
+        (bestCells(cb.value, q, 1)(0), id, q, nn)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.take(maxCellRows + 1).toArray
+        if (rows.length > maxCellRows)
+          throw new IllegalStateException(
+            s"SemDeDup cell $cell holds more than maxCellRows=$maxCellRows rows: " +
+              "nCells is undersized for this corpus — scale nCells with N " +
+              "(the paper's regime) rather than raising the cap")
+        java.util.Arrays.sort(rows, Ordering.by((r: (Int, Long, Array[Long], Long)) => r._2))
+        rows.iterator.zipWithIndex.map { case ((_, id, q, nn), k) =>
+          var dominated = false
+          var j = 0
+          while (j < k && !dominated) {
+            val (_, aid, qa, na) = rows(j)
+            // strict id compare, not sort position: duplicate ids must not
+            // dominate each other (they are not SMALLER-id mates)
+            if (aid < id) {
+              var d = 0L; var x = 0
+              val nx = math.min(q.length, qa.length)
+              while (x < nx) { d += q(x) * qa(x); x += 1 }
+              if (d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(na) * nn))
+                dominated = true
+            }
+            j += 1
+          }
+          (id, cell, !dominated)
+        }
+      }
+      .toDF(idCol, "cell", "keep")
   }
 }

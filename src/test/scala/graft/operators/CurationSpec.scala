@@ -584,14 +584,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "plain text, no urls at all"),
       (4L, null.asInstanceOf[String]),
       (5L, "ftp://not.matched.org and httpx://also.not https://b.org/p_1/q-2"),
+      // sentence-final periods must NOT join the domain (no phantom
+      // "b.org." group splitting the provenance counts)
+      (6L, "end http://b.org. Twice http://b.org."),
     ).toDF("doc_id", "url_text")
     val got = Curation.urlDomainStats(docs).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // hosts lowercased; doc 1 cites a.example.com twice (n_urls 2, n_docs 1);
-    // doc 2 adds 2 more urls as one more distinct doc; non-http schemes skipped
+    // doc 2 adds 2 more urls as one more distinct doc; non-http schemes
+    // skipped; doc 6's two sentence-terminal cites fold into b.org
     assert(got == Map(
       "a.example.com" -> ((4L, 2L)),
-      "b.org" -> ((1L, 1L)),
+      "b.org" -> ((3L, 2L)),
     ), got.toString)
     // the synthetic fixture column drives every 3rd/5th doc non-vacuously
     val syn = Curation.urlDomainStats(

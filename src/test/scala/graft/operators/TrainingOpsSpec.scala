@@ -825,6 +825,13 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(!_._2) && got.values.exists(_._2))
     // physical layout must not matter (cells re-shuffle by key)
     assert(run(df.repartition(7)) == got)
+    // duplicate ids are NOT smaller-id mates: two identical id-0 rows must
+    // both keep (the domination compare is strict on id, not sort position)
+    val dup = (vecs :+ (0L -> Array(1.0f, 0.02f)))
+      .map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val dupRows = Similarity.semDedup(dup, tNum = 7, tDen = 20, nCells = 2)
+      .filter("vec_id = 0").collect().map(_.getBoolean(2)).toSeq
+    assert(dupRows == Seq(true, true), s"duplicate id-0 rows: $dupRows")
     // fail-loud cap: cluster A holds >2 rows
     val e = intercept[org.apache.spark.SparkException] {
       Similarity.semDedup(df, tNum = 7, tDen = 20, nCells = 2, maxCellRows = 2).collect()
