@@ -59,7 +59,11 @@ object ScaleProbe {
     // (see probeOverrides): the operator's contract is "nCells scales with
     // N", which keeps per-cell pair work ~flat; probing at FIXED nCells
     // would only re-measure the designed-quadratic in-cell scan
-    "d_semdedup")
+    "d_semdedup",
+    // r13 (banded post-artifact, first probe line lands next round): the
+    // two-corpus incremental dedup — LSH semi-join against the existing
+    // side's distinct bucket directory, same family as d_minhash_lsh
+    "d_incremental_dedup")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -187,6 +187,58 @@ object MinHash {
     canonicalFromMemberships(docs, memberships, idCol, maxBucket)
   }
 
+  /** Incremental ingestion dedup — the two-corpus face of
+    * [[nearDupCanonical]]: flag each INCOMING doc that shares any
+    * MinHash-LSH band bucket with the EXISTING corpus. The decision for
+    * an incoming doc depends ONLY on the frozen existing corpus —
+    * incoming-vs-incoming duplicates are deliberately NOT flagged (they
+    * are the batch canonicalizer's job at the next compaction), so the
+    * result is independent of ingestion order and batch boundaries,
+    * exactly like the replay-deterministic streaming faces. Returns every
+    * incoming id with `dup_of_existing`; null-text incoming docs carry no
+    * shingles and flag false.
+    *
+    * Scale shape: the existing side reduces to DISTINCT (band, 8-byte
+    * band-key) rows BEFORE the join — at 100 TB that is the corpus's
+    * bucket directory, orders of magnitude smaller than its text — and
+    * the one left-semi join on (band, bk) is AQE-skew-splittable. Nothing
+    * re-scans the existing text per ingest batch when the caller persists
+    * the memberships frame ([[bandedBuckets]]-style) once per compaction.
+    */
+  def nearDupAgainstMd5(incoming: DataFrame, existing: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 3, h: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = h / bands
+    def mem(df: DataFrame) = signaturesMd5(df, idCol, textCol, k, h)
+      .select(col(idCol), posexplode(bandKeysMd5(col("sig"), bands, rows)).as(Seq("band", "bk")))
+    flagAgainst(incoming, mem(existing), mem(incoming), idCol)
+  }
+
+  /** [[nearDupAgainstMd5]] in the production xxhash64 family (native
+    * ShingleHash64 signatures, same two-corpus contract).
+    */
+  def nearDupAgainst(incoming: DataFrame, existing: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 3, h: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = h / bands
+    def mem(df: DataFrame) = signatures(df, idCol, textCol, k, h)
+      .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
+    flagAgainst(incoming, mem(existing), mem(incoming), idCol)
+  }
+
+  private def flagAgainst(incoming: DataFrame, existingMem: DataFrame,
+                          incomingMem: DataFrame, idCol: String): DataFrame = {
+    val ex = existingMem.select("band", "bk").distinct()
+    val hits = incomingMem
+      .join(ex, Seq("band", "bk"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("dup_of_existing", lit(true))
+    incoming.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dup_of_existing"), lit(false)).as("dup_of_existing"))
+  }
+
   /** [[bucketPairCounts]] in the md5 oracle family. */
   def bucketPairCountsMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                           k: Int = 3, h: Int = 16, bands: Int = 8, maxBucket: Int = 20): DataFrame = {

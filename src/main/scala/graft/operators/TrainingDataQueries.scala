@@ -59,6 +59,21 @@ object TrainingDataQueries {
           .orderBy("doc_id"),
       Some(minhashLshOracleSql),
     ),
+    // Incremental ingestion dedup: the 20% incoming id-bucket flagged
+    // against the 80% existing corpus via shared LSH band buckets —
+    // incoming-vs-incoming dups deliberately unflagged (ingestion-order
+    // independence). Same md5 band family as d_minhash_lsh's oracle.
+    Q(
+      "d_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bkt = TextAnalysis.splitBucket(col("doc_id"))
+        MinHash
+          .nearDupAgainstMd5(docs.filter(bkt >= 80), docs.filter(bkt < 80))
+          .orderBy("doc_id")
+      },
+      Some(incrementalDedupOracleSql),
+    ),
     // SimHash fingerprints + chunk-bucket canonicalization (D3), md5
     // oracle family (32-bit fingerprint, 4 × 8-bit chunks).
     Q(
@@ -861,6 +876,23 @@ object TrainingDataQueries {
        |           FROM e2 GROUP BY doc_id),
        |     bk AS (SELECT doc_id, band, ${md5_60("bs")} AS bkv
        |            FROM ($bandRows))""".stripMargin
+  }
+
+  /** ≡ MinHash.nearDupAgainstMd5(incoming = bucket ≥ 80, existing =
+    * bucket < 80) ORDER BY doc_id — the md5 band family of
+    * [[minhashLshOracleSql]] restricted per split side.
+    */
+  private def incrementalDedupOracleSql: String = {
+    val bkt = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+    s"""
+      WITH $md5BandCtes,
+      ex AS (SELECT DISTINCT band, bkv FROM bk WHERE $bkt < 80),
+      hit AS (SELECT DISTINCT bk.doc_id FROM bk JOIN ex USING (band, bkv)
+              WHERE $bkt >= 80),
+      inc AS (SELECT doc_id FROM documents WHERE $bkt >= 80)
+      SELECT inc.doc_id, (hit.doc_id IS NOT NULL) AS dup_of_existing
+      FROM inc LEFT JOIN hit ON inc.doc_id = hit.doc_id
+      ORDER BY inc.doc_id"""
   }
 
   /** ≡ MinHash.nearDupCanonicalMd5(documents) ORDER BY doc_id */

@@ -780,6 +780,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.dHash(hg9) == expectD)
   }
 
+  test("nearDupAgainst: flags incoming-vs-existing only, never incoming-vs-incoming") {
+    val s = spark
+    import s.implicits._
+    val existing = docsDf(Seq(
+      100L -> "alpha beta gamma delta epsilon zeta",
+      101L -> "unrelated totally different words here",
+    ))
+    val incoming = docsDf(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta", // exact dup of existing 100
+      2L -> "fresh new content nothing shared anywhere", // genuinely new
+      3L -> "fresh new content nothing shared anywhere", // dup of INCOMING 2 only
+      4L -> null, // null text: no shingles, never flagged
+    ))
+    def flags(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = Map(1L -> true, 2L -> false, 3L -> false, 4L -> false)
+    val md5 = flags(MinHash.nearDupAgainstMd5(incoming, existing))
+    assert(md5 == expected, s"md5 family: $md5")
+    // the production xxhash64 family holds the same two-corpus contract
+    val native = flags(MinHash.nearDupAgainst(incoming, existing))
+    assert(native == expected, s"native family: $native")
+    // layout independence: re-partitioned incoming gives identical flags
+    assert(flags(MinHash.nearDupAgainstMd5(incoming.repartition(5), existing)) == expected)
+  }
+
   test("semDedup == pure-Scala mirror on planted clusters; cell cap fails loudly") {
     val s = spark
     import s.implicits._
