@@ -411,6 +411,53 @@ object Curation {
         (col("__start") % maxLen).as("seq_offset"))
   }
 
+  /** Temperature-style mixture capping at α = 1/2: cap each source at
+    * `c · ⌊√n_s⌋` docs — the sub-linear quota that up-weights tail
+    * sources relative to head ones (the mT5/temperature-sampling skeleton:
+    * p_s ∝ n_s^α with α < 1, realized as a deterministic per-source doc
+    * quota instead of a sampling probability so re-runs keep the SAME
+    * docs). Rows keep the same reproducible (md5(id), id) hash order as
+    * [[capPerSource]]; `rn` is the doc's rank within its source.
+    *
+    * Cross-engine exactness: ⌊√n⌋ is deterministic in BOTH engines —
+    * IEEE-754 sqrt is correctly rounded, so perfect squares land exactly
+    * and floor never straddles a boundary for integer inputs below 2^52.
+    * The caps frame is one tiny aggregate (one row per source) joined
+    * null-safely (a NULL source is a real group, not a dropped row —
+    * plain equi-join semantics would silently delete every null-source
+    * doc). Skew posture: same single window per source as
+    * [[capPerSource]]; `preReduce` stages a per-(input-partition, source)
+    * pre-cap first so a dominant source never sorts on one task — correct
+    * because each global top-cap row is within the cap-lowest of
+    * whichever partition holds it (cap_s from the pre-computed counts is
+    * a valid stage-1 cap too).
+    */
+  def capPerSourceSqrt(docs: DataFrame, c: Int, idCol: String = "doc_id",
+                       srcCol: String = "source", preReduce: Boolean = false): DataFrame = {
+    require(c >= 1, s"cap multiplier must be positive, got $c")
+    val caps = docs.groupBy(srcCol).agg(count(lit(1)).as("__n"))
+      .select(col(srcCol).as("__src"),
+        (floor(sqrt(col("__n").cast("double"))).cast("long") * c).as("__cap"))
+    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    val base = docs.select(col(idCol), col(srcCol))
+      .join(broadcast(caps), col(srcCol) <=> col("__src"))
+      .drop("__src")
+    val survivors =
+      if (!preReduce) base
+      else {
+        val pw = Window.partitionBy(spark_partition_id(), col(srcCol)).orderBy(order: _*)
+        base
+          .withColumn("__prn", row_number().over(pw))
+          .filter(col("__prn") <= col("__cap"))
+          .drop("__prn")
+      }
+    val w = Window.partitionBy(srcCol).orderBy(order: _*)
+    survivors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("__cap"))
+      .drop("__cap")
+  }
+
   def capPerSource(docs: DataFrame, cap: Int, idCol: String = "doc_id",
                    srcCol: String = "source", preReduce: Boolean = false): DataFrame = {
     val order = Seq(md5(col(idCol).cast("string")), col(idCol))
@@ -1082,6 +1129,28 @@ object Curation {
         SELECT doc_id, shard,
                CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
         FROM k ORDER BY doc_id"""),
+    ),
+    // Temperature-style mixture capping (α = 1/2): each source capped at
+    // 3·⌊√n⌋ docs in reproducible hash order — at the uniform 25-doc
+    // sources this keeps 15 per source, so the sub-linear quota is
+    // exercised non-vacuously.
+    Q(
+      "c_temperature_cap",
+      (s, dir) =>
+        capPerSourceSqrt(Tables(s, dir, "documents"), c = 3).orderBy("source", "rn"),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        ),
+        cp AS (SELECT source,
+                      CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) * 3 AS cap
+               FROM documents GROUP BY source)
+        SELECT r.doc_id, r.source, CAST(r.rn AS INTEGER) AS rn
+        FROM r JOIN cp ON r.source IS NOT DISTINCT FROM cp.source
+        WHERE r.rn <= cp.cap ORDER BY r.source, r.rn"""),
     ),
     // Domain-level URL provenance audit over the synthetic URL fixture
     // (same *_syn convention as c_pii_scan_syn: the raw corpus has no

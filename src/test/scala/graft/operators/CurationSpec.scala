@@ -575,6 +575,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("capPerSourceSqrt: sub-linear quotas, null source kept, preReduce ≡ plain") {
+    val s = spark
+    import s.implicits._
+    // skewed sources: big=100 docs (cap 3·10=30), small=9 (cap 3·3=9, all
+    // kept), tiny=2 (cap 3·1=3 > n, all kept), plus TWO null-source docs
+    // (cap 3·⌊√2⌋=3 — a null group, not dropped rows)
+    val rows: Seq[(Long, String)] =
+      (0L until 100L).map(i => (i, "big")) ++
+        (100L until 109L).map(i => (i, "small")) ++
+        Seq((200L, "tiny"), (201L, "tiny"), (300L, null), (301L, null))
+    val docs = rows.toDF("doc_id", "source")
+    def run(pre: Boolean) =
+      Curation.capPerSourceSqrt(docs.repartition(5), c = 3, preReduce = pre).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("∅"), r.getInt(2))).toSet
+    val got = run(pre = false)
+    // pure-Scala mirror: per-source (md5, id) order, cap 3·floor(sqrt(n))
+    val expected = rows.groupBy(_._2).flatMap { case (src, members) =>
+      val cap = 3 * math.floor(math.sqrt(members.size.toDouble)).toLong
+      members.map(_._1).sortBy(id => (md5Hex(id.toString), id)).take(cap.toInt)
+        .zipWithIndex.map { case (id, i) => (id, Option(src).getOrElse("∅"), i + 1) }
+    }.toSet
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+    assert(got.count(_._2 == "big") == 30 && got.count(_._2 == "small") == 9 &&
+      got.count(_._2 == "tiny") == 2 && got.count(_._2 == "∅") == 2)
+    assert(run(pre = true) == got, "preReduce staging must not change the result")
+  }
+
   test("urlDomainStats: extraction edges (case, path, multiples, none, null)") {
     val s = spark
     import s.implicits._
