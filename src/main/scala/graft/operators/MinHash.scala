@@ -226,6 +226,53 @@ object MinHash {
     flagAgainst(incoming, mem(existing), mem(incoming), idCol)
   }
 
+  /** The existing corpus's distinct band-bucket directory as single
+    * 64-bit keys (`band << 32 | bandKey` — band keys are 32-bit hashes, so
+    * the pack is collision-free across bands) — the persistable artifact
+    * the incremental faces probe: build it once per compaction, reuse it
+    * for every ingest batch instead of re-scanning the corpus text.
+    */
+  def bucketDirectory64(existing: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        k: Int = 3, h: Int = 64, bands: Int = 16): DataFrame =
+    signatures(existing, idCol, textCol, k, h)
+      .select(posexplode(bandKeys(col("sig"), bands, h / bands)).as(Seq("band", "bk")))
+      .select((col("band").cast("long") * lit(1L << 32) +
+        col("bk").cast("long").bitwiseAND(lit(0xffffffffL))).as("key"))
+      .distinct()
+
+  /** [[bucketDirectory64]] folded into a Bloom sketch — O(n·log 1/fpp)
+    * BITS regardless of corpus size, shippable to every executor where
+    * the exact directory is not; zero false negatives by construction (a
+    * true band-duplicate can never pass a gate built on it). Sizing
+    * mirrors [[Curation.contaminationBloom]]: when the caller doesn't
+    * know the directory cardinality, one approx_count_distinct pass
+    * measures it (padded 1.5×) — an under-sized bloom silently saturates
+    * to fpp → 1 and the gate would drop the whole stream.
+    */
+  def directoryBloom(existing: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     k: Int = 3, h: Int = 64, bands: Int = 16,
+                     expectedItems: Long = -1L,
+                     fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    val dir = bucketDirectory64(existing, idCol, textCol, k, h, bands)
+    val n =
+      if (expectedItems > 0) expectedItems
+      else math.max(
+        dir.agg(approx_count_distinct("key")).head.getLong(0) * 3 / 2, 1024L)
+    dir.stat.bloomFilter("key", n, fpp)
+  }
+
+  /** `band << 32 | bandKey` for a doc's shingle hashes — the per-row JVM
+    * twin of [[bucketDirectory64]]'s keys ([[signatureJvm]] +
+    * [[bandKeysJvm]] are bit-identical to the column pipeline; spec'd).
+    */
+  def bucketKeys64Jvm(shingleHashes: Array[Long], h: Int = 64,
+                      bands: Int = 16): Array[Long] = {
+    val bks = bandKeysJvm(signatureJvm(shingleHashes, h), bands)
+    Array.tabulate(bks.length)(b => (b.toLong << 32) | (bks(b).toLong & 0xffffffffL))
+  }
+
   private def flagAgainst(incoming: DataFrame, existingMem: DataFrame,
                           incomingMem: DataFrame, idCol: String): DataFrame = {
     val ex = existingMem.select("band", "bk").distinct()

@@ -366,6 +366,44 @@ object DocStream {
         col("n_with_number"), col("n_email_hits"), col("n_ip_hits"), col("n_chars_redacted"))
   }
 
+  /** Stateless streaming ingestion gate — the stream face of
+    * [[MinHash.nearDupAgainst]]: pass through documents sharing NO
+    * MinHash-LSH band bucket with the frozen existing corpus, probed
+    * through a [[MinHash.directoryBloom]] sketch. Zero false negatives by
+    * bloom construction — a true band-duplicate of the existing corpus
+    * can never pass; a false positive (rate `fpp`) drops a clean doc, the
+    * conservative direction for ingestion (identical posture to
+    * [[decontaminateFilter]]). Per-row and stateless: the signature fold
+    * runs the bit-identical JVM kernels over the native ShingleHash64
+    * column ([[MinHash.bucketKeys64Jvm]] — a per-row MinHash signature
+    * has no codegen'd column form short of an explode+aggregate shuffle,
+    * the same reasoning as [[dedupNearMinHash]]'s typed flatMap, so the
+    * one probe UDF is the honest shape here), the sketch rides a
+    * broadcast (ships once per executor, not once per micro-batch), no
+    * state, no watermark requirement, any output mode. NULL-text docs
+    * carry no shingles and pass. Stream-vs-stream duplicates are
+    * deliberately NOT gated — [[dedupNearMinHash]] is that operator; this
+    * face freezes the decision against the at-rest corpus so ingestion
+    * order and batch boundaries cannot change results.
+    */
+  def dedupAgainstFilter(docs: DataFrame,
+                         bloom: org.apache.spark.util.sketch.BloomFilter,
+                         textCol: String = "text", k: Int = 3,
+                         h: Int = 64, bands: Int = 16): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val anyHit = udf { (hs: scala.collection.Seq[Long]) =>
+      val keys = MinHash.bucketKeys64Jvm(hs.toArray, h, bands)
+      var i = 0
+      var hit = false
+      while (i < keys.length && !hit) {
+        hit = bc.value.mightContainLong(keys(i)); i += 1
+      }
+      hit
+    }
+    docs.filter(col(textCol).isNull ||
+      !anyHit(graft.functions.ShingleHash64(col(textCol), k)))
+  }
+
   /** Streaming face of [[Curation.lmScore]]: score an unbounded document
     * stream against a STATIC frozen LM (a [[Curation.lmTable]]-shaped
     * (bgh, n) frame) — the production shape for likelihood-filtering an

@@ -805,6 +805,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flags(MinHash.nearDupAgainstMd5(incoming.repartition(5), existing)) == expected)
   }
 
+  test("bucketKeys64Jvm == bucketDirectory64 column pipeline key-for-key") {
+    val s = spark
+    import s.implicits._
+    val docs = docsDf(Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three",
+      3L -> "x", // sub-k text: single whole-text shingle
+    ))
+    val colKeys = MinHash.bucketDirectory64(docs).collect().map(_.getLong(0)).toSet
+    val jvmKeys = docs.select(col("doc_id"),
+        graft.functions.ShingleHash64(col("text"), 3).as("hs"))
+      .as[(Long, Array[Long])].collect()
+      .flatMap { case (_, hs) => MinHash.bucketKeys64Jvm(hs) }.toSet
+    assert(colKeys == jvmKeys, s"column ${colKeys.size} keys vs jvm ${jvmKeys.size}")
+  }
+
   test("semDedup == pure-Scala mirror on planted clusters; cell cap fails loudly") {
     val s = spark
     import s.implicits._

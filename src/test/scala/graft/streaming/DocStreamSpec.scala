@@ -447,6 +447,42 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("dedupAgainstFilter gates a 2-batch stream exactly like the batch flags") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq(
+      100L -> "alpha beta gamma delta epsilon zeta",
+      101L -> "unrelated totally different words here",
+    ).toDF("doc_id", "text")
+    val bloom = graft.operators.MinHash.directoryBloom(existing)
+    val rows = Seq(
+      (1L, ts(10), "alpha beta gamma delta epsilon zeta"), // dup of existing → dropped
+      (2L, ts(20), "fresh new content nothing shared anywhere"), // passes
+      (3L, ts(30), null.asInstanceOf[String]), // null text passes
+      (4L, ts(40), "alpha beta gamma delta epsilon zeta"), // dup again, later batch
+      (5L, ts(50), "fresh new content nothing shared anywhere"), // stream-dup of 2: passes (not gated)
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.dedupAgainstFilter(docs, bloom)
+      .writeStream.format("memory").queryName("gate_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      val passed = spark.sql("SELECT doc_id FROM gate_out").collect().map(_.getLong(0)).toSet
+      assert(passed == Set(2L, 3L, 5L), s"got $passed")
+      // parity: exactly the docs the BATCH two-corpus operator leaves
+      // unflagged (zero false negatives; no false positive on this fixture)
+      val batchUnflagged = graft.operators.MinHash
+        .nearDupAgainst(rows.map(r => (r._1, r._3)).toDF("doc_id", "text"), existing)
+        .filter("NOT dup_of_existing").collect().map(_.getLong(0)).toSet
+      assert(passed == batchUnflagged, s"stream $passed vs batch $batchUnflagged")
+    } finally query.stop()
+  }
+
   test("lmScoreByWindow against a frozen LM equals the batch lmScoreAgainst") {
     val s = spark
     import s.implicits._
