@@ -91,6 +91,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       aj.take(2000))
   }
 
+  test("r13 new-op shapes: lm_score equi-joins only, shard/pack window-free, semdedup scan-narrow") {
+    // lmScore: two explode passes + one bgh equi-join + the id join back —
+    // never a cartesian or nested-loop fallback; per-doc folds are hash
+    // aggregates (map-side partial)
+    val lm = plan("c_lm_score")
+    assert(!lm.contains("CartesianProduct") && !lm.contains("BroadcastNestedLoopJoin"),
+      lm.take(2000))
+    assert(lm.contains("HashAggregate"), lm.take(2000))
+    // the two-level rank/cumsum operators exist to AVOID the global
+    // window: their plans must carry no Window node at all
+    for (q <- Seq("c_shard_assign", "c_pack_sequences")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+    // semDedup reads only (id, embedding) — assignment is map-side against
+    // broadcast centroids, pairs stay inside per-cell groups
+    val sd = plan("d_semdedup")
+    assert(!sd.contains("CartesianProduct") && !sd.contains("SortMergeJoin"),
+      sd.take(2000))
+    // incremental dedup: band-key equi-joins only (semi-join against the
+    // distinct directory), no pair materialization
+    val inc = plan("d_incremental_dedup")
+    assert(!inc.contains("CartesianProduct") && !inc.contains("BroadcastNestedLoopJoin"),
+      inc.take(2000))
+    // temperature cap: the caps side must be a broadcast join (one row per
+    // source), not a shuffled join on the full corpus
+    val tc = plan("c_temperature_cap")
+    assert(tc.contains("BroadcastHashJoin"), tc.take(2000))
+    assert(!tc.contains("CartesianProduct"), tc.take(2000))
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))

@@ -805,6 +805,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flags(MinHash.nearDupAgainstMd5(incoming.repartition(5), existing)) == expected)
   }
 
+  test("nearDupAgainst fuzz: exact dups always flagged, disjoint-vocab never, both families") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 23, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabA = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val vocabB = Vector("zz", "yy", "xx", "ww", "vv") // fully disjoint
+      def sent(v: Vector[String]) =
+        Seq.fill(3 + rnd.nextInt(6))(v(rnd.nextInt(v.size))).mkString(" ")
+      val existing = (100L until 115L).map(i => (i, sent(vocabA)))
+      val incoming: Seq[(Long, String)] = (0L until 30L).map { i =>
+        i -> (rnd.nextInt(3) match {
+          case 0 => existing(rnd.nextInt(existing.size))._2 // exact dup → MUST flag
+          case 1 => sent(vocabB) // zero shared shingles → must NOT flag
+          case _ => if (rnd.nextBoolean()) null else sent(vocabB)
+        })
+      }
+      val exTexts = existing.map(_._2).toSet
+      val expected = incoming.map { case (id, t) =>
+        id -> (t != null && exTexts.contains(t))
+      }.toMap
+      val exDf = existing.toDF("doc_id", "text")
+      val inDf = incoming.toDF("doc_id", "text")
+      def flags(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags(MinHash.nearDupAgainstMd5(inDf, exDf)) == expected, s"md5, seed=$seed")
+      assert(flags(MinHash.nearDupAgainst(inDf.repartition(4), exDf)) == expected,
+        s"native, seed=$seed")
+    }
+  }
+
   test("bucketKeys64Jvm == bucketDirectory64 column pipeline key-for-key") {
     val s = spark
     import s.implicits._
