@@ -60,9 +60,9 @@ object ScaleProbe {
     // N", which keeps per-cell pair work ~flat; probing at FIXED nCells
     // would only re-measure the designed-quadratic in-cell scan
     "d_semdedup",
-    // r13 (banded post-artifact, first probe line lands next round): the
-    // two-corpus incremental dedup — LSH semi-join against the existing
-    // side's distinct bucket directory, same family as d_minhash_lsh
+    // r13: the two-corpus incremental dedup — LSH semi-join against the
+    // existing side's non-hot bucket directory, same family as
+    // d_minhash_lsh (10×/30× lines in the r13 artifacts: 1.54 / 2.12)
     "d_incremental_dedup")
 
   /** Probe-local query shapes where the registered query's fail-loud guard

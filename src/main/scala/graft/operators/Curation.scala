@@ -438,43 +438,40 @@ object Curation {
     val caps = docs.groupBy(srcCol).agg(count(lit(1)).as("__n"))
       .select(col(srcCol).as("__src"),
         (floor(sqrt(col("__n").cast("double"))).cast("long") * c).as("__cap"))
-    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
     val base = docs.select(col(idCol), col(srcCol))
       .join(broadcast(caps), col(srcCol) <=> col("__src"))
       .drop("__src")
-    val survivors =
-      if (!preReduce) base
-      else {
-        val pw = Window.partitionBy(spark_partition_id(), col(srcCol)).orderBy(order: _*)
-        base
-          .withColumn("__prn", row_number().over(pw))
-          .filter(col("__prn") <= col("__cap"))
-          .drop("__prn")
-      }
-    val w = Window.partitionBy(srcCol).orderBy(order: _*)
-    survivors
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("__cap"))
-      .drop("__cap")
+    cappedBySource(base, col("__cap"), idCol, srcCol, preReduce).drop("__cap")
   }
 
   def capPerSource(docs: DataFrame, cap: Int, idCol: String = "doc_id",
-                   srcCol: String = "source", preReduce: Boolean = false): DataFrame = {
+                   srcCol: String = "source", preReduce: Boolean = false): DataFrame =
+    cappedBySource(docs.select(col(idCol), col(srcCol)), lit(cap), idCol, srcCol, preReduce)
+
+  /** The ONE per-source cap scaffold shared by [[capPerSource]] (literal
+    * cap) and [[capPerSourceSqrt]] (per-source cap column): reproducible
+    * (md5(id), id) order, optional per-(input-partition, source)
+    * pre-reduction for dominant-source skew (stage 1's union is always a
+    * superset of the global cap-lowest rows per source — each global
+    * winner is among the cap-lowest of whichever partition holds it),
+    * then the per-source window rank filtered to the cap.
+    */
+  private def cappedBySource(base: DataFrame, capCol: Column, idCol: String,
+                             srcCol: String, preReduce: Boolean): DataFrame = {
     val order = Seq(md5(col(idCol).cast("string")), col(idCol))
-    val base = docs.select(col(idCol), col(srcCol))
     val survivors =
       if (!preReduce) base
       else {
         val pw = Window.partitionBy(spark_partition_id(), col(srcCol)).orderBy(order: _*)
         base
           .withColumn("__prn", row_number().over(pw))
-          .filter(col("__prn") <= cap)
+          .filter(col("__prn") <= capCol)
           .drop("__prn")
       }
     val w = Window.partitionBy(srcCol).orderBy(order: _*)
     survivors
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
+      .filter(col("rn") <= capCol)
   }
 
   // PII patterns: shared Java-regex/RE2 subset (character classes and

@@ -187,80 +187,122 @@ object MinHash {
     canonicalFromMemberships(docs, memberships, idCol, maxBucket)
   }
 
+  /** (id, band, bk) membership rows in the md5 oracle family — the ONE
+    * derivation shared by the canonical, two-corpus and directory faces.
+    */
+  private def membershipsMd5(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, h: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && h % bands == 0,
+      s"h=$h must divide into bands=$bands (trailing signature entries would be silently ignored)")
+    signaturesMd5(df, idCol, textCol, k, h)
+      .select(col(idCol), posexplode(bandKeysMd5(col("sig"), bands, h / bands)).as(Seq("band", "bk")))
+  }
+
+  /** [[membershipsMd5]] in the production xxhash64 family. */
+  private def membershipsNative(df: DataFrame, idCol: String, textCol: String,
+                                k: Int, h: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && h % bands == 0,
+      s"h=$h must divide into bands=$bands (trailing signature entries would be silently ignored)")
+    signatures(df, idCol, textCol, k, h)
+      .select(col(idCol), posexplode(bandKeys(col("sig"), bands, h / bands)).as(Seq("band", "bk")))
+  }
+
   /** Incremental ingestion dedup — the two-corpus face of
     * [[nearDupCanonical]]: flag each INCOMING doc that shares any
-    * MinHash-LSH band bucket with the EXISTING corpus. The decision for
-    * an incoming doc depends ONLY on the frozen existing corpus —
-    * incoming-vs-incoming duplicates are deliberately NOT flagged (they
-    * are the batch canonicalizer's job at the next compaction), so the
-    * result is independent of ingestion order and batch boundaries,
-    * exactly like the replay-deterministic streaming faces. Returns every
-    * incoming id with `dup_of_existing`; null-text incoming docs carry no
-    * shingles and flag false.
+    * NON-HOT MinHash-LSH band bucket with the EXISTING corpus. The
+    * decision for an incoming doc depends ONLY on the frozen existing
+    * corpus — incoming-vs-incoming duplicates are deliberately NOT
+    * flagged (they are the batch canonicalizer's job at the next
+    * compaction), so the result is independent of ingestion order and
+    * batch boundaries, exactly like the replay-deterministic streaming
+    * faces. Returns every incoming id with `dup_of_existing`; null-text
+    * incoming docs carry no shingles and flag false.
     *
-    * Scale shape: the existing side reduces to DISTINCT (band, 8-byte
-    * band-key) rows BEFORE the join — at 100 TB that is the corpus's
-    * bucket directory, orders of magnitude smaller than its text — and
-    * the one left-semi join on (band, bk) is AQE-skew-splittable. Nothing
-    * re-scans the existing text per ingest batch when the caller persists
-    * the memberships frame ([[bandedBuckets]]-style) once per compaction.
+    * Hot-bucket policy, INHERITED from the canonical family: existing
+    * buckets holding more than `maxBucket` members are boilerplate
+    * collisions, not duplicate evidence — [[nearDupCanonical]] ignores
+    * them retroactively, and an incremental face that flagged on them
+    * would silently drop every incoming doc sharing one boilerplate line
+    * with the corpus while the compaction pass would have kept it. The
+    * count is over the EXISTING corpus only (the frozen side this face
+    * is allowed to depend on).
+    *
+    * Scale shape: the existing side reduces to its DISTINCT non-hot
+    * (band, 8-byte band-key) rows BEFORE the join — at 100 TB that is
+    * the corpus's bucket directory, orders of magnitude smaller than its
+    * text — and the one left-semi join on (band, bk) is
+    * AQE-skew-splittable. Nothing re-scans the existing text per ingest
+    * batch when the caller persists the [[bucketDirectory64]] artifact
+    * once per compaction.
     */
   def nearDupAgainstMd5(incoming: DataFrame, existing: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
-                        k: Int = 3, h: Int = 16, bands: Int = 8): DataFrame = {
-    val rows = h / bands
-    def mem(df: DataFrame) = signaturesMd5(df, idCol, textCol, k, h)
-      .select(col(idCol), posexplode(bandKeysMd5(col("sig"), bands, rows)).as(Seq("band", "bk")))
-    flagAgainst(incoming, mem(existing), mem(incoming), idCol)
-  }
+                        k: Int = 3, h: Int = 16, bands: Int = 8,
+                        maxBucket: Int = 50): DataFrame =
+    flagAgainst(incoming,
+      membershipsMd5(existing, idCol, textCol, k, h, bands),
+      membershipsMd5(incoming, idCol, textCol, k, h, bands), idCol, maxBucket)
 
   /** [[nearDupAgainstMd5]] in the production xxhash64 family (native
-    * ShingleHash64 signatures, same two-corpus contract).
+    * ShingleHash64 signatures, same two-corpus contract and hot-bucket
+    * policy).
     */
   def nearDupAgainst(incoming: DataFrame, existing: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
-                     k: Int = 3, h: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = h / bands
-    def mem(df: DataFrame) = signatures(df, idCol, textCol, k, h)
-      .select(col(idCol), posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "bk")))
-    flagAgainst(incoming, mem(existing), mem(incoming), idCol)
-  }
+                     k: Int = 3, h: Int = 64, bands: Int = 16,
+                     maxBucket: Int = 50): DataFrame =
+    flagAgainst(incoming,
+      membershipsNative(existing, idCol, textCol, k, h, bands),
+      membershipsNative(incoming, idCol, textCol, k, h, bands), idCol, maxBucket)
 
-  /** The existing corpus's distinct band-bucket directory as single
-    * 64-bit keys (`band << 32 | bandKey` — band keys are 32-bit hashes, so
-    * the pack is collision-free across bands) — the persistable artifact
-    * the incremental faces probe: build it once per compaction, reuse it
-    * for every ingest batch instead of re-scanning the corpus text.
+  /** The existing corpus's distinct NON-HOT band-bucket directory as
+    * single 64-bit keys (`band << 32 | bandKey` — band keys are 32-bit
+    * hashes, so the pack is collision-free across bands) — the
+    * persistable artifact the incremental faces probe: build it once per
+    * compaction, reuse it for every ingest batch instead of re-scanning
+    * the corpus text. Buckets over `maxBucket` members are excluded (the
+    * [[nearDupAgainst]] hot-bucket policy — boilerplate is not duplicate
+    * evidence).
     */
   def bucketDirectory64(existing: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
-                        k: Int = 3, h: Int = 64, bands: Int = 16): DataFrame =
-    signatures(existing, idCol, textCol, k, h)
-      .select(posexplode(bandKeys(col("sig"), bands, h / bands)).as(Seq("band", "bk")))
+                        k: Int = 3, h: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 50): DataFrame =
+    membershipsNative(existing, idCol, textCol, k, h, bands)
+      .groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
       .select((col("band").cast("long") * lit(1L << 32) +
         col("bk").cast("long").bitwiseAND(lit(0xffffffffL))).as("key"))
-      .distinct()
 
-  /** [[bucketDirectory64]] folded into a Bloom sketch — O(n·log 1/fpp)
-    * BITS regardless of corpus size, shippable to every executor where
-    * the exact directory is not; zero false negatives by construction (a
-    * true band-duplicate can never pass a gate built on it). Sizing
-    * mirrors [[Curation.contaminationBloom]]: when the caller doesn't
-    * know the directory cardinality, one approx_count_distinct pass
-    * measures it (padded 1.5×) — an under-sized bloom silently saturates
-    * to fpp → 1 and the gate would drop the whole stream.
+  /** [[bucketDirectory64]] folded into a Bloom sketch, bound to the
+    * (k, h, bands, maxBucket) parameters it was built with — the probe
+    * side MUST derive keys identically, and a bare BloomFilter cannot
+    * carry that contract: a silent parameter mismatch would void the
+    * zero-false-negative guarantee (never-inserted keys probe false and
+    * every true duplicate passes the gate). O(n·log 1/fpp) BITS
+    * regardless of corpus size, shippable to every executor where the
+    * exact directory is not. Sizing: `count(existing) × bands` is an
+    * UPPER bound on distinct bucket keys and costs one parquet-metadata
+    * count — over-sizing only spends bits, while an under-sized bloom
+    * silently saturates to fpp → 1 and the gate drops the whole stream.
+    * Pass `expectedItems` when the directory cardinality is already
+    * known.
     */
+  final case class DirectoryBloom private[MinHash] (
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      k: Int, h: Int, bands: Int, maxBucket: Int)
+
   def directoryBloom(existing: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      k: Int = 3, h: Int = 64, bands: Int = 16,
+                     maxBucket: Int = 50,
                      expectedItems: Long = -1L,
-                     fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
-    val dir = bucketDirectory64(existing, idCol, textCol, k, h, bands)
+                     fpp: Double = 0.001): DirectoryBloom = {
     val n =
       if (expectedItems > 0) expectedItems
-      else math.max(
-        dir.agg(approx_count_distinct("key")).head.getLong(0) * 3 / 2, 1024L)
-    dir.stat.bloomFilter("key", n, fpp)
+      else math.max(existing.count() * bands, 1024L)
+    val dir = bucketDirectory64(existing, idCol, textCol, k, h, bands, maxBucket)
+    DirectoryBloom(dir.stat.bloomFilter("key", n, fpp), k, h, bands, maxBucket)
   }
 
   /** `band << 32 | bandKey` for a doc's shingle hashes — the per-row JVM
@@ -274,8 +316,10 @@ object MinHash {
   }
 
   private def flagAgainst(incoming: DataFrame, existingMem: DataFrame,
-                          incomingMem: DataFrame, idCol: String): DataFrame = {
-    val ex = existingMem.select("band", "bk").distinct()
+                          incomingMem: DataFrame, idCol: String,
+                          maxBucket: Int): DataFrame = {
+    val ex = existingMem.groupBy("band", "bk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "bk")
     val hits = incomingMem
       .join(ex, Seq("band", "bk"), "left_semi")
       .select(col(idCol)).distinct()

@@ -886,7 +886,8 @@ object TrainingDataQueries {
     val bkt = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
     s"""
       WITH $md5BandCtes,
-      ex AS (SELECT DISTINCT band, bkv FROM bk WHERE $bkt < 80),
+      ex AS (SELECT band, bkv FROM bk WHERE $bkt < 80
+             GROUP BY band, bkv HAVING COUNT(*) <= 50),
       hit AS (SELECT DISTINCT bk.doc_id FROM bk JOIN ex USING (band, bkv)
               WHERE $bkt >= 80),
       inc AS (SELECT doc_id FROM documents WHERE $bkt >= 80)

@@ -387,10 +387,13 @@ object DocStream {
     * order and batch boundaries cannot change results.
     */
   def dedupAgainstFilter(docs: DataFrame,
-                         bloom: org.apache.spark.util.sketch.BloomFilter,
-                         textCol: String = "text", k: Int = 3,
-                         h: Int = 64, bands: Int = 16): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+                         directory: MinHash.DirectoryBloom,
+                         textCol: String = "text"): DataFrame = {
+    // the (k, h, bands) contract travels WITH the sketch — a bare bloom
+    // probed with mismatched parameters would silently void the
+    // zero-false-negative guarantee (never-inserted keys probe false)
+    val (k, h, bands) = (directory.k, directory.h, directory.bands)
+    val bc = docs.sparkSession.sparkContext.broadcast(directory.bloom)
     val anyHit = udf { (hs: scala.collection.Seq[Long]) =>
       val keys = MinHash.bucketKeys64Jvm(hs.toArray, h, bands)
       var i = 0

@@ -803,6 +803,14 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native == expected, s"native family: $native")
     // layout independence: re-partitioned incoming gives identical flags
     assert(flags(MinHash.nearDupAgainstMd5(incoming.repartition(5), existing)) == expected)
+    // hot-bucket policy inherited from the canonical family: 60 identical
+    // boilerplate existing docs blow the maxBucket=50 cap, so an incoming
+    // copy is NOT flagged (boilerplate ≠ duplicate evidence) — raising the
+    // cap past the bucket size flags it again
+    val boiler = docsDf((500L until 560L).map(i => i -> "the same boilerplate line everywhere"))
+    val incBp = docsDf(Seq(9L -> "the same boilerplate line everywhere"))
+    assert(flags(MinHash.nearDupAgainstMd5(incBp, boiler)) == Map(9L -> false))
+    assert(flags(MinHash.nearDupAgainstMd5(incBp, boiler, maxBucket = 100)) == Map(9L -> true))
   }
 
   test("nearDupAgainst fuzz: exact dups always flagged, disjoint-vocab never, both families") {
