@@ -48,9 +48,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Subset runs narrow oracle_sql.json to the subset too: compare.py
+    // walks the oracle map, and a full map over a reused outDir would
+    // report stale greens for every non-subset parquet dump left behind
+    // by an earlier full run.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] subset run (${names.size} queries): non-subset dumps in " +
+          s"$outDir are STALE — do not compare them")
+    }
     spark.stop()
   }
 }

@@ -295,7 +295,7 @@ object TrainingDataQueries {
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         n AS (SELECT vec_id, qv,
                      CAST(list_sum(list_transform(qv, x -> x * x)) AS HUGEINT) AS n2
@@ -324,7 +324,7 @@ object TrainingDataQueries {
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         cent AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv AS cqv
@@ -432,7 +432,7 @@ object TrainingDataQueries {
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 10),
         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -975,7 +975,7 @@ object TrainingDataQueries {
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
       ),
       bk AS (SELECT vec_id, qv,
                $bucketExpr AS bucket
@@ -1013,7 +1013,7 @@ object TrainingDataQueries {
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
       ),
       bk AS (SELECT vec_id, qv,
                CAST(list_sum(list_transform(qv, x -> x * x)) AS HUGEINT) AS nn,
@@ -1066,7 +1066,7 @@ object TrainingDataQueries {
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
       ),
       cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, qv AS cv
                FROM qz ORDER BY vec_id LIMIT $nCells),

@@ -432,7 +432,19 @@ object DocStream {
                       textCol: String = "text",
                       eventTimeCol: String = "event_time",
                       windowDuration: String = "1 minute",
-                      watermarkDelay: String = "10 minutes"): DataFrame =
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    // n_bigrams/n_oov/ll_score count post-join rows, which is only correct
+    // when the static LM has unique bgh keys (the lmTable shape). The LM is
+    // a static batch frame built once per stream, so verify the key
+    // contract eagerly and loudly — a duplicate-keyed LM would silently
+    // inflate every score for the stream's whole lifetime. One distributed
+    // aggregation at setup time, never per micro-batch.
+    val keyStats = lm.agg(
+      count(lit(1)).as("rows"), count_distinct(col("bgh")).as("keys")).head()
+    require(keyStats.getLong(0) == keyStats.getLong(1),
+      s"lmScoreByWindow: LM frame has duplicate bgh keys (${keyStats.getLong(0)} rows, " +
+        s"${keyStats.getLong(1)} distinct) — pass a Curation.lmTable-shaped frame; " +
+        "duplicate keys would multiply join rows and silently inflate scores")
     docs
       .withWatermark(eventTimeCol, watermarkDelay)
       .filter(col(textCol).isNotNull)
@@ -446,4 +458,5 @@ object DocStream {
         sum(when(col("n").isNull, 0L)
           .otherwise(length(bin(col("n"))).cast("long"))).as("ll_score"))
       .select(col(idCol), col("n_bigrams"), col("n_oov"), col("ll_score"))
+  }
 }
