@@ -63,7 +63,12 @@ object ScaleProbe {
     // r13: the two-corpus incremental dedup — LSH semi-join against the
     // existing side's non-hot bucket directory, same family as
     // d_minhash_lsh (10×/30× lines in the r13 artifacts: 1.54 / 2.12)
-    "d_incremental_dedup")
+    "d_incremental_dedup",
+    // r14: substring-level exact dedup — one explode (a row per token),
+    // one fingerprint aggregation, one semi-join, a per-doc window over
+    // the duplicated minority; every stage is linear in tokens, so the
+    // ratio should track the data multiple
+    "d_substr_dup")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

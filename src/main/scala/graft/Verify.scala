@@ -59,7 +59,7 @@ object Verify {
     only.foreach { names =>
       System.err.println(
         s"[verify] subset run (${names.size} queries): non-subset dumps in " +
-          s"$outDir are STALE — do not compare them")
+          s"$outDir are STALE - do not compare them")
     }
     spark.stop()
   }

@@ -378,6 +378,124 @@ object Dedup {
     sb.toString
   }
 
+  // ---- substring-level exact dedup (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" — the ExactSubstr
+  // operator re-expressed distributively) -------------------------------
+  //
+  // The paper's suffix-array formulation finds every substring of >= k
+  // tokens that occurs more than once and removes it. The distributed
+  // reduction used here is EXACT for that semantics at token granularity:
+  // a token lies inside some repeated substring of length >= k IFF it is
+  // covered by some repeated k-token shingle —
+  //   (⇒) every k-window of a repeated substring is itself repeated;
+  //   (⇐) a repeated k-shingle IS a repeated substring of length k.
+  // So the union of repeated-shingle coverage intervals equals the
+  // paper's removal set exactly, and no suffix array — a global sorted
+  // structure that does not shard — is needed: the shapes are one
+  // explode (a row per token position, the same cardinality the suffix
+  // array would index), one map-side-combined aggregation over shingle
+  // fingerprints, one semi-join back, and a PER-DOCUMENT window to merge
+  // overlapping shingle intervals into maximal spans (partitioned by
+  // doc_id — no global sort anywhere).
+
+  /** Maximal duplicated-substring spans per document: one row per maximal
+    * run of tokens covered by a k-shingle that also occurs in at least
+    * one OTHER document (`crossDoc = true`, the corpus-dedup posture) or
+    * anywhere else including the same document (`crossDoc = false`, the
+    * paper's full ExactSubstr semantics — self-repeats count). Spans are
+    * 1-based inclusive token intervals [span_start, span_end].
+    *
+    * Fingerprints are full 128-bit md5 over the raw space-joined shingle
+    * (collision odds ~1e-17 at 10^11 shingles — vacuous even at 100 TB);
+    * the oracle groups the raw shingle STRINGS themselves, so the
+    * cross-engine check pins the true substring semantics, not the hash.
+    * Only the duplicated minority reaches the window, so the per-doc sort
+    * is over dup positions, not the whole corpus.
+    */
+  def substrDupSpans(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, "k must be >= 2 (a 1-token shingle marks every repeated word)")
+    val ws = split(trim(col(textCol)), "\\s+")
+    // positions 1..n-k+1; sequence() DESCENDS when stop < start, so docs
+    // shorter than k tokens must short-circuit to an empty array
+    val hs = when(size(ws) >= k,
+        transform(sequence(lit(1), size(ws) - k + 1),
+          p => md5(array_join(slice(ws, p, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val shingles = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(hs))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup =
+      if (crossDoc)
+        shingles.groupBy("h").agg(count_distinct(col(idCol)).as("nd"))
+          .filter(col("nd") > 1)
+      else
+        shingles.groupBy("h").agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
+    val marked = shingles.join(dup.select("h"), Seq("h"), "left_semi")
+    // gaps-and-islands over equal-length intervals [pos, pos+k-1]: a new
+    // span starts when the previous shingle's coverage can no longer touch
+    // this one (pos > prev + k ⇔ pos > prev_end + 1 — strictly past
+    // adjacency, so abutting coverage merges into one maximal span)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    marked
+      .withColumn("__prev", lag("pos", 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") > col("__prev") + k, 1L).otherwise(0L))
+      .withColumn("__island", sum("__brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (k - 1)).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document substring-dedup stats over [[substrDupSpans]]:
+    * (id, n_tokens, n_dup_spans, n_dup_tokens) for every non-null-text
+    * document — zeros where nothing repeats, so the frame is a complete
+    * per-doc accounting like [[passageDupStats]].
+    */
+  def substrDupStats(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    val agg = substrDupSpans(docs, k, crossDoc, idCol, textCol)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_dup_spans"),
+        sum(col("span_end") - col("span_start") + 1L).as("n_dup_tokens"))
+    base.join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
+  /** The paper's remediation: drop every token inside a duplicated span
+    * and return (id, clean_text) with the survivors space-joined —
+    * whitespace-normalized by construction (the same split both engines
+    * apply). Spans arrive as a small per-doc array on each document row
+    * (one groupBy of span rows), and the token filter runs inside
+    * whole-stage codegen via a positional `filter` lambda — no second
+    * explode of the corpus, no UDF.
+    */
+  def substrDedupClean(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = substrDupSpans(docs, k, crossDoc, idCol, textCol)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val ws = split(trim(col(textCol)), "\\s+")
+    // a span-free doc carries NULL __spans after the left join, and a NULL
+    // exists() would null the keep-predicate and DROP every token — the
+    // empty array makes exists() false and keeps the doc verbatim
+    val sp = coalesce(col("__spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    docs.filter(col(textCol).isNotNull)
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(ws, (word, i) => !exists(sp,
+            s => (i + 1 >= s("span_start")) && (i + 1 <= s("span_end")))),
+          " ").as("clean_text"))
+  }
+
   /** 16-word boilerplate block `i` — the engineered duplicate passages for
     * the d_passage_dup oracle (the synthetic corpus's random texts share no
     * natural 16-word chunk, which would leave the dup arm vacuously zero;
@@ -386,6 +504,63 @@ object Dedup {
     */
   private[graft] def boilerplate(i: Int, w: Int = 16): String =
     (0 until w).map(j => s"p${i}w$j").mkString(" ")
+
+  /** Planted-repeat fixture for the substring-dedup queries: a shared
+    * 16-word prefix block (doc_id % 4) AND a shared 16-word suffix block
+    * (doc_id % 3 — blocks 4..6, disjoint words from the prefixes), so
+    * every doc carries two separated cross-doc-repeated regions and the
+    * span merge/count logic is exercised non-vacuously (the random corpus
+    * shares no natural 8-word shingle). Boundary shingles straddling into
+    * the doc's own unique words repeat nowhere, so each planted block is
+    * its own maximal span.
+    */
+  private def plantedText(docs: DataFrame): DataFrame = {
+    val pfx = when(col("doc_id") % 4 === 0, boilerplate(0))
+      .when(col("doc_id") % 4 === 1, boilerplate(1))
+      .when(col("doc_id") % 4 === 2, boilerplate(2))
+      .otherwise(boilerplate(3))
+    val sfx = when(col("doc_id") % 3 === 0, boilerplate(4))
+      .when(col("doc_id") % 3 === 1, boilerplate(5))
+      .otherwise(boilerplate(6))
+    docs.withColumn("ptext", concat(pfx, lit(" "), col("text"), lit(" "), sfx))
+  }
+
+  /** Shared oracle CTE chain for the substring-dedup queries — the same
+    * planted prefix/suffix construction, then the island merge over RAW
+    * 8-word shingle strings (the oracle pins the true substring
+    * semantics; the Spark side's md5 fingerprints are an implementation
+    * detail it deliberately does not share). Yields `w` (doc_id, ws) and
+    * `sp` (doc_id, a, b — disjoint maximal spans).
+    */
+  private def substrCtes: String = s"""
+        p AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN '${boilerplate(0)}'
+                   WHEN 1 THEN '${boilerplate(1)}'
+                   WHEN 2 THEN '${boilerplate(2)}'
+                   ELSE '${boilerplate(3)}' END || ' ' || text || ' ' ||
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN '${boilerplate(4)}'
+                   WHEN 1 THEN '${boilerplate(5)}'
+                   ELSE '${boilerplate(6)}' END AS ptext
+          FROM documents WHERE text IS NOT NULL
+        ),
+        w AS (SELECT doc_id, string_split_regex(trim(ptext), '\\s+') AS ws FROM p),
+        t AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS pos, ws FROM w),
+        s AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS sh FROM t),
+        d AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1),
+        m AS (SELECT s.doc_id, s.pos FROM s JOIN d ON s.sh = d.sh),
+        i AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                     THEN 1 ELSE 0 END AS brk
+              FROM m),
+        j AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM i),
+        sp AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 7 AS b
+               FROM j GROUP BY doc_id, island)"""
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -486,6 +661,48 @@ object Dedup {
                CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
         FROM c LEFT JOIN d ON c.h = d.h
         GROUP BY c.doc_id ORDER BY c.doc_id"""),
+    ),
+    // Substring-level exact dedup (Lee et al. 2022 ExactSubstr, k=8 over
+    // the planted prefix+suffix corpus): per-doc token count, maximal
+    // duplicated-span count and covered-token count. The oracle groups raw
+    // shingle strings — it verifies the SUBSTRING semantics, not the
+    // md5-fingerprint implementation.
+    Q(
+      "d_substr_dup",
+      (s, dir) =>
+        substrDupStats(plantedText(Tables(s, dir, "documents")), k = 8,
+          textCol = "ptext").orderBy("doc_id"),
+      Some(s"""
+        WITH $substrCtes,
+        ag AS (SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(b - a + 1) AS n_dup_tokens
+               FROM sp GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(ag.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(COALESCE(ag.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+        FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id
+        ORDER BY w.doc_id"""),
+    ),
+    // The paper's remediation applied: duplicated spans removed, survivors
+    // space-joined. Every planted block must vanish while each doc's own
+    // words survive verbatim — hash-compared string-for-string.
+    Q(
+      "d_substr_clean",
+      (s, dir) =>
+        substrDedupClean(plantedText(Tables(s, dir, "documents")), k = 8,
+          textCol = "ptext").orderBy("doc_id"),
+      Some(s"""
+        WITH $substrCtes,
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w),
+        wd AS (SELECT doc_id, pos, ws[pos] AS word FROM x),
+        keep AS (SELECT wd.doc_id, wd.pos, wd.word
+                 FROM wd LEFT JOIN sp
+                   ON wd.doc_id = sp.doc_id AND wd.pos BETWEEN sp.a AND sp.b
+                 WHERE sp.doc_id IS NULL),
+        k AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+              FROM keep GROUP BY doc_id)
+        SELECT w.doc_id, COALESCE(k.clean_text, '') AS clean_text
+        FROM w LEFT JOIN k ON w.doc_id = k.doc_id
+        ORDER BY w.doc_id"""),
     ),
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Behavioral specs for substring-level exact dedup (Lee et al. 2022
+  * ExactSubstr semantics via the shingle-coverage reduction): planted
+  * cross-doc repeats produce exactly the expected maximal spans, within-doc
+  * repeats obey the crossDoc switch, adjacent coverage merges, short docs
+  * and null text are safe, and the clean face removes precisely the
+  * covered tokens.
+  */
+class SubstrDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("substr-dedup-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def spanSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  // a b c d e f g h — an 8-token block shared verbatim by docs 1 and 2,
+  // embedded at different offsets, surrounded by per-doc unique words
+  private val block = "a b c d e f g h"
+
+  test("a planted cross-doc 8-token repeat yields exactly its covering span in both docs") {
+    val d = docs(
+      1L -> s"u1 u2 $block u3 u4",
+      2L -> s"v1 $block v2 v3 v4")
+    val spans = spanSet(Dedup.substrDupSpans(d, k = 8))
+    // doc 1: block occupies tokens 3..10; doc 2: tokens 2..9. The
+    // boundary shingles (straddling into u*/v*) are unique, so the span
+    // is the block exactly — nothing bleeds.
+    assert(spans == Set((1L, 3L, 10L), (2L, 2L, 9L)))
+  }
+
+  test("a longer shared run merges its overlapping shingles into ONE maximal span") {
+    // 12 shared tokens → five overlapping duplicated 8-shingles → one span
+    val run = "a b c d e f g h i j k l"
+    val d = docs(1L -> s"u1 $run u2", 2L -> s"$run v1 v2")
+    val spans = spanSet(Dedup.substrDupSpans(d, k = 8))
+    assert(spans == Set((1L, 2L, 13L), (2L, 1L, 12L)))
+  }
+
+  test("two separated repeats stay two spans; abutting coverage merges") {
+    // doc 1 carries the block twice with a 3-token unique gap → the gap's
+    // straddling shingles are unique, coverage is disjoint → two spans
+    val d = docs(
+      1L -> s"$block g1 g2 g3 $block",
+      2L -> s"$block w1 w2 w3 w4 w5 w6 w7 $block")
+    val spans = Dedup.substrDupSpans(d, k = 8)
+    val byDoc = spans.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 2, 2L -> 2))
+  }
+
+  test("crossDoc=true ignores a repeat confined to one document; crossDoc=false flags it") {
+    val d = docs(
+      1L -> s"$block x1 x2 x3 $block", // block repeats only within doc 1
+      2L -> "y1 y2 y3 y4 y5 y6 y7 y8 y9")
+    assert(Dedup.substrDupSpans(d, k = 8, crossDoc = true).count() == 0)
+    val self = spanSet(Dedup.substrDupSpans(d, k = 8, crossDoc = false))
+    assert(self == Set((1L, 1L, 8L), (1L, 12L, 19L)))
+  }
+
+  test("stats: complete per-doc accounting with zeros, short and null docs safe") {
+    val d = docs(
+      1L -> s"u1 $block u2",
+      2L -> s"$block",
+      3L -> "too short",
+      4L -> null.asInstanceOf[String])
+    val rows = Dedup.substrDupStats(d, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // null text is excluded (module contract); short doc has 0 shingles
+    assert(rows == Set((1L, 10L, 1L, 8L), (2L, 8L, 1L, 8L), (3L, 2L, 0L, 0L)))
+  }
+
+  test("clean face removes exactly the covered tokens and keeps span-free docs verbatim") {
+    val d = docs(
+      1L -> s"u1 u2 $block u3",
+      2L -> s"$block v1",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    val out = Dedup.substrDedupClean(d, k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "u1 u2 u3", 2L -> "v1", 3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+  }
+
+  test("a doc that is ENTIRELY duplicated cleans to the empty string") {
+    val d = docs(1L -> block, 2L -> s"$block tail")
+    val out = Dedup.substrDedupClean(d, k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "")
+    assert(out(2L) == "tail")
+  }
+
+  test("coverage equivalence: spans equal the union of repeated >=k-substrings (planted 3-way)") {
+    // the same 10-token run in three docs plus an unrelated 8-block pair:
+    // every covered token must be inside SOME cross-doc-repeated >=8-token
+    // substring and vice versa — here that union is exactly the planted
+    // regions, whatever their multiplicity
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val d = docs(
+      1L -> s"$run a1 $block",
+      2L -> s"b1 b2 $run",
+      3L -> s"$run c1 c2 c3",
+      4L -> s"d1 $block d2")
+    val stats = Dedup.substrDupStats(d, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set((1L, 2L, 18L), (2L, 1L, 10L), (3L, 1L, 10L), (4L, 1L, 8L)))
+  }
+}
