@@ -68,7 +68,11 @@ object ScaleProbe {
     // one fingerprint aggregation, one semi-join, a per-doc window over
     // the duplicated minority; every stage is linear in tokens, so the
     // ratio should track the data multiple
-    "d_substr_dup")
+    "d_substr_dup",
+    // r14: subword counting — map-only trie scan, the ratio should track
+    // the data multiple exactly; drift would indict per-task trie
+    // recompilation (the kernel caches per JVM)
+    "c_token_count_bpe")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

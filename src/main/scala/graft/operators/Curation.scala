@@ -377,7 +377,15 @@ object Curation {
     * and exactly the semantics the distributed shape must reproduce.
     */
   def packSequences(docs: DataFrame, maxLen: Int, idCol: String = "doc_id",
-                    textCol: String = "text", numPartitions: Int = 0): DataFrame = {
+                    textCol: String = "text", numPartitions: Int = 0,
+                    /** token-count column producer — defaults to whitespace
+                      * words; pass e.g. `TextAnalysis.bpeTokenCount(_)` so
+                      * packing budgets are denominated in the SAME subword
+                      * units the training run consumes (a maxLen in words
+                      * overshoots real sequence lengths by the words-to-
+                      * subwords ratio).
+                      */
+                    countOf: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
     require(numPartitions >= 0,
       s"numPartitions must be >= 0 (0 = session default), got $numPartitions")
@@ -389,7 +397,7 @@ object Curation {
       else spark.sessionState.conf.numShufflePartitions
     val ranged = docs
       .select(col(idCol).cast("long").as("id"),
-        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)).as("n"))
+        coalesce(countOf(col(textCol)), lit(0L)).as("n"))
       .repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
       .localCheckpoint(true)
@@ -947,6 +955,44 @@ object Curation {
         SELECT doc_id, n AS n_tokens,
                CAST(s // 512 AS BIGINT) AS seq_id,
                CAST(s % 512 AS BIGINT) AS seq_offset
+        FROM c ORDER BY doc_id"""),
+    ),
+    // Sequence packing denominated in SUBWORD tokens: the same two-level
+    // cumsum, but the per-doc count is the greedy BPE-lite tokenizer
+    // (frozen fixture vocab) — the oracle chains the recursive-CTE
+    // tokenizer into the naive global window, so the pluggable-count
+    // plumbing is verified end-to-end, not just unit-specced.
+    Q(
+      "c_pack_bpe",
+      (s, dir) =>
+        packSequences(Tables(s, dir, "documents"), maxLen = 256,
+          countOf = c => TextAnalysis.bpeTokenCount(c)).orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE vocab(t) AS (SELECT unnest([${TextAnalysis.bpeVocabSqlList}])),
+        wd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT doc_id, w, 1 AS pos, 0 AS cnt FROM wd
+          UNION ALL
+          SELECT doc_id, w,
+                 pos + COALESCE((SELECT MAX(length(t)) FROM vocab
+                                 WHERE substr(w, pos, length(t)) = t), 1),
+                 cnt + 1
+          FROM r WHERE pos <= length(w)
+        ),
+        f AS (SELECT doc_id, cnt FROM r WHERE pos > length(w)),
+        bt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM f GROUP BY doc_id),
+        t AS (SELECT d.doc_id, COALESCE(bt.n, 0) AS n
+              FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               CAST(s // 256 AS BIGINT) AS seq_id,
+               CAST(s % 256 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id"""),
     ),
     // Deterministic per-source quota: at most 10 docs per source in

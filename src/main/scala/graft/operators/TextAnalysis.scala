@@ -16,6 +16,27 @@ object TextAnalysis {
   /** Token count: whitespace tokenization. */
   def tokenCount(c: Column): Column = size(split(trim(c), "\\s+")).cast("long")
 
+  /** Subword token count under a frozen greedy longest-match vocab — see
+    * [[graft.functions.BpeTokenCount]]. This is the count real pipeline
+    * budgets are denominated in (packing maxLen, mixture quotas);
+    * [[tokenCount]]'s whitespace words are the cheap proxy.
+    */
+  def bpeTokenCount(c: Column, vocab: Seq[String] = BpeVocab): Column =
+    graft.functions.BpeTokenCount(c, vocab)
+
+  /** Frozen fixture vocabulary for the BPE-lite queries: subword units of
+    * the synthetic corpus's word stock, chosen so longest-match decisions
+    * are exercised (both "tab" and "table" present; "value" beats
+    * "val"+"ue"; single-char entries catch most residue and genuinely
+    * absent chars take the OOV code-point fallback). A production run
+    * passes its real merges-table vocabulary — the operator takes any
+    * whitespace-free distinct list.
+    */
+  val BpeVocab: Seq[String] = Seq(
+    "table", "tab", "le", "value", "val", "ue", "scan", "an", "a",
+    "s", "c", "t", "e", "row", "r", "o", "w", "the", "th", "er",
+    "qu", "y", "in", "dow", "win", "d")
+
   /** Simple quality metrics (counts, not ratios — deterministic for the
     * oracle; ratios are a trivial division on top).
     */
@@ -143,6 +164,37 @@ object TextAnalysis {
                CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
         FROM documents ORDER BY doc_id"""),
     ),
+    // BPE-lite subword counting under the frozen fixture vocab. The
+    // oracle re-derives greedy longest-match per word with a recursive
+    // CTE whose step consumes MAX(length(match)) — the exact greedy rule
+    // — falling back to one character; so the cross-engine check pins the
+    // tokenizer SEMANTICS, not the trie implementation.
+    Q(
+      "c_token_count_bpe",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_words"),
+            bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE vocab(t) AS (SELECT unnest([$bpeVocabSqlList])),
+        wd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents WHERE text IS NOT NULL),
+        r AS (
+          SELECT doc_id, w, 1 AS pos, 0 AS cnt FROM wd
+          UNION ALL
+          SELECT doc_id, w,
+                 pos + COALESCE((SELECT MAX(length(t)) FROM vocab
+                                 WHERE substr(w, pos, length(t)) = t), 1),
+                 cnt + 1
+          FROM r WHERE pos <= length(w)
+        ),
+        f AS (SELECT doc_id, cnt FROM r WHERE pos > length(w))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(cnt) AS BIGINT) AS n_bpe_tokens
+        FROM f GROUP BY doc_id ORDER BY doc_id"""),
+    ),
     Q(
       "t_fingerprint",
       (s, dir) =>
@@ -163,6 +215,12 @@ object TextAnalysis {
       Some(langIdOracleSql),
     ),
   )
+
+  /** The fixture vocab as a DuckDB list literal — single source of truth
+    * with [[BpeVocab]] so the two engines can never drift.
+    */
+  private[graft] def bpeVocabSqlList: String =
+    BpeVocab.map(v => s"'$v'").mkString(", ")
 
   /** DuckDB SQL computing exactly [[langId]]: per-language occurrence sums
     * via literal replace, argmax with ties to the lexicographically largest

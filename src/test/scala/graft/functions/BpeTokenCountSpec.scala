@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Behavioral specs for the greedy longest-match BPE-lite counter: match
+  * preference, OOV fallback at code-point granularity, whitespace
+  * separation, null/empty safety, codegen-vs-interpreted parity, and a
+  * reference-implementation cross-check on corpus text.
+  */
+class BpeTokenCountSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("bpe-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val vocab = Seq("table", "tab", "le", "value", "val", "ue", "an", "a", "s", "é")
+
+  private def countOne(text: String, v: Seq[String] = vocab): Long = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(BpeTokenCount(col("t"), v).as("n")).head().getLong(0)
+  }
+
+  /** Straightforward per-word reference: greedy longest match over chars. */
+  private def reference(text: String, v: Seq[String]): Long = {
+    val sorted = v.sortBy(-_.length)
+    text.split("\\s+").filter(_.nonEmpty).map { w =>
+      var i = 0
+      var n = 0L
+      while (i < w.length) {
+        sorted.find(t => w.regionMatches(i, t, 0, t.length)) match {
+          case Some(t) => i += t.length
+          case None    => i += Character.charCount(w.codePointAt(i))
+        }
+        n += 1
+      }
+      n
+    }.sum
+  }
+
+  test("longest match wins: 'table' is one token, not tab+le") {
+    assert(countOne("table") == 1L)
+    assert(countOne("tab") == 1L)
+    assert(countOne("tale") == 3L) // t(OOV) + a + le
+  }
+
+  test("greedy decomposition matches the hand computation") {
+    // "values" = value + s (greedy takes the 5-char match over val+ue)
+    assert(countOne("values") == 2L)
+    // "vale" = val + e(OOV): 'e' not in vocab → 1 OOV char
+    assert(countOne("vale") == 2L)
+    // "banana" = b(OOV) + an + an + a
+    assert(countOne("banana") == 4L)
+  }
+
+  test("whitespace separates words and is never a token; empty and null are safe") {
+    assert(countOne("table value") == 2L)
+    assert(countOne("  table \t\n value  ") == 2L)
+    assert(countOne("") == 0L)
+    assert(countOne("   ") == 0L)
+    import spark.implicits._
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(BpeTokenCount(col("t"), vocab).as("n")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("a vocab entry can never span whitespace between words") {
+    // 'ta' + 'ble' apart: "ta ble" must NOT match 'table'
+    assert(countOne("ta ble") == countOne("ta") + countOne("ble"))
+  }
+
+  test("OOV fallback advances one full code point, multi-byte included") {
+    // 'é' IS in vocab (2 bytes) — one token; 'ü' is not — one OOV token,
+    // not two byte-tokens
+    assert(countOne("é") == 1L)
+    assert(countOne("ü") == 1L)
+    assert(countOne("üü") == 2L)
+    // 4-byte astral plane code point, absent from vocab → one OOV token
+    assert(countOne(new String(Character.toChars(0x1F600))) == 1L)
+  }
+
+  test("vocab preconditions are enforced") {
+    intercept[IllegalArgumentException](countOne("x", Seq.empty))
+    intercept[IllegalArgumentException](countOne("x", Seq("a b")))
+    intercept[IllegalArgumentException](countOne("x", Seq("a", "a")))
+    intercept[IllegalArgumentException](countOne("x", Seq("")))
+  }
+
+  test("parity with the reference implementation on real corpus text, codegen on") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull).limit(60)
+    val v = graft.operators.TextAnalysis.BpeVocab
+    val got = docs.select(col("doc_id"), BpeTokenCount(col("text"), v).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> reference(t, v) }.toMap
+    assert(got == want)
+    assert(got.values.sum > 0)
+  }
+}
