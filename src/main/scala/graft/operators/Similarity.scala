@@ -1024,4 +1024,33 @@ object Similarity {
       }
       .toDF(idCol, "cell", "keep")
   }
+
+  /** RECALL@k accounting of an approximate ANN result against its exact
+    * twin: per query id, how many results the approximate pass returned
+    * (`n_approx` — bucket/cell misses can leave it under k) and how many
+    * of them are in the exact top-k (`n_found`). Both inputs are
+    * (query_id, neighbor_id, ...) frames as returned by the topK
+    * operators. Integer-valued by construction, which is what makes the
+    * float-kernel ANN paths ORACLE-able: float sims only ever ORDER
+    * candidates, they never appear in the output, so borderline rounding
+    * can only flip a result at the exact k-boundary (the same exposure
+    * the green ann_brute_topk oracle already carries).
+    *
+    * Scale: both sides are already ≤ Q·k rows; two small aggregations and
+    * broadcast-size joins against the query id list.
+    */
+  def recallAgainst(approx: DataFrame, exact: DataFrame, queries: DataFrame,
+                    idCol: String = "vec_id"): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val nA = a.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    val nF = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_found"))
+    queries.select(col(idCol).cast("long").as("query_id")).distinct()
+      .join(nA, Seq("query_id"), "left")
+      .join(nF, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+  }
 }

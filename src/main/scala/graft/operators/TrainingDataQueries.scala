@@ -529,6 +529,39 @@ object TrainingDataQueries {
       },
       None,
     ),
+    // RECALL@5 of the float-plane LSH path vs float brute force —
+    // integer-valued, so the float ANN machinery gets a full hash oracle:
+    // sims only ORDER candidates (the ann_brute_topk precedent), the
+    // bucket signs are double dot products with the (integer/1000)
+    // hyperplanes that DuckDB reproduces literally, and the output is
+    // (n_approx, n_found) counts per query.
+    Q(
+      "ann_lsh_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10 && col("embedding").isNotNull)
+        Similarity.recallAgainst(
+          Similarity.lshTopK(emb, queries, k = 5, planes = 4),
+          Similarity.bruteForceTopK(emb, queries, k = 5),
+          queries).orderBy("query_id")
+      },
+      Some(lshRecallOracleSql),
+    ),
+    // RECALL@5 of the float IVF path (iters=0 seed centroids — the
+    // deterministic-quantizer twin of ann_ivf_topk, whose trained k-means
+    // means stay rows-only by documented necessity) vs float brute force.
+    Q(
+      "ann_ivf_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10 && col("embedding").isNotNull)
+        Similarity.recallAgainst(
+          Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4, iters = 0),
+          Similarity.bruteForceTopK(emb, queries, k = 5),
+          queries).orderBy("query_id")
+      },
+      Some(ivfRecallOracleSql),
+    ),
     // Multimodal decode, REAL codec round-trip: deterministic tiny PNGs
     // rendered per doc (dims derived from doc_id — SQL-derivable), then
     // javax.imageio header-only decode. The oracle asserts the real
@@ -947,6 +980,103 @@ object TrainingDataQueries {
     * fixed at 64 to match the test corpus (a dim change fails loudly as a
     * hash mismatch, never silently).
     */
+  /** Float hyperplane p as a DuckDB list literal of `component / 1000.0`
+    * divisions — the SAME double the JVM kernel computes
+    * (`Similarity.lshPlaneComponentF`): IEEE division of the same integer
+    * by 1000 rounds identically in both engines, so the bucket sign sums
+    * are the same doubles in the same order.
+    */
+  private def floatBucketExpr(planes: Int, dim: Int = 64): String = {
+    def planeLit(p: Int): String =
+      (0 until dim).map(i => Similarity.lshPlaneComponent(p, i).toString)
+        .mkString("[", ", ", "]")
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> CAST(v[i] AS DOUBLE) * ((${planeLit(p)})[i] / 1000.0))) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n             + ")
+  }
+
+  /** Shared brute-force + recall tail: expects `qs(vec_id, embedding)` and
+    * an `ap(query_id, neighbor_id)` approximate top-5 CTE to be in scope.
+    */
+  private def recallTailSql: String = s"""
+      bfp AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(e.embedding, q.embedding) AS sim
+              FROM embeddings e, qs q
+              WHERE e.vec_id <> q.vec_id AND e.embedding IS NOT NULL),
+      bf AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rk
+               FROM bfp) WHERE rk <= 5),
+      na AS (SELECT query_id, COUNT(*) AS c FROM ap GROUP BY query_id),
+      nf AS (SELECT l.query_id, COUNT(*) AS c FROM ap l JOIN bf b
+               ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+             GROUP BY l.query_id)
+      SELECT qs.vec_id AS query_id,
+             CAST(COALESCE(na.c, 0) AS BIGINT) AS n_approx,
+             CAST(COALESCE(nf.c, 0) AS BIGINT) AS n_found
+      FROM qs LEFT JOIN na ON qs.vec_id = na.query_id
+              LEFT JOIN nf ON qs.vec_id = nf.query_id
+      ORDER BY query_id"""
+
+  /** ≡ recallAgainst(lshTopK(k=5, planes=4), bruteForceTopK(k=5)). */
+  private def lshRecallOracleSql: String = s"""
+      WITH qs AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10 AND embedding IS NOT NULL),
+      cb AS (SELECT vec_id, embedding,
+               ${floatBucketExpr(4)} AS bucket
+             FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings
+                   WHERE embedding IS NOT NULL)),
+      qb AS (SELECT vec_id, bucket FROM cb WHERE vec_id < 10),
+      lsp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(c.embedding, q2.embedding) AS sim
+              FROM cb c
+              JOIN qb q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+              JOIN qs q2 ON q2.vec_id = q.vec_id),
+      ap AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rk
+               FROM lsp) WHERE rk <= 5),
+      $recallTailSql"""
+
+  /** ≡ recallAgainst(ivfTopK(k=5, nCells=16, nProbe=4, iters=0),
+    * bruteForceTopK(k=5)) — seed centroids are the 16 lowest-id non-null
+    * vectors, cell assignment is argmax cosine with ties to the lower
+    * cell index (the kernel's stable sort).
+    */
+  private def ivfRecallOracleSql: String = s"""
+      WITH qs AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10 AND embedding IS NOT NULL),
+      cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+               FROM (SELECT vec_id, embedding FROM embeddings
+                     WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
+      casg AS (SELECT e.vec_id, e.embedding, cent.c,
+                      list_cosine_similarity(e.embedding, cent.cv) AS sim
+               FROM (SELECT vec_id, embedding FROM embeddings
+                     WHERE embedding IS NOT NULL) e CROSS JOIN cent),
+      cells AS (SELECT vec_id, embedding, c AS cell FROM (
+                  SELECT vec_id, embedding, c,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, c) AS rn
+                  FROM casg) WHERE rn = 1),
+      probes AS (SELECT vec_id, c AS cell FROM (
+                  SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, c) AS rn
+                  FROM casg WHERE vec_id < 10) WHERE rn <= 4),
+      ivp AS (SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
+                     list_cosine_similarity(cl.embedding, q2.embedding) AS sim
+              FROM cells cl
+              JOIN probes p ON cl.cell = p.cell AND cl.vec_id <> p.vec_id
+              JOIN qs q2 ON q2.vec_id = p.vec_id),
+      ap AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rk
+               FROM ivp) WHERE rk <= 5),
+      $recallTailSql"""
+
   private def quantBucketExpr(planes: Int, dim: Int = 64): String = {
     def planeLit(p: Int): String =
       (0 until dim).map(i => Similarity.lshPlaneComponent(p, i)).mkString("[", ", ", "]")

@@ -919,4 +919,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxCellRows") ||
       Option(e.getCause).exists(_.getMessage.contains("maxCellRows")))
   }
+
+  test("recallAgainst: per-query intersection counts, zero rows for missed queries") {
+    import spark.implicits._
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 11L), (1L, 12L), (2L, 21L), (3L, 30L)).toDF("query_id", "neighbor_id")
+    val queries = Seq(1L, 2L, 3L).toDF("vec_id")
+    val got = Similarity.recallAgainst(approx, exact, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // q1: 2 approx results, 1 in exact; q2: 1 approx, 0 found; q3: the
+    // approximate pass returned nothing — still a (0, 0) row
+    assert(got == Set((1L, 2L, 1L), (2L, 1L, 0L), (3L, 0L, 0L)))
+  }
 }
