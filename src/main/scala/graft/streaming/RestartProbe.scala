@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.{GraftSession, Tables}
+
+/** Streaming checkpoint-recovery probe: STREAM_PROBE demonstrated bounded
+  * state within one run; this demonstrates the other durability half —
+  * kill a stateful query between (and inside) micro-batches, restart it
+  * from its checkpoint, and assert the outputs equal an uninterrupted run
+  * of the same input schedule.
+  *
+  * Mechanics per arm:
+  *   - both runs write through `foreachBatch` into a batchId-keyed map —
+  *     idempotent under replay, exactly the keyed-sink discipline a real
+  *     exactly-once pipeline uses (a replayed batch overwrites its own
+  *     slot instead of double-counting);
+  *   - the restarted run stops its query at `restartAfter` AFTER injecting
+  *     the next batch but WITHOUT processing it, so recovery must both
+  *     reload the state store from checkpoint files (watermark included,
+  *     from the commit log) AND replay the uncommitted in-flight batch;
+  *   - equality is multiset equality over all emitted rows.
+  *
+  * Usage: runMain graft.streaming.RestartProbe [sfDir] [nBatches]
+  * Prints one JSON line and writes SPARK_GRAFT_RESTART_PROBE_OUT
+  * (default restart_probe_out.json).
+  */
+object RestartProbe {
+
+  /** Drive `build` over `nBatches` replays of `corpus` (ids shifted per
+    * batch, event clock stepping `stepSec`), optionally killing and
+    * restarting the query at `restartAfter`. Returns the emitted rows as
+    * a sorted multiset fingerprint (row-string -> count).
+    */
+  def drive(
+      spark: SparkSession,
+      corpus: Array[(Long, String)],
+      build: DataFrame => DataFrame,
+      nBatches: Int,
+      restartAfter: Int, // -1 = uninterrupted
+      checkpointDir: String,
+      stepSec: Long = 1200L,
+      t0: Long = 1700000000L,
+  ): Map[String, Int] = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nDocs = corpus.map(_._1).max + 1
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val sink = scala.collection.concurrent.TrieMap[Long, Array[String]]()
+    def start() = build(docs).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (df: Dataset[Row], bid: Long) =>
+        sink(bid) = df.collect().map(_.toString); ()
+      }
+      .start()
+    var query = start()
+    try {
+      for (k <- 0 until nBatches) {
+        val ts = new Timestamp((t0 + k * stepSec) * 1000)
+        input.addData(corpus.map { case (id, text) => (id + k * nDocs, ts, text) }.toIndexedSeq)
+        if (k == restartAfter) {
+          // kill with this batch IN FLIGHT: the new query must reload
+          // state + watermark from the checkpoint and replay it
+          query.stop()
+          query = start()
+        }
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    sink.values.flatten.toSeq.groupBy(identity).map { case (r, g) => r -> g.size }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).appName("restart-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val corpus = Tables(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val lm = graft.operators.Curation
+      .lmTable(Tables(spark, dir, "documents")).localCheckpoint(true)
+    val watermark = "10 minutes"
+    val restartAfter = nBatches / 2
+
+    val work = java.nio.file.Files.createTempDirectory("graft_restart_probe").toString
+    def arm(name: String, build: DataFrame => DataFrame): String = {
+      val base = drive(spark, corpus, build, nBatches, -1, s"$work/$name-base")
+      val rst = drive(spark, corpus, build, nBatches, restartAfter, s"$work/$name-restart")
+      val equal = base == rst
+      if (!equal) {
+        val onlyBase = base.view.filterKeys(k => base.getOrElse(k, 0) != rst.getOrElse(k, 0)).size
+        System.err.println(s"[restart-probe] $name MISMATCH: $onlyBase differing keys")
+      }
+      s"""{"query":"$name","rows_uninterrupted":${base.values.sum},""" +
+        s""""rows_restarted":${rst.values.sum},"equal":$equal}"""
+    }
+
+    val arms = Seq(
+      arm("dedupNearMinHash",
+        docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
+      arm("lmScoreByWindow",
+        docs => DocStream.lmScoreByWindow(docs, lm, watermarkDelay = watermark)),
+    )
+    val json =
+      s"""{"metric":"restart_probe","sf_dir":"$dir","batches":$nBatches,""" +
+        s""""restart_after":$restartAfter,"docs_per_batch":${corpus.length},""" +
+        s""""arms":[${arms.mkString(",")}]}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_RESTART_PROBE_OUT", "restart_probe_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[restart-probe] could not write $outPath: $e")
+    }
+    println(json)
+    spark.stop()
+  }
+}
