@@ -123,6 +123,19 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse("/tmp/graft_scaleprobe")
+    // optional 4th arg: comma-separated probe-query subset — the 100× arm
+    // runs the linear-shape core families only (the exact-pair kernels
+    // are documented-quadratic and would compute 10,000× pairs there, a
+    // by-design non-finding that costs hours). Validated loudly like
+    // Verify's subset.
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- probeQueries.toSet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"unknown probe queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val qs = probeQueries.filter(q => only.forall(_.contains(q)))
     val overrides = probeOverrides(mult, work)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).appName("scale-probe").getOrCreate()
@@ -182,7 +195,7 @@ object ScaleProbe {
         System.err.println(s"[scale-probe] warmup failed at $dir: $e") }
       val times = scala.collection.mutable.LinkedHashMap[String, Double]()
       val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-      probeQueries.foreach { name =>
+      qs.foreach { name =>
         operators.Dedup.lastClosureIterations = -1
         val t0 = System.nanoTime()
         try {
@@ -255,7 +268,7 @@ object ScaleProbe {
     // O(N²) oracle twins, whose super-linear ratio is the documented
     // contract, not a finding). Headline ratios use the arbitrated minima.
     val quadByDesign = Set("d_embed_cc", "d_embed_cc_stars")
-    val firstRatios = probeQueries.flatMap { q =>
+    val firstRatios = qs.flatMap { q =>
       for (b <- baseUsed.get(q); s <- scaledT.get(q) if b > 0) yield q -> s / b
     }.toMap
     val medianRatio = {
@@ -305,12 +318,12 @@ object ScaleProbe {
     // ---- adversarial-cardinality foreach arm ----------------------------
     val foreachProbe: String = ForeachProbe.json(spark, base)
     def js(m: collection.Map[String, Double]) =
-      probeQueries.flatMap(q => m.get(q).map(v => s""""$q":${r3(v)}"""))
+      qs.flatMap(q => m.get(q).map(v => s""""$q":${r3(v)}"""))
         .mkString("{", ",", "}")
     // headline ratios from the arbitrated minima; the raw single-shot pair
     // is still in "base"/"scaled" and every re-measured reading is under
     // the arbitration blocks, so the artifact carries its own audit trail
-    val ratios = probeQueries.flatMap { q =>
+    val ratios = qs.flatMap { q =>
       for (b <- baseUsed.get(q); s <- scaledUsed.get(q) if b > 0)
         yield s""""$q":${r2(s / b)}"""
     }.mkString("{", ",", "}")
