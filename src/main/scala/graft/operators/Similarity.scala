@@ -576,8 +576,43 @@ object Similarity {
     if (d == 0) 0.0 else dot(a, b) / d
   }
 
-  private def nearestCells(cent: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
-    cent.indices.sortBy(i => -cos(cent(i), v)).take(n).toArray
+  /** Top-`n` cells by cosine, ties to the lower index (the order the
+    * oracles mirror with `ORDER BY sim DESC, c`). Tight selection loops
+    * instead of `indices.sortBy` — this runs once per corpus row per
+    * assignment and once per sample row per k-means iteration, where the
+    * boxed sort was the measured dominant cost at probe scale; centroid
+    * norms are taken once per call, not once per cell comparison.
+    */
+  private def centNorms(cent: Array[Array[Float]]): Array[Double] = cent.map(norm)
+
+  private def nearestCells(cent: Array[Array[Float]], cn: Array[Double],
+                           v: Array[Float], n: Int): Array[Int] = {
+    val m = cent.length
+    val nv = norm(v)
+    val scores = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val d = cn(i) * nv
+      scores(i) = if (d == 0) 0.0 else dot(cent(i), v) / d
+      i += 1
+    }
+    val out = new Array[Int](math.min(n, m))
+    val taken = new Array[Boolean](m)
+    var j = 0
+    while (j < out.length) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var x = 0
+      while (x < m) {
+        if (!taken(x) && scores(x) > bs) { best = x; bs = scores(x) }
+        x += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    out
+  }
 
   private def requireIntegralId(df: DataFrame, idCol: String): Unit =
     OpChecks.requireIntegralId(df, idCol)
@@ -610,8 +645,9 @@ object Similarity {
       val dim = cent(0).length
       val sums = Array.ofDim[Double](cent.length, dim)
       val counts = new Array[Long](cent.length)
+      val cn = centNorms(cent)
       sample.foreach { v =>
-        val c = nearestCells(cent, v, 1)(0)
+        val c = nearestCells(cent, cn, v, 1)(0)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
@@ -633,6 +669,15 @@ object Similarity {
     * cell; each query probes its `nProbe` nearest cells only. One narrow
     * assignment pass over the corpus, one equi-join on cell ids —
     * O(N·Q·nProbe/nCells) score work instead of O(N·Q).
+    *
+    * Sizing at scale: total cost = assignment O(N·nCells) + in-cell scans
+    * O(Q·nProbe·N/nCells) + driver training O(min(N, sampleCap)·nCells·
+    * iters), minimized around nCells ≈ √N (the published IVF practice —
+    * FAISS guidelines' nlist ≈ √N..4√N). Re-size nCells like √corpus, NOT
+    * proportionally: cells ∝ N makes assignment and training quadratic-ish
+    * (measured 18.5× wall at 10× data in SCALE_PROBE_r14's first cut vs
+    * ~1.5× under √-scaling). Training is the amortized one-time step —
+    * long-lived services should train once via [[ivfCentroids]] and reuse.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -650,18 +695,19 @@ object Similarity {
     import spark.implicits._
     val cent = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
     val cb = spark.sparkContext.broadcast(cent)
+    val cnb = spark.sparkContext.broadcast(centNorms(cent))
 
     val cells = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (nearestCells(cb.value, v, 1)(0), id, v) }
+      .map { case (id, v) => (nearestCells(cb.value, cnb.value, v, 1)(0), id, v) }
       .toDF("cell", "neighbor_id", "c_vec")
     val probes = queries
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
-      .flatMap { case (id, v) => nearestCells(cb.value, v, nProbe).map(c => (c, id, v)) }
+      .flatMap { case (id, v) => nearestCells(cb.value, cnb.value, v, nProbe).map(c => (c, id, v)) }
       .toDF("cell", "query_id", "q_vec")
 
     val scored = cells
