@@ -123,6 +123,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!tc.contains("CartesianProduct"), tc.take(2000))
   }
 
+  test("r14 new-op shapes: substr dedup join-bounded with doc-partitioned window, bpe map-only") {
+    // substring dedup: shingle-hash aggregation + one semi-join back +
+    // the per-DOC window over the duplicated minority — never a cartesian
+    // or nested-loop fallback, and the only Window is doc-partitioned
+    // (a global-sort window would be the single-task scale bug)
+    for (q <- Seq("d_substr_dup", "d_substr_clean")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+      assert(p.contains("HashAggregate"), s"$q: ${p.take(2000)}")
+    }
+    // subword counting is a pure map over (doc_id, text): no join, no
+    // window, no exchange before the final ordering
+    val bpe = plan("c_token_count_bpe")
+    assert(!bpe.contains("Join") && !bpe.contains("Window"), bpe.take(2000))
+    // bpe-denominated packing keeps the two-level cumsum's window-free
+    // contract — the pluggable count column must not smuggle one in
+    val pb = plan("c_pack_bpe")
+    assert(!pb.contains("Window") && !pb.contains("CartesianProduct"), pb.take(2000))
+    // ANN recall: bounded-size aggregations and equi-joins only
+    for (q <- Seq("ann_lsh_recall", "ann_ivf_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))
