@@ -424,10 +424,15 @@ object Dedup {
       .filter(size(split(trim(col(textCol)), "\\s+")) >= k)
       .select(col(idCol), posexplode(graft.functions.ShingleHash64(col(textCol), k)))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    // cross-doc test as min(doc) != max(doc) — exactly "appears in >= 2
+    // distinct docs", but ONE ordinary aggregate whose map-side combine
+    // keeps 2 longs per fingerprint, instead of count_distinct's
+    // two-phase (h, doc) dedup pass over the full token-cardinality
+    // explode (the dominant shuffle of this operator at 100×)
     val dup =
       if (crossDoc)
-        shingles.groupBy("h").agg(count_distinct(col(idCol)).as("nd"))
-          .filter(col("nd") > 1)
+        shingles.groupBy("h").agg(min(col(idCol)).as("__a"), max(col(idCol)).as("__b"))
+          .filter(col("__a") =!= col("__b"))
       else
         shingles.groupBy("h").agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
     val marked = shingles.join(dup.select("h"), Seq("h"), "left_semi")
