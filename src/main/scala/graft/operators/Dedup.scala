@@ -417,13 +417,7 @@ object Dedup {
   def substrDupSpans(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2, "k must be >= 2 (a 1-token shingle marks every repeated word)")
-    // docs shorter than k tokens carry no k-shingle: filter them out
-    // BEFORE the kernel (whose <k-token contract is one joined shingle —
-    // a shorter-than-k fingerprint that must not enter the dup counting)
-    val shingles = docs.filter(col(textCol).isNotNull)
-      .filter(size(split(trim(col(textCol)), "\\s+")) >= k)
-      .select(col(idCol), posexplode(graft.functions.ShingleHash64(col(textCol), k)))
-      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val shingles = shingleStream(docs, k, idCol, textCol)
     // cross-doc test as min(doc) != max(doc) — exactly "appears in >= 2
     // distinct docs", but ONE ordinary aggregate whose map-side combine
     // keeps 2 longs per fingerprint, instead of count_distinct's
@@ -435,11 +429,45 @@ object Dedup {
           .filter(col("__a") =!= col("__b"))
       else
         shingles.groupBy("h").agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
-    val marked = shingles.join(dup.select("h"), Seq("h"), "left_semi")
-    // gaps-and-islands over equal-length intervals [pos, pos+k-1]: a new
-    // span starts when the previous shingle's coverage can no longer touch
-    // this one (pos > prev + k ⇔ pos > prev_end + 1 — strictly past
-    // adjacency, so abutting coverage merges into one maximal span)
+    spansFromMarked(shingles.join(dup.select("h"), Seq("h"), "left_semi"), k, idCol)
+  }
+
+  /** Substring-level decontamination spans (the paper's OTHER ExactSubstr
+    * use: test-set leakage removal): per train document, the maximal
+    * token runs covered by a k-shingle that appears ANYWHERE in
+    * `testDocs` — the same coverage equivalence as [[substrDupSpans]],
+    * against a foreign shingle set instead of the corpus's own. The test
+    * side reduces to its DISTINCT fingerprints before one semi-join
+    * (the incremental-dedup directory shape); the held-out corpus's
+    * bodies never shuffle.
+    */
+  def substrContaminatedSpans(docs: DataFrame, testDocs: DataFrame, k: Int = 8,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val testH = shingleStream(testDocs, k, idCol, textCol).select("h").distinct()
+    spansFromMarked(
+      shingleStream(docs, k, idCol, textCol).join(testH, Seq("h"), "left_semi"), k, idCol)
+  }
+
+  /** (id, pos, h): one row per k-shingle position, fingerprinted by the
+    * native kernel. Docs shorter than k tokens are filtered BEFORE the
+    * kernel (whose <k-token contract is one joined shingle — a
+    * shorter-than-k fingerprint that must not enter the matching).
+    */
+  private def shingleStream(docs: DataFrame, k: Int,
+                            idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= k)
+      .select(col(idCol), posexplode(graft.functions.ShingleHash64(col(textCol), k)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+
+  /** Gaps-and-islands over equal-length intervals [pos, pos+k-1]: a new
+    * span starts when the previous shingle's coverage can no longer touch
+    * this one (pos > prev + k ⇔ pos > prev_end + 1 — strictly past
+    * adjacency, so abutting coverage merges into one maximal span). The
+    * window is PER-DOCUMENT over the marked minority only.
+    */
+  private def spansFromMarked(marked: DataFrame, k: Int, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
     marked
       .withColumn("__prev", lag("pos", 1).over(w))
@@ -459,10 +487,33 @@ object Dedup {
     * per-doc accounting like [[passageDupStats]].
     */
   def substrDupStats(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    statsFromSpans(docs, substrDupSpans(docs, k, crossDoc, idCol, textCol), idCol, textCol)
+
+  /** Per-train-doc decontamination stats over [[substrContaminatedSpans]]:
+    * (id, n_tokens, n_dup_spans, n_dup_tokens) with zeros for untainted
+    * docs — the audit a leakage review reads before deciding between
+    * span REMOVAL ([[substrDecontaminate]]) and doc-level drop.
+    */
+  def substrDecontaminateStats(docs: DataFrame, testDocs: DataFrame, k: Int = 8,
+                               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    statsFromSpans(docs, substrContaminatedSpans(docs, testDocs, k, idCol, textCol),
+      idCol, textCol)
+
+  /** Lee et al.'s decontamination remediation: train docs with every
+    * test-overlapping span removed, keeping the rest of the document
+    * (doc-level drop loses the clean majority of a barely-tainted doc).
+    */
+  def substrDecontaminate(docs: DataFrame, testDocs: DataFrame, k: Int = 8,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cleanFromSpans(docs, substrContaminatedSpans(docs, testDocs, k, idCol, textCol),
+      idCol, textCol)
+
+  private def statsFromSpans(docs: DataFrame, spans: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    val agg = substrDupSpans(docs, k, crossDoc, idCol, textCol)
+    val agg = spans
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_dup_spans"),
         sum(col("span_end") - col("span_start") + 1L).as("n_dup_tokens"))
@@ -481,8 +532,12 @@ object Dedup {
     * explode of the corpus, no UDF.
     */
   def substrDedupClean(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = substrDupSpans(docs, k, crossDoc, idCol, textCol)
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cleanFromSpans(docs, substrDupSpans(docs, k, crossDoc, idCol, textCol), idCol, textCol)
+
+  private def cleanFromSpans(docs: DataFrame, spanRows: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    val spans = spanRows
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val ws = split(trim(col(textCol)), "\\s+")
@@ -529,16 +584,21 @@ object Dedup {
     docs.withColumn("ptext", concat(pfx, lit(" "), col("text"), lit(" "), sfx))
   }
 
-  /** Shared oracle CTE chain for the substring-dedup queries — the same
-    * planted prefix/suffix construction, then the island merge over RAW
-    * 8-word shingle strings (the oracle pins the true substring
-    * semantics; the Spark side's md5 fingerprints are an implementation
-    * detail it deliberately does not share). Yields `w` (doc_id, ws) and
-    * `sp` (doc_id, a, b — disjoint maximal spans).
+  /** Shared oracle CTE chain for the substring queries — the planted
+    * prefix/suffix construction with the hash-split bucket, shingles as
+    * RAW 8-word strings (the oracle pins the true substring semantics;
+    * the Spark side's native hash is an implementation detail it
+    * deliberately does not share), then the island merge over a
+    * query-specific `m(doc_id, pos)` marking CTE supplied by the caller.
+    * Yields `w` (doc_id, split, ws) and `sp` (doc_id, a, b — disjoint
+    * maximal spans).
     */
-  private def substrCtes: String = s"""
+  private def substrCtes(markedCte: String): String = s"""
         p AS (
           SELECT doc_id,
+                 CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split,
                  CASE CAST(doc_id % 4 AS INT)
                    WHEN 0 THEN '${boilerplate(0)}'
                    WHEN 1 THEN '${boilerplate(1)}'
@@ -550,11 +610,10 @@ object Dedup {
                    ELSE '${boilerplate(6)}' END AS ptext
           FROM documents WHERE text IS NOT NULL
         ),
-        w AS (SELECT doc_id, string_split_regex(trim(ptext), '\\s+') AS ws FROM p),
-        t AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS pos, ws FROM w),
-        s AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS sh FROM t),
-        d AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1),
-        m AS (SELECT s.doc_id, s.pos FROM s JOIN d ON s.sh = d.sh),
+        w AS (SELECT doc_id, split, string_split_regex(trim(ptext), '\\s+') AS ws FROM p),
+        t AS (SELECT doc_id, split, unnest(range(1, len(ws) - 6)) AS pos, ws FROM w),
+        s AS (SELECT doc_id, split, pos, array_to_string(ws[pos:pos+7], ' ') AS sh FROM t),
+        $markedCte,
         i AS (SELECT doc_id, pos,
                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
@@ -565,6 +624,21 @@ object Dedup {
               FROM i),
         sp AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 7 AS b
                FROM j GROUP BY doc_id, island)"""
+
+  /** corpus-internal duplication marking (d_substr_* queries) */
+  private def substrDupMarked: String = """
+        d AS (SELECT sh FROM s GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1),
+        m AS (SELECT s.doc_id, s.pos FROM s JOIN d ON s.sh = d.sh)"""
+
+  /** test-split contamination marking (c_substr_decon* queries): a train
+    * position is marked iff its shingle appears anywhere in the test
+    * split — mirrors substrContaminatedSpans' distinct-directory
+    * semi-join.
+    */
+  private def substrDeconMarked: String = """
+        d AS (SELECT DISTINCT sh FROM s WHERE split = 'test'),
+        m AS (SELECT s.doc_id, s.pos FROM s JOIN d ON s.sh = d.sh
+              WHERE s.split = 'train')"""
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -677,7 +751,7 @@ object Dedup {
         substrDupStats(plantedText(Tables(s, dir, "documents")), k = 8,
           textCol = "ptext").orderBy("doc_id"),
       Some(s"""
-        WITH $substrCtes,
+        WITH ${substrCtes(substrDupMarked)},
         ag AS (SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(b - a + 1) AS n_dup_tokens
                FROM sp GROUP BY doc_id)
         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
@@ -695,7 +769,7 @@ object Dedup {
         substrDedupClean(plantedText(Tables(s, dir, "documents")), k = 8,
           textCol = "ptext").orderBy("doc_id"),
       Some(s"""
-        WITH $substrCtes,
+        WITH ${substrCtes(substrDupMarked)},
         x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w),
         wd AS (SELECT doc_id, pos, ws[pos] AS word FROM x),
         keep AS (SELECT wd.doc_id, wd.pos, wd.word
@@ -706,6 +780,58 @@ object Dedup {
               FROM keep GROUP BY doc_id)
         SELECT w.doc_id, COALESCE(k.clean_text, '') AS clean_text
         FROM w LEFT JOIN k ON w.doc_id = k.doc_id
+        ORDER BY w.doc_id"""),
+    ),
+    // Substring-level decontamination audit (Lee et al.'s leakage use of
+    // ExactSubstr): per TRAIN doc, maximal spans sharing an 8-word
+    // shingle with ANY test-split doc. The planted blocks span splits
+    // (doc_id % 4 / % 3 classes occur in both), so every train doc
+    // carries non-vacuous contaminated spans over the hash split the
+    // whole decontamination family uses.
+    Q(
+      "c_substr_decon",
+      (s, dir) => {
+        val docs = plantedText(Tables(s, dir, "documents"))
+        val train = docs.filter(TextAnalysis.splitName(col("doc_id")) === "train")
+        val test = docs.filter(TextAnalysis.splitName(col("doc_id")) === "test")
+        substrDecontaminateStats(train, test, k = 8, textCol = "ptext").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${substrCtes(substrDeconMarked)},
+        ag AS (SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(b - a + 1) AS n_dup_tokens
+               FROM sp GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(ag.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(COALESCE(ag.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+        FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id
+        WHERE w.split = 'train'
+        ORDER BY w.doc_id"""),
+    ),
+    // The remediation face: train docs with every test-overlapping span
+    // removed — span removal keeps the clean majority of a barely-tainted
+    // doc where doc-level drop would discard it.
+    Q(
+      "c_substr_decon_clean",
+      (s, dir) => {
+        val docs = plantedText(Tables(s, dir, "documents"))
+        val train = docs.filter(TextAnalysis.splitName(col("doc_id")) === "train")
+        val test = docs.filter(TextAnalysis.splitName(col("doc_id")) === "test")
+        substrDecontaminate(train, test, k = 8, textCol = "ptext").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${substrCtes(substrDeconMarked)},
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w
+              WHERE split = 'train'),
+        wd AS (SELECT doc_id, pos, ws[pos] AS word FROM x),
+        keep AS (SELECT wd.doc_id, wd.pos, wd.word
+                 FROM wd LEFT JOIN sp
+                   ON wd.doc_id = sp.doc_id AND wd.pos BETWEEN sp.a AND sp.b
+                 WHERE sp.doc_id IS NULL),
+        k AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+              FROM keep GROUP BY doc_id)
+        SELECT w.doc_id, COALESCE(k.clean_text, '') AS clean_text
+        FROM w LEFT JOIN k ON w.doc_id = k.doc_id
+        WHERE w.split = 'train'
         ORDER BY w.doc_id"""),
     ),
   )

@@ -101,6 +101,25 @@ class SubstrDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == "tail")
   }
 
+  test("decontamination: only test-overlapping train spans are marked; removal is exact") {
+    val train = docs(
+      1L -> s"u1 u2 $block u3",          // shares block with the test doc
+      2L -> "v1 v2 v3 v4 v5 v6 v7 v8 v9") // clean
+    val test = docs(100L -> s"t1 $block t2")
+    val stats = Dedup.substrDecontaminateStats(train, test, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set((1L, 11L, 1L, 8L), (2L, 9L, 0L, 0L)))
+    val clean = Dedup.substrDecontaminate(train, test, k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(clean == Map(1L -> "u1 u2 u3", 2L -> "v1 v2 v3 v4 v5 v6 v7 v8 v9"))
+    // contamination is DIRECTIONAL: two train docs sharing a block among
+    // themselves (but absent from test) are untouched
+    val train2 = docs(1L -> s"$block a1", 2L -> s"$block b1")
+    val clean2 = Dedup.substrDecontaminate(train2, test.filter("doc_id < 0"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(clean2 == Map(1L -> s"$block a1", 2L -> s"$block b1"))
+  }
+
   test("coverage equivalence: spans equal the union of repeated >=k-substrings (planted 3-way)") {
     // the same 10-token run in three docs plus an unrelated 8-block pair:
     // every covered token must be inside SOME cross-doc-repeated >=8-token
