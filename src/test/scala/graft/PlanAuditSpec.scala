@@ -148,6 +148,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: ${p.take(2000)}")
     }
+    // substring decontamination: same join-bounded shape as the dup
+    // faces — the test-split directory rides a semi-join, never a
+    // cartesian, and the span merge stays a doc-partitioned window
+    for (q <- Seq("c_substr_decon", "c_substr_decon_clean")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
   }
 
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
