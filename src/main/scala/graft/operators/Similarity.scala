@@ -607,6 +607,13 @@ object Similarity {
         if (!taken(x) && scores(x) > bs) { best = x; bs = scores(x) }
         x += 1
       }
+      if (best < 0) {
+        // every remaining score is NaN (NaN vector components) — fall
+        // back to the lowest untaken index so selection still totals n
+        // deterministically instead of indexing at -1
+        var y = 0
+        while (best < 0 && y < m) { if (!taken(y)) best = y; y += 1 }
+      }
       taken(best) = true
       out(j) = best
       j += 1
