@@ -46,10 +46,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffle, no UDF, no driver participation.
   */
 case class BpeTokenCount(child: Expression, vocab: Seq[String]) extends UnaryExpression {
-  require(vocab.nonEmpty, "vocab must be non-empty")
-  require(vocab.forall(v => v.nonEmpty && !v.exists(Character.isWhitespace)),
-    "vocab entries must be non-empty and whitespace-free (whitespace separates words)")
-  require(vocab.distinct.length == vocab.length, "vocab entries must be distinct")
+  BpeTokenCount.validateVocab(vocab)
 
   @transient private lazy val trie: BpeTokenCount.Trie = BpeTokenCount.compile(vocab)
 
@@ -76,14 +73,65 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String]) extends UnaryExp
     copy(child = newChild)
 }
 
+/** The materialization face of the same tokenizer: `BpeTokenize(text,
+  * vocab)` returns the token ID SEQUENCE greedy longest-match emits —
+  * 1-based vocab indices, with 0 for every out-of-vocab code point (the
+  * reserved unk id). Same trie, same per-JVM compile cache, same
+  * whitespace/code-point contract as [[BpeTokenCount]]; by construction
+  * `size(BpeTokenize(t, v)) == BpeTokenCount(t, v)` (spec-pinned).
+  */
+case class BpeTokenize(child: Expression, vocab: Seq[String]) extends UnaryExpression {
+  BpeTokenCount.validateVocab(vocab)
+
+  @transient private lazy val trie: BpeTokenCount.Trie = BpeTokenCount.compile(vocab)
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    BpeTokenCount.tokenize(s.asInstanceOf[UTF8String], trie)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTokenCount.Trie].getName)
+    defineCodeGen(ctx, ev, s => s"graft.functions.BpeTokenCount.tokenize($s, $trieRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokenize {
+  /** Column API entry point. */
+  def apply(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.toColumn(BpeTokenize(ColumnBridge.toExpression(text), vocab))
+}
+
 object BpeTokenCount {
+
+  private[graft] def validateVocab(vocab: Seq[String]): Unit = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    require(vocab.forall(v => v.nonEmpty && !v.exists(Character.isWhitespace)),
+      "vocab entries must be non-empty and whitespace-free (whitespace separates words)")
+    require(vocab.distinct.length == vocab.length, "vocab entries must be distinct")
+  }
 
   /** Byte-level trie. Nodes hold their children as parallel sorted arrays
     * (binary search per byte) — compact for large vocabs where 256-ary
-    * arrays would cost ~2 KB per node.
+    * arrays would cost ~2 KB per node. `termId` is the entry's 1-based
+    * vocab index (0 = not a vocab entry), so the same structure serves
+    * both the counting and the id-emitting faces.
     */
   final class Trie extends Serializable {
-    var terminal: Boolean = false
+    var termId: Int = 0
     var keys: Array[Byte] = Array.emptyByteArray
     var kids: Array[Trie] = Array.empty
 
@@ -118,11 +166,11 @@ object BpeTokenCount {
   private[graft] def compile(vocab: Seq[String]): Trie =
     cache.computeIfAbsent(vocab, v => {
       val root = new Trie
-      v.foreach { entry =>
+      v.zipWithIndex.foreach { case (entry, idx) =>
         var node = root
         entry.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           .foreach(b => node = node.addChild(b))
-        node.terminal = true
+        node.termId = idx + 1
       }
       root
     })
@@ -163,7 +211,7 @@ object BpeTokenCount {
           node = node.childFor(bytes(j))
           if (node != null) {
             j += 1
-            if (node.terminal) best = j
+            if (node.termId > 0) best = j
           }
         }
         i = if (best > i) best else i + seqLen(bytes(i))
@@ -171,6 +219,36 @@ object BpeTokenCount {
       }
     }
     tokens
+  }
+
+  /** Id-emitting twin of [[count]] — identical scan, but each consumed
+    * token records its 1-based vocab id (0 for an OOV code point).
+    * `tokenize(s).numElements == count(s)` by construction.
+    */
+  def tokenize(s: UTF8String, trie: Trie): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(n / 4, 8))
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        var node = trie
+        var j = i
+        var best = -1
+        var bestId = 0
+        while (node != null && j < n && !isWs(bytes(j))) {
+          node = node.childFor(bytes(j))
+          if (node != null) {
+            j += 1
+            if (node.termId > 0) { best = j; bestId = node.termId }
+          }
+        }
+        if (best > i) { out += bestId.toLong; i = best }
+        else { out += 0L; i += seqLen(bytes(i)) }
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
   }
 
   /** Column API entry point. */

@@ -24,6 +24,13 @@ object TextAnalysis {
   def bpeTokenCount(c: Column, vocab: Seq[String] = BpeVocab): Column =
     graft.functions.BpeTokenCount(c, vocab)
 
+  /** The id sequence the same tokenizer emits (1-based vocab indices, 0 =
+    * OOV code point) — the materialization face feeding an actual
+    * training-shard write, where [[bpeTokenCount]] is the budget face.
+    */
+  def bpeTokenize(c: Column, vocab: Seq[String] = BpeVocab): Column =
+    graft.functions.BpeTokenize(c, vocab)
+
   /** Frozen fixture vocabulary for the BPE-lite queries: subword units of
     * the synthetic corpus's word stock, chosen so longest-match decisions
     * are exercised (both "tab" and "table" present; "value" beats
@@ -194,6 +201,49 @@ object TextAnalysis {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(cnt) AS BIGINT) AS n_bpe_tokens
         FROM f GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // The id-emitting tokenizer face, hash-compared as the comma-joined
+    // id sequence per doc. The oracle's recursive CTE emits one row per
+    // consumed token carrying the matched entry's 1-based vocab id (0
+    // for the OOV code-point fallback), ordered by (word, step) — the
+    // exact sequence the trie walk produces.
+    Q(
+      "c_tokenize_bpe",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            array_join(transform(bpeTokenize(col("text")), _.cast("string")), ",")
+              .as("ids"))
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH RECURSIVE vocab AS (
+          SELECT unnest([$bpeVocabSqlList]) AS t,
+                 unnest(range(1, ${BpeVocab.length + 1})) AS id),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wpos, ws FROM w),
+        wd AS (SELECT doc_id, wpos, ws[wpos] AS wrd FROM x),
+        r AS (
+          SELECT doc_id, wpos, wrd, 1 AS pos, 0 AS step, NULL::BIGINT AS tid FROM wd
+          UNION ALL
+          SELECT doc_id, wpos, wrd,
+                 pos + COALESCE((SELECT length(t) FROM vocab
+                                 WHERE substr(wrd, pos, length(t)) = t
+                                 ORDER BY length(t) DESC LIMIT 1), 1),
+                 step + 1,
+                 COALESCE((SELECT id FROM vocab
+                           WHERE substr(wrd, pos, length(t)) = t
+                           ORDER BY length(t) DESC LIMIT 1), 0)
+          FROM r WHERE pos <= length(wrd)
+        ),
+        e AS (SELECT doc_id, wpos, step, tid FROM r WHERE step >= 1),
+        ag AS (SELECT doc_id,
+                      string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wpos, step) AS ids
+               FROM e GROUP BY doc_id)
+        SELECT w.doc_id, COALESCE(ag.ids, '') AS ids
+        FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id
+        ORDER BY w.doc_id"""),
     ),
     Q(
       "t_fingerprint",

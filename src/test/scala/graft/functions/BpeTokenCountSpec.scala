@@ -91,6 +91,32 @@ class BpeTokenCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](countOne("x", Seq("")))
   }
 
+  private def idsOne(text: String, v: Seq[String] = vocab): Seq[Long] = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(BpeTokenize(col("t"), v).as("ids"))
+      .head().getSeq[Long](0)
+  }
+
+  test("tokenize: 1-based vocab ids in greedy order, 0 for OOV, size equals count") {
+    // "values" = value(4) + s(9); "banana" = b(OOV=0) + an(7) + an(7) + a(8)
+    assert(idsOne("values") == Seq(4L, 9L))
+    assert(idsOne("banana") == Seq(0L, 7L, 7L, 8L))
+    assert(idsOne("table tab") == Seq(1L, 2L))
+    assert(idsOne("") == Seq.empty)
+    // invariant: the id sequence length IS the count, on corpus text too
+    import spark.implicits._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull).limit(50)
+    val v = graft.operators.TextAnalysis.BpeVocab
+    val bad = docs.select(
+        size(BpeTokenize(col("text"), v)).cast("long").as("a"),
+        BpeTokenCount(col("text"), v).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0)
+    // ids decode back to the exact consumed entries where nothing is OOV
+    assert(idsOne("values").map(i => vocab(i.toInt - 1)).mkString == "values")
+  }
+
   test("parity with the reference implementation on real corpus text, codegen on") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
