@@ -696,11 +696,32 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    val cent = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
+    ivfTopKWith(cent, corpus, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] against a PRE-TRAINED coarse quantizer — the production
+    * amortization path the sizing note prescribes: a long-lived service
+    * trains once with [[ivfCentroids]] (or loads persisted centroids) and
+    * serves every query batch from the same quantizer, paying assignment
+    * and probing only. Identical results to [[ivfTopK]] given the same
+    * centroid array (spec-pinned).
+    */
+  def ivfTopKWith(
+      cent: Array[Array[Float]],
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    require(cent.nonEmpty, "centroid array must be non-empty")
+    require(k >= 1 && nProbe >= 1)
     requireIntegralId(corpus, idCol)
     requireIntegralId(queries, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cent = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
     val cb = spark.sparkContext.broadcast(cent)
     val cnb = spark.sparkContext.broadcast(centNorms(cent))
 

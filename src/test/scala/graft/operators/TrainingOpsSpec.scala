@@ -920,6 +920,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("maxCellRows")))
   }
 
+  test("ivfTopKWith: pre-trained centroids reproduce ivfTopK exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5 && col("embedding").isNotNull)
+    val cent = Similarity.ivfCentroids(emb, nCells = 8, iters = 2)
+    val a = Similarity.ivfTopK(emb, queries, k = 3, nCells = 8, nProbe = 2, iters = 2)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toString).sorted
+    val b = Similarity.ivfTopKWith(cent, emb, queries, k = 3, nProbe = 2)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("recallAgainst: per-query intersection counts, zero rows for missed queries") {
     import spark.implicits._
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
