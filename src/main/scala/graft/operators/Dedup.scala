@@ -834,5 +834,63 @@ object Dedup {
         WHERE w.split = 'train'
         ORDER BY w.doc_id"""),
     ),
+    // COMPOSED r14 pipeline: substring-decontaminate the train split vs
+    // the test split, then pack the CLEANED text into fixed sequences
+    // denominated in BPE subword tokens — three operators chained, one
+    // end-to-end hash (a wrong span, a wrong subword count, or a wrong
+    // cumsum all surface in the final (seq_id, seq_offset) columns). The
+    // oracle chains the decon CTEs into the recursive-CTE tokenizer into
+    // the naive global window.
+    Q(
+      "c_pipeline_llm",
+      (s, dir) => {
+        val docs = plantedText(Tables(s, dir, "documents"))
+        val train = docs.filter(TextAnalysis.splitName(col("doc_id")) === "train")
+        val test = docs.filter(TextAnalysis.splitName(col("doc_id")) === "test")
+        val cleaned = substrDecontaminate(train, test, k = 8, textCol = "ptext")
+        Curation.packSequences(cleaned, maxLen = 256, textCol = "clean_text",
+          countOf = c => TextAnalysis.bpeTokenCount(c)).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE ${substrCtes(substrDeconMarked)},
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w
+              WHERE split = 'train'),
+        wd AS (SELECT doc_id, pos, ws[pos] AS word FROM x),
+        keep AS (SELECT wd.doc_id, wd.pos, wd.word
+                 FROM wd LEFT JOIN sp
+                   ON wd.doc_id = sp.doc_id AND wd.pos BETWEEN sp.a AND sp.b
+                 WHERE sp.doc_id IS NULL),
+        kk AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+               FROM keep GROUP BY doc_id),
+        ct AS (SELECT w.doc_id, COALESCE(kk.clean_text, '') AS ctext
+               FROM w LEFT JOIN kk ON w.doc_id = kk.doc_id
+               WHERE w.split = 'train'),
+        vocab(t) AS (SELECT unnest([${TextAnalysis.bpeVocabSqlList}])),
+        wd2 AS (SELECT doc_id, unnest(string_split_regex(trim(ctext), '\\s+')) AS wrd
+                FROM ct),
+        r2 AS (
+          SELECT doc_id, wrd, 1 AS pos, 0 AS cnt FROM wd2
+          UNION ALL
+          SELECT doc_id, wrd,
+                 pos + COALESCE((SELECT MAX(length(t)) FROM vocab
+                                 WHERE substr(wrd, pos, length(t)) = t), 1),
+                 cnt + 1
+          FROM r2 WHERE pos <= length(wrd)
+        ),
+        f2 AS (SELECT doc_id, cnt FROM r2 WHERE pos > length(wrd)),
+        bt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM f2 GROUP BY doc_id),
+        tt AS (SELECT ct.doc_id, COALESCE(bt.n, 0) AS n
+               FROM ct LEFT JOIN bt ON ct.doc_id = bt.doc_id),
+        cc AS (
+          SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM tt
+        )
+        SELECT doc_id, n AS n_tokens,
+               CAST(s // 256 AS BIGINT) AS seq_id,
+               CAST(s % 256 AS BIGINT) AS seq_offset
+        FROM cc ORDER BY doc_id"""),
+    ),
   )
 }
