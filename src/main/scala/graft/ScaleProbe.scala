@@ -72,7 +72,12 @@ object ScaleProbe {
     // r14: subword counting — map-only trie scan, the ratio should track
     // the data multiple exactly; drift would indict per-task trie
     // recompilation (the kernel caches per JVM)
-    "c_token_count_bpe")
+    "c_token_count_bpe",
+    // r14 continued: substring decontamination (the directory semi-join
+    // shape against the test split) and the composed decon→BPE→pack
+    // chain — the chain's ratio is the sum of its parts' postures, so a
+    // drift here localizes to whichever stage regressed
+    "c_substr_decon", "c_pipeline_llm")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
