@@ -124,11 +124,18 @@ object ScaleProbe {
   /** Scaled-arm detection must survive equivalent path spellings (trailing
     * slash, relative path, symlink prefix) — exact string equality would
     * silently run the scaled arm with base-scale knobs and invalidate the
-    * ratio (ADVICE r13).
+    * ratio (ADVICE r13). `toRealPath` resolves symlinks when the path
+    * exists (the work dir does by probe time); for a not-yet-created path
+    * fall back to lexical normalization, which still covers the
+    * trailing-slash and relative spellings.
     */
-  private def samePath(a: String, b: String): Boolean =
-    java.nio.file.Paths.get(a).toAbsolutePath.normalize ==
-      java.nio.file.Paths.get(b).toAbsolutePath.normalize
+  private def samePath(a: String, b: String): Boolean = {
+    def canon(p: String): java.nio.file.Path = {
+      val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      try abs.toRealPath() catch { case _: java.io.IOException => abs }
+    }
+    canon(a) == canon(b)
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

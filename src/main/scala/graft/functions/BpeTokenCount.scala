@@ -160,10 +160,20 @@ object BpeTokenCount {
 
   // one compiled trie per distinct vocab per JVM — expressions deserialize
   // per task, and recompiling a 50k-entry vocab per task would dominate
-  // short tasks
+  // short tasks. BOUNDED: a long-lived executor serving many distinct
+  // vocabularies (per-tenant merges tables) must not pin one trie per
+  // vocab forever, so past MaxCachedVocabs the cache clears wholesale —
+  // recompilation is correctness-neutral and the common case (a handful
+  // of vocabs per job) never evicts.
+  private val MaxCachedVocabs = 64
   private val cache = new java.util.concurrent.ConcurrentHashMap[Seq[String], Trie]()
 
-  private[graft] def compile(vocab: Seq[String]): Trie =
+  private[graft] def compile(vocab: Seq[String]): Trie = {
+    if (cache.size >= MaxCachedVocabs && !cache.containsKey(vocab)) cache.clear()
+    cacheCompute(vocab)
+  }
+
+  private def cacheCompute(vocab: Seq[String]): Trie =
     cache.computeIfAbsent(vocab, v => {
       val root = new Trie
       v.zipWithIndex.foreach { case (entry, idx) =>

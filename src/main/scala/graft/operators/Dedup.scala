@@ -417,7 +417,13 @@ object Dedup {
   def substrDupSpans(docs: DataFrame, k: Int = 8, crossDoc: Boolean = true,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2, "k must be >= 2 (a 1-token shingle marks every repeated word)")
-    val shingles = shingleStream(docs, k, idCol, textCol)
+    // the token explode feeds BOTH the fingerprint aggregation and the
+    // semi-join probe side; without pinning, the operator's dominant pass
+    // executes twice (partial aggregation before the exchange blocks
+    // ReusedExchange). Same eager-localCheckpoint discipline as
+    // packSequences; (id, pos, h) rows spill to disk past memory.
+    // substrContaminatedSpans consumes its stream once and needs no pin.
+    val shingles = shingleStream(docs, k, idCol, textCol).localCheckpoint(true)
     // cross-doc test as min(doc) != max(doc) — exactly "appears in >= 2
     // distinct docs", but ONE ordinary aggregate whose map-side combine
     // keeps 2 longs per fingerprint, instead of count_distinct's
@@ -596,9 +602,7 @@ object Dedup {
   private def substrCtes(markedCte: String): String = s"""
         p AS (
           SELECT doc_id,
-                 CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
-                      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
-                      ELSE 'test' END AS split,
+                 ${TextAnalysis.splitCaseSql()} AS split,
                  CASE CAST(doc_id % 4 AS INT)
                    WHEN 0 THEN '${boilerplate(0)}'
                    WHEN 1 THEN '${boilerplate(1)}'

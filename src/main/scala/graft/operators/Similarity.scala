@@ -696,6 +696,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    // validate BEFORE training — ivfCentroids is the expensive step
+    // (driver sample collect + k-means), and a bad id column or k=0
+    // must not fail only after it completes
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1 && nProbe >= 1 && nCells >= 1 && iters >= 0)
     val cent = ivfCentroids(corpus, nCells, iters, idCol, vecCol)
     ivfTopKWith(cent, corpus, queries, k, nProbe, idCol, vecCol)
   }

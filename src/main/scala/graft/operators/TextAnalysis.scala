@@ -272,6 +272,17 @@ object TextAnalysis {
   private[graft] def bpeVocabSqlList: String =
     BpeVocab.map(v => s"'$v'").mkString(", ")
 
+  /** DuckDB CASE expression computing exactly [[splitName]] for `idExpr`
+    * — the oracle-side single source of the hash-split rule. New oracles
+    * must use this instead of hand-inlining the md5-bucket CASE (the
+    * pre-r14 oracles carry verified inline copies; consolidate
+    * opportunistically, never silently).
+    */
+  private[operators] def splitCaseSql(idExpr: String = "doc_id"): String =
+    s"""CASE WHEN CAST('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 80 THEN 'train'
+                      WHEN CAST('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 THEN 'val'
+                      ELSE 'test' END"""
+
   /** DuckDB SQL computing exactly [[langId]]: per-language occurrence sums
     * via literal replace, argmax with ties to the lexicographically largest
     * language (mirrors greatest() over (score, lang) structs).

@@ -1000,7 +1000,7 @@ object TrainingDataQueries {
     */
   private def recallTailSql: String = s"""
       bfp AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                     list_cosine_similarity(e.embedding, q.embedding) AS sim
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
               FROM embeddings e, qs q
               WHERE e.vec_id <> q.vec_id AND e.embedding IS NOT NULL),
       bf AS (SELECT query_id, neighbor_id FROM (
@@ -1029,7 +1029,7 @@ object TrainingDataQueries {
                    WHERE embedding IS NOT NULL)),
       qb AS (SELECT vec_id, bucket FROM cb WHERE vec_id < 10),
       lsp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(c.embedding, q2.embedding) AS sim
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) AS sim
               FROM cb c
               JOIN qb q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
               JOIN qs q2 ON q2.vec_id = q.vec_id),
@@ -1052,7 +1052,7 @@ object TrainingDataQueries {
                FROM (SELECT vec_id, embedding FROM embeddings
                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)),
       casg AS (SELECT e.vec_id, e.embedding, cent.c,
-                      list_cosine_similarity(e.embedding, cent.cv) AS sim
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(cent.cv AS DOUBLE[])) AS sim
                FROM (SELECT vec_id, embedding FROM embeddings
                      WHERE embedding IS NOT NULL) e CROSS JOIN cent),
       cells AS (SELECT vec_id, embedding, c AS cell FROM (
@@ -1066,7 +1066,7 @@ object TrainingDataQueries {
                            ORDER BY sim DESC, c) AS rn
                   FROM casg WHERE vec_id < 10) WHERE rn <= 4),
       ivp AS (SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
-                     list_cosine_similarity(cl.embedding, q2.embedding) AS sim
+                     list_cosine_similarity(CAST(cl.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) AS sim
               FROM cells cl
               JOIN probes p ON cl.cell = p.cell AND cl.vec_id <> p.vec_id
               JOIN qs q2 ON q2.vec_id = p.vec_id),

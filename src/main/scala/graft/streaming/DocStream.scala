@@ -439,10 +439,13 @@ object DocStream {
     // contract eagerly and loudly — a duplicate-keyed LM would silently
     // inflate every score for the stream's whole lifetime. One distributed
     // aggregation at setup time, never per micro-batch.
+    // count(col) and count_distinct both skip NULLs, so NULL-bgh rows —
+    // which can never match the equi-join and cannot inflate scores —
+    // do not trip the guard; only genuine duplicates among real keys do
     val keyStats = lm.agg(
-      count(lit(1)).as("rows"), count_distinct(col("bgh")).as("keys")).head()
+      count(col("bgh")).as("rows"), count_distinct(col("bgh")).as("keys")).head()
     require(keyStats.getLong(0) == keyStats.getLong(1),
-      s"lmScoreByWindow: LM frame has duplicate bgh keys (${keyStats.getLong(0)} rows, " +
+      s"lmScoreByWindow: LM frame has duplicate bgh keys (${keyStats.getLong(0)} non-null rows, " +
         s"${keyStats.getLong(1)} distinct) — pass a Curation.lmTable-shaped frame; " +
         "duplicate keys would multiply join rows and silently inflate scores")
     docs

@@ -62,12 +62,20 @@ object RestartProbe {
     try {
       for (k <- 0 until nBatches) {
         val ts = new Timestamp((t0 + k * stepSec) * 1000)
-        input.addData(corpus.map { case (id, text) => (id + k * nDocs, ts, text) }.toIndexedSeq)
         if (k == restartAfter) {
-          // kill with this batch IN FLIGHT: the new query must reload
-          // state + watermark from the checkpoint and replay it
+          // kill BEFORE injecting this batch, then inject, then restart:
+          // stopping first guarantees the batch is pending (never
+          // committed) when the new query comes up, so recovery must
+          // BOTH reload state + watermark from the checkpoint AND
+          // process data the old query never saw. (Stopping after
+          // addData raced the running trigger — on a fast box the batch
+          // could commit pre-stop and silently degenerate the probe to
+          // a clean between-batch restart.)
           query.stop()
+          input.addData(corpus.map { case (id, text) => (id + k * nDocs, ts, text) }.toIndexedSeq)
           query = start()
+        } else {
+          input.addData(corpus.map { case (id, text) => (id + k * nDocs, ts, text) }.toIndexedSeq)
         }
         query.processAllAvailable()
       }
@@ -96,8 +104,11 @@ object RestartProbe {
       val rst = drive(spark, corpus, build, nBatches, restartAfter, s"$work/$name-restart")
       val equal = base == rst
       if (!equal) {
-        val onlyBase = base.view.filterKeys(k => base.getOrElse(k, 0) != rst.getOrElse(k, 0)).size
-        System.err.println(s"[restart-probe] $name MISMATCH: $onlyBase differing keys")
+        // walk the UNION of keys — a row present only in the restarted
+        // run must count as a difference too
+        val differing = (base.keySet ++ rst.keySet)
+          .count(k => base.getOrElse(k, 0) != rst.getOrElse(k, 0))
+        System.err.println(s"[restart-probe] $name MISMATCH: $differing differing row-strings")
       }
       s"""{"query":"$name","rows_uninterrupted":${base.values.sum},""" +
         s""""rows_restarted":${rst.values.sum},"equal":$equal}"""
