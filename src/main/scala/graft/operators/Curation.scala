@@ -722,6 +722,47 @@ object Curation {
     * bounds. The DuckDB oracle IS the naive window — exactly the
     * semantics the distributed shape must reproduce.
     */
+  /** The MATERIALIZATION of concat-and-chunk packing: where
+    * [[packSequences]] assigns each doc its (seq_id, seq_offset),
+    * packTokens emits the training shards themselves — one row per
+    * fixed-length sequence carrying the packed subword token ids in
+    * stream order (docs concatenated in ascending `idCol` order,
+    * tokenized by the frozen greedy vocab, chunked every `maxLen` ids;
+    * the final partial sequence is emitted as-is for the caller to pad
+    * or drop). This is the last hop of a pretraining data pipeline: its
+    * output is what a training loader reads.
+    *
+    * Scale shape: the per-doc start offsets come from [[packSequences]]'
+    * two-level cumsum (no global sort); the id stream is one posexplode
+    * (a row per token — the same cardinality any tokenized-shard writer
+    * must emit) carrying (global_pos, id) only; one shuffle keyed by
+    * seq_id groups each sequence, and the within-sequence order is
+    * restored by sorting ≤ maxLen structs per group — bounded work per
+    * key, no skew (every sequence is the same size by construction).
+    */
+  def packTokens(docs: DataFrame, maxLen: Int,
+                 vocab: Seq[String] = TextAnalysis.BpeVocab,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 numPartitions: Int = 0): DataFrame = {
+    val bpe: Column => Column = c => TextAnalysis.bpeTokenCount(c, vocab)
+    val asg = packSequences(docs, maxLen, idCol, textCol, numPartitions, bpe)
+      .select(col(idCol),
+        (col("seq_id") * maxLen + col("seq_offset")).as("__start"))
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.bpeTokenize(col(textCol), vocab).as("__ids"))
+      .join(asg, Seq(idCol))
+      .select(col(idCol), col("__start"), posexplode(col("__ids")))
+      .select(((col("__start") + col("pos")) % maxLen).as("__off"),
+        expr(s"(__start + pos) div $maxLen").as("seq_id"), col("col").as("tid"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__off"), col("tid")))),
+            s => s("tid").cast("string")),
+          ",").as("ids"))
+  }
+
   def shardAssign(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
                   numPartitions: Int = 0): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")
@@ -994,6 +1035,54 @@ object Curation {
                CAST(s // 256 AS BIGINT) AS seq_id,
                CAST(s % 256 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id"""),
+    ),
+    // The packed training shards themselves: one row per 256-subword
+    // sequence with the token ids in stream order. The oracle rebuilds
+    // the whole chain — recursive-CTE tokenizer → per-doc token ordinals
+    // → global cumsum offsets → per-sequence ordered aggregation — so
+    // tokenization, ordering, and chunk boundaries are all in the hash.
+    Q(
+      "c_pack_tokens",
+      (s, dir) =>
+        packTokens(Tables(s, dir, "documents"), maxLen = 256).orderBy("seq_id"),
+      Some(s"""
+        WITH RECURSIVE vocab AS (
+          SELECT unnest([${TextAnalysis.bpeVocabSqlList}]) AS t,
+                 unnest(range(1, ${TextAnalysis.BpeVocab.length + 1})) AS id),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wpos, ws FROM w),
+        wd AS (SELECT doc_id, wpos, ws[wpos] AS wrd FROM x),
+        r AS (
+          SELECT doc_id, wpos, wrd, 1 AS pos, 0 AS step, NULL::BIGINT AS tid FROM wd
+          UNION ALL
+          SELECT doc_id, wpos, wrd,
+                 pos + COALESCE((SELECT length(t) FROM vocab
+                                 WHERE substr(wrd, pos, length(t)) = t
+                                 ORDER BY length(t) DESC LIMIT 1), 1),
+                 step + 1,
+                 COALESCE((SELECT id FROM vocab
+                           WHERE substr(wrd, pos, length(t)) = t
+                           ORDER BY length(t) DESC LIMIT 1), 0)
+          FROM r WHERE pos <= length(wrd)
+        ),
+        e AS (SELECT doc_id, wpos, step, tid FROM r WHERE step >= 1),
+        o AS (SELECT doc_id, tid,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY wpos, step) - 1 AS ord
+              FROM e),
+        bt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY doc_id),
+        t AS (SELECT d.doc_id, COALESCE(bt.n, 0) AS n
+              FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
+        c AS (SELECT doc_id,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+              FROM t),
+        g AS (SELECT o.doc_id, o.tid, c.s + o.ord AS gpos
+              FROM o JOIN c ON o.doc_id = c.doc_id)
+        SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS ids
+        FROM g GROUP BY 1 ORDER BY seq_id"""),
     ),
     // Deterministic per-source quota: at most 10 docs per source in
     // reproducible hash order.

@@ -281,6 +281,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1) == got && rows(16) == got)
   }
 
+  test("packTokens materializes the exact concatenated id stream in fixed chunks") {
+    val s = spark
+    import s.implicits._
+    // vocab: a=1, b=2, cc=3; 'z' is OOV (0)
+    val vocab = Seq("a", "b", "cc")
+    val docs = Seq(
+      (0L, "a b cc"),                  // ids 1 2 3      (3 tokens, start 0)
+      (1L, null.asInstanceOf[String]), // zero-width     (start 3)
+      (2L, "z a"),                     // ids 0 1        (start 3 — spans the maxLen=4 boundary)
+      (3L, "b b cc"),                  // ids 2 2 3      (start 5)
+    ).toDF("doc_id", "text")
+    val got = Curation.packTokens(docs, maxLen = 4, vocab = vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // stream: 1 2 3 | 0 1 | 2 2 3 → chunks [1,2,3,0], [1,2,2,3]
+    assert(got == Set((0L, 4L, "1,2,3,0"), (1L, 4L, "1,2,2,3")))
+    // the final partial chunk is emitted as-is
+    val got2 = Curation.packTokens(docs.filter($"doc_id" <= 2), maxLen = 4, vocab = vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got2 == Set((0L, 4L, "1,2,3,0"), (1L, 1L, "1")))
+    // partitioning-invariant like the offset face
+    val many = Curation.packTokens(docs, maxLen = 4, vocab = vocab, numPartitions = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(many == got)
+  }
+
   test("passageDupStats counts exactly the chunks shared across docs") {
     val s = spark
     import s.implicits._
