@@ -722,6 +722,72 @@ object Curation {
     * bounds. The DuckDB oracle IS the naive window — exactly the
     * semantics the distributed shape must reproduce.
     */
+  /** fastText-style frozen linear quality scorer (Joulin et al. 2016,
+    * "Bag of Tricks for Efficient Text Classification", with the hashing
+    * trick of Weinberger et al. 2009): features are word unigrams +
+    * bigrams hashed into `d` buckets via the cross-engine md5-60 family;
+    * the score is the integer sum of per-bucket weights — the shape of
+    * the CCNet/GPT-3-lineage quality filters (a linear model over hashed
+    * n-grams deciding keep/drop).
+    *
+    * Weights here are a deterministic pseudo-random ±500 integer per
+    * bucket (`(bucket · 2654435761) mod 1001 − 500`, Knuth's
+    * multiplicative constant) so the WHOLE mechanism — tokenization,
+    * gram construction, hashing, weight lookup, summation — is
+    * oracle-able with no weight table to ship; a production caller
+    * substitutes trained weights via `weightOf` (any serializable
+    * bucket→weight function, e.g. an array lookup over broadcast trained
+    * weights). Execution is one map-only typed pass per document with a
+    * reused MessageDigest (the cdcChunkStats kernel discipline) — the
+    * first cut folded grams through SQL higher-order lambdas, which are
+    * interpreted per element and measured 20 s at sf0.1 vs ~1 s here.
+    * Map-only and stateless, so the same call scores an unbounded
+    * STREAM (no watermark needed).
+    */
+  def linearScore(docs: DataFrame, d: Int = 4096,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  weightOf: Long => Long = Curation.defaultWeight): DataFrame = {
+    require(d >= 2, s"bucket count must be >= 2, got $d")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dd = d
+    val wf = weightOf
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (n, score) = Curation.linearScoreJvm(t, dd, wf)
+        (id, n, score)
+      }
+      .toDF(idCol, "n_grams", "score")
+  }
+
+  /** The deterministic fixture weights: ±500 integer per bucket. */
+  private def defaultWeight(bucket: Long): Long =
+    (bucket * 2654435761L) % 1001L - 500L
+
+  /** One sequential pass: unigrams then bigrams, each md5-60-bucketed and
+    * weighed — tokenization via the module's sqlTrim + `\s+` contract so
+    * the DuckDB oracle's string_split_regex sees identical grams.
+    */
+  private[graft] def linearScoreJvm(text: String, d: Int,
+                                    weightOf: Long => Long): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val words = OpChecks.sqlTrim(text).split("\\s+", -1)
+    var n = 0L
+    var score = 0L
+    def add(g: String): Unit = {
+      score += weightOf(Dedup.md5Hash60Jvm(md, g) % d)
+      n += 1
+    }
+    var i = 0
+    while (i < words.length) { add(words(i)); i += 1 }
+    i = 0
+    while (i < words.length - 1) { add(words(i) + " " + words(i + 1)); i += 1 }
+    (n, score)
+  }
+
   /** The MATERIALIZATION of concat-and-chunk packing: where
     * [[packSequences]] assigns each doc its (seq_id, seq_offset),
     * packTokens emits the training shards themselves — one row per
@@ -1035,6 +1101,27 @@ object Curation {
                CAST(s // 256 AS BIGINT) AS seq_id,
                CAST(s % 256 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id"""),
+    ),
+    // Frozen linear quality scoring over hashed unigram+bigram features —
+    // the whole mechanism (grams, md5-60 buckets, weight formula, sum) is
+    // in the hash; keep = score >= 0 is a trivial filter on top.
+    Q(
+      "c_quality_linear",
+      (s, dir) =>
+        linearScore(Tables(s, dir, "documents")).orderBy("doc_id"),
+      Some("""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT doc_id, unnest(ws) AS g FROM w),
+        bx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM bx),
+        gr AS (SELECT doc_id, g FROM u UNION ALL SELECT doc_id, g FROM bg),
+        sc AS (SELECT doc_id,
+                      CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 4096 AS bkt
+               FROM gr)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM((bkt * 2654435761) % 1001 - 500) AS BIGINT) AS score
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
     ),
     // The packed training shards themselves: one row per 256-subword
     // sequence with the token ids in stream order. The oracle rebuilds

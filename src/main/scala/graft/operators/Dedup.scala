@@ -362,7 +362,7 @@ object Dedup {
   /** first 15 hex chars of md5 as a long — ≡ MinHash.md5Hash60 /
     * DuckDB `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`
     */
-  private def md5Hash60Jvm(md: java.security.MessageDigest, s: String): Long =
+  private[operators] def md5Hash60Jvm(md: java.security.MessageDigest, s: String): Long =
     java.lang.Long.parseLong(md5Hex(md, s).substring(0, 15), 16)
 
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {

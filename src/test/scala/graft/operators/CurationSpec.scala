@@ -281,6 +281,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1) == got && rows(16) == got)
   }
 
+  test("linearScore: unigram+bigram feature counts, pluggable weights, edge docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c"),                   // 3 unigrams + 2 bigrams = 5 grams
+      (2L, "solo"),                    // 1 gram, no bigrams
+      (3L, ""),                        // one empty unigram
+      (4L, null.asInstanceOf[String]), // dropped
+    ).toDF("doc_id", "text")
+    // weightOf = const 1 turns score into a gram count — pins the gram
+    // construction independently of the hash/weight formula (which the
+    // DuckDB oracle pins end-to-end)
+    val got = Curation.linearScore(docs, weightOf = _ => 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 5L, 5L), (2L, 1L, 1L), (3L, 1L, 1L)))
+    // default weights are bounded by construction: |score| <= 500 * n_grams
+    val bad = Curation.linearScore(docs)
+      .filter(org.apache.spark.sql.functions.abs($"score") > $"n_grams" * 500L).count()
+    assert(bad == 0)
+  }
+
   test("packTokens materializes the exact concatenated id stream in fixed chunks") {
     val s = spark
     import s.implicits._
