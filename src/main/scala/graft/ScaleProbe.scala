@@ -77,7 +77,10 @@ object ScaleProbe {
     // shape against the test split) and the composed decon→BPE→pack
     // chain — the chain's ratio is the sum of its parts' postures, so a
     // drift here localizes to whichever stage regressed
-    "c_substr_decon", "c_pipeline_llm")
+    "c_substr_decon", "c_pipeline_llm",
+    // r14 continued: shard materialization (a row per token through one
+    // seq_id-keyed shuffle) and the map-only linear quality scorer
+    "c_pack_tokens", "c_quality_linear")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
