@@ -764,8 +764,26 @@ object Curation {
   }
 
   /** The deterministic fixture weights: ±500 integer per bucket. */
-  private def defaultWeight(bucket: Long): Long =
+  private[operators] def defaultWeight(bucket: Long): Long =
     (bucket * 2654435761L) % 1001L - 500L
+
+  /** [[linearScore]]'s score as a COLUMN (per-row JVM kernel behind a
+    * UDF) — for call sites that must keep the full row, most importantly
+    * the stateless streaming gate ([[graft.streaming.DocStream.qualityLinearFilter]]).
+    * Same kernel, same weights, spec-pinned equal to the typed face. A
+    * UDF is the right tool here, not codegen avoidance debt: the scoring
+    * is an inherently per-row MessageDigest loop either way, and the
+    * column form composes with filter() without dropping columns.
+    */
+  def linearScoreCol(c: Column, d: Int = 4096,
+                     weightOf: Long => Long = Curation.defaultWeight): Column = {
+    val dd = d
+    val wf = weightOf
+    udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(Curation.linearScoreJvm(t, dd, wf)._2)
+    }.apply(c)
+  }
 
   /** One sequential pass: unigrams then bigrams, each md5-60-bucketed and
     * weighed — tokenization via the module's sqlTrim + `\s+` contract so

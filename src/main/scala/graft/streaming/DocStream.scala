@@ -335,6 +335,23 @@ object DocStream {
       !contaminated(graft.functions.ShingleHash64(col(textCol), k)))
   }
 
+  /** Stateless streaming quality gate over the frozen linear scorer
+    * ([[Curation.linearScore]]'s kernel behind a column face): pass
+    * documents whose hashed-n-gram score is at least `minScore`. Per-row
+    * and stateless — any output mode, no watermark; a NULL-text doc
+    * carries no content and is dropped (a quality gate's posture, unlike
+    * the dedup gates where null rows pass as trivially novel). Equal to
+    * filtering the batch operator's output (spec'd batch≡stream).
+    */
+  def qualityLinearFilter(docs: DataFrame, minScore: Long = 0L, d: Int = 4096,
+                          textCol: String = "text",
+                          weightOf: Long => Long = null): DataFrame = {
+    val score =
+      if (weightOf == null) Curation.linearScoreCol(col(textCol), d)
+      else Curation.linearScoreCol(col(textCol), d, weightOf)
+    docs.filter(col(textCol).isNotNull && score >= minScore)
+  }
+
   /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
     * expressions (shared regexes + Curation.hits), aggregated per
     * watermarked tumbling window instead of per static group — the shape a

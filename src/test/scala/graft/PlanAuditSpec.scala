@@ -156,6 +156,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: ${p.take(2000)}")
     }
+    // shard materialization: one seq-keyed aggregation after the token
+    // explode, an equi-join for the offsets — no window (the cumsum is
+    // the two-level shape), no cartesian
+    val pt = plan("c_pack_tokens")
+    assert(!pt.contains("Window") && !pt.contains("CartesianProduct"), pt.take(2000))
+    assert(pt.contains("HashAggregate"), pt.take(2000))
+    // linear quality scoring is one typed map pass: no join, no window,
+    // no aggregate anywhere in the plan
+    val ql = plan("c_quality_linear")
+    assert(!ql.contains("Join") && !ql.contains("Window") && !ql.contains("HashAggregate"),
+      ql.take(2000))
   }
 
   test("f1_filter_cnf pushes its predicate into the parquet scan") {

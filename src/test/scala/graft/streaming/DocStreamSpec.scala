@@ -304,6 +304,33 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("qualityLinearFilter on a stream keeps exactly the batch score>=min rows; null text drops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"text".isNotNull).limit(80)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.qualityLinearFilter(docs, minScore = 0L)
+      .writeStream.format("memory").queryName("qlf_out").outputMode("append").start()
+    try {
+      input.addData(corpus.take(40).map { case (id, t) => (id, ts(id.toInt), t) }.toIndexedSeq)
+      query.processAllAvailable()
+      // a null-text row in a later batch must drop silently
+      input.addData(Seq((9999L, ts(0), null.asInstanceOf[String])) ++
+        corpus.drop(40).map { case (id, t) => (id, ts(id.toInt), t) })
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM qlf_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Curation
+        .linearScore(corpus.toSeq.toDF("doc_id", "text"))
+        .filter($"score" >= 0L).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < corpus.length) // the gate bites both ways
+    } finally query.stop()
+  }
+
   test("streaming repetitionSignals matches the batch Curation operator row for row") {
     val s = spark
     import s.implicits._
