@@ -700,28 +700,6 @@ object Curation {
         coalesce(col("ll_score"), lit(0L)).as("ll_score"))
   }
 
-  /** Deterministic shard assignment with within-shard write positions —
-    * the "materialize the training corpus as N shard files in a
-    * reproducible global shuffle order" step every pretraining pipeline
-    * ends with. Each doc gets `shard = md5-bucket(id) % nShards` and
-    * `pos` = its 0-based rank within the shard under (md5(id), id) order —
-    * so `ORDER BY pos` inside a shard IS the reproducible shuffle, and
-    * re-running the pipeline yields byte-identical shards (resumable
-    * ingestion and exact-repro training runs depend on that).
-    *
-    * Scale shape: the naive formulation is `row_number() OVER (PARTITION
-    * BY shard ORDER BY rk)` — at corpus scale each shard is a single-task
-    * sort of corpus/nShards rows. This runs the two-level rank instead
-    * (same machinery as [[packSequences]]' cumsum): range-partition by
-    * (shard, rk, id) — contiguous global order, every partition a bounded
-    * slice — then per-(partition, shard) counts prefix-summed on the
-    * driver (O(nParts + nShards) rows, since the leading range key means
-    * each partition touches at most a few shards) seed partition-local
-    * running counters. The keyed frame is eagerly localCheckpoint'ed so
-    * the count pass and the rank pass observe the SAME sampled range
-    * bounds. The DuckDB oracle IS the naive window — exactly the
-    * semantics the distributed shape must reproduce.
-    */
   /** fastText-style frozen linear quality scorer (Joulin et al. 2016,
     * "Bag of Tricks for Efficient Text Classification", with the hashing
     * trick of Weinberger et al. 2009): features are word unigrams +
@@ -764,7 +742,7 @@ object Curation {
   }
 
   /** The deterministic fixture weights: ±500 integer per bucket. */
-  private[operators] def defaultWeight(bucket: Long): Long =
+  private[graft] def defaultWeight(bucket: Long): Long =
     (bucket * 2654435761L) % 1001L - 500L
 
   /** [[linearScore]]'s score as a COLUMN (per-row JVM kernel behind a
@@ -777,6 +755,10 @@ object Curation {
     */
   def linearScoreCol(c: Column, d: Int = 4096,
                      weightOf: Long => Long = Curation.defaultWeight): Column = {
+    // same fail-fast contract as the typed face: d = 0 would divide by
+    // zero per row INSIDE a running micro-batch, d < 0 would shift every
+    // weight negative and silently drop a whole gated stream
+    require(d >= 2, s"bucket count must be >= 2, got $d")
     val dd = d
     val wf = weightOf
     udf { (t: String) =>
@@ -847,6 +829,28 @@ object Curation {
           ",").as("ids"))
   }
 
+  /** Deterministic shard assignment with within-shard write positions —
+    * the "materialize the training corpus as N shard files in a
+    * reproducible global shuffle order" step every pretraining pipeline
+    * ends with. Each doc gets `shard = md5-bucket(id) % nShards` and
+    * `pos` = its 0-based rank within the shard under (md5(id), id) order —
+    * so `ORDER BY pos` inside a shard IS the reproducible shuffle, and
+    * re-running the pipeline yields byte-identical shards (resumable
+    * ingestion and exact-repro training runs depend on that).
+    *
+    * Scale shape: the naive formulation is `row_number() OVER (PARTITION
+    * BY shard ORDER BY rk)` — at corpus scale each shard is a single-task
+    * sort of corpus/nShards rows. This runs the two-level rank instead
+    * (same machinery as [[packSequences]]' cumsum): range-partition by
+    * (shard, rk, id) — contiguous global order, every partition a bounded
+    * slice — then per-(partition, shard) counts prefix-summed on the
+    * driver (O(nParts + nShards) rows, since the leading range key means
+    * each partition touches at most a few shards) seed partition-local
+    * running counters. The keyed frame is eagerly localCheckpoint'ed so
+    * the count pass and the rank pass observe the SAME sampled range
+    * bounds. The DuckDB oracle IS the naive window — exactly the
+    * semantics the distributed shape must reproduce.
+    */
   def shardAssign(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
                   numPartitions: Int = 0): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")

@@ -345,12 +345,9 @@ object DocStream {
     */
   def qualityLinearFilter(docs: DataFrame, minScore: Long = 0L, d: Int = 4096,
                           textCol: String = "text",
-                          weightOf: Long => Long = null): DataFrame = {
-    val score =
-      if (weightOf == null) Curation.linearScoreCol(col(textCol), d)
-      else Curation.linearScoreCol(col(textCol), d, weightOf)
-    docs.filter(col(textCol).isNotNull && score >= minScore)
-  }
+                          weightOf: Long => Long = Curation.defaultWeight): DataFrame =
+    docs.filter(col(textCol).isNotNull &&
+      Curation.linearScoreCol(col(textCol), d, weightOf) >= minScore)
 
   /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
     * expressions (shared regexes + Curation.hits), aggregated per

@@ -308,9 +308,15 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
-      .filter($"text".isNotNull).limit(80)
-      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // inline corpus (the suite's self-contained convention): seeded word
+    // soup so the default +-500 bucket weights score both signs
+    val vocabWords = Array("table", "scan", "merge", "row", "value", "fast",
+      "slow", "batch", "window", "key", "sort", "filter", "join", "agg")
+    val rnd = new scala.util.Random(42)
+    val corpus: Array[(Long, String)] = (0 until 80).map { i =>
+      val n = 5 + rnd.nextInt(20)
+      (i.toLong, (0 until n).map(_ => vocabWords(rnd.nextInt(vocabWords.length))).mkString(" "))
+    }.toArray
     val input = MemoryStream[(Long, Timestamp, String)]
     val docs = input.toDF().toDF("doc_id", "event_time", "text")
     val query = DocStream.qualityLinearFilter(docs, minScore = 0L)
