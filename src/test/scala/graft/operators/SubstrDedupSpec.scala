@@ -120,6 +120,54 @@ class SubstrDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean2 == Map(1L -> s"$block a1", 2L -> s"$block b1"))
   }
 
+  test("fuzz: spans equal a brute-force reference on random small-vocab corpora") {
+    // a SMALL vocab makes natural k-gram collisions common, stressing the
+    // merge logic far beyond the planted cases; the reference recomputes
+    // coverage by definition (mark every position whose k-window token
+    // sequence occurs elsewhere, merge runs) with none of the operator's
+    // machinery
+    val vocabWords = Array("a", "b", "c", "d", "e", "f")
+    val k = 4
+    def reference(corpus: Seq[(Long, Array[String])], crossDoc: Boolean): Set[(Long, Long, Long)] = {
+      val grams = scala.collection.mutable.HashMap[Seq[String], List[(Long, Int)]]()
+      for ((id, ws) <- corpus; p <- 0 to ws.length - k)
+        grams.updateWith(ws.slice(p, p + k).toSeq)(o => Some((id, p) :: o.getOrElse(Nil)))
+      val out = Set.newBuilder[(Long, Long, Long)]
+      for ((id, ws) <- corpus if ws.length >= k) {
+        val covered = new Array[Boolean](ws.length)
+        for (p <- 0 to ws.length - k) {
+          val occ = grams(ws.slice(p, p + k).toSeq)
+          val dup = if (crossDoc) occ.exists(_._1 != id) else occ.size > 1
+          if (dup) (p until p + k).foreach(covered(_) = true)
+        }
+        var i = 0
+        while (i < covered.length) {
+          if (covered(i)) {
+            val s = i
+            while (i < covered.length && covered(i)) i += 1
+            out += ((id, (s + 1).toLong, i.toLong)) // 1-based inclusive
+          } else i += 1
+        }
+      }
+      out.result()
+    }
+    import spark.implicits._
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until (6 + rnd.nextInt(8))).map { i =>
+        val n = rnd.nextInt(30)
+        (i.toLong, Array.fill(n)(vocabWords(rnd.nextInt(vocabWords.length))))
+      }
+      val df = corpus.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+      for (crossDoc <- Seq(true, false)) {
+        val got = spanSet(Dedup.substrDupSpans(df, k = k, crossDoc = crossDoc))
+        val want = reference(corpus, crossDoc)
+        assert(got == want,
+          s"seed=$seed crossDoc=$crossDoc\ngot:  ${got.toSeq.sorted}\nwant: ${want.toSeq.sorted}")
+      }
+    }
+  }
+
   test("coverage equivalence: spans equal the union of repeated >=k-substrings (planted 3-way)") {
     // the same 10-token run in three docs plus an unrelated 8-block pair:
     // every covered token must be inside SOME cross-doc-repeated >=8-token
