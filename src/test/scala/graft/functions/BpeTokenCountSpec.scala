@@ -117,6 +117,47 @@ class BpeTokenCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idsOne("values").map(i => vocab(i.toInt - 1)).mkString == "values")
   }
 
+  test("fuzz: random overlapping vocabs and multi-byte texts match the reference, both faces") {
+    import spark.implicits._
+    val alphabet = "abcdé€" // mixed 1/2/3-byte UTF-8
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      def randTok(maxLen: Int): String =
+        (0 until (1 + rnd.nextInt(maxLen))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // distinct vocab with deliberately overlapping prefixes (short
+      // entries are prefixes of longer ones with high probability on a
+      // 6-char alphabet) — the greedy longest-match stressor
+      val v = Iterator.continually(randTok(4)).distinct.take(8 + rnd.nextInt(8)).toSeq
+      val texts = (0 until 30).map { _ =>
+        (0 until rnd.nextInt(8)).map(_ => randTok(6)).mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val got = df.select(col("id"), BpeTokenCount(col("t"), v).as("n"),
+          BpeTokenize(col("t"), v).as("ids"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (n, ids) = got(i.toLong)
+        assert(n == reference(t, v), s"seed=$seed count mismatch on '$t' vocab=$v")
+        assert(ids.length == n, s"seed=$seed size!=count on '$t'")
+        // every non-OOV id decodes to an entry that matches at its spot —
+        // reconstruct by replaying the greedy walk over the words
+        val sorted = v.sortBy(-_.length)
+        val replayed = t.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+          val out = scala.collection.mutable.ArrayBuffer[Long]()
+          var p = 0
+          while (p < w.length) {
+            sorted.find(e => w.regionMatches(p, e, 0, e.length)) match {
+              case Some(e) => out += (v.indexOf(e) + 1).toLong; p += e.length
+              case None    => out += 0L; p += Character.charCount(w.codePointAt(p))
+            }
+          }
+          out
+        }.toSeq
+        assert(ids == replayed, s"seed=$seed id sequence mismatch on '$t' vocab=$v")
+      }
+    }
+  }
+
   test("parity with the reference implementation on real corpus text, codegen on") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
