@@ -22,7 +22,11 @@ import org.apache.spark.sql.SparkSession
   *     "arbitrated", with a top-level "suspect_contamination" flag. At
   *     most 16 suspects (worst first/band ratios) are re-measured — on a
   *     fully-contaminated run the reps are contaminated too, so beyond
-  *     that the remaining names are listed under "unarbitrated_suspects";
+  *     that the remaining names are listed under "unarbitrated_suspects".
+  *     Additionally the top-3 first/band ratios are arbitrated
+  *     UNCONDITIONALLY (verdicts "inflated"/"clean") — the 0.75 s floor
+  *     shields sub-second bands, and two rounds running a >2×-band
+  *     reading escaped through that gap;
   *   - the headline `corrected_total_sec` (raw total minus the
   *     contaminated deltas) is the number to quote, and `commit` stamps
   *     which code state was measured.
@@ -126,6 +130,24 @@ object Bench {
       for (first <- tOpt; band <- bandMap.get(name) if first > threshold(band))
         yield (name, first, band)
     }
+    // the trigger gap: two rounds running a >2×-band reading escaped under
+    // max(2×band, band+0.75) — the 0.75 s floor shields every sub-second
+    // band (r13 c_pack_sequences at 2.20×, r14 ann_lsh_recall at 2.13×).
+    // So the top-3 first/band ratios are arbitrated UNCONDITIONALLY per
+    // run: on a clean run that costs three ~1 s re-reads and classifies
+    // them "clean"; on a polluted one it catches exactly the sub-trigger
+    // escapes. Verdicts for sub-threshold entries: "inflated" when the
+    // rep minimum shows the first reading ran ≥1.5× its clean cost
+    // (subtracted from the corrected total like "contaminated"), else
+    // "clean" (no subtraction — min-of-reps must not bias a clean run).
+    val suspectNames = suspects.map(_._1).toSet
+    val top3 = results
+      .flatMap { case (name, tOpt, _) =>
+        for (first <- tOpt; band <- bandMap.get(name) if !suspectNames(name))
+          yield (name, first, band)
+      }
+      .sortBy { case (_, first, band) => -(first / band) }
+      .take(3)
     // bound the arbitration pass: on a fully-contaminated run, re-measuring
     // every query re-measures inside the same contamination and triples the
     // runtime for nothing. Up to 25 suspects every one gets arbitrated — the
@@ -135,7 +157,7 @@ object Bench {
     val cap = if (suspects.size <= 25) suspects.size else 16
     val (toArbitrate, overflow) =
       suspects.sortBy { case (_, first, band) => -(first / band) }.splitAt(cap)
-    val arbitrated = toArbitrate.map { case (name, first, band) =>
+    val arbitrated = (toArbitrate ++ top3).map { case (name, first, band) =>
       System.err.println(
         f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")
       // a rep that throws (executor OOM under the same contamination) must
@@ -151,11 +173,14 @@ object Bench {
       val best = if (reps.nonEmpty) reps.min else Double.NaN
       val verdict =
         if (reps.isEmpty) "reps_failed"
-        else if (best <= threshold(band)) "contaminated"
-        else "regression"
+        else if (first > threshold(band)) {
+          if (best <= threshold(band)) "contaminated" else "regression"
+        } else if (best < first / 1.5) "inflated"
+        else "clean"
       (name, first, band, reps, best, verdict)
     }
-    val suspectContamination = arbitrated.exists(_._6 == "contaminated")
+    val suspectContamination =
+      arbitrated.exists(a => a._6 == "contaminated" || a._6 == "inflated")
 
     def num(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => num(t).toString) }
@@ -172,7 +197,8 @@ object Bench {
     // for every query self-classified "contaminated"). Equals the raw
     // total on a clean run.
     val correctedTotal = total - arbitrated.collect {
-      case (_, first, _, _, best, "contaminated") if !best.isNaN => first - best
+      case (_, first, _, _, best, v) if (v == "contaminated" || v == "inflated") && !best.isNaN =>
+        first - best
     }.sum
     // stamp the artifact with the commit it measured — SURVEY prose citing
     // probe/bench numbers is only checkable when runs are attributable

@@ -160,30 +160,35 @@ object BpeTokenCount {
 
   // one compiled trie per distinct vocab per JVM — expressions deserialize
   // per task, and recompiling a 50k-entry vocab per task would dominate
-  // short tasks. BOUNDED: a long-lived executor serving many distinct
-  // vocabularies (per-tenant merges tables) must not pin one trie per
-  // vocab forever, so past MaxCachedVocabs the cache clears wholesale —
-  // recompilation is correctness-neutral and the common case (a handful
-  // of vocabs per job) never evicts.
+  // short tasks. BOUNDED as a true LRU: a long-lived executor cycling
+  // through many distinct vocabularies (per-tenant merges tables) evicts
+  // only the least-recently-used entry past MaxCachedVocabs — the earlier
+  // clear-all eviction made every new vocab flush all 63 hot tries,
+  // thrashing exactly the multi-tenant case the bound exists for.
+  // access-order LinkedHashMap under a lock: compile is rare (once per
+  // vocab per JVM) and the hot path holds the lock for one map lookup.
   private val MaxCachedVocabs = 64
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Seq[String], Trie]()
+  private val cache =
+    new java.util.LinkedHashMap[Seq[String], Trie](MaxCachedVocabs * 2, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Seq[String], Trie]): Boolean =
+        size() > MaxCachedVocabs
+    }
 
-  private[graft] def compile(vocab: Seq[String]): Trie = {
-    if (cache.size >= MaxCachedVocabs && !cache.containsKey(vocab)) cache.clear()
-    cacheCompute(vocab)
-  }
-
-  private def cacheCompute(vocab: Seq[String]): Trie =
-    cache.computeIfAbsent(vocab, v => {
+  private[graft] def compile(vocab: Seq[String]): Trie = cache.synchronized {
+    val hit = cache.get(vocab)
+    if (hit != null) hit
+    else {
       val root = new Trie
-      v.zipWithIndex.foreach { case (entry, idx) =>
+      vocab.zipWithIndex.foreach { case (entry, idx) =>
         var node = root
         entry.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           .foreach(b => node = node.addChild(b))
         node.termId = idx + 1
       }
+      cache.put(vocab, root)
       root
-    })
+    }
+  }
 
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'

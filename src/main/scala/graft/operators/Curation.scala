@@ -726,6 +726,10 @@ object Curation {
                   idCol: String = "doc_id", textCol: String = "text",
                   weightOf: Long => Long = Curation.defaultWeight): DataFrame = {
     require(d >= 2, s"bucket count must be >= 2, got $d")
+    // fail fast on a non-integral id, matching the sibling typed faces
+    // (packSequences, shardAssign): a null/non-numeric id would otherwise
+    // cast to null long and NPE opaquely inside the typed .map below
+    OpChecks.requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
     val dd = d

@@ -532,8 +532,22 @@ object Dedup {
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
   }
 
-  /** The paper's remediation: drop every token inside a duplicated span
-    * and return (id, clean_text) with the survivors space-joined —
+  /** Span-removal remediation: drop every token inside a duplicated span
+    * and return (id, clean_text) with the survivors space-joined.
+    *
+    * SEMANTICS NOTE — no copy is retained: a substring duplicated across
+    * docs is removed from EVERY occurrence, so the content vanishes from
+    * the corpus entirely. Lee et al. 2022's ExactSubstr implementation
+    * keeps one occurrence per duplicate group; this face deliberately
+    * does not — "keep one" requires electing a canonical occurrence per
+    * group (an extra per-group argmin exchange) and callers here pair
+    * the clean face with [[substrDupStats]] to audit what was cut.
+    * Callers expecting upstream keep-one semantics get a strictly
+    * smaller corpus; the divergence is oracle-consistent (the DuckDB
+    * twin removes all occurrences too).
+    *
+    * The survivors are whitespace-normalized by construction (the same
+    * split both engines apply); the text is
     * whitespace-normalized by construction (the same split both engines
     * apply). Spans arrive as a small per-doc array on each document row
     * (one groupBy of span rows), and the token filter runs inside

@@ -267,10 +267,13 @@ object TextAnalysis {
   )
 
   /** The fixture vocab as a DuckDB list literal — single source of truth
-    * with [[BpeVocab]] so the two engines can never drift.
+    * with [[BpeVocab]] so the two engines can never drift. Single quotes
+    * are SQL-escaped by doubling: the current fixture has none, but a
+    * future entry containing one would otherwise silently corrupt every
+    * BPE oracle string.
     */
   private[graft] def bpeVocabSqlList: String =
-    BpeVocab.map(v => s"'$v'").mkString(", ")
+    BpeVocab.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
 
   /** DuckDB CASE expression computing exactly [[splitName]] for `idExpr`
     * — the oracle-side single source of the hash-split rule. New oracles
