@@ -245,6 +245,18 @@ object TextAnalysis {
         FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id
         ORDER BY w.doc_id"""),
     ),
+    // BPE vocab TRAINING (Sennrich et al. 2016): the merge sequence
+    // learned from the corpus itself — 20 merges, minCount 2, ties by
+    // (count DESC, pair ASC). The DuckDB oracle replays the ENTIRE
+    // training loop (recursive CTE, one level per merge; see
+    // BpeTrain.oracleSql), so the check pins the full algorithm —
+    // pair counting, argmax tie-break, greedy merge application —
+    // step by step, cross-engine.
+    Q(
+      "c_bpe_train",
+      (s, dir) => BpeTrain.train(Tables(s, dir, "documents"), numMerges = 20).orderBy("step"),
+      Some(BpeTrain.oracleSql(numMerges = 20)),
+    ),
     Q(
       "t_fingerprint",
       (s, dir) =>
