@@ -749,6 +749,35 @@ object Curation {
   private[graft] def defaultWeight(bucket: Long): Long =
     (bucket * 2654435761L) % 1001L - 500L
 
+  /** The production loading path for TRAINED weights — proves
+    * [[linearScore]]'s `weightOf` hook end-to-end: a (bucket, weight)
+    * table (typically parquet written by the offline trainer) is
+    * collected into a dense d-entry array (a few MB at any practical
+    * bucket count — the model IS small; that's the point of the hashing
+    * trick) and broadcast once; executors look weights up by index.
+    * Buckets absent from the table weigh 0 (an untrained bucket is
+    * evidence of nothing); duplicate buckets fail fast (two weights for
+    * one bucket means the trainer emitted garbage — last-write-wins
+    * would silently score with half the model).
+    */
+  def linearScoreTable(docs: DataFrame, weights: DataFrame, d: Int = 4096,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       bucketCol: String = "bucket", weightCol: String = "weight"): DataFrame = {
+    require(d >= 2, s"bucket count must be >= 2, got $d")
+    val arr = new Array[Long](d)
+    val seen = new java.util.BitSet(d)
+    weights.select(col(bucketCol).cast("long"), col(weightCol).cast("long"))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        require(b >= 0 && b < d, s"weight bucket $b outside [0, $d)")
+        require(!seen.get(b.toInt), s"duplicate weight row for bucket $b")
+        seen.set(b.toInt)
+        arr(b.toInt) = r.getLong(1)
+      }
+    val bc = docs.sparkSession.sparkContext.broadcast(arr)
+    linearScore(docs, d, idCol, textCol, weightOf = b => bc.value(b.toInt))
+  }
+
   /** [[linearScore]]'s score as a COLUMN (per-row JVM kernel behind a
     * UDF) — for call sites that must keep the full row, most importantly
     * the stateless streaming gate ([[graft.streaming.DocStream.qualityLinearFilter]]).
@@ -1147,6 +1176,34 @@ object Curation {
                FROM gr)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM((bkt * 2654435761) % 1001 - 500) AS BIGINT) AS score
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // The trained-weights face: same scorer, weights from a (bucket,
+    // weight) TABLE broadcast as a dense array instead of the synthetic
+    // hash weights — proving the weightOf hook end-to-end. The fixture
+    // table covers every 3rd bucket (so the missing-bucket→0 path is
+    // exercised non-vacuously) with weight (bucket·37) % 201 − 100,
+    // mirrored as a CASE in the oracle.
+    Q(
+      "c_quality_linear_table",
+      (s, dir) => {
+        val weights = s.range(0, 4096).filter(col("id") % 3 === 0)
+          .select(col("id").as("bucket"),
+            ((col("id") * 37) % 201 - 100).as("weight"))
+        linearScoreTable(Tables(s, dir, "documents"), weights).orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT doc_id, unnest(ws) AS g FROM w),
+        bx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM bx),
+        gr AS (SELECT doc_id, g FROM u UNION ALL SELECT doc_id, g FROM bg),
+        sc AS (SELECT doc_id,
+                      CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 4096 AS bkt
+               FROM gr)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN bkt % 3 = 0 THEN (bkt * 37) % 201 - 100 ELSE 0 END) AS BIGINT) AS score
         FROM sc GROUP BY doc_id ORDER BY doc_id"""),
     ),
     // The packed training shards themselves: one row per 256-subword
