@@ -66,11 +66,12 @@ object BpeTrain {
       .select(col("word"), col("freq"),
         regexp_extract_all(col("word"), lit("(?s)."), lit(0)).as("syms"))
 
-  /** Adjacent-pair argmax: one map-side-combined groupBy over pair types,
-    * then TakeOrderedAndProject — the only shuffle of an iteration.
+  /** Adjacent-pair argmax plan: one map-side-combined groupBy over pair
+    * types, then TakeOrderedAndProject — the only shuffle of an
+    * iteration.
     */
-  private def bestPair(words: DataFrame, minCount: Long): Option[(String, String, Long)] = {
-    val rows = words
+  private def pairAgg(words: DataFrame, minCount: Long): DataFrame =
+    words
       .select(col("freq"), explode(expr(
         "transform(slice(syms, 1, size(syms) - 1), (s, j) -> struct(s AS l, syms[j + 1] AS r))"))
         .as("p"))
@@ -79,9 +80,20 @@ object BpeTrain {
       .filter(col("c") >= minCount)
       .orderBy(col("c").desc, col("l"), col("r"))
       .limit(1)
-      .collect()
+
+  private def bestPair(words: DataFrame, minCount: Long): Option[(String, String, Long)] = {
+    val rows = pairAgg(words, minCount).collect()
     rows.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
   }
+
+  /** The one-iteration pair-frequency physical plan, for PlanAuditSpec:
+    * the training hot loop must stay aggregate + TakeOrdered with no
+    * join/window/global sort.
+    */
+  def auditPairAggPlan(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    pairAgg(initialWords(graft.Tables(spark, dir, "documents"), "text"), 2)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   /** Greedy left-to-right merge of (lhs, rhs) → merged as a codegen'd
     * fold; see the object doc for the fold ≡ scan-with-skip argument.

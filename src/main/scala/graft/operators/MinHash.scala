@@ -188,10 +188,11 @@ object MinHash {
   }
 
   /** (id, band, bk) membership rows in the md5 oracle family — the ONE
-    * derivation shared by the canonical, two-corpus and directory faces.
+    * derivation shared by the canonical, two-corpus and directory faces
+    * (and composed with image hashes by [[Multimodal.pairDedup]]).
     */
-  private def membershipsMd5(df: DataFrame, idCol: String, textCol: String,
-                             k: Int, h: Int, bands: Int): DataFrame = {
+  private[operators] def membershipsMd5(df: DataFrame, idCol: String, textCol: String,
+                                        k: Int, h: Int, bands: Int): DataFrame = {
     require(bands >= 1 && h % bands == 0,
       s"h=$h must divide into bands=$bands (trailing signature entries would be silently ignored)")
     signaturesMd5(df, idCol, textCol, k, h)

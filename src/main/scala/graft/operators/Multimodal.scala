@@ -593,4 +593,68 @@ object Multimodal {
       .withColumn("frame", blob.substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .withColumn("frame_idx", col("frame_idx").cast("long"))
   }
+
+  /** Joint image-text PAIR dedup — the LAION-style rule for web-scale
+    * image-caption corpora: two samples are duplicates only when BOTH
+    * modalities match (near-dup image AND near-dup caption); matching on
+    * either alone over-merges (one stock photo under thousands of
+    * distinct captions, one boilerplate caption under thousands of
+    * images). Composition of two existing kernels: the image side keys
+    * on the perceptual `ahash64` ([[graft.functions.PerceptualHash64]] —
+    * the mm_image_dedup bits), the caption side on MinHash-LSH band
+    * buckets ([[MinHash.membershipsMd5]] — the d_minhash_lsh family);
+    * the composed bucket is (band, ahash, bandKey), so sharing one
+    * requires agreement in both modalities simultaneously.
+    *
+    * Canonical assignment and hot-bucket policy are inherited verbatim
+    * from the LSH canonical family: per composed bucket (size, min-id)
+    * via one window pass, per-doc min over non-hot buckets (> maxBucket
+    * members = boilerplate collision, not duplicate evidence — sized
+    * against the COMPOSED key space, which is strictly finer than either
+    * modality alone), docs with no eligible bucket self-canonical.
+    *
+    * Scale shape: one id-keyed join attaching the per-doc image hash to
+    * the N×bands membership rows, one exchange on the composed key for
+    * the window, one id-keyed aggregation — all AQE-skew-splittable, no
+    * corpus text in any shuffle (memberships carry only 8-byte keys).
+    */
+  def pairDedup(pairs: DataFrame, idCol: String = "doc_id", blobCol: String = "blob",
+                captionCol: String = "caption", k: Int = 3, h: Int = 16,
+                bands: Int = 8, maxBucket: Int = 50): DataFrame = {
+    val ah = pairs.select(col(idCol),
+      graft.functions.PerceptualHash64.aHash(col(blobCol)).as("ah"))
+    val mem = MinHash.membershipsMd5(pairs, idCol, captionCol, k, h, bands)
+      .join(ah, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "ah", "bk")
+    val fromBuckets = mem
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col(idCol)).over(w))
+      .groupBy(idCol)
+      .agg(min(when(col("__n") <= maxBucket, col("__bmin"))).as("__cmin"))
+    pairs.select(col(idCol))
+      .join(fromBuckets, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__cmin"), col(idCol)).as("canonical_id"))
+  }
+
+  /** Deterministic caption fixture for the pair-dedup query: caption
+    * cluster c = doc_id % 30, five words all derived from c — same-
+    * cluster docs carry the exact caption, different clusters share no
+    * shingle. Combined with the doc_id % 50 image clusters, joint pairs
+    * form at doc_id ≡ (mod 150) — strictly finer than EITHER modality's
+    * own clusters, so the composition is visible in the output (image-
+    * only or caption-only matching would produce different canonicals).
+    * Mirrored expression-for-expression by [[captionSql]].
+    */
+  def withSyntheticCaptions(docs: DataFrame, idCol: String = "doc_id",
+                            captionCol: String = "caption"): DataFrame = {
+    val c = (col(idCol) % 30).cast("string")
+    docs.withColumn(captionCol, concat(
+      lit("cap"), c, lit(" w"), c, lit("a w"), c, lit("b w"), c, lit("c w"), c, lit("d")))
+  }
+
+  /** DuckDB expression computing exactly [[withSyntheticCaptions]]. */
+  def captionSql(idExpr: String = "doc_id"): String = {
+    val c = s"CAST($idExpr % 30 AS VARCHAR)"
+    s"'cap' || $c || ' w' || $c || 'a w' || $c || 'b w' || $c || 'c w' || $c || 'd'"
+  }
 }

@@ -663,6 +663,26 @@ object TrainingDataQueries {
       },
       Some(mmImageDedupOracleSql),
     ),
+    // Joint image-text PAIR dedup (the LAION-style rule): duplicates
+    // only when BOTH the image ahash64 AND a caption MinHash band bucket
+    // agree. Fixture: images cluster at doc_id % 50 (the mm_image_dedup
+    // mapping), captions at doc_id % 30, so joint clusters form at
+    // doc_id ≡ (mod 150) — strictly finer than either modality alone;
+    // matching on one modality only would produce different canonicals,
+    // making the composition itself hash-checked. DuckDB re-derives the
+    // ahash from the LCG closed form AND the band buckets from the same
+    // caption expression, end-to-end.
+    Q(
+      "mm_pair_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 50 * 4 + 1).as("img_id"))
+        val pairs = Multimodal.withSyntheticCaptions(
+          Multimodal.synthesizeImages(docs, "img_id"))
+        Multimodal.pairDedup(pairs).orderBy("doc_id")
+      },
+      Some(mmPairDedupOracleSql),
+    ),
     // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4
     // frames per blob, per-blob frame_idx from the generator. Frames are
     // compared as md5-of-hex (DuckDB cannot slice BLOBs, but hex strings
@@ -886,7 +906,13 @@ object TrainingDataQueries {
   /** CTEs w→bk computing md5-family band memberships (mirrors
     * MinHash.signaturesMd5 + bandKeysMd5 with k=3, h=16, bands=8, rows=2).
     */
-  private def md5BandCtes: String = {
+  private def md5BandCtes: String = md5BandCtes("text")
+
+  /** The MinHash md5 band CTEs over an arbitrary text expression —
+    * `text` for the document-dedup oracles, the synthetic caption
+    * expression for mm_pair_dedup.
+    */
+  private def md5BandCtes(textExpr: String): String = {
     val h = 16; val bands = 8; val rows = 2
     val gs = (0 until h).map(i =>
       s"min(h1 + $i * h2) AS g$i").mkString(",\n             ")
@@ -894,8 +920,8 @@ object TrainingDataQueries {
       val vals = (0 until rows).map(r => s"CAST(g${b * rows + r} AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, '$b,' || $vals AS bs FROM m"
     }.mkString("\n             UNION ALL ")
-    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-       |          FROM documents WHERE text IS NOT NULL),
+    s"""w AS (SELECT doc_id, string_split_regex(trim($textExpr), '\\s+') AS ws
+       |          FROM documents WHERE $textExpr IS NOT NULL),
        |     sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
        |              ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END AS shs
        |            FROM w),
@@ -1325,6 +1351,31 @@ object TrainingDataQueries {
       SELECT doc_id, ahash AS ah,
              MIN(doc_id) OVER (PARTITION BY ahash) AS canonical_id
       FROM ah ORDER BY doc_id"""
+
+  /** ≡ Multimodal.pairDedup over (doc_id%50 images, doc_id%30 captions):
+    * the mm_image_dedup ahash CTEs composed with the d_minhash_lsh band
+    * CTEs evaluated over the synthetic caption expression; buckets are
+    * (band, ahash, bandKey) with the inherited ≤50 hot guard and
+    * min-over-buckets canonical.
+    */
+  private def mmPairDedupOracleSql: String =
+    s"""
+      WITH RECURSIVE ${mmGridCtes("(doc_id % 50) * 4 + 1")},
+      m8 AS (SELECT doc_id, SUM(cell) // 64 AS mean FROM g8 GROUP BY doc_id),
+      ahx AS (SELECT g8.doc_id,
+                ${packBits("cell > mean", "gy * 8 + gx")} AS ah
+              FROM g8 JOIN m8 ON g8.doc_id = m8.doc_id
+              GROUP BY g8.doc_id),
+      ${md5BandCtes(Multimodal.captionSql("doc_id"))},
+      mem AS (SELECT bk.doc_id, bk.band, ahx.ah, bk.bkv
+              FROM bk JOIN ahx ON bk.doc_id = ahx.doc_id),
+      sz AS (SELECT band, ah, bkv, COUNT(*) AS n, MIN(doc_id) AS bmin
+             FROM mem GROUP BY band, ah, bkv),
+      cm AS (SELECT mem.doc_id, MIN(CASE WHEN sz.n <= 50 THEN sz.bmin END) AS cmin
+             FROM mem JOIN sz USING (band, ah, bkv) GROUP BY mem.doc_id)
+      SELECT d.doc_id, COALESCE(cm.cmin, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN cm ON d.doc_id = cm.doc_id
+      ORDER BY d.doc_id"""
 
   /** ≡ the mm_frame_decode Spark pipeline: per doc, nf = 2 + d%3 frames of
     * (8 + d%9)×(8 + (d//3)%9) gray pixels; frame k's pixel stream is the

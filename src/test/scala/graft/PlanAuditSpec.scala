@@ -169,6 +169,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       ql.take(2000))
   }
 
+  test("r15 shapes: bpe training iteration join-free, pair dedup equi-join + composed-key window") {
+    // one BPE-training iteration = the pair-frequency argmax: a hash
+    // aggregation over exploded adjacent pairs + TakeOrdered — no join,
+    // no window, no global sort in the hot loop
+    val it = operators.BpeTrain.auditPairAggPlan(spark, sfDir)
+    assert(it.contains("HashAggregate") && it.contains("TakeOrderedAndProject"),
+      it.take(2000))
+    assert(!it.contains("Join") && !it.contains("Window"), it.take(2000))
+    // joint pair dedup: id-keyed equi-joins to attach the image hash,
+    // one window over the COMPOSED (band, ah, bk) key — never a
+    // cartesian/nested-loop fallback, and the memberships never carry
+    // caption text into the window exchange
+    val pd = plan("mm_pair_dedup")
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"),
+      pd.take(2000))
+    assert(pd.contains("Window"), pd.take(2000))
+    // trained-weights scorer keeps the map-only typed-pass contract of
+    // its synthetic-weights twin
+    val qt = plan("c_quality_linear_table")
+    assert(!qt.contains("Join") && !qt.contains("Window") && !qt.contains("HashAggregate"),
+      qt.take(2000))
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))
