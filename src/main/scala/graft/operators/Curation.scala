@@ -862,6 +862,43 @@ object Curation {
           ",").as("ids"))
   }
 
+  /** The WRITE of the training shards — [[packTokens]] (the rows) and
+    * [[shardAssign]] (the reproducible placement) composed into actual
+    * shard FILES: one parquet file per shard under `outDir/shard=K/`,
+    * rows in `pos` order, so a training loader reads shard K as a
+    * stream and two pipeline runs produce BYTE-IDENTICAL shards
+    * (resumable ingestion and exact-repro training runs depend on
+    * that; ShardWriteSpec hashes the written bytes across runs AND
+    * across input partitionings to pin it).
+    *
+    * Determinism argument: packTokens' output is a pure function of the
+    * corpus (seq ids from the two-level cumsum over ascending doc ids);
+    * shardAssign places each sequence at (md5-bucket, md5-rank) —
+    * partition-independent by the range-partition + prefix-sum
+    * construction; the final exchange hashes on `shard` ONLY, so every
+    * shard lands whole in exactly one task, is sorted (shard, pos)
+    * within it, and parquet encodes the same rows in the same order to
+    * the same bytes. File NAMES carry a per-run task UUID (Spark's
+    * committer contract) — identity is over file contents.
+    *
+    * Scale: one extra exchange at sequence cardinality (tokens/maxLen —
+    * 1/256th of token rows) on top of the packTokens/shardAssign
+    * machinery; nShards single-file writes bound per-task output
+    * exactly like any production shard writer.
+    */
+  def writeTokenShards(docs: DataFrame, outDir: String, nShards: Int, maxLen: Int = 256,
+                       vocab: Seq[String] = TextAnalysis.BpeVocab,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       numPartitions: Int = 0): Unit = {
+    val packed = packTokens(docs, maxLen, vocab, idCol, textCol, numPartitions)
+    val asg = shardAssign(packed, nShards, "seq_id", numPartitions)
+    packed.join(asg, Seq("seq_id"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .select(col("shard"), col("pos"), col("seq_id"), col("n_tokens"), col("ids"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Deterministic shard assignment with within-shard write positions —
     * the "materialize the training corpus as N shard files in a
     * reproducible global shuffle order" step every pretraining pipeline
