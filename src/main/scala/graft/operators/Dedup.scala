@@ -458,6 +458,26 @@ object Dedup {
       shingleStream(docs, k, idCol, textCol).join(testH, Seq("h"), "left_semi"), k, idCol)
   }
 
+  /** The test split's distinct k-shingle fingerprint DIRECTORY as a
+    * sorted long array — the frozen artifact the streaming
+    * decontamination gate ([[graft.streaming.DocStream.deconFilter]])
+    * probes by binary search. EXACT (not a sketch): the gate's verdict
+    * then equals the batch semi-join's bit-for-bit, which is what a
+    * leakage audit wants. Driver-bounded by the HELD-OUT split's token
+    * count (8 bytes per distinct shingle — a 10M-token test split is an
+    * 80 MB broadcast; the held-out split is small by construction, and
+    * a caller with a corpus-scale "test side" wants
+    * [[substrDecontaminate]]'s distributed semi-join instead).
+    */
+  def substrDirectory(testDocs: DataFrame, k: Int = 8,
+                      idCol: String = "doc_id", textCol: String = "text"): Array[Long] = {
+    require(k >= 2, "k must be >= 2")
+    val arr = shingleStream(testDocs, k, idCol, textCol)
+      .select("h").distinct().collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** (id, pos, h): one row per k-shingle position, fingerprinted by the
     * native kernel. Docs shorter than k tokens are filtered BEFORE the
     * kernel (whose <k-token contract is one joined shingle — a

@@ -335,6 +335,46 @@ object DocStream {
       !contaminated(graft.functions.ShingleHash64(col(textCol), k)))
   }
 
+  /** Stateless streaming SUBSTRING-level decontamination gate — the
+    * stream face of [[graft.operators.Dedup.substrContaminatedSpans]]'s
+    * zero-overlap question: pass through documents sharing NO k-token
+    * shingle with the frozen held-out split, probed EXACTLY against the
+    * split's sorted fingerprint directory
+    * ([[graft.operators.Dedup.substrDirectory]], binary search per
+    * shingle — no sketch, no false positives in either direction, so
+    * the stream verdict equals the batch semi-join's bit-for-bit;
+    * spec'd batch≡stream). This is the leakage-prevention posture of
+    * Lee et al. 2022's decontamination applied at INGESTION time:
+    * never let a test-overlapping document into the training corpus at
+    * all, instead of scrubbing spans at compaction.
+    *
+    * Per-row and stateless (any output mode, no watermark): the
+    * directory rides one broadcast per call — ships to each executor
+    * once, not per micro-batch. NULL-text docs pass (no shingles);
+    * docs shorter than k tokens pass (they carry no k-shingle — the
+    * batch operator filters them out of contamination marking for the
+    * same reason, and ShingleHash64's <k joined-shingle fallback must
+    * not be probed as if it were a k-shingle).
+    */
+  def deconFilter(docs: DataFrame,
+                  directory: Array[Long],
+                  k: Int = 8, textCol: String = "text"): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val bc = docs.sparkSession.sparkContext.broadcast(directory)
+    val anyHit = udf { (hs: scala.collection.Seq[Long]) =>
+      val dir = bc.value
+      var i = 0
+      var hit = false
+      while (i < hs.length && !hit) {
+        hit = java.util.Arrays.binarySearch(dir, hs(i)) >= 0; i += 1
+      }
+      hit
+    }
+    docs.filter(col(textCol).isNull ||
+      size(split(trim(col(textCol)), "\\s+")) < k ||
+      !anyHit(graft.functions.ShingleHash64(col(textCol), k)))
+  }
+
   /** Stateless streaming quality gate over the frozen linear scorer
     * ([[Curation.linearScore]]'s kernel behind a column face): pass
     * documents whose hashed-n-gram score is at least `minScore`. Per-row

@@ -114,11 +114,24 @@ object RestartProbe {
         s""""rows_restarted":${rst.values.sum},"equal":$equal}"""
     }
 
+    // the substring-decon gate's frozen directory: the corpus's own
+    // hash-split test side (the c_substr_decon split rule), built once
+    // before any stream starts — the production lifecycle
+    val deconDir = graft.operators.Dedup.substrDirectory(
+      Tables(spark, dir, "documents")
+        .filter(graft.operators.TextAnalysis.splitName(
+          org.apache.spark.sql.functions.col("doc_id")) === "test"))
+
     val arms = Seq(
       arm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
       arm("lmScoreByWindow",
         docs => DocStream.lmScoreByWindow(docs, lm, watermarkDelay = watermark)),
+      // stateless arm: recovery here exercises the SOURCE/offset replay
+      // half of checkpointing (no state store) — the gate must drop the
+      // same docs across the kill/restart boundary
+      arm("deconFilter",
+        docs => DocStream.deconFilter(docs, deconDir)),
     )
     val json =
       s"""{"metric":"restart_probe","sf_dir":"$dir","batches":$nBatches,""" +

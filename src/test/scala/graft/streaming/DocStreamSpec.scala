@@ -420,6 +420,45 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("deconFilter gates a stream exactly like the batch substring-decon spans") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val testSplit = Seq(
+      (100L, "t0 t1 t2 t3 t4 t5 t6 t7 tail token"),
+      (101L, "u0 u1 u2 u3 u4 u5 u6 u7"),
+    ).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, ts(10), "x0 t0 t1 t2 t3 t4 t5 t6 t7 y0"),     // interior 8-shingle overlap
+      (2L, ts(11), "clean words here nothing matches anything eight nine"), // clean
+      (3L, ts(12), "u0 u1 u2 u3 u4 u5 u6"),              // 7 tokens < k — passes
+      (4L, ts(20), null.asInstanceOf[String]),           // no shingles — passes
+      (5L, ts(21), "t1 t2 t3 t4 t5 t6 t7 tail"),         // exact trailing shingle
+      (6L, ts(22), "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),     // clean, >= k tokens
+    )
+    val directory = graft.operators.Dedup.substrDirectory(testSplit, k = 8)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.deconFilter(docs, directory, k = 8)
+      .writeStream.format("memory").queryName("sdecon_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      val passed = spark.sql("SELECT doc_id FROM sdecon_out").collect().map(_.getLong(0)).toSet
+      // batch reference: ids with ANY contaminated span are exactly the
+      // dropped ones — the stream gate IS the batch semi-join's verdict
+      val train = rows.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+      val contaminated = graft.operators.Dedup
+        .substrContaminatedSpans(train, testSplit, k = 8)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(passed == rows.map(_._1).toSet -- contaminated,
+        s"passed $passed, batch-contaminated $contaminated")
+      assert(passed == Set(2L, 3L, 4L, 6L))
+    } finally query.stop()
+  }
+
   test("sampleBySourceWeights on a stream keeps exactly the batch-kept rows") {
     val s = spark
     import s.implicits._

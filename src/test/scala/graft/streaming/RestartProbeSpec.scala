@@ -33,6 +33,21 @@ class RestartProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == rst)
   }
 
+  test("deconFilter: restart-from-checkpoint equals uninterrupted (stateless arm)") {
+    import spark.implicits._
+    // test split: the first 10 corpus texts — the remaining 110 replayed
+    // docs must gate identically across the kill/restart boundary
+    val testSplit = corpus.take(10).toSeq.toDF("doc_id", "text")
+    val directory = graft.operators.Dedup.substrDirectory(testSplit)
+    val work = java.nio.file.Files.createTempDirectory("restart_spec_decon").toString
+    def build(d: org.apache.spark.sql.DataFrame) = DocStream.deconFilter(d, directory)
+    val base = RestartProbe.drive(spark, corpus, build, 4, -1, s"$work/base")
+    val rst = RestartProbe.drive(spark, corpus, build, 4, 2, s"$work/restart")
+    assert(base.values.sum > 0 && base.values.sum < corpus.length * 4,
+      s"vacuous gate: ${base.values.sum} of ${corpus.length * 4} passed")
+    assert(base == rst)
+  }
+
   test("lmScoreByWindow: restart-from-checkpoint equals uninterrupted") {
     val lm = graft.operators.Curation.lmTable(
       graft.Tables(spark, "/root/testdata/sf0.001", "documents")).localCheckpoint(true)
