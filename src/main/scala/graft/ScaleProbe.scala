@@ -80,7 +80,24 @@ object ScaleProbe {
     "c_substr_decon", "c_pipeline_llm",
     // r14 continued: shard materialization (a row per token through one
     // seq_id-keyed shuffle) and the map-only linear quality scorer
-    "c_pack_tokens", "c_quality_linear")
+    "c_pack_tokens", "c_quality_linear",
+    // r15: BPE vocab training — 20 iterations of (pair-type aggregation +
+    // argmax); corpus growth raises pair COUNTS, pair-type cardinality
+    // grows only with vocabulary (Heaps), so the ratio should be well
+    // below the data multiple
+    "c_bpe_train",
+    // r15: joint image-caption pair dedup (ahash join + composed-key
+    // window at N×bands membership rows — linear)
+    "mm_pair_dedup",
+    // r15: the image-side Hamming join, probed UNGUARDED so the artifact
+    // records either the capped path's scaling or the guard's refusal
+    // verdict (mm image clusters grow with the data multiple — at 100×
+    // the pair-mass guard is EXPECTED to refuse; that error entry is the
+    // measured outcome, not a failure of the probe)
+    "mm_phash_hamming",
+    // r15: the shard WRITE path (override below): packTokens +
+    // shardAssign composed into real one-file-per-shard parquet writes
+    "c_shard_write")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
@@ -121,6 +138,20 @@ object ScaleProbe {
       operators.Similarity
         .ivfTopK(emb, queries, k = 5, nCells = cells, nProbe = 4)
         .orderBy("query_id")
+    }),
+    // the shard WRITE path is a side effect, not a frame to noop-write:
+    // the override performs the REAL partitioned parquet write inside the
+    // timed call (per-arm subdir so base and scaled never collide), then
+    // returns a one-row summary for the harness's noop sink. 64 shards at
+    // both arms — the per-shard file grows with the data multiple, the
+    // write fan-out stays fixed, exactly a production shard count.
+    "c_shard_write" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.lit
+      val arm = if (samePath(dir, workDir)) "scaled" else "base"
+      val out = s"$workDir/__shard_write_$arm"
+      operators.Curation.writeTokenShards(
+        Tables(s, dir, "documents"), out, nShards = 64)
+      s.range(1).select(lit(out).as("out_dir"))
     }),
   )
 
@@ -227,7 +258,13 @@ object ScaleProbe {
             closureIters(s"$dir:$name") = operators.Dedup.lastClosureIterations
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[scale-probe] $name failed at $dir: $e")
-          errs(name) = e.getClass.getSimpleName
+          // carry the MESSAGE, not just the class: a guard's refusal
+          // verdict (pair-mass pre-flight, union-find gate) is a measured
+          // outcome the artifact must record in its own words.
+          // JSON-sanitized: printable ASCII, no quotes/backslashes.
+          val msg = Option(e.getMessage).getOrElse("")
+            .filter(c => c >= ' ' && c < 127 && c != '"' && c != '\\').take(220)
+          errs(name) = s"${e.getClass.getSimpleName}: $msg"
         }
       }
       (times.toMap, errs.toMap)
