@@ -96,6 +96,14 @@ object StreamProbe {
     val lm = graft.operators.Curation
       .lmTable(Tables(spark, dir, "documents")).localCheckpoint(true)
 
+    // frozen substring directory for the stateless decon-gate arm — built
+    // from the corpus's own hash-split test side before any stream starts
+    // (the production freeze-then-gate lifecycle)
+    val deconDir = graft.operators.Dedup.substrDirectory(
+      Tables(spark, dir, "documents").filter(
+        graft.operators.TextAnalysis.splitName(
+          org.apache.spark.sql.functions.col("doc_id")) === "test"))
+
     val arms = Seq(
       runArm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
@@ -103,6 +111,11 @@ object StreamProbe {
       // buckets: the clock steps past the watermark every batch
       runArm("lmScoreByWindow",
         docs => DocStream.lmScoreByWindow(docs, lm, watermarkDelay = watermark)),
+      // stateless arm: the substring-decon gate must show ZERO state rows
+      // across every batch and a flat per-batch cost — the broadcast sorted
+      // directory is the only structure, and it never grows with the stream
+      runArm("deconFilter",
+        docs => DocStream.deconFilter(docs, deconDir)),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +

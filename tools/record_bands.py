@@ -31,7 +31,9 @@ def main() -> None:
         return min(first, float(arb["min"])) if arb and "min" in arb else first
 
     bands = {q: round(min(reading(d, q) for d in datas), 3) for q in sorted(names)}
-    sf = datas[0].get("sf", "sf0.1")
+    # Bench matches bands by the sf dir's BASENAME (e.g. "sf0.1"); the run
+    # artifact carries the full path
+    sf = datas[0].get("sf", "sf0.1").rstrip("/").rsplit("/", 1)[-1]
     doc = (
         "Per-query clean bands at sf0.1 (warm box, idle, local[32], "
         "noop-write protocol): per-query MIN over %d consecutive clean runs "
