@@ -345,6 +345,86 @@ object MinHash {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** EXACT Jaccard-≥ num/den duplicate pairs via the shingle inverted
+    * index — the ground-truth feeder for [[minhashRecall]]. Complete by
+    * construction: any pair with J > 0 shares at least one distinct
+    * k-shingle, so grouping the per-shingle doc lists and counting pair
+    * co-occurrences yields |A∩B| for every candidate, and the threshold
+    * test is the integer cross-multiplication
+    * `ni·(den+num) ≥ num·(na+nb)` ⇔ ni/(na+nb−ni) ≥ num/den — no floats.
+    *
+    * Shingles are reduced to md5-60 keys ([[md5Hash60]]) so the exchange
+    * carries 8-byte keys, then (id, hash) de-duplicated — a 60-bit
+    * collision merging two shingles is mirrored verbatim by the oracle's
+    * identical hashing, so cross-engine parity holds even then.
+    *
+    * Scale posture: this is an EVALUATION face (the d_embed_cc
+    * precedent: exact feeders are quadratic in the worst case, the LSH
+    * family is the production path). Cost is Σ bucket² over shingle
+    * buckets; a boilerplate-heavy corpus explodes it, so a fail-loud
+    * pair-mass pre-flight REFUSES past `maxPairMass` instead of silently
+    * dropping hot buckets — exactness forbids the canonical family's
+    * drop policy. The shingle stream is recomputed per read (map-only
+    * codegen'd scan — measured cheaper than pinning, Dedup.scala r14
+    * note).
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 3, num: Int = 1, den: Int = 2,
+                        maxPairMass: Long = 100000000L): DataFrame = {
+    require(num >= 1 && den >= num, s"threshold num/den = $num/$den must sit in (0, 1]")
+    OpChecks.requireIntegralId(docs, idCol)
+    def hashed: DataFrame = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .select(col("id"), md5Hash60(col("s")).as("sh"))
+      .dropDuplicates("id", "sh")
+    val mass = hashed.groupBy("sh").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1)).as("m")).head
+    val pairMass = if (mass.isNullAt(0)) 0L else mass.getLong(0) / 2
+    if (pairMass > maxPairMass)
+      throw new IllegalStateException(
+        s"exactJaccardPairs: $pairMass candidate pairs exceed maxPairMass=$maxPairMass — " +
+          "the shingle inverted index is quadratic on hot shingles and exactness forbids " +
+          "dropping them. Pre-remove boilerplate (substrDedupClean), raise maxPairMass, " +
+          "or evaluate recall on a document sample.")
+    val sizes = hashed.groupBy("id").agg(count(lit(1)).as("nsz"))
+    hashed
+      .groupBy("sh").agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairExpand("ids")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("id").as("id_a"), col("nsz").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nsz").as("nb")), Seq("id_b"))
+      .filter(col("ni") * (den + num) >= (col("na") + col("nb")) * num)
+      .select("id_a", "id_b", "ni", "na", "nb")
+  }
+
+  /** Dedup-recall accounting: how much of the EXACT Jaccard-≥τ pair set
+    * ([[exactJaccardPairs]]) the banded MinHash candidate generation
+    * ([[bucketPairCountsMd5]] — the oracled md5 family, the same
+    * banding/hot-bucket policy as the production path) actually surfaces.
+    * One row: n_true_pairs / n_cand_pairs / n_hit — the dedup twin of the
+    * ANN recall faces (Similarity.recallAgainst), integer-valued end to
+    * end so the whole measurement is DuckDB-oracle-able. Both pair sets
+    * are duplicate-scale (≪ corpus), so the full-outer merge is a small
+    * join; the expensive sides are the two feeders themselves.
+    */
+  def minhashRecall(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 3, num: Int = 1, den: Int = 2): DataFrame = {
+    val truth = exactJaccardPairs(docs, idCol, textCol, k, num, den)
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+    val cand = bucketPairCountsMd5(docs, idCol, textCol)
+      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("t")).as("n_true_pairs"),
+        count(col("c")).as("n_cand_pairs"),
+        count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
+  }
+
   /** membership rows → per-bucket sorted member lists (hot buckets dropped),
     * shared by both hash families.
     */

@@ -58,6 +58,137 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(c)
 
+  /** Stopword list for the rules filter — the corpus's function-word
+    * stock. A production run passes its language's list; the mechanism
+    * (literal-scan occurrence counting, no regex, no HOF lambdas) is the
+    * scalable shape.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "in", "of", "to", "and")
+
+  /** Whole-word occurrence count of `word` in `text`, overlap-safe: the
+    * text is whitespace-normalized, every separator doubled, and the
+    * padded literal ` word ` counted via the length/replace trick — the
+    * doubling makes adjacent matches (" a a a ") non-overlapping, so the
+    * count equals the true token count. Pure codegen'd string ops;
+    * DuckDB mirrors it exactly.
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "),
+      replace(regexp_replace(trim(text), "\\s+", " "), lit(" "), lit("  ")), lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length).cast("long")
+  }
+
+  /** Gopher-style quality RULES (Rae et al. 2021 §A1.1, integer-exact
+    * subset): per-doc boolean flags plus the conjunction. All bounds are
+    * integer cross-multiplications (mean word length in [minMeanLen, 10]
+    * ⇔ minMeanLen·n ≤ wordChars ≤ 10·n), so the DuckDB oracle matches
+    * bit-for-bit — no float ratios anywhere. Map-only column
+    * expressions: at 100 TB this is an embarrassingly parallel scan that
+    * fuses into whatever reads the corpus next (the filter face is
+    * `.filter(col("pass"))` on this output — predicate-pushdown-friendly
+    * because every input is one projected column).
+    *
+    * Rules (defaults chosen to discriminate on the synthetic corpus —
+    * all four have non-empty pass AND fail sets at sf0.01):
+    *   ok_words:     minWords ≤ n_words ≤ maxWords
+    *   ok_mean_len:  minMeanLen ≤ mean word length ≤ 10
+    *   ok_stopwords: ≥ minStopwords occurrences from [[Stopwords]]
+    *   ok_distinct:  distinct-token ratio ≥ 1/2 (2·n_distinct ≥ n_words
+    *                 — the word-salad repetition screen)
+    */
+  def qualityRules(df: DataFrame, minWords: Int = 30, maxWords: Int = 10000,
+                   minMeanLen: Int = 4, minStopwords: Int = 2,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val f = ruleFlags(col(textCol), minWords, maxWords, minMeanLen, minStopwords)
+    df.select(
+      col(idCol),
+      f(0).cast("long").as("ok_words"),
+      f(1).cast("long").as("ok_mean_len"),
+      f(2).cast("long").as("ok_stopwords"),
+      f(3).cast("long").as("ok_distinct"),
+      f.reduce(_ && _).cast("long").as("pass"),
+    )
+  }
+
+  /** The four rule flags as raw boolean Columns over a text column —
+    * shared by [[qualityRules]] (per-doc face) and [[datasetCard]]
+    * (inline, so the card stays one map-only projection + one global
+    * aggregation with no join).
+    */
+  private def ruleFlags(text: Column, minWords: Int, maxWords: Int,
+                        minMeanLen: Int, minStopwords: Int): Seq[Column] = {
+    val t = coalesce(text, lit(""))
+    val n = tokenCount(t)
+    val wchars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nStop = Stopwords.map(wordOccurrences(t, _)).reduce(_ + _)
+    val nDistinct = size(array_distinct(split(trim(t), "\\s+"))).cast("long")
+    Seq(
+      n.between(minWords, maxWords),
+      (lit(minMeanLen) * n <= wchars) && (wchars <= lit(10) * n),
+      nStop >= minStopwords,
+      nDistinct * 2 >= n,
+    )
+  }
+
+  /** One-row dataset card — the summary table a corpus release ships:
+    * doc/source counts, token/char totals, exact-dup count (docs minus
+    * distinct fingerprints), and the quality-rules pass count. One
+    * map-only projection into one global aggregation (partial map-side
+    * combine; the shuffle carries one row per partition). count_distinct
+    * over the md5 fingerprint is the one exact-cardinality term — at
+    * 100 TB swap it for the HLL face when ±2% is acceptable
+    * ([[graft.functions.HllAggregator]]), which turns the card fully
+    * single-pass.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val pass = ruleFlags(col("text"), 30, 10000, 4, 2).reduce(_ && _)
+    docs
+      .withColumn("pass", pass.cast("long"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        (count(col("text")) - countDistinct(fingerprint(col("text")))).as("n_exact_dup_docs"),
+        sum(col("pass")).as("n_pass_quality"),
+      )
+  }
+
+  /** Per-document top-k distinctive terms: tf (term count in doc) ranked
+    * with rare-corpus-term tie-break — ORDER BY tf DESC, doc_freq ASC,
+    * token ASC per doc. This is the integer-exact skeleton of tf-idf
+    * ranking (tf major, idf as tie-break): a float tf·ln(N/df) score
+    * orders differently only when higher tf meets higher df, and float
+    * scores cannot cross the oracle hash — both engines would disagree
+    * in the last ulp of ln. The tf/df columns are emitted so callers
+    * apply their own weighting downstream.
+    *
+    * Shape: one explode → (doc, token) counts [token-keyed shuffle with
+    * map-side combine], doc-frequency from the same aggregate's distinct
+    * doc side [vocab-sized], joined back on token [AQE-skew-splittable;
+    * broadcast when the vocab fits], then a per-doc window bounded by the
+    * doc's distinct tokens. No global sort; no driver materialization.
+    */
+  def tfidfTopK(docs: DataFrame, kTop: Int = 3,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(idCol, "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("tf").desc, col("doc_freq").asc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kTop)
+      .select(col(idCol), col("rk").cast("long").as("rk"), col("token"), col("tf"), col("doc_freq"))
+  }
+
   /** Language ID: character/stop-word n-gram heuristic scoring against tiny
     * per-language profiles. Pure column expressions — a real system would
     * learn profiles offline; the mechanism (score per language, argmax via
@@ -257,6 +388,56 @@ object TextAnalysis {
       (s, dir) => BpeTrain.train(Tables(s, dir, "documents"), numMerges = 20).orderBy("step"),
       Some(BpeTrain.oracleSql(numMerges = 20)),
     ),
+    // Gopher-style rules filter: per-doc integer flags + conjunction.
+    // Every bound is an integer cross-multiplication, so the oracle is a
+    // bit-exact replay; the stopword arm is generated from the SAME
+    // Scala list the operator uses (one source of truth).
+    Q(
+      "c_quality_rules",
+      (s, dir) => qualityRules(Tables(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""
+        WITH $rulesCteSql
+        SELECT doc_id,
+               CAST(ok_words AS BIGINT) AS ok_words,
+               CAST(ok_mean_len AS BIGINT) AS ok_mean_len,
+               CAST(ok_stopwords AS BIGINT) AS ok_stopwords,
+               CAST(ok_distinct AS BIGINT) AS ok_distinct,
+               CAST(ok_words * ok_mean_len * ok_stopwords * ok_distinct AS BIGINT) AS pass
+        FROM f ORDER BY doc_id"""),
+    ),
+    // One-row dataset card: the release-summary aggregate (doc/source/
+    // lang counts, token/char totals, exact-dup count, quality passes).
+    Q(
+      "c_dataset_card",
+      (s, dir) => datasetCard(Tables(s, dir, "documents")),
+      Some(s"""
+        WITH $rulesCteSql
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT d.source) AS n_sources,
+               COUNT(DISTINCT d.lang) AS n_langs,
+               CAST(SUM(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+               COUNT(d.text) - COUNT(DISTINCT md5(d.text)) AS n_exact_dup_docs,
+               CAST(SUM(f.ok_words * f.ok_mean_len * f.ok_stopwords * f.ok_distinct) AS BIGINT) AS n_pass_quality
+        FROM documents d JOIN f ON d.doc_id = f.doc_id"""),
+    ),
+    // Top-3 distinctive terms per doc: tf-major, rare-term tie-break —
+    // the integer-exact tf-idf ranking skeleton.
+    Q(
+      "c_tfidf_topk",
+      (s, dir) => tfidfTopK(Tables(s, dir, "documents")).orderBy("doc_id", "rk"),
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+                   FROM documents WHERE text IS NOT NULL),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+        r AS (SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+                row_number() OVER (PARTITION BY tf.doc_id
+                  ORDER BY tf.tf DESC, df.doc_freq ASC, tf.token ASC) AS rk
+              FROM tf JOIN df USING (token))
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, doc_freq
+        FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""),
+    ),
     Q(
       "t_fingerprint",
       (s, dir) =>
@@ -277,6 +458,33 @@ object TextAnalysis {
       Some(langIdOracleSql),
     ),
   )
+
+  /** DuckDB CTE chain `s → f` computing exactly [[ruleFlags]] (defaults
+    * 30/10000/4/2) as 0/1 ints per doc_id. The stopword sum is generated
+    * from [[Stopwords]] — the operator and oracle can never drift. The
+    * doubled-separator padding mirrors [[wordOccurrences]] so adjacent
+    * stopwords (" a a a ") count exactly in both engines.
+    */
+  private def rulesCteSql: String = {
+    val stopSum = Stopwords.map { w =>
+      val needle = s" $w "
+      s"(length(p) - length(replace(p, '$needle', ''))) // ${needle.length}"
+    }.mkString("\n                 + ")
+    s"""s AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS BIGINT) AS n,
+                 CAST(length(regexp_replace(COALESCE(text, ''), '\\s+', '', 'g')) AS BIGINT) AS wchars,
+                 CAST(len(list_distinct(string_split_regex(trim(COALESCE(text, '')), '\\s+'))) AS BIGINT) AS nd,
+                 ' ' || replace(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'), ' ', '  ') || ' ' AS p
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN n BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS ok_words,
+                 CASE WHEN 4 * n <= wchars AND wchars <= 10 * n THEN 1 ELSE 0 END AS ok_mean_len,
+                 CASE WHEN $stopSum >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+                 CASE WHEN nd * 2 >= n THEN 1 ELSE 0 END AS ok_distinct
+          FROM s)"""
+  }
 
   /** The fixture vocab as a DuckDB list literal — single source of truth
     * with [[BpeVocab]] so the two engines can never drift. Single quotes

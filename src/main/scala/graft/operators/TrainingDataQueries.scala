@@ -150,6 +150,18 @@ object TrainingDataQueries {
       },
       Some(ngramJaccardOracleSql),
     ),
+    // Dedup RECALL oracle: the banded MinHash candidate set measured
+    // against the EXACT Jaccard-≥0.5 pair set (shingle inverted index,
+    // integer cross-multiplied threshold, fail-loud pair-mass guard) —
+    // the dedup twin of ann_lsh_recall/ann_ivf_recall. One integer row
+    // (n_true_pairs, n_cand_pairs, n_hit); the DuckDB oracle replays
+    // BOTH feeders (md5-60 shingle hashes + the md5 band family) and
+    // the full-outer merge. 25 true pairs at sf0.01 — non-vacuous.
+    Q(
+      "d_minhash_recall",
+      (s, dir) => MinHash.minhashRecall(Tables(s, dir, "documents")),
+      Some(minhashRecallOracleSql),
+    ),
     // Exact 3-gram Jaccard with a full DuckDB oracle: deterministic pair
     // selection (each doc vs the next doc_id inside its n_chars%16 bucket —
     // a partitioned lead(), no global sort), then the same shingle-set
@@ -965,6 +977,35 @@ object TrainingDataQueries {
       SELECT d.doc_id, COALESCE(cm.cmin, d.doc_id) AS canonical_id
       FROM documents d LEFT JOIN cm ON d.doc_id = cm.doc_id
       ORDER BY d.doc_id"""
+
+  /** ≡ MinHash.minhashRecall(documents): exact Jaccard-≥1/2 truth pairs
+    * (distinct md5-60 shingle hashes per doc — de-duplicated AFTER
+    * hashing, mirroring the operator — inverted-index co-occurrence
+    * counts, integer threshold 3·ni ≥ na+nb) full-outer-merged with the
+    * md5-family band candidate pairs (h=16, bands=8, buckets 2..20 — the
+    * bucketPairCountsMd5 policy).
+    */
+  private def minhashRecallOracleSql: String = s"""
+      WITH $md5BandCtes,
+      sz AS (SELECT band, bkv, COUNT(*) AS n FROM bk GROUP BY band, bkv),
+      ok AS (SELECT bk.doc_id, bk.band, bk.bkv FROM bk JOIN sz USING (band, bkv)
+             WHERE sz.n BETWEEN 2 AND 20),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM ok a JOIN ok b ON a.band = b.band AND a.bkv = b.bkv AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+      th AS (SELECT DISTINCT doc_id, ${md5_60("unnest(list_distinct(shs))")} AS h FROM sh),
+      tsz AS (SELECT doc_id, COUNT(*) AS nsz FROM th GROUP BY doc_id),
+      co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+             FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+      tru AS (SELECT co.id_a, co.id_b
+              FROM co JOIN tsz sa ON co.id_a = sa.doc_id
+                      JOIN tsz sb ON co.id_b = sb.doc_id
+              WHERE co.ni * 3 >= sa.nsz + sb.nsz)
+      SELECT CAST(COUNT(t.id_a) AS BIGINT) AS n_true_pairs,
+             CAST(COUNT(c.id_a) AS BIGINT) AS n_cand_pairs,
+             CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit
+      FROM tru t FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b"""
 
   /** ≡ the d_ngram_jaccard Spark pipeline: md5-family band co-occurrence
     * counts → top-100 candidates → exact 3-gram Jaccard → top-20.

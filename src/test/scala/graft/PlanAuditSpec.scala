@@ -192,6 +192,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       qt.take(2000))
   }
 
+  test("r15 additions keep their scale shapes: rules map-only, card join-free, tfidf/recall no cartesian") {
+    // quality rules: a pure projection — no join, no aggregate, no window;
+    // the registered orderBy is the only exchange
+    val qr = SparkEntry.queries("c_quality_rules")(spark, sfDir).queryExecution.optimizedPlan
+    assert(qr.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty)
+    assert(qr.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.isEmpty)
+    // dataset card: ONE global aggregate over a projection — the pass flags
+    // are computed inline, never via a self-join on doc_id
+    val dc = SparkEntry.queries("c_dataset_card")(spark, sfDir).queryExecution.optimizedPlan
+    assert(dc.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+      "datasetCard must not join the rules face back onto the corpus")
+    assert(dc.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty)
+    // tfidf: equi-join on token only, per-doc window — no cartesian, and
+    // the token exchanges never carry document text
+    val tp = plan("c_tfidf_topk")
+    assert(!tp.contains("CartesianProduct") && !tp.contains("BroadcastNestedLoopJoin"), tp.take(2000))
+    assert(tp.contains("Window"), tp.take(2000))
+    val tfEx = tp.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(tfEx.nonEmpty && !tfEx.exists(_.contains("text#")),
+      "tf/df exchanges must carry tokens, not bodies:\n" + tfEx.mkString("\n"))
+    // minhash recall: both feeders bucket-expand — no cartesian anywhere,
+    // and no document text in any exchange (8-byte hash keys only)
+    val mr = plan("d_minhash_recall")
+    assert(!mr.contains("CartesianProduct") && !mr.contains("BroadcastNestedLoopJoin"), mr.take(2000))
+    val mrEx = mr.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(mrEx.nonEmpty && !mrEx.exists(_.contains("text#")),
+      "recall exchanges must carry hashes, not bodies:\n" + mrEx.mkString("\n"))
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))
