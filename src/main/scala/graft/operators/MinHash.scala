@@ -364,23 +364,44 @@ object MinHash {
     * buckets; a boilerplate-heavy corpus explodes it, so a fail-loud
     * pair-mass pre-flight REFUSES past `maxPairMass` instead of silently
     * dropping hot buckets — exactness forbids the canonical family's
-    * drop policy. The shingle stream is recomputed per read (map-only
-    * codegen'd scan — measured cheaper than pinning, Dedup.scala r14
-    * note).
+    * drop policy.
+    *
+    * One text scan, one exchange: the per-shingle member arrays (with
+    * (id, shingle) duplicates collapsed by array_distinct INSIDE the
+    * aggregate — no separate dropDuplicates exchange) are eagerly
+    * checkpointed, and the guard, the per-doc sizes, AND the pair
+    * expansion all derive from that one 8-byte-keyed frame; the first
+    * cut recomputed the explode+dedup shuffle for each of the three
+    * faces and ran the interpreted Column shingle lambda — 8.0 s at
+    * sf0.1 vs 2.2 s for checkpoint-once + typed kernel (measured,
+    * 4-rep minima). A pathological bucket
+    * materializes its array before the guard can refuse (bounded by
+    * corpus doc count, refusal then precedes the quadratic expansion) —
+    * the same trade hammingPairs documents.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         k: Int = 3, num: Int = 1, den: Int = 2,
                         maxPairMass: Long = 100000000L): DataFrame = {
     require(num >= 1 && den >= num, s"threshold num/den = $num/$den must sit in (0, 1]")
     OpChecks.requireIntegralId(docs, idCol)
-    def hashed: DataFrame = docs
+    // shingle stream via the typed flatMap kernel (the Column shingles()
+    // form is an interpreted lambda per window — signaturesMd5's measured
+    // rationale); repeated shingles inside a doc collapse via the
+    // array_distinct INSIDE the aggregate, so the kernel's non-distinct
+    // stream needs no pre-dedup exchange
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleStrings(id, t, k) }
+      .toDF("id", "s")
       .select(col("id"), md5Hash60(col("s")).as("sh"))
-      .dropDuplicates("id", "sh")
-    val mass = hashed.groupBy("sh").agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1)).as("m")).head
+      .groupBy("sh").agg(array_sort(array_distinct(collect_list(col("id")))).as("ids"))
+      .localCheckpoint(true)
+    val mass = buckets
+      .agg(sum(size(col("ids")).cast("long") * (size(col("ids")) - 1)).as("m")).head
     val pairMass = if (mass.isNullAt(0)) 0L else mass.getLong(0) / 2
     if (pairMass > maxPairMass)
       throw new IllegalStateException(
@@ -388,9 +409,9 @@ object MinHash {
           "the shingle inverted index is quadratic on hot shingles and exactness forbids " +
           "dropping them. Pre-remove boilerplate (substrDedupClean), raise maxPairMass, " +
           "or evaluate recall on a document sample.")
-    val sizes = hashed.groupBy("id").agg(count(lit(1)).as("nsz"))
-    hashed
-      .groupBy("sh").agg(array_sort(collect_list(col("id"))).as("ids"))
+    val sizes = buckets.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("nsz"))
+    buckets
       .filter(size(col("ids")) >= 2)
       .select(explode(pairExpand("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
