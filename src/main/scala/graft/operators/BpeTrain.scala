@@ -213,8 +213,19 @@ object BpeTrain {
   def oracleSql(numMerges: Int, minCount: Long = 2): String =
     s"""
       WITH RECURSIVE
-      wsrc AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-               FROM documents WHERE text IS NOT NULL),
+      ${trainingCtes(numMerges, minCount, where = "TRUE")}
+      SELECT CAST(lvl AS BIGINT) AS step, ml AS lhs, mr AS rhs,
+             ml || mr AS merged, mc AS pair_count
+      FROM steps WHERE lvl >= 1 ORDER BY step"""
+
+  /** The training-loop CTE chain (`wsrc → corpus → init → steps`) over
+    * `documents` rows passing `where` — shared by the full-corpus
+    * training oracle and the train→apply composition (which trains on
+    * the hash-split train side only).
+    */
+  private def trainingCtes(numMerges: Int, minCount: Long, where: String): String =
+    s"""wsrc AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents WHERE text IS NOT NULL AND $where),
       corpus AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
                  FROM wsrc WHERE w <> '' GROUP BY w),
       init AS (SELECT list(struct_pack(word := word, freq := freq,
@@ -244,8 +255,40 @@ object BpeTrain {
           LIMIT 1
         ) b
         WHERE lvl < $numMerges
-      )
-      SELECT CAST(lvl AS BIGINT) AS step, ml AS lhs, mr AS rhs,
-             ml || mr AS merged, mc AS pair_count
-      FROM steps WHERE lvl >= 1 ORDER BY step"""
+      )"""
+
+  /** ≡ the c_bpe_train_apply Spark pipeline: train on the hash-split
+    * train side (bucket < 80), extract the trained vocabulary (train
+    * alphabet ∪ merged tokens), then greedy-longest-match tokenize the
+    * HELD-OUT side (bucket ≥ 80) with it — the c_token_count_bpe
+    * recursive CTE with the vocab coming from the training CTEs instead
+    * of a frozen literal list. End-to-end: a drift anywhere in the
+    * chain (pair counts, tie-break, merge fold, vocab extraction,
+    * greedy matching) breaks the hash.
+    */
+  def trainApplyOracleSql(numMerges: Int, minCount: Long = 2): String = {
+    val bkt = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+    s"""
+      WITH RECURSIVE
+      ${trainingCtes(numMerges, minCount, where = s"$bkt < 80")},
+      vocab AS (SELECT DISTINCT t FROM (
+        SELECT unnest(regexp_extract_all(word, '(?s).')) AS t FROM corpus
+        UNION ALL
+        SELECT ml || mr FROM steps WHERE lvl >= 1)),
+      wd AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+             FROM documents WHERE text IS NOT NULL AND $bkt >= 80),
+      r AS (
+        SELECT doc_id, w, 1 AS pos, 0 AS cnt FROM wd
+        UNION ALL
+        SELECT doc_id, w,
+               pos + COALESCE((SELECT MAX(length(t)) FROM vocab
+                               WHERE substr(w, pos, length(t)) = t), 1),
+               cnt + 1
+        FROM r WHERE pos <= length(w)
+      ),
+      f AS (SELECT doc_id, cnt FROM r WHERE pos > length(w))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(cnt) AS BIGINT) AS n_bpe_tokens
+      FROM f GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

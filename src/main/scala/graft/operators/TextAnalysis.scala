@@ -388,6 +388,26 @@ object TextAnalysis {
       (s, dir) => BpeTrain.train(Tables(s, dir, "documents"), numMerges = 20).orderBy("step"),
       Some(BpeTrain.oracleSql(numMerges = 20)),
     ),
+    // The composed tokenizer pipeline: LEARN the vocab on the hash-split
+    // train side, then greedy-apply it to the HELD-OUT side — training,
+    // vocab extraction (train alphabet ∪ merges, bounded driver collect),
+    // and the codegen'd trie application under ONE end-to-end hash
+    // oracle. This is the self-contained-tokenizer claim as a single
+    // verifiable query, on text the trainer never saw.
+    Q(
+      "c_bpe_train_apply",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bkt = splitBucket(col("doc_id"))
+        val vocab = BpeTrain.trainedVocab(docs.filter(bkt < 80), numMerges = 20)
+        docs
+          .filter(bkt >= 80 && col("text").isNotNull)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_words"),
+            bpeTokenCount(col("text"), vocab).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(BpeTrain.trainApplyOracleSql(numMerges = 20)),
+    ),
     // Gopher-style rules filter: per-doc integer flags + conjunction.
     // Every bound is an integer cross-multiplication, so the oracle is a
     // bit-exact replay; the stopword arm is generated from the SAME

@@ -98,6 +98,21 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(greedy.toSeq == mergeOrder, s"greedy=${greedy.toSeq} mergeOrder=$mergeOrder")
   }
 
+  test("train→apply composition: vocab learned on the train side only, held-out OOV falls back per code point") {
+    val spark2 = spark
+    import spark2.implicits._
+    // trainer sees only "xy" repeats → merge (x,y); held-out text mixes
+    // learned subwords with a char the trainer never saw
+    val train = corpus("xy" -> 5)
+    val vocab = BpeTrain.trainedVocab(train, numMerges = 3, minCount = 2)
+    assert(vocab.toSet == Set("x", "y", "xy"))
+    val counts = Seq("xyxy", "yx", "xzy").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(org.apache.spark.sql.functions.col("text"), vocab).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // "xyxy" → xy|xy; "yx" → y|x; "xzy" → x|OOV z|y
+    assert(counts == Seq(2L, 2L, 3L))
+  }
+
   test("code-point splitting survives multi-byte text") {
     val docs = corpus("héllo" -> 3, "héllos" -> 2)
     val merges = BpeTrain.train(docs, numMerges = 2).collect()
