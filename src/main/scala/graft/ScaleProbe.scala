@@ -97,7 +97,17 @@ object ScaleProbe {
     "mm_phash_hamming",
     // r15: the shard WRITE path (override below): packTokens +
     // shardAssign composed into real one-file-per-shard parquet writes
-    "c_shard_write")
+    "c_shard_write",
+    // r15 late additions: the rules filter + dataset card (map-only /
+    // single global agg — ratios should track the data multiple), the
+    // tf/df join + per-doc window, the dedup-recall evaluation face
+    // (truth feeder quadratic across replicas BY DESIGN — prefixed
+    // replicas share every non-prefix shingle, so bucket sizes grow
+    // ×mult and pair mass ×mult²; probed via the maxPairMass opt-out
+    // below, the mm_phash_hamming precedent), and the composed
+    // train→apply tokenizer chain
+    "c_quality_rules", "c_dataset_card", "c_tfidf_topk",
+    "d_minhash_recall", "c_bpe_train_apply")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
@@ -112,6 +122,13 @@ object ScaleProbe {
           operators.SimHash.simhashOfMd5(Tables(s, dir, "documents")),
           r = 3, bits = 32, maxHotDropFrac = 1.0)
         .orderBy("id_a", "id_b")),
+    // the truth feeder's pair-mass guard correctly refuses at mult×
+    // (replicas share every non-prefix shingle → mass ×mult²); the probe
+    // wants the quadratic feeder's measured cost, so lift the cap — same
+    // algorithm, documented opt-out
+    "d_minhash_recall" -> ((s, dir) =>
+      operators.MinHash.minhashRecall(Tables(s, dir, "documents"),
+        maxPairMass = Long.MaxValue)),
     // the registered query's fixed nCells=8 is an oracle-scale setting;
     // the contract at scale is nCells ∝ N, so the scaled arm runs 8·mult
     // cells — the ratio then witnesses the ~flat per-cell pair work the

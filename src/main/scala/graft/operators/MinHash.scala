@@ -434,8 +434,9 @@ object MinHash {
     * join; the expensive sides are the two feeders themselves.
     */
   def minhashRecall(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                    k: Int = 3, num: Int = 1, den: Int = 2): DataFrame = {
-    val truth = exactJaccardPairs(docs, idCol, textCol, k, num, den)
+                    k: Int = 3, num: Int = 1, den: Int = 2,
+                    maxPairMass: Long = 100000000L): DataFrame = {
+    val truth = exactJaccardPairs(docs, idCol, textCol, k, num, den, maxPairMass)
       .select(col("id_a"), col("id_b"), lit(1L).as("t"))
     val cand = bucketPairCountsMd5(docs, idCol, textCol)
       .select(col("id_a"), col("id_b"), lit(1L).as("c"))

@@ -111,6 +111,14 @@ object TextAnalysis {
     )
   }
 
+  /** The rules conjunction as one boolean Column — stateless and
+    * map-only, so it applies to a streaming DataFrame unchanged
+    * ([[graft.streaming.DocStream.qualityRulesFilter]]).
+    */
+  def qualityPass(text: Column, minWords: Int = 30, maxWords: Int = 10000,
+                  minMeanLen: Int = 4, minStopwords: Int = 2): Column =
+    ruleFlags(text, minWords, maxWords, minMeanLen, minStopwords).reduce(_ && _)
+
   /** The four rule flags as raw boolean Columns over a text column —
     * shared by [[qualityRules]] (per-doc face) and [[datasetCard]]
     * (inline, so the card stays one map-only projection + one global

@@ -383,6 +383,16 @@ object DocStream {
     * the dedup gates where null rows pass as trivially novel). Equal to
     * filtering the batch operator's output (spec'd batch≡stream).
     */
+  /** Stateless streaming face of [[TextAnalysis.qualityRules]]: gate
+    * arriving docs on the Gopher-style rules conjunction. Pure map-only
+    * column expressions — no state store, replay-deterministic, batch ≡
+    * stream by construction (the same rows survive on retry).
+    */
+  def qualityRulesFilter(docs: DataFrame, minWords: Int = 30, maxWords: Int = 10000,
+                         minMeanLen: Int = 4, minStopwords: Int = 2,
+                         textCol: String = "text"): DataFrame =
+    docs.filter(TextAnalysis.qualityPass(col(textCol), minWords, maxWords, minMeanLen, minStopwords))
+
   def qualityLinearFilter(docs: DataFrame, minScore: Long = 0L, d: Int = 4096,
                           textCol: String = "text",
                           weightOf: Long => Long = Curation.defaultWeight): DataFrame =

@@ -337,6 +337,35 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("qualityRulesFilter on a stream keeps exactly the batch pass rows across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus mixing passers (long, distinct-rich, stopword-bearing) with
+    // each failure mode: too short, 1-char salad, no stopwords, repetitive
+    val good = (1 to 30).flatMap(i => Seq("the", s"token$i")).mkString(" ")
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> good, 2L -> "short one", 3L -> (Seq.fill(40)("a").mkString(" ") + " the value"),
+      4L -> Seq.fill(60)("tok").mkString(" "), 5L -> good, 6L -> null,
+    ) ++ (10L to 40L).map(i => i -> (good + s" extra$i"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream.qualityRulesFilter(docs)
+      .writeStream.format("memory").queryName("qrf_out").outputMode("append").start()
+    try {
+      input.addData(corpus.take(4).map { case (id, t) => (id, ts(id.toInt), t) })
+      query.processAllAvailable()
+      input.addData(corpus.drop(4).map { case (id, t) => (id, ts(id.toInt % 100), t) })
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM qrf_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.TextAnalysis
+        .qualityRules(corpus.toDF("doc_id", "text"))
+        .filter($"pass" === 1L).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < corpus.length) // gate bites both ways
+    } finally query.stop()
+  }
+
   test("streaming repetitionSignals matches the batch Curation operator row for row") {
     val s = spark
     import s.implicits._
