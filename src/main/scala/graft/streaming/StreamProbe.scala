@@ -116,6 +116,10 @@ object StreamProbe {
       // directory is the only structure, and it never grows with the stream
       runArm("deconFilter",
         docs => DocStream.deconFilter(docs, deconDir)),
+      // second stateless arm: the Gopher-rules gate — zero state rows,
+      // flat per-batch cost, pure codegen'd row expressions
+      runArm("qualityRulesFilter",
+        docs => DocStream.qualityRulesFilter(docs)),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +
