@@ -162,9 +162,13 @@ object BpeTrain {
     */
   def trainedVocab(docs: DataFrame, numMerges: Int, minCount: Long = 2,
                    textCol: String = "text"): Seq[String] = {
-    val (merges, _) = trainWithState(docs, numMerges, minCount, textCol)
-    val alphabet = initialWords(docs, textCol)
-      .select(explode(col("syms")).as("s")).distinct()
+    val (merges, state) = trainWithState(docs, numMerges, minCount, textCol)
+    // alphabet from the checkpointed word-type state's `word` column
+    // (invariant under merging) — re-deriving initialWords from the raw
+    // corpus would pay a second full corpus scan + groupBy per call
+    val alphabet = state
+      .select(explode(regexp_extract_all(col("word"), lit("(?s)."), lit(0))).as("s"))
+      .distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     (alphabet ++ merges.map(_.merged)).distinct
   }

@@ -438,7 +438,7 @@ object MinHash {
                     maxPairMass: Long = 100000000L): DataFrame = {
     val truth = exactJaccardPairs(docs, idCol, textCol, k, num, den, maxPairMass)
       .select(col("id_a"), col("id_b"), lit(1L).as("t"))
-    val cand = bucketPairCountsMd5(docs, idCol, textCol)
+    val cand = bucketPairCountsMd5(docs, idCol, textCol, k)
       .select(col("id_a"), col("id_b"), lit(1L).as("c"))
     truth.join(cand, Seq("id_a", "id_b"), "full_outer")
       .agg(

@@ -149,10 +149,9 @@ object TextAnalysis {
     * ([[graft.functions.HllAggregator]]), which turns the card fully
     * single-pass.
     */
-  def datasetCard(docs: DataFrame): DataFrame = {
-    val pass = ruleFlags(col("text"), 30, 10000, 4, 2).reduce(_ && _)
+  def datasetCard(docs: DataFrame): DataFrame =
     docs
-      .withColumn("pass", pass.cast("long"))
+      .withColumn("pass", qualityPass(col("text")).cast("long"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
@@ -162,7 +161,6 @@ object TextAnalysis {
         (count(col("text")) - countDistinct(fingerprint(col("text")))).as("n_exact_dup_docs"),
         sum(col("pass")).as("n_pass_quality"),
       )
-  }
 
   /** Per-document top-k distinctive terms: tf (term count in doc) ranked
     * with rare-corpus-term tie-break — ORDER BY tf DESC, doc_freq ASC,
@@ -496,7 +494,10 @@ object TextAnalysis {
   private def rulesCteSql: String = {
     val stopSum = Stopwords.map { w =>
       val needle = s" $w "
-      s"(length(p) - length(replace(p, '$needle', ''))) // ${needle.length}"
+      // SQL-escape quotes (the bpeVocabSqlList precedent): a stopword
+      // with an apostrophe (French "l'", "d'") must not corrupt the query
+      val esc = needle.replace("'", "''")
+      s"(length(p) - length(replace(p, '$esc', ''))) // ${needle.length}"
     }.mkString("\n                 + ")
     s"""s AS (
           SELECT doc_id,

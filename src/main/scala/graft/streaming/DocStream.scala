@@ -375,14 +375,6 @@ object DocStream {
       !anyHit(graft.functions.ShingleHash64(col(textCol), k)))
   }
 
-  /** Stateless streaming quality gate over the frozen linear scorer
-    * ([[Curation.linearScore]]'s kernel behind a column face): pass
-    * documents whose hashed-n-gram score is at least `minScore`. Per-row
-    * and stateless — any output mode, no watermark; a NULL-text doc
-    * carries no content and is dropped (a quality gate's posture, unlike
-    * the dedup gates where null rows pass as trivially novel). Equal to
-    * filtering the batch operator's output (spec'd batch≡stream).
-    */
   /** Stateless streaming face of [[TextAnalysis.qualityRules]]: gate
     * arriving docs on the Gopher-style rules conjunction. Pure map-only
     * column expressions — no state store, replay-deterministic, batch ≡
@@ -393,6 +385,14 @@ object DocStream {
                          textCol: String = "text"): DataFrame =
     docs.filter(TextAnalysis.qualityPass(col(textCol), minWords, maxWords, minMeanLen, minStopwords))
 
+  /** Stateless streaming quality gate over the frozen linear scorer
+    * ([[Curation.linearScore]]'s kernel behind a column face): pass
+    * documents whose hashed-n-gram score is at least `minScore`. Per-row
+    * and stateless — any output mode, no watermark; a NULL-text doc
+    * carries no content and is dropped (a quality gate's posture, unlike
+    * the dedup gates where null rows pass as trivially novel). Equal to
+    * filtering the batch operator's output (spec'd batch≡stream).
+    */
   def qualityLinearFilter(docs: DataFrame, minScore: Long = 0L, d: Int = 4096,
                           textCol: String = "text",
                           weightOf: Long => Long = Curation.defaultWeight): DataFrame =
