@@ -422,7 +422,7 @@ object TextAnalysis {
       "c_quality_rules",
       (s, dir) => qualityRules(Tables(s, dir, "documents")).orderBy("doc_id"),
       Some(s"""
-        WITH $rulesCteSql
+        WITH ${rulesCteSql()}
         SELECT doc_id,
                CAST(ok_words AS BIGINT) AS ok_words,
                CAST(ok_mean_len AS BIGINT) AS ok_mean_len,
@@ -437,7 +437,7 @@ object TextAnalysis {
       "c_dataset_card",
       (s, dir) => datasetCard(Tables(s, dir, "documents")),
       Some(s"""
-        WITH $rulesCteSql
+        WITH ${rulesCteSql()}
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT d.source) AS n_sources,
                COUNT(DISTINCT d.lang) AS n_langs,
@@ -486,12 +486,14 @@ object TextAnalysis {
   )
 
   /** DuckDB CTE chain `s → f` computing exactly [[ruleFlags]] (defaults
-    * 30/10000/4/2) as 0/1 ints per doc_id. The stopword sum is generated
-    * from [[Stopwords]] — the operator and oracle can never drift. The
-    * doubled-separator padding mirrors [[wordOccurrences]] so adjacent
-    * stopwords (" a a a ") count exactly in both engines.
+    * 30/10000/4/2) as 0/1 ints per doc_id over `from` (default
+    * `documents`; the curation-funnel oracle feeds it the dedup-survivor
+    * CTE). The stopword sum is generated from [[Stopwords]] — the
+    * operator and oracle can never drift. The doubled-separator padding
+    * mirrors [[wordOccurrences]] so adjacent stopwords (" a a a ") count
+    * exactly in both engines.
     */
-  private def rulesCteSql: String = {
+  private[operators] def rulesCteSql(from: String = "documents"): String = {
     val stopSum = Stopwords.map { w =>
       val needle = s" $w "
       // SQL-escape quotes (the bpeVocabSqlList precedent): a stopword
@@ -505,7 +507,7 @@ object TextAnalysis {
                  CAST(length(regexp_replace(COALESCE(text, ''), '\\s+', '', 'g')) AS BIGINT) AS wchars,
                  CAST(len(list_distinct(string_split_regex(trim(COALESCE(text, '')), '\\s+'))) AS BIGINT) AS nd,
                  ' ' || replace(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'), ' ', '  ') || ' ' AS p
-          FROM documents),
+          FROM $from),
         f AS (
           SELECT doc_id,
                  CASE WHEN n BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS ok_words,

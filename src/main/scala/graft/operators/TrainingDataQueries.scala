@@ -162,6 +162,38 @@ object TrainingDataQueries {
       (s, dir) => MinHash.minhashRecall(Tables(s, dir, "documents")),
       Some(minhashRecallOracleSql),
     ),
+    // Curation FUNNEL: the release report a pipeline run ships — one row
+    // per stage (raw → near-dup dedup → quality rules) with surviving
+    // doc/token counts. ONE aggregation pass: the canonical join and both
+    // gate flags are computed per row, the three stages fall out of
+    // conditional sums, and stack() unpivots the single row — the corpus
+    // is scanned once however many stages the funnel reports. Fully
+    // oracled through the md5 canonical + rules CTE chains.
+    Q(
+      "c_curation_funnel",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val canon = MinHash.nearDupCanonicalMd5(docs).select("doc_id", "canonical_id")
+        val toks = TextAnalysis.tokenCount(col("text"))
+        docs
+          .join(canon, Seq("doc_id"))
+          .select(toks.as("toks"),
+            (col("canonical_id") === col("doc_id")).as("keep"),
+            TextAnalysis.qualityPass(col("text")).as("q"))
+          .agg(
+            count(lit(1)).as("d1"), sum(col("toks")).as("t1"),
+            sum(when(col("keep"), 1L)).as("d2"),
+            sum(when(col("keep"), col("toks"))).as("t2"),
+            sum(when(col("keep") && col("q"), 1L)).as("d3"),
+            sum(when(col("keep") && col("q"), col("toks"))).as("t3"))
+          .selectExpr("""stack(3,
+            '1_raw', d1, t1,
+            '2_dedup', d2, t2,
+            '3_quality', d3, t3) AS (stage, n_docs, n_tokens)""")
+          .orderBy("stage")
+      },
+      Some(curationFunnelOracleSql),
+    ),
     // Exact 3-gram Jaccard with a full DuckDB oracle: deterministic pair
     // selection (each doc vs the next doc_id inside its n_chars%16 bucket —
     // a partitioned lead(), no global sort), then the same shingle-set
@@ -977,6 +1009,35 @@ object TrainingDataQueries {
       SELECT d.doc_id, COALESCE(cm.cmin, d.doc_id) AS canonical_id
       FROM documents d LEFT JOIN cm ON d.doc_id = cm.doc_id
       ORDER BY d.doc_id"""
+
+  /** ≡ the c_curation_funnel Spark pipeline: md5-family canonical
+    * (minhashLshOracleSql's sz/cm CTEs) and the rules flags
+    * (TextAnalysis.rulesCteSql) joined per doc, three conditional sums,
+    * unpivoted by UNION ALL.
+    */
+  private def curationFunnelOracleSql: String = s"""
+      WITH $md5BandCtes,
+      sz AS (SELECT band, bkv, COUNT(*) AS n, MIN(doc_id) AS bmin FROM bk GROUP BY band, bkv),
+      cm AS (SELECT bk.doc_id, MIN(CASE WHEN sz.n <= 50 THEN sz.bmin END) AS cmin
+             FROM bk JOIN sz USING (band, bkv) GROUP BY bk.doc_id),
+      ${TextAnalysis.rulesCteSql()},
+      base AS (SELECT d.doc_id,
+                      CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS toks,
+                      (COALESCE(cm.cmin, d.doc_id) = d.doc_id) AS keep,
+                      (f.ok_words * f.ok_mean_len * f.ok_stopwords * f.ok_distinct = 1) AS q
+               FROM documents d
+               LEFT JOIN cm ON d.doc_id = cm.doc_id
+               JOIN f ON d.doc_id = f.doc_id),
+      one AS (SELECT COUNT(*) AS d1, CAST(SUM(toks) AS BIGINT) AS t1,
+                     CAST(COUNT(*) FILTER (keep) AS BIGINT) AS d2,
+                     CAST(SUM(toks) FILTER (keep) AS BIGINT) AS t2,
+                     CAST(COUNT(*) FILTER (keep AND q) AS BIGINT) AS d3,
+                     CAST(SUM(toks) FILTER (keep AND q) AS BIGINT) AS t3
+              FROM base)
+      SELECT '1_raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM one
+      UNION ALL SELECT '2_dedup', d2, t2 FROM one
+      UNION ALL SELECT '3_quality', d3, t3 FROM one
+      ORDER BY stage"""
 
   /** ≡ MinHash.minhashRecall(documents): exact Jaccard-≥1/2 truth pairs
     * (distinct md5-60 shingle hashes per doc — de-duplicated AFTER

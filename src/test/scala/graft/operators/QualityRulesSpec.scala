@@ -86,6 +86,22 @@ class QualityRulesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.tfidfTopK(d, kTop = 3).filter(col("doc_id") === 2L).count() == 3L)
   }
 
+  test("curation funnel stages equal their component faces and decrease monotonically") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+    val rows = graft.SparkEntry.queries("c_curation_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("1_raw", "2_dedup", "3_quality"))
+    assert(rows("1_raw")._1 == docs.count())
+    val kept = docs.join(
+      MinHash.nearDupCanonicalMd5(docs).filter(col("canonical_id") === col("doc_id"))
+        .select("doc_id"), Seq("doc_id"))
+    assert(rows("2_dedup")._1 == kept.count())
+    assert(rows("3_quality")._1 == kept.filter(TextAnalysis.qualityPass(col("text"))).count())
+    assert(rows("1_raw")._1 >= rows("2_dedup")._1 && rows("2_dedup")._1 >= rows("3_quality")._1)
+    assert(rows("1_raw")._2 >= rows("2_dedup")._2 && rows("2_dedup")._2 >= rows("3_quality")._2)
+  }
+
   test("tfidf ranking is invariant under input partitioning") {
     val d8 = docs((1L to 40L).map(i => i -> s"w$i shared tok${i % 5} the value"): _*)
     val a = TextAnalysis.tfidfTopK(d8.repartition(8), kTop = 2)
