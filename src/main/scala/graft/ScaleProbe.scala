@@ -107,7 +107,10 @@ object ScaleProbe {
     // below, the mm_phash_hamming precedent), and the composed
     // train→apply tokenizer chain
     "c_quality_rules", "c_dataset_card", "c_tfidf_topk",
-    "d_minhash_recall", "c_bpe_train_apply")
+    "d_minhash_recall", "c_bpe_train_apply",
+    // r15 late: the one-pass release funnel (canonical join + two gate
+    // flags + conditional sums — should track d_minhash_lsh's posture)
+    "c_curation_funnel")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
@@ -123,12 +126,15 @@ object ScaleProbe {
           r = 3, bits = 32, maxHotDropFrac = 1.0)
         .orderBy("id_a", "id_b")),
     // the truth feeder's pair-mass guard correctly refuses at mult×
-    // (replicas share every non-prefix shingle → mass ×mult²); the probe
-    // wants the quadratic feeder's measured cost, so lift the cap — same
-    // algorithm, documented opt-out
+    // (replicas share every non-prefix shingle → mass ×mult²). At ≤10×
+    // the probe lifts the cap to MEASURE the quadratic feeder (same
+    // algorithm, documented opt-out); past 10× the registered guarded
+    // face runs so the artifact records the refusal verdict itself —
+    // mass ×mult² at 100× is hours of pair expansion, and fail-loud IS
+    // the designed outcome (the mm_phash_hamming 100× precedent).
     "d_minhash_recall" -> ((s, dir) =>
       operators.MinHash.minhashRecall(Tables(s, dir, "documents"),
-        maxPairMass = Long.MaxValue)),
+        maxPairMass = if (mult <= 10) Long.MaxValue else 100000000L)),
     // the registered query's fixed nCells=8 is an oracle-scale setting;
     // the contract at scale is nCells ∝ N, so the scaled arm runs 8·mult
     // cells — the ratio then witnesses the ~flat per-cell pair work the
