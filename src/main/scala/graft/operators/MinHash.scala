@@ -430,8 +430,12 @@ object MinHash {
     * One row: n_true_pairs / n_cand_pairs / n_hit — the dedup twin of the
     * ANN recall faces (Similarity.recallAgainst), integer-valued end to
     * end so the whole measurement is DuckDB-oracle-able. Both pair sets
-    * are duplicate-scale (≪ corpus), so the full-outer merge is a small
-    * join; the expensive sides are the two feeders themselves.
+    * are duplicate-scale (≪ corpus) on a deduplicated corpus, but on a
+    * replica-heavy one both can run to millions of rows — the merge is
+    * pinned to sort-merge (`hint("merge")`): Spark 4 broadcasts
+    * full-outer sides on post-aggregation estimates, and the 10× probe
+    * measured that mis-estimate as a driver broadcast OOM before the
+    * hint.
     */
   def minhashRecall(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                     k: Int = 3, num: Int = 1, den: Int = 2,
@@ -440,7 +444,7 @@ object MinHash {
       .select(col("id_a"), col("id_b"), lit(1L).as("t"))
     val cand = bucketPairCountsMd5(docs, idCol, textCol, k)
       .select(col("id_a"), col("id_b"), lit(1L).as("c"))
-    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+    truth.hint("merge").join(cand.hint("merge"), Seq("id_a", "id_b"), "full_outer")
       .agg(
         count(col("t")).as("n_true_pairs"),
         count(col("c")).as("n_cand_pairs"),
