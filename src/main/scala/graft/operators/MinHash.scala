@@ -451,6 +451,69 @@ object MinHash {
         count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
   }
 
+  /** Verified near-dup canonicalization — the production
+    * estimate-then-verify dedup face. [[nearDupCanonicalMd5]]
+    * canonicalizes on band-bucket SHARING alone, so two docs colliding in
+    * a single band (LSH's false-positive arm) merge without their texts
+    * ever being compared. This face keeps only candidate pairs whose
+    * EXACT shingle-set Jaccard clears num/den — the same integer
+    * cross-multiplication [[exactJaccardPairs]] uses, no floats — and
+    * labels the VERIFIED duplicate graph by connected components, so a
+    * canonical chain a~b~c requires every hop to be a verified duplicate
+    * pair (the transitive NearDup clustering of Lee et al. 2022 §2.2,
+    * with LSH supplying candidates instead of the full pair space).
+    *
+    * Scale shape: candidates come from [[bucketPairCountsMd5]] (hot
+    * buckets dropped structurally, pair mass ≤ maxBucket² per bucket);
+    * verification never re-scans the corpus — the distinct 8-byte
+    * shingle-hash frame is built ONCE over the candidate docs only
+    * (semi-join against the duplicate-scale candidate id list, broadcast)
+    * and both the sizes and the intersections derive from it; the closure
+    * runs on the verified edge list (duplicate-scale ≪ corpus) through
+    * [[Dedup.connectedComponents]]' adaptive union-find / pointer-jump.
+    */
+  def verifiedNearDupCanonicalMd5(docs: DataFrame, idCol: String = "doc_id",
+                                  textCol: String = "text", k: Int = 3,
+                                  h: Int = 16, bands: Int = 8, maxBucket: Int = 20,
+                                  num: Int = 1, den: Int = 2): DataFrame = {
+    require(num >= 1 && den >= num, s"threshold num/den = $num/$den must sit in (0, 1]")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // joined on both sides below AND feeding the semi-join id list — the
+    // whole shingle→minhash→band pipeline must not re-run per face
+    val cand = bucketPairCountsMd5(docs, idCol, textCol, k, h, bands, maxBucket)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    // distinct (id, shingle-hash) rows for candidate docs only — the only
+    // texts verification ever touches
+    val th = docs
+      .filter(col(textCol).isNotNull)
+      .join(broadcast(candIds), col(idCol).cast("long") === col("__cid"), "left_semi")
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleStrings(id, t, k) }
+      .toDF("id", "__s")
+      .select(col("id"), md5Hash60(col("__s")).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val tsz = th.groupBy("id").agg(count(lit(1)).as("nsz"))
+    val ni = cand
+      .join(th.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(th.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("ni"))
+    val verified = ni
+      .join(tsz.select(col("id").as("id_a"), col("nsz").as("na")), Seq("id_a"))
+      .join(tsz.select(col("id").as("id_b"), col("nsz").as("nb")), Seq("id_b"))
+      .filter(col("ni") * (den + num) >= (col("na") + col("nb")) * num)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(docs.select(col(idCol)), verified)
+      .select(col("id").as(idCol), col("comp").as("canonical_id"))
+  }
+
   /** membership rows → per-bucket sorted member lists (hot buckets dropped),
     * shared by both hash families.
     */

@@ -162,6 +162,21 @@ object TrainingDataQueries {
       (s, dir) => MinHash.minhashRecall(Tables(s, dir, "documents")),
       Some(minhashRecallOracleSql),
     ),
+    // Verified near-dup canonicalization: LSH candidates → EXACT
+    // shingle-Jaccard verification (integer cross-multiplied ≥ 1/2) →
+    // connected components over the verified edges only. Closes the
+    // band-collision false-positive arm the bucket-sharing canonical
+    // (d_minhash_lsh) accepts by construction; the oracle replays the
+    // band CTEs, the candidate-restricted intersection counts, and the
+    // closure as a recursive CTE.
+    Q(
+      "d_minhash_verified",
+      (s, dir) =>
+        MinHash
+          .verifiedNearDupCanonicalMd5(Tables(s, dir, "documents"))
+          .orderBy("doc_id"),
+      Some(minhashVerifiedOracleSql),
+    ),
     // Curation FUNNEL: the release report a pipeline run ships — one row
     // per stage (raw → near-dup dedup → quality rules) with surviving
     // doc/token counts. ONE aggregation pass: the canonical join and both
@@ -1067,6 +1082,41 @@ object TrainingDataQueries {
              CAST(COUNT(c.id_a) AS BIGINT) AS n_cand_pairs,
              CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit
       FROM tru t FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b"""
+
+  /** ≡ MinHash.verifiedNearDupCanonicalMd5(documents) ORDER BY doc_id:
+    * the band candidate pairs (buckets 2..20 — bucketPairCountsMd5's
+    * policy), exact shingle-set intersections computed ONLY for candidate
+    * pairs (th restricted by the joins), the integer threshold
+    * 3·ni ≥ na+nb (num/den = 1/2), then the connected-component closure
+    * over verified edges as a recursive CTE ([[embedCcOracleSql]]'s
+    * shape) with every document a vertex.
+    */
+  private def minhashVerifiedOracleSql: String = s"""
+      WITH RECURSIVE $md5BandCtes,
+      sz AS (SELECT band, bkv, COUNT(*) AS n FROM bk GROUP BY band, bkv),
+      ok AS (SELECT bk.doc_id, bk.band, bk.bkv FROM bk JOIN sz USING (band, bkv)
+             WHERE sz.n BETWEEN 2 AND 20),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM ok a JOIN ok b ON a.band = b.band AND a.bkv = b.bkv AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+      th AS (SELECT DISTINCT doc_id, ${md5_60("unnest(list_distinct(shs))")} AS h FROM sh),
+      tsz AS (SELECT doc_id, COUNT(*) AS nsz FROM th GROUP BY doc_id),
+      co AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni
+             FROM cand c JOIN th a ON a.doc_id = c.id_a
+                         JOIN th b ON b.doc_id = c.id_b AND b.h = a.h
+             GROUP BY c.id_a, c.id_b),
+      ver AS (SELECT co.id_a, co.id_b
+              FROM co JOIN tsz sa ON co.id_a = sa.doc_id
+                      JOIN tsz sb ON co.id_b = sb.doc_id
+              WHERE co.ni * 3 >= sa.nsz + sb.nsz),
+      sym AS (SELECT id_a AS a, id_b AS b FROM ver
+              UNION ALL SELECT id_b, id_a FROM ver),
+      r(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a
+      )
+      SELECT a AS doc_id, MIN(b) AS canonical_id FROM r GROUP BY a ORDER BY doc_id"""
 
   /** ≡ the d_ngram_jaccard Spark pipeline: md5-family band co-occurrence
     * counts → top-100 candidates → exact 3-gram Jaccard → top-20.

@@ -86,4 +86,44 @@ class MinhashRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = MinHash.minhashRecall(rows.toDF("doc_id", "text").coalesce(1)).head.toSeq
     assert(a == b)
   }
+
+  test("verified canonical ≡ brute-force union-find over exact-verified candidates") {
+    import spark.implicits._
+    val rows = corpus(40)
+    val df = rows.toDF("doc_id", "text")
+    val got = MinHash.verifiedNearDupCanonicalMd5(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: the SAME candidate family (banded md5, buckets 2..20),
+    // kept iff exact Jaccard ≥ 1/2, closed by union-find with min-root
+    val cand = MinHash.bucketPairCountsMd5(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val text = rows.toMap
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    cand.foreach { case (a, b) =>
+      if (MinHash.exactJaccardJvm(text(a), text(b)) >= 0.5) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expect = rows.map { case (id, _) => id -> find(id) }.toMap
+    assert(expect.values.toSet.size < rows.size, "planted dups must merge")
+    assert(got == expect)
+  }
+
+  test("verification refuses a pure band collision: sub-threshold pairs never merge") {
+    import spark.implicits._
+    val rows = corpus(40)
+    val df = rows.toDF("doc_id", "text")
+    val canon = MinHash.verifiedNearDupCanonicalMd5(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val text = rows.toMap
+    // every merged doc must reach its canonical through verified pairs —
+    // in particular no 2-cluster may exist whose sole pair is sub-threshold
+    val clusters = canon.groupBy(_._2).values.map(_.keys.toSeq.sorted).filter(_.size == 2)
+    clusters.foreach { c =>
+      assert(MinHash.exactJaccardJvm(text(c(0)), text(c(1))) >= 0.5,
+        s"pair ${c(0)},${c(1)} merged without clearing the exact threshold")
+    }
+  }
 }
