@@ -419,6 +419,48 @@ object Curation {
         (col("__start") % maxLen).as("seq_offset"))
   }
 
+  /** Per-doc overlapping token-window chunking — the retrieval/embedding
+    * counterpart of [[packSequences]]: packing concatenates docs into
+    * budget-exact training sequences, chunking splits each doc into
+    * windows a retriever embeds and indexes (the standard RAG ingest
+    * shape: fixed window, fixed stride, trailing window allowed short).
+    *
+    * Chunk starts are 0, stride, 2·stride, … while start < n_tokens, so
+    * every token is covered and consecutive chunks overlap by
+    * (size − stride) tokens. Emits (doc_id, chunk_id, start_tok, n_toks,
+    * chunk_hash) — the md5 of the space-joined window pins content
+    * without materializing overlap-duplicated text into the result.
+    *
+    * Scale shape: map-only — one projection, one bounded per-doc explode
+    * (⌈n/stride⌉ rows), everything inside whole-stage codegen; no
+    * shuffle, no UDF. The chunker a 100 TB corpus runs before its
+    * embedding pass.
+    */
+  def chunkDocs(docs: DataFrame, size: Int = 32, stride: Int = 24,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1, s"chunk size must be positive, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must sit in [1, size]: stride=$stride size=$size")
+    OpChecks.requireIntegralId(docs, idCol)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0L),
+          floor((org.apache.spark.sql.functions.size(col("__ws")) - 1) / stride).cast("long")))
+          .as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(size.toLong),
+          org.apache.spark.sql.functions.size(col("__ws")).cast("long") - col("chunk_id") * stride)
+          .as("n_toks"),
+        md5(array_join(slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"), lit(size)), " "))
+          .as("chunk_hash"))
+  }
+
   /** Temperature-style mixture capping at α = 1/2: cap each source at
     * `c · ⌊√n_s⌋` docs — the sub-linear quota that up-weights tail
     * sources relative to head ones (the mT5/temperature-sampling skeleton:
@@ -1155,6 +1197,27 @@ object Curation {
                CAST(s // 512 AS BIGINT) AS seq_id,
                CAST(s % 512 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id"""),
+    ),
+    // Per-doc overlapping chunking (size 32, stride 24) — the RAG-ingest
+    // face: map-only bounded explode, chunk content pinned by md5.
+    Q(
+      "c_chunk_docs",
+      (s, dir) =>
+        chunkDocs(Tables(s, dir, "documents"), size = 32, stride = 24)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE text IS NOT NULL
+        ),
+        c AS (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 24)) AS chunk_id
+              FROM w)
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+               CAST(least(32, len(ws) - chunk_id * 24) AS BIGINT) AS n_toks,
+               md5(array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_id"""),
     ),
     // Sequence packing denominated in SUBWORD tokens: the same two-level
     // cumsum, but the per-doc count is the greedy BPE-lite tokenizer

@@ -281,6 +281,35 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1) == got && rows(16) == got)
   }
 
+  test("chunkDocs: window starts/lengths, overlap, trailing short chunk, hash content") {
+    val s = spark
+    import s.implicits._
+    val words = (0 until 11).map(i => s"w$i")
+    val docs = Seq(
+      (0L, words.mkString(" ")),        // 11 tokens, size 5 / stride 3 → starts 0,3,6,9
+      (1L, "x y"),                      // shorter than one window → one chunk
+      (2L, null.asInstanceOf[String]),  // no rows
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(docs, size = 5, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def h(ws: Seq[String]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(ws.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L)))
+    assert(got((0L, 0L)) == ((0L, 5L, h(words.slice(0, 5)))))
+    assert(got((0L, 1L)) == ((3L, 5L, h(words.slice(3, 8)))))
+    assert(got((0L, 2L)) == ((6L, 5L, h(words.slice(6, 11)))))
+    assert(got((0L, 3L)) == ((9L, 2L, h(words.slice(9, 11))))) // trailing short chunk
+    assert(got((1L, 0L)) == ((0L, 2L, h(Seq("x", "y")))))
+    // coverage: the non-overlapping prefixes (stride tokens each, full tail
+    // on the last chunk) reconstruct the token stream
+    val starts = got.keys.filter(_._1 == 0L).toSeq.sortBy(_._2).map(k => got(k)._1)
+    assert(starts == Seq(0L, 3L, 6L, 9L))
+  }
+
   test("linearScore: unigram+bigram feature counts, pluggable weights, edge docs") {
     val s = spark
     import s.implicits._
