@@ -842,6 +842,107 @@ object Curation {
     }.apply(c)
   }
 
+  /** Exploded (id, bucket) hashed-gram feature rows — the distributed
+    * face of [[linearScoreJvm]]'s feature extraction (same unigram+bigram
+    * md5-60 % d family, same sqlTrim + `\s+` tokenization), for operators
+    * that need corpus-level bucket statistics rather than a per-row fold.
+    * Typed mapPartitions with a reused MessageDigest (the measured
+    * interpreted-lambda-vs-kernel discipline).
+    */
+  private def gramBuckets(docs: DataFrame, d: Int,
+                          idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dd = d
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val ws = OpChecks.sqlTrim(t).split("\\s+", -1)
+          val out = new Array[(Long, Long)](ws.length + math.max(0, ws.length - 1))
+          var j = 0
+          var i = 0
+          while (i < ws.length) {
+            out(j) = (id, Dedup.md5Hash60Jvm(md, ws(i)) % dd); j += 1; i += 1
+          }
+          i = 0
+          while (i < ws.length - 1) {
+            out(j) = (id, Dedup.md5Hash60Jvm(md, ws(i) + " " + ws(i + 1)) % dd); j += 1; i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF(idCol, "bucket")
+  }
+
+  /** DSIR-style hashed-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): per
+    * feature bucket, how over-represented the TARGET distribution is
+    * relative to the RAW corpus. Integer-exact skeleton: the weight is
+    * the add-one-smoothed fixed-point frequency ratio
+    *   w(b) = ⌊(n_target(b)+1) · scale / (n_raw(b)+1)⌋
+    * — the monotone surrogate of the paper's log p_t(b)/p_r(b) bucket
+    * term (a float log cannot cross a hash oracle; the tfidfTopK
+    * precedent). Features are the SAME unigram+bigram md5-60 buckets the
+    * linear quality scorer uses, so the selection family shares one
+    * feature space.
+    *
+    * Scale shape: two gram explodes (corpus-token cardinality) each
+    * collapsing map-side into ≤ d buckets — the shuffle carries at most
+    * d rows per partition; the full-outer merge of two ≤ d-row frames is
+    * trivial. `scale` bounds: n_target · scale must stay under 2^63 —
+    * the default 10^6 is safe to ~9·10^12 target grams (≈ 40 TB of
+    * text); drop scale an order of magnitude per order beyond that.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, d: Int = 4096,
+                  scale: Long = 1000000L, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(d >= 2, s"bucket count must be >= 2, got $d")
+    require(scale >= 1, s"scale must be positive, got $scale")
+    OpChecks.requireIntegralId(raw, idCol)
+    OpChecks.requireIntegralId(target, idCol)
+    val nr = gramBuckets(raw, d, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("n_raw"))
+    val nt = gramBuckets(target, d, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("n_target"))
+    nr.join(nt, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"))
+      .withColumn("weight", expr(s"(n_target + 1) * ${scale}L div (n_raw + 1)"))
+  }
+
+  /** Per-doc DSIR importance score: the sum of [[dsirWeights]] bucket
+    * weights over the doc's hashed-gram features (with multiplicity).
+    * Docs whose buckets are absent from the weights table score each
+    * such feature at `scale` — the smoothed neutral ratio (0+1)/(0+1).
+    * One gram explode joined against the BROADCAST d-bounded weight
+    * table, then one doc-keyed aggregation with map-side combine.
+    */
+  def dsirScore(docs: DataFrame, weights: DataFrame, d: Int = 4096,
+                scale: Long = 1000000L, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    gramBuckets(docs, d, idCol, textCol)
+      .join(broadcast(weights.select(col("bucket"), col("weight"))), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("weight"), lit(scale))).as("score"))
+
+  /** Top-`n` docs by DSIR importance — the selection face (the paper
+    * resamples proportionally; the deterministic top-quantile cut is the
+    * integer-exact variant, tie-broken by doc_id).
+    */
+  def dsirTopQ(docs: DataFrame, weights: DataFrame, n: Int, d: Int = 4096,
+               scale: Long = 1000000L, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    dsirScore(docs, weights, d, scale, idCol, textCol)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+
   /** One sequential pass: unigrams then bigrams, each md5-60-bucketed and
     * weighed — tokenization via the module's sqlTrim + `\s+` contract so
     * the DuckDB oracle's string_split_regex sees identical grams.
@@ -1090,6 +1191,47 @@ object Curation {
     * new pattern family lands in one place (previously two 17-line
     * near-identical blocks that could drift apart silently).
     */
+  /** Shared DSIR oracle CTE chain: quality-pass target ids (rulesCteSql's
+    * s/f CTEs), the unigram+bigram md5-60 % 4096 gram-bucket stream
+    * (c_quality_linear's feature family), per-bucket raw/target counts,
+    * and the fixed-point smoothed ratio — ending at `gwt(bucket,
+    * n_target, n_raw, weight)` with `gsc(doc_id, bkt)` still in scope
+    * for the scoring face.
+    */
+  private def dsirCtes: String = s"""${TextAnalysis.rulesCteSql()},
+        qd AS (SELECT doc_id FROM f
+               WHERE ok_words * ok_mean_len * ok_stopwords * ok_distinct = 1),
+        gw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents WHERE text IS NOT NULL),
+        gu AS (SELECT doc_id, unnest(ws) AS g FROM gw),
+        gbx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM gw),
+        gbg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM gbx),
+        ggr AS (SELECT doc_id, g FROM gu UNION ALL SELECT doc_id, g FROM gbg),
+        gsc AS (SELECT doc_id,
+                       CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 4096 AS bkt
+                FROM ggr),
+        gnr AS (SELECT bkt, COUNT(*) AS n_raw FROM gsc GROUP BY bkt),
+        gnt AS (SELECT gsc.bkt, COUNT(*) AS n_target
+                FROM gsc JOIN qd USING (doc_id) GROUP BY gsc.bkt),
+        gwt AS (SELECT COALESCE(gnr.bkt, gnt.bkt) AS bucket,
+                       COALESCE(gnt.n_target, 0) AS n_target,
+                       COALESCE(gnr.n_raw, 0) AS n_raw,
+                       (COALESCE(gnt.n_target, 0) + 1) * 1000000 // (COALESCE(gnr.n_raw, 0) + 1) AS weight
+                FROM gnr FULL OUTER JOIN gnt ON gnr.bkt = gnt.bkt)"""
+
+  private def dsirWeightsOracleSql: String = s"""
+      WITH $dsirCtes
+      SELECT bucket, CAST(n_target AS BIGINT) AS n_target,
+             CAST(n_raw AS BIGINT) AS n_raw, CAST(weight AS BIGINT) AS weight
+      FROM gwt ORDER BY bucket"""
+
+  private def dsirTopQOracleSql: String = s"""
+      WITH $dsirCtes,
+      ds AS (SELECT gsc.doc_id, COUNT(*) AS n_grams, SUM(gwt.weight) AS score
+             FROM gsc JOIN gwt ON gsc.bkt = gwt.bucket GROUP BY gsc.doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(score AS BIGINT) AS score
+      FROM ds ORDER BY score DESC, doc_id LIMIT 50"""
+
   private def piiScanOracleSql(from: String, strCol: String, groupCol: String): String = s"""
         WITH h AS (
           SELECT $groupCol,
@@ -1305,6 +1447,30 @@ object Curation {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM(CASE WHEN bkt % 3 = 0 THEN (bkt * 37) % 201 - 100 ELSE 0 END) AS BIGINT) AS score
         FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+    // DSIR importance weights (Xie et al. 2023): per hashed-gram bucket,
+    // the fixed-point smoothed target/raw frequency ratio. Target = the
+    // quality-rules pass set, raw = the whole corpus — the "select raw
+    // web text that looks like the curated set" shape.
+    Q(
+      "c_dsir_weights",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        dsirWeights(docs, docs.filter(TextAnalysis.qualityPass(col("text"))))
+          .orderBy("bucket")
+      },
+      Some(dsirWeightsOracleSql),
+    ),
+    // The DSIR selection face: every doc scored by summed bucket weights,
+    // top-50 kept (deterministic top-quantile cut, doc_id tie-break).
+    Q(
+      "c_dsir_topq",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val w = dsirWeights(docs, docs.filter(TextAnalysis.qualityPass(col("text"))))
+        dsirTopQ(docs, w, n = 50)
+      },
+      Some(dsirTopQOracleSql),
     ),
     // The packed training shards themselves: one row per 256-subword
     // sequence with the token ids in stream order. The oracle rebuilds

@@ -310,6 +310,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(starts == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("dsirWeights/dsirScore: smoothed ratios, neutral missing buckets, kernel parity") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta delta"),
+      (2L, "epsilon zeta eta"),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" < 2) // alpha/beta-heavy target
+    val w = Curation.dsirWeights(raw, target, d = 64, scale = 1000L)
+    val rows = w.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    // every weight is the integer smoothed ratio
+    rows.foreach { case (b, (nt, nr, wt)) =>
+      assert(wt == (nt + 1) * 1000L / (nr + 1), s"bucket $b")
+      assert(nt <= nr, s"target is a subset of raw: bucket $b")
+    }
+    // target-only grams are over-weighted, raw-only grams under-weighted
+    assert(rows.exists { case (_, (nt, nr, wt)) => nt > 0 && wt > 1000L / (nr + 1) })
+    assert(rows.exists { case (_, (nt, _, wt)) => nt == 0 && wt < 1000L })
+    // dsirScore parity with the per-row kernel using the SAME weight map
+    val wm = rows.map { case (b, (_, _, wt)) => b -> wt }.toMap
+    val scored = Curation.dsirScore(raw, w, d = 64, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = Seq(0L -> "alpha beta gamma", 1L -> "alpha beta delta", 2L -> "epsilon zeta eta")
+    texts.foreach { case (id, t) =>
+      val expect = Curation.linearScoreJvm(t, 64, b => wm.getOrElse(b, 1000L))
+      assert(scored(id) == expect, s"doc $id")
+    }
+    assert(!scored.contains(3L), "null text emits no score row")
+    // deterministic under repartitioning
+    val w2 = Curation.dsirWeights(raw.repartition(5), target.repartition(3), d = 64, scale = 1000L)
+    assert(w2.orderBy("bucket").collect().toSeq == w.orderBy("bucket").collect().toSeq)
+  }
+
   test("linearScore: unigram+bigram feature counts, pluggable weights, edge docs") {
     val s = spark
     import s.implicits._
