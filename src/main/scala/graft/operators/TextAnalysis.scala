@@ -382,6 +382,57 @@ object TextAnalysis {
         FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id
         ORDER BY w.doc_id"""),
     ),
+    // Tokenizer vocab COVERAGE per source: total subword ids and OOV ids
+    // (id 0 — code points no vocab entry matches) from the greedy
+    // tokenizer. The release-gate a tokenizer swap is judged by: a
+    // source whose OOV rate jumps is mis-served by the vocab. Map-only
+    // over the codegen'd tokenize face + one source-keyed aggregation;
+    // oracle replays the per-step recursive-CTE tokenizer and counts
+    // zero ids per source.
+    Q(
+      "c_oov_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"), bpeTokenize(col("text")).as("ids"))
+          .select(col("source"),
+            size(col("ids")).cast("long").as("n"),
+            (size(col("ids")) - size(array_remove(col("ids"), lit(0L)))).cast("long").as("z"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"), sum("z").as("n_oov"))
+          .orderBy("source"),
+      Some(s"""
+        WITH RECURSIVE vocab AS (
+          SELECT unnest([$bpeVocabSqlList]) AS t,
+                 unnest(range(1, ${BpeVocab.length + 1})) AS id),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wpos, ws FROM w),
+        wd AS (SELECT doc_id, wpos, ws[wpos] AS wrd FROM x),
+        r AS (
+          SELECT doc_id, wpos, wrd, 1 AS pos, 0 AS step, NULL::BIGINT AS tid FROM wd
+          UNION ALL
+          SELECT doc_id, wpos, wrd,
+                 pos + COALESCE((SELECT length(t) FROM vocab
+                                 WHERE substr(wrd, pos, length(t)) = t
+                                 ORDER BY length(t) DESC LIMIT 1), 1),
+                 step + 1,
+                 COALESCE((SELECT id FROM vocab
+                           WHERE substr(wrd, pos, length(t)) = t
+                           ORDER BY length(t) DESC LIMIT 1), 0)
+          FROM r WHERE pos <= length(wrd)
+        ),
+        e AS (SELECT doc_id, tid FROM r WHERE step >= 1),
+        pd AS (SELECT doc_id, COUNT(*) AS n,
+                      COUNT(*) FILTER (tid = 0) AS z
+               FROM e GROUP BY doc_id)
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(pd.n), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(pd.z), 0) AS BIGINT) AS n_oov
+        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        WHERE d.text IS NOT NULL
+        GROUP BY d.source ORDER BY d.source"""),
+    ),
     // BPE vocab TRAINING (Sennrich et al. 2016): the merge sequence
     // learned from the corpus itself — 20 merges, minCount 2, ties by
     // (count DESC, pair ASC). The DuckDB oracle replays the ENTIRE

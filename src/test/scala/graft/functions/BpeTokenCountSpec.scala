@@ -158,6 +158,19 @@ class BpeTokenCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("OOV accounting: zeros in the id stream equal the per-word OOV code points") {
+    import spark.implicits._
+    // vocab covers ascii letters a/b/cd; 'é' and 'x' are OOV (é is
+    // multi-byte — one zero per CODE POINT, not per byte)
+    val v = Seq("a", "b", "cd")
+    val rows = Seq("a b cd", "ax éb", "ééé").toDF("t")
+      .select(BpeTokenize(col("t"), v).as("ids"))
+      .select(size(col("ids")).cast("long").as("n"),
+        (size(col("ids")) - size(array_remove(col("ids"), lit(0L)))).cast("long").as("z"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((3L, 0L), (4L, 2L), (3L, 3L)))
+  }
+
   test("parity with the reference implementation on real corpus text, codegen on") {
     import spark.implicits._
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
