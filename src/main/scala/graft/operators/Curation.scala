@@ -842,6 +842,32 @@ object Curation {
     }.apply(c)
   }
 
+  /** Snapshot diff between two corpus versions — the release-engineering
+    * face of corpus versioning: which docs were added, removed, changed
+    * (same id, different content fingerprint) or carried unchanged
+    * between build v1 and build v2. Content identity is md5 over the
+    * null-coalesced text, so a text→NULL flip reads as a change to the
+    * empty fingerprint, not a silent equality.
+    *
+    * Scale shape: both sides project to (id, 16-byte fingerprint) before
+    * the single id-keyed full-outer join — at 100 TB the join carries
+    * hashes, never text, and co-partitions on the id like every other
+    * id-keyed face here.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    OpChecks.requireIntegralId(v1, idCol)
+    OpChecks.requireIntegralId(v2, idCol)
+    val a = v1.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("__h1"))
+    val b = v2.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("__h2"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h1").isNull, "added")
+          .when(col("__h2").isNull, "removed")
+          .when(col("__h1") === col("__h2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Exploded (id, bucket) hashed-gram feature rows — the distributed
     * face of [[linearScoreJvm]]'s feature extraction (same unigram+bigram
     * md5-60 % d family, same sqlTrim + `\s+` tokenization), for operators
@@ -1471,6 +1497,41 @@ object Curation {
         dsirTopQ(docs, w, n = 50)
       },
       Some(dsirTopQOracleSql),
+    ),
+    // Corpus snapshot diff: v1 = hash buckets <90, v2 = buckets >=10 with
+    // buckets 40-49 rewritten — so all four statuses (added/removed/
+    // changed/unchanged) are exercised non-vacuously. One id-keyed
+    // full-outer join over (id, fingerprint) projections.
+    Q(
+      "c_corpus_diff",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bkt = TextAnalysis.splitBucket(col("doc_id"))
+        val v1 = docs.filter(bkt < 90)
+        val v2 = docs.filter(bkt >= 10)
+          .withColumn("text",
+            when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+        corpusDiff(v1, v2).orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents
+        ),
+        v1 AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM b WHERE bkt < 90),
+        v2 AS (SELECT doc_id,
+                      md5(COALESCE(CASE WHEN bkt BETWEEN 40 AND 49
+                        THEN text || ' rev2' ELSE text END, '')) AS h
+               FROM b WHERE bkt >= 10)
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h = v2.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id"""),
     ),
     // The packed training shards themselves: one row per 256-subword
     // sequence with the token ids in stream order. The oracle rebuilds

@@ -310,6 +310,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(starts == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("corpusDiff: all four statuses, null-text flips read as changes") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq(
+      (1L, "same text"),
+      (2L, "old text"),
+      (3L, "gone"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "becomes null"),
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "same text"),                  // unchanged
+      (2L, "new text"),                   // changed
+      (4L, null.asInstanceOf[String]),    // unchanged (null == null fingerprint)
+      (5L, null.asInstanceOf[String]),    // changed (text -> null)
+      (6L, "fresh"),                      // added
+    ).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"))
+  }
+
   test("dsirWeights/dsirScore: smoothed ratios, neutral missing buckets, kernel parity") {
     val s = spark
     import s.implicits._
