@@ -162,6 +162,38 @@ object TextAnalysis {
         sum(col("pass")).as("n_pass_quality"),
       )
 
+  /** EXACT per-source token-length quantiles (discrete/type-1: the value
+    * at row ⌈p·n/100⌉ of the ascending-sorted lengths) — the dataset-card
+    * companion a corpus release reports per source. Exactness matters
+    * cross-engine: percentile_approx is sketch-dependent and continuous
+    * interpolation is float, so neither can hash-match an oracle; the
+    * ⌈·⌉-indexed discrete quantile is pure integers.
+    *
+    * Scale shape: NOT a per-source sort (one task per hot source at
+    * 100 TB). The corpus collapses map-side into a (source, length)
+    * histogram — bounded by sources × distinct lengths, tiny — then one
+    * windowed cumulative sum over that histogram reads every quantile
+    * off with `first length whose cumulative count clears ⌈p·n/100⌉`
+    * (cum ≥ ⌈np/100⌉ ⇔ 100·cum ≥ n·p for integer cum).
+    */
+  def lengthQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99),
+                      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must sit in [1,100], got $ps")
+    val hist = docs
+      .select(col(srcCol), coalesce(tokenCount(col(textCol)), lit(0L)).as("toks"))
+      .groupBy(srcCol, "toks").agg(count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(srcCol).orderBy("toks")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(srcCol)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wOrd))
+      .withColumn("n", sum("c").over(wAll))
+    val qs = ps.map(p => min(when(col("cum") * 100 >= col("n") * p, col("toks"))).as(s"p$p"))
+    cum.groupBy(srcCol)
+      .agg(max("n").as("n_docs"), qs: _*)
+      .orderBy(srcCol)
+  }
+
   /** Per-document top-k distinctive terms: tf (term count in doc) ranked
     * with rare-corpus-term tie-break — ORDER BY tf DESC, doc_freq ASC,
     * token ASC per doc. This is the integer-exact skeleton of tf-idf
@@ -497,6 +529,28 @@ object TextAnalysis {
                COUNT(d.text) - COUNT(DISTINCT md5(d.text)) AS n_exact_dup_docs,
                CAST(SUM(f.ok_words * f.ok_mean_len * f.ok_stopwords * f.ok_distinct) AS BIGINT) AS n_pass_quality
         FROM documents d JOIN f ON d.doc_id = f.doc_id"""),
+    ),
+    // Exact discrete token-length quantiles per source (p50/p90/p99) via
+    // the histogram+cumsum shape — never a per-source sort.
+    Q(
+      "t_length_quantiles",
+      (s, dir) => lengthQuantiles(Tables(s, dir, "documents")),
+      Some("""
+        WITH t AS (
+          SELECT source,
+                 COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0) AS toks
+          FROM documents
+        ),
+        h AS (SELECT source, toks, COUNT(*) AS c FROM t GROUP BY source, toks),
+        cu AS (SELECT source, toks,
+                      SUM(c) OVER (PARTITION BY source ORDER BY toks) AS cum,
+                      SUM(c) OVER (PARTITION BY source) AS n
+               FROM h)
+        SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN toks END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN toks END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN toks END) AS BIGINT) AS p99
+        FROM cu GROUP BY source ORDER BY source"""),
     ),
     // Top-3 distinctive terms per doc: tf-major, rare-term tie-break —
     // the integer-exact tf-idf ranking skeleton.

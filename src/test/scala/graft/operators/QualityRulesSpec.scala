@@ -110,4 +110,31 @@ class QualityRulesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id", "rk").collect().toSeq
     assert(a == b)
   }
+
+  test("lengthQuantiles: discrete ceil-index semantics, ties, single-doc source, null text") {
+    val s = spark
+    import s.implicits._
+    // source A lengths: 1,2,2,3,10 (n=5): idx50=ceil(2.5)=3 → 2;
+    // idx90=ceil(4.5)=5 → 10; idx99=ceil(4.95)=5 → 10
+    // source B: single doc of 4 tokens → every quantile = 4
+    // source C: null text → 0 tokens
+    val df = Seq(
+      (0L, "a", "A"), (1L, "a b", "A"), (2L, "c d", "A"),
+      (3L, "a b c", "A"), (4L, (1 to 10).map(i => s"w$i").mkString(" "), "A"),
+      (5L, "p q r s", "B"),
+      (6L, null.asInstanceOf[String], "C"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.lengthQuantiles(df)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      "A" -> ((5L, 2L, 10L, 10L)),
+      "B" -> ((1L, 4L, 4L, 4L)),
+      "C" -> ((1L, 0L, 0L, 0L))))
+    // partitioning-invariant (histogram + window, no per-source sort)
+    val again = TextAnalysis.lengthQuantiles(df.repartition(7))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(again == got)
+  }
 }
