@@ -110,7 +110,18 @@ object ScaleProbe {
     "d_minhash_recall", "c_bpe_train_apply",
     // r15 late: the one-pass release funnel (canonical join + two gate
     // flags + conditional sums — should track d_minhash_lsh's posture)
-    "c_curation_funnel")
+    "c_curation_funnel",
+    // r15 continuation: verified dedup (candidates bounded by the hot-
+    // bucket policy, verification restricted to candidate docs — the
+    // ratio should track d_minhash_lsh, NOT the exact feeder's
+    // replica-quadratic), RAG chunking (map-only bounded explode),
+    // DSIR weights + selection (gram explode into d buckets; the
+    // broadcast weight join), per-source OOV stats (map-only tokenizer
+    // + one agg), snapshot diff (id-keyed fingerprint join), and the
+    // histogram-shaped quantiles (no per-source sort — the probe would
+    // expose one as a superlinear ratio on the replicated corpus)
+    "d_minhash_verified", "c_chunk_docs", "c_dsir_weights", "c_dsir_topq",
+    "c_oov_stats", "c_corpus_diff", "t_length_quantiles")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

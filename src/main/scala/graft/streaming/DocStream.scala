@@ -399,6 +399,28 @@ object DocStream {
     docs.filter(col(textCol).isNotNull &&
       Curation.linearScoreCol(col(textCol), d, weightOf) >= minScore)
 
+  /** Stateless streaming DSIR gate: pass docs whose importance score —
+    * the sum of FROZEN per-bucket weights ([[Curation.dsirWeights]],
+    * trained offline on a raw/target snapshot) over the doc's hashed
+    * grams — clears `minScore`. Per-row equal to thresholding
+    * [[Curation.dsirScore]] (the kernel sums the same unigram+bigram
+    * buckets; missing buckets score the neutral `scale`), so the gate is
+    * spec'd batch ≡ stream. The weights frame is d-bounded: collected
+    * once at stream build, shipped in the task closure like the decon
+    * directory — no per-batch join, no state store, replay-deterministic.
+    */
+  def dsirFilter(docs: DataFrame, weights: DataFrame, minScore: Long,
+                 d: Int = 4096, scale: Long = 1000000L,
+                 textCol: String = "text"): DataFrame = {
+    require(d >= 2, s"bucket count must be >= 2, got $d")
+    val wm = weights
+      .select(col("bucket").cast("long"), col("weight").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sc = scale
+    docs.filter(col(textCol).isNotNull &&
+      Curation.linearScoreCol(col(textCol), d, b => wm.getOrElse(b, sc)) >= minScore)
+  }
+
   /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
     * expressions (shared regexes + Curation.hits), aggregated per
     * watermarked tumbling window instead of per static group — the shape a

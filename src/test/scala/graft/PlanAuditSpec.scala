@@ -221,6 +221,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "recall exchanges must carry hashes, not bodies:\n" + mrEx.mkString("\n"))
   }
 
+  test("r15 continuation shapes: chunking map-only, dsir broadcast scoring, diff/quantiles text-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // chunking: a pure bounded explode — no join, no aggregate, no window
+    val ch = SparkEntry.queries("c_chunk_docs")(spark, sfDir).queryExecution.optimizedPlan
+    assert(ch.collect { case j: Join => j }.isEmpty, "chunkDocs must not join")
+    assert(ch.collect { case a: Aggregate => a }.isEmpty, "chunkDocs must not aggregate")
+    // dsir weights: bucket-keyed aggregations only — no cartesian, and the
+    // exchanges carry 8-byte buckets, never document text
+    val dw = plan("c_dsir_weights")
+    assert(!dw.contains("CartesianProduct") && !dw.contains("BroadcastNestedLoopJoin"),
+      dw.take(2000))
+    val dwEx = dw.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(dwEx.nonEmpty && !dwEx.exists(_.contains("text#")),
+      "dsir exchanges must carry buckets, not bodies:\n" + dwEx.mkString("\n"))
+    // dsir selection: the d-bounded weight table BROADCASTS into the gram
+    // stream — a shuffled weight join would exchange the corpus twice
+    val dt = plan("c_dsir_topq")
+    assert(dt.contains("BroadcastHashJoin"), dt.take(2000))
+    assert(!dt.contains("CartesianProduct"), dt.take(2000))
+    // corpus diff: one id-keyed join whose exchanges carry fingerprints,
+    // never text (both sides project to (id, md5) before the join)
+    val cd = plan("c_corpus_diff")
+    assert(!cd.contains("CartesianProduct") && !cd.contains("BroadcastNestedLoopJoin"),
+      cd.take(2000))
+    val cdEx = cd.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(cdEx.nonEmpty && !cdEx.exists(_.contains("text#")),
+      "diff exchanges must carry fingerprints, not bodies:\n" + cdEx.mkString("\n"))
+    // length quantiles: histogram aggregate + window over the tiny
+    // histogram — never a join, never a per-source corpus sort
+    val lqPlan = SparkEntry.queries("t_length_quantiles")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(lqPlan.collect { case j: Join => j }.isEmpty, "quantiles must not join")
+    val lq = plan("t_length_quantiles")
+    assert(lq.contains("Window") && lq.contains("HashAggregate"), lq.take(2000))
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))

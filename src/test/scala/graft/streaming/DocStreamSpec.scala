@@ -337,6 +337,42 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("dsirFilter on a stream keeps exactly the docs whose batch dsirScore clears the bar") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vocabWords = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "theta", "iota", "kappa", "lambda")
+    val rnd = new scala.util.Random(7)
+    val corpus: Array[(Long, String)] = (0 until 60).map { i =>
+      val n = 4 + rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocabWords(rnd.nextInt(vocabWords.length))).mkString(" "))
+    }.toArray
+    val raw = corpus.toSeq.toDF("doc_id", "text")
+    // frozen weights trained on a target slice of the same snapshot
+    val weights = graft.operators.Curation
+      .dsirWeights(raw, raw.filter($"doc_id" % 3 === 0), d = 256, scale = 1000L)
+      .localCheckpoint(true)
+    val scored = graft.operators.Curation.dsirScore(raw, weights, d = 256, scale = 1000L)
+    val minScore = scored.selectExpr("percentile_approx(score, 0.5) AS m").head.getLong(0)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "text")
+    val query = DocStream
+      .dsirFilter(docs, weights, minScore = minScore, d = 256, scale = 1000L)
+      .writeStream.format("memory").queryName("dsir_out").outputMode("append").start()
+    try {
+      input.addData(corpus.take(30).map { case (id, t) => (id, ts(id.toInt), t) }.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(Seq((9999L, ts(0), null.asInstanceOf[String])) ++
+        corpus.drop(30).map { case (id, t) => (id, ts(id.toInt), t) })
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM dsir_out").collect().map(_.getLong(0)).toSet
+      val batch = scored.filter($"score" >= minScore).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < corpus.length) // the gate bites both ways
+    } finally query.stop()
+  }
+
   test("qualityRulesFilter on a stream keeps exactly the batch pass rows across batches") {
     val s = spark
     import s.implicits._
