@@ -121,7 +121,11 @@ object ScaleProbe {
     // histogram-shaped quantiles (no per-source sort — the probe would
     // expose one as a superlinear ratio on the replicated corpus)
     "d_minhash_verified", "c_chunk_docs", "c_dsir_weights", "c_dsir_topq",
-    "c_oov_stats", "c_corpus_diff", "t_length_quantiles")
+    "c_oov_stats", "c_corpus_diff", "t_length_quantiles",
+    // r15 continuation: CCNet perplexity terciles — the lm_score chain
+    // plus a score-domain-bounded histogram; its ratio should track
+    // c_lm_score's
+    "c_ppl_buckets")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

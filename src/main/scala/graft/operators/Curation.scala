@@ -742,6 +742,46 @@ object Curation {
         coalesce(col("ll_score"), lit(0L)).as("ll_score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per source,
+    * label each doc head / middle / tail by which tercile its
+    * length-normalized LM likelihood falls in — the standard corpus
+    * partitioning that trains on "head" (lowest-perplexity) web text.
+    * Integer-exact skeleton: the per-doc score is the fixed-point mean
+    * `ll_score · scale div max(n_bigrams, 1)` of [[lmScore]]'s integer
+    * log₂ surrogate (normalization matters — unnormalized sums rank long
+    * docs first), and the tercile thresholds are discrete quantiles read
+    * off the (source, mscore) HISTOGRAM with the cum·3 ≥ n(·2) integer
+    * test — the [[TextAnalysis.lengthQuantiles]] shape, never a
+    * per-source sort; the histogram is bounded by the integer score
+    * domain, not the corpus. Thresholds join back null-safely (a NULL
+    * source is a real group) and broadcast (sources-bounded).
+    */
+  def pplBuckets(docs: DataFrame, scale: Long = 1000L, idCol: String = "doc_id",
+                 textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(scale >= 1, s"scale must be positive, got $scale")
+    val scored = lmScore(docs, idCol, textCol)
+    val base = docs.select(col(idCol), col(srcCol))
+      .join(scored, Seq(idCol))
+      .withColumn("mscore", expr(s"ll_score * $scale div greatest(n_bigrams, 1)"))
+      .select(col(idCol), col(srcCol), col("mscore"))
+    val hist = base.groupBy(srcCol, "mscore").agg(count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(srcCol).orderBy("mscore")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(srcCol)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wOrd))
+      .withColumn("nn", sum("c").over(wAll))
+    val th = cum.groupBy(srcCol)
+      .agg(
+        min(when(col("cum") * 3 >= col("nn"), col("mscore"))).as("t33"),
+        min(when(col("cum") * 3 >= col("nn") * 2, col("mscore"))).as("t66"))
+      .withColumnRenamed(srcCol, "__src")
+    base.join(broadcast(th), col(srcCol) <=> col("__src"), "left")
+      .select(col(idCol), col(srcCol), col("mscore"),
+        when(col("mscore") <= col("t33"), "tail")
+          .when(col("mscore") <= col("t66"), "middle")
+          .otherwise("head").as("ppl_bucket"))
+  }
+
   /** fastText-style frozen linear quality scorer (Joulin et al. 2016,
     * "Bag of Tricks for Efficient Text Classification", with the hashing
     * trick of Weinberger et al. 2009): features are word unigrams +
@@ -1245,6 +1285,57 @@ object Curation {
                        (COALESCE(gnt.n_target, 0) + 1) * 1000000 // (COALESCE(gnr.n_raw, 0) + 1) AS weight
                 FROM gnr FULL OUTER JOIN gnt ON gnr.bkt = gnt.bkt)"""
 
+  /** The c_lm_score oracle chain as reusable CTEs, ending at
+    * `lsc(doc_id, n_bigrams, n_oov, ll_score)` with one row per document
+    * (zeros for null-text docs) — shared by c_lm_score and the
+    * perplexity-bucketing face so the two can never drift.
+    */
+  private def lmScoreCtes: String = s"""w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents WHERE text IS NOT NULL
+        ),
+        sh AS (SELECT doc_id, bkt, ${shingleSql(2)} AS shs FROM w),
+        e AS (SELECT doc_id, bkt, unnest(shs) AS bg FROM sh),
+        pd AS (SELECT doc_id, bg, COUNT(*) AS c FROM e GROUP BY doc_id, bg),
+        lm AS (SELECT bg, COUNT(*) AS n FROM e WHERE bkt >= 90 GROUP BY bg),
+        sc AS (
+          SELECT pd.doc_id,
+                 CAST(SUM(pd.c) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(CASE WHEN lm.n IS NULL THEN pd.c ELSE 0 END) AS BIGINT) AS n_oov,
+                 CAST(SUM(CASE WHEN lm.n IS NULL THEN 0
+                           ELSE pd.c * length(bin(CAST(lm.n AS BIGINT))) END) AS BIGINT) AS ll_score
+          FROM pd LEFT JOIN lm USING (bg) GROUP BY pd.doc_id
+        ),
+        lsc AS (
+          SELECT d.doc_id,
+                 COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+                 COALESCE(sc.n_oov, 0) AS n_oov,
+                 COALESCE(sc.ll_score, 0) AS ll_score
+          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        )"""
+
+  private def pplBucketsOracleSql: String = s"""
+      WITH $lmScoreCtes,
+      ms AS (SELECT l.doc_id, d.source,
+                    l.ll_score * 1000 // greatest(l.n_bigrams, 1) AS mscore
+             FROM lsc l JOIN documents d ON l.doc_id = d.doc_id),
+      hh AS (SELECT source, mscore, COUNT(*) AS c FROM ms GROUP BY source, mscore),
+      cu AS (SELECT source, mscore,
+                    SUM(c) OVER (PARTITION BY source ORDER BY mscore) AS cum,
+                    SUM(c) OVER (PARTITION BY source) AS nn
+             FROM hh),
+      th AS (SELECT source,
+                    MIN(CASE WHEN cum * 3 >= nn THEN mscore END) AS t33,
+                    MIN(CASE WHEN cum * 3 >= nn * 2 THEN mscore END) AS t66
+             FROM cu GROUP BY source)
+      SELECT ms.doc_id, ms.source, CAST(ms.mscore AS BIGINT) AS mscore,
+             CASE WHEN ms.mscore <= th.t33 THEN 'tail'
+                  WHEN ms.mscore <= th.t66 THEN 'middle'
+                  ELSE 'head' END AS ppl_bucket
+      FROM ms JOIN th ON ms.source IS NOT DISTINCT FROM th.source
+      ORDER BY ms.doc_id"""
+
   private def dsirWeightsOracleSql: String = s"""
       WITH $dsirCtes
       SELECT bucket, CAST(n_target AS BIGINT) AS n_target,
@@ -1719,29 +1810,17 @@ object Curation {
       "c_lm_score",
       (s, dir) => lmScore(Tables(s, dir, "documents")).orderBy("doc_id"),
       Some(s"""
-        WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
-          FROM documents WHERE text IS NOT NULL
-        ),
-        sh AS (SELECT doc_id, bkt, ${shingleSql(2)} AS shs FROM w),
-        e AS (SELECT doc_id, bkt, unnest(shs) AS bg FROM sh),
-        pd AS (SELECT doc_id, bg, COUNT(*) AS c FROM e GROUP BY doc_id, bg),
-        lm AS (SELECT bg, COUNT(*) AS n FROM e WHERE bkt >= 90 GROUP BY bg),
-        sc AS (
-          SELECT pd.doc_id,
-                 CAST(SUM(pd.c) AS BIGINT) AS n_bigrams,
-                 CAST(SUM(CASE WHEN lm.n IS NULL THEN pd.c ELSE 0 END) AS BIGINT) AS n_oov,
-                 CAST(SUM(CASE WHEN lm.n IS NULL THEN 0
-                           ELSE pd.c * length(bin(CAST(lm.n AS BIGINT))) END) AS BIGINT) AS ll_score
-          FROM pd LEFT JOIN lm USING (bg) GROUP BY pd.doc_id
-        )
-        SELECT d.doc_id,
-               COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-               COALESCE(sc.n_oov, 0) AS n_oov,
-               COALESCE(sc.ll_score, 0) AS ll_score
-        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        ORDER BY d.doc_id"""),
+        WITH $lmScoreCtes
+        SELECT doc_id, n_bigrams, n_oov, ll_score
+        FROM lsc ORDER BY doc_id"""),
+    ),
+    // CCNet-style perplexity terciles per source (head/middle/tail on the
+    // fixed-point length-normalized LM likelihood) — the bucketing that
+    // decides which slice of web text a pretraining run consumes.
+    Q(
+      "c_ppl_buckets",
+      (s, dir) => pplBuckets(Tables(s, dir, "documents")).orderBy("doc_id"),
+      Some(pplBucketsOracleSql),
     ),
     // Deterministic 8-shard assignment with two-level within-shard ranks;
     // the oracle is the naive per-shard window the distributed shape must

@@ -310,6 +310,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(starts == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("pplBuckets: tercile ordering per source, null source bucketed, partition thirds") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rows = (0 until 90).map { i =>
+      val src = if (i % 10 == 9) null else s"s${i % 3}"
+      val n = 6 + (i * 7) % 17
+      val words = (0 until n).map(j => vocab((i * 13 + j * 5) % vocab.size))
+      (i.toLong, words.mkString(" "), src)
+    }
+    val got = Curation.pplBuckets(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3)))
+    assert(got.length == rows.length, "every doc (null source included) is bucketed")
+    // per source: every tail score <= every middle score <= every head score
+    got.groupBy(_._2).foreach { case (src, docs) =>
+      val by = docs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      for (t <- by.get("tail"); m <- by.get("middle"))
+        assert(t.max <= m.min, s"source $src: tail above middle")
+      for (m <- by.get("middle"); h <- by.get("head"))
+        assert(m.max <= h.min, s"source $src: middle above head")
+      // discrete terciles: tail holds at least a third minus ties' slack
+      val n = docs.size
+      by.get("tail").foreach(t => assert(t.size * 3 >= n - 2 * 3, s"source $src tail too small"))
+    }
+    assert(got.exists(_._2.isEmpty), "fixture must exercise the null source")
+  }
+
   test("corpusDiff: all four statuses, null-text flips read as changes") {
     val s = spark
     import s.implicits._
