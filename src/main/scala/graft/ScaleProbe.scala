@@ -125,7 +125,10 @@ object ScaleProbe {
     // r15 continuation: CCNet perplexity terciles — the lm_score chain
     // plus a score-domain-bounded histogram; its ratio should track
     // c_lm_score's
-    "c_ppl_buckets")
+    "c_ppl_buckets",
+    // r15 continuation: token-budget prefix — packSequences' two-level
+    // cumsum on the hash key; same linear posture
+    "c_token_budget")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -882,6 +882,55 @@ object Curation {
     }.apply(c)
   }
 
+  /** Token-budget subsampling: keep the reproducible-hash-order prefix of
+    * the corpus whose cumulative token count fits `budget` — "give me
+    * exactly ~B tokens of this corpus" (epoch sizing, ablation slices,
+    * scaling-law points), deterministic across runs and partitionings
+    * with no RNG state, like every sampling face here (the (md5(id), id)
+    * order [[shuffleSample]] and [[capPerSource]] rank by).
+    *
+    * Scale shape: [[packSequences]]' two-level cumsum on the hash key —
+    * range-repartition by (h, id), per-partition totals to the driver
+    * (one long per partition), broadcast prefix offsets, one local
+    * cumsum pass. No global sort, no window over the corpus. Docs whose
+    * INCLUSIVE cumulative count fits the budget are kept, so the result
+    * never overshoots; zero-token docs inside the prefix ride along.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                        textCol: String = "text", numPartitions: Int = 0,
+                        countOf: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(numPartitions >= 0,
+      s"numPartitions must be >= 0 (0 = session default), got $numPartitions")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(countOf(col(textCol)), lit(0L)).as("n"),
+        md5(col(idCol).cast("string")).as("h"))
+      .repartitionByRange(nParts, col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .localCheckpoint(true)
+    val partTotals = ranged
+      .groupBy(spark_partition_id().as("pid")).agg(sum("n").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + partTotals.getOrElse(p, 0L))
+    val bc = spark.sparkContext.broadcast(offsets.toArray)
+    ranged
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bc.value(pid)
+        it.map { case (id, n, _) => cum += n; (id, n, cum) }
+      }
+      .toDF(idCol, "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Snapshot diff between two corpus versions — the release-engineering
     * face of corpus versioning: which docs were added, removed, changed
     * (same id, different content fingerprint) or carried unchanged
@@ -1477,6 +1526,24 @@ object Curation {
                CAST(least(32, len(ws) - chunk_id * 24) AS BIGINT) AS n_toks,
                md5(array_to_string(ws[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_hash
         FROM c ORDER BY doc_id, chunk_id"""),
+    ),
+    // Token-budget subsampling: the ~12k-token hash-order prefix of the
+    // ~27k-token sf corpus — the deterministic "give me B tokens" slice.
+    Q(
+      "c_token_budget",
+      (s, dir) =>
+        tokenBudgetSample(Tables(s, dir, "documents"), budget = 12000)
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0) AS n,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ),
+        c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        SELECT doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c WHERE cum <= 12000 ORDER BY doc_id"""),
     ),
     // Sequence packing denominated in SUBWORD tokens: the same two-level
     // cumsum, but the per-doc count is the greedy BPE-lite tokenizer

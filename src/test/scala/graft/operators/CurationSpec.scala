@@ -310,6 +310,45 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(starts == Seq(0L, 3L, 6L, 9L))
   }
 
+  test("tokenBudgetSample: inclusive prefix in hash order, never overshoots, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 7 == 3) null else (0 until (1 + (i % 5)).toInt).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def md5hex(x: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // reference: cumulative inclusive sum over (md5(id), id) order
+    val ordered = (0L until 40L).sortBy(i => (md5hex(i.toString), i))
+    val toks = (0L until 40L).map(i => i -> (if (i % 7 == 3) 0L else 1 + (i % 5))).toMap
+    var cum = 0L
+    val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+    ordered.foreach { i => cum += toks(i); if (cum <= 37) expect(i) = (toks(i), cum) }
+    def run(np: Int) = Curation.tokenBudgetSample(docs, budget = 37, numPartitions = np)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = run(4)
+    assert(got == expect.toMap)
+    assert(got.values.map(_._1).sum <= 37, "inclusive prefix must never overshoot")
+    assert(run(1) == got && run(16) == got)
+    // degenerate budgets
+    assert(Curation.tokenBudgetSample(docs, budget = 0).count() ==
+      expectZeroTokenPrefix(ordered, toks))
+  }
+
+  private def expectZeroTokenPrefix(ordered: Seq[Long], toks: Map[Long, Long]): Long = {
+    // budget 0 keeps exactly the leading zero-token docs of the hash order
+    var n = 0L
+    val it = ordered.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val i = it.next()
+      if (toks(i) == 0L) n += 1 else stop = true
+    }
+    n
+  }
+
   test("pplBuckets: tercile ordering per source, null source bucketed, partition thirds") {
     val s = spark
     import s.implicits._
