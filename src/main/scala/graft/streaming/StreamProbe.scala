@@ -104,6 +104,17 @@ object StreamProbe {
         graft.operators.TextAnalysis.splitName(
           org.apache.spark.sql.functions.col("doc_id")) === "test"))
 
+    // frozen DSIR weights for the stateless importance-gate arm (trained
+    // offline on the corpus vs its quality-pass slice — the production
+    // freeze-then-gate lifecycle); the median batch score as the bar so
+    // the gate provably bites both ways
+    val dsirBase = Tables(spark, dir, "documents")
+    val dsirW = graft.operators.Curation.dsirWeights(
+      dsirBase, dsirBase.filter(graft.operators.TextAnalysis.qualityPass(
+        org.apache.spark.sql.functions.col("text")))).localCheckpoint(true)
+    val dsirMin = graft.operators.Curation.dsirScore(dsirBase, dsirW)
+      .selectExpr("percentile_approx(score, 0.5) AS m").head.getLong(0)
+
     val arms = Seq(
       runArm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
@@ -120,6 +131,11 @@ object StreamProbe {
       // flat per-batch cost, pure codegen'd row expressions
       runArm("qualityRulesFilter",
         docs => DocStream.qualityRulesFilter(docs)),
+      // third stateless arm: the frozen-weights DSIR gate — zero state
+      // rows; the d-bounded weight table rides the closure, so per-batch
+      // cost must stay flat as the stream grows
+      runArm("dsirFilter",
+        docs => DocStream.dsirFilter(docs, dsirW, minScore = dsirMin)),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +
