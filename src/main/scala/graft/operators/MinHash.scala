@@ -411,13 +411,23 @@ object MinHash {
           "or evaluate recall on a document sample.")
     val sizes = buckets.select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("nsz"))
+    // the size joins are pinned to sort-merge for the same reason the
+    // recall face's full-outer is: the pair frame's post-aggregation
+    // estimate undersells its true mult²-quadratic cardinality on a
+    // replica-heavy corpus, and Spark 4 then broadcasts the PAIR side —
+    // measured as a driver broadcast OOM at the 10× probe arm before
+    // the hint (the sizes side stays modest, but a hint on either side
+    // forces the exchange-based plan that never materializes pairs on
+    // the driver)
     buckets
       .filter(size(col("ids")) >= 2)
       .select(explode(pairExpand("ids")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("ni"))
+      .hint("merge")
       .join(sizes.select(col("id").as("id_a"), col("nsz").as("na")), Seq("id_a"))
+      .hint("merge")
       .join(sizes.select(col("id").as("id_b"), col("nsz").as("nb")), Seq("id_b"))
       .filter(col("ni") * (den + num) >= (col("na") + col("nb")) * num)
       .select("id_a", "id_b", "ni", "na", "nb")
