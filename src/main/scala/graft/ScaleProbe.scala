@@ -128,7 +128,17 @@ object ScaleProbe {
     "c_ppl_buckets",
     // r15 continuation: token-budget prefix — packSequences' two-level
     // cumsum on the hash key; same linear posture
-    "c_token_budget")
+    "c_token_budget",
+    // r15 continuation 2: exact stratified split (shardAssign's two-level
+    // rank keyed per source — driver traffic is partitions × sources, so
+    // the ratio should track c_shard_assign), vocabulary drift (two
+    // token-keyed aggs + vocab-sized merge + TakeOrdered top-k),
+    // temperature quotas (one agg to a languages-sized frame), and the
+    // threshold curve (the exact pair feeder again — replica-quadratic
+    // BY DESIGN, same ≤10× opt-out / past-10× refusal as
+    // d_minhash_recall via the override below)
+    "c_split_stratified", "c_vocab_drift", "c_lang_balance",
+    "d_dedup_thresholds")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
@@ -152,6 +162,11 @@ object ScaleProbe {
     // the designed outcome (the mm_phash_hamming 100× precedent).
     "d_minhash_recall" -> ((s, dir) =>
       operators.MinHash.minhashRecall(Tables(s, dir, "documents"),
+        maxPairMass = if (mult <= 10) Long.MaxValue else 100000000L)),
+    // same truth feeder, same policy: measure the unguarded quadratic at
+    // ≤10×, record the guard's refusal past it
+    "d_dedup_thresholds" -> ((s, dir) =>
+      operators.MinHash.dedupThresholdCurve(Tables(s, dir, "documents"),
         maxPairMass = if (mult <= 10) Long.MaxValue else 100000000L)),
     // the registered query's fixed nCells=8 is an oracle-scale setting;
     // the contract at scale is nCells ∝ N, so the scaled arm runs 8·mult

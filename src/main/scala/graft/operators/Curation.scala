@@ -957,6 +957,175 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  /** EXACT stratified train/valid/test split: within every stratum
+    * (source, by default) docs are ranked by the reproducible
+    * (md5(id), id) hash order and the first `testPm`/`validPm` per-mille
+    * COUNTS go to test/valid — so every source contributes exactly
+    * ⌊n·pm/1000⌋ eval docs, however skewed the source mix. This is the
+    * exact-proportion counterpart of [[TextAnalysis.splitName]]'s
+    * hash-BUCKET split (proportions only in expectation, but O(1)
+    * stateless per row): bucket splits serve streaming ingest, this face
+    * serves release-time holdout creation where "the eval set is exactly
+    * 10% of every source" is the contract.
+    *
+    * Scale shape: [[shardAssign]]'s two-level rank keyed per stratum —
+    * range-repartition by (stratum, hash, id), per-(partition, stratum)
+    * counts to the driver (bounded by partitions × strata — strata are
+    * sources, a release-metadata-sized set, NOT a per-doc key), broadcast
+    * prefix offsets, one local pass. No per-source corpus sort: a hot
+    * source spans many range partitions instead of pinning one task.
+    * NULL strata coalesce to "" so they form one ranked group.
+    */
+  def stratifiedSplit(docs: DataFrame, testPm: Int = 100, validPm: Int = 100,
+                      strataCol: String = "source", idCol: String = "doc_id",
+                      numPartitions: Int = 0): DataFrame = {
+    require(testPm >= 0 && validPm >= 0 && testPm + validPm <= 1000,
+      s"per-mille fractions must satisfy 0 <= testPm + validPm <= 1000, got $testPm + $validPm")
+    require(numPartitions >= 0,
+      s"numPartitions must be >= 0 (0 = session default), got $numPartitions")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(strataCol).cast("string"), lit("")).as("st"),
+        md5(col(idCol).cast("string")).as("rk"))
+      .repartitionByRange(nParts, col("st"), col("rk"), col("id"))
+      .sortWithinPartitions("st", "rk", "id")
+      .localCheckpoint(true)
+    val counts = ranged
+      .groupBy(spark_partition_id().as("pid"), col("st"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val starts: Map[(Int, String), Long] = counts
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (st, rows) =>
+        val byPid = rows.sortBy(_._1)
+        val offs = byPid.scanLeft(0L)(_ + _._3)
+        byPid.iterator.map(_._1).zip(offs.iterator).map { case (pid, off) => (pid, st) -> off }
+      }
+      .toMap
+    val totals: Map[String, Long] =
+      counts.groupBy(_._2).map { case (st, rows) => st -> rows.map(_._3).sum }
+    val (tpm, vpm) = (testPm.toLong, validPm.toLong)
+    val bcS = spark.sparkContext.broadcast(starts)
+    val bcT = spark.sparkContext.broadcast(totals)
+    ranged
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var cum = 0L
+        var testN = 0L
+        var validN = 0L
+        it.map { case (id, st, _) =>
+          if (st != cur) {
+            cur = st
+            cum = bcS.value((pid, st))
+            val n = bcT.value(st)
+            testN = n * tpm / 1000
+            validN = n * vpm / 1000
+          }
+          val r = cum
+          cum += 1L
+          val split =
+            if (r < testN) "test" else if (r < testN + validN) "valid" else "train"
+          (id, st, r, split)
+        }
+      }
+      .toDF(idCol, strataCol, "rnk", "split")
+  }
+
+  /** Vocabulary drift between two corpus snapshots: the top-k terms whose
+    * counts moved most between build v1 and build v2 (|delta| DESC, term
+    * ASC tie-break — fully ordered, so the cut is deterministic). The
+    * release-review twin of [[corpusDiff]]: that face answers "which DOCS
+    * changed", this one answers "what did the change do to the token
+    * distribution" — the drift report a tokenizer/mixture owner reads
+    * before re-training on a new crawl. Integer-exact (raw counts and
+    * their difference; a float KL term cannot cross a hash oracle — the
+    * tfidfTopK precedent).
+    *
+    * Scale shape: two token-keyed aggregations with map-side combine
+    * (the shuffle carries one row per distinct term per map task), one
+    * vocab-sized full-outer merge, and a global top-k that Spark executes
+    * as TakeOrderedAndProject — per-partition heaps of k rows, never a
+    * full sort of the vocabulary.
+    */
+  def vocabDrift(v1: DataFrame, v2: DataFrame, k: Int = 30,
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def termCounts(df: DataFrame, out: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as(out))
+    termCounts(v1, "n_v1")
+      .join(termCounts(v2, "n_v2"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      .withColumn("delta", col("n_v2") - col("n_v1"))
+      .filter(col("delta") =!= 0)
+      .orderBy(abs(col("delta")).desc, col("term"))
+      .limit(k)
+  }
+
+  /** Temperature-balanced sampling quotas per language at α = 1/2
+    * (XLM-R-style p^α smoothing, Conneau et al. 2020): a language's
+    * sampling quota is proportional to the SQUARE ROOT of its token
+    * count, flattening the head without drowning the tail, and a token
+    * `budget` is divided across languages by the largest-remainder
+    * method so the allocations are integers that sum to exactly the
+    * budget. α = 1/2 is the one temperature whose quota is integer-exact
+    * end to end: quota = isqrt(n_tokens), computed as floor(sqrt) with a
+    * ±1 correction step (a double sqrt of a long is within 1 ulp, so the
+    * candidate is off by at most one — both engines apply the same
+    * correction, making the oracle exact). An allocation may exceed a
+    * language's own token count — that is temperature sampling's
+    * oversampling arm (multiple epochs over a low-resource language).
+    *
+    * Scale shape: ONE corpus aggregation with map-side combine collapses
+    * to a languages-sized frame; the quota/remainder windows run on that
+    * frame (hundreds of rows at web scale), never on the corpus.
+    */
+  def langBalance(docs: DataFrame, budget: Long, langCol: String = "lang",
+                  textCol: String = "text",
+                  countOf: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val perLang = docs
+      .groupBy(coalesce(col(langCol).cast("string"), lit("")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(countOf(col(textCol)), lit(0L))).as("n_tokens"))
+    val q0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    val isqrt = when(q0 * q0 > col("n_tokens"), q0 - 1)
+      .when((q0 + 1) * (q0 + 1) <= col("n_tokens"), q0 + 1)
+      .otherwise(q0)
+    val all = Window.partitionBy()
+    val byRem = Window.orderBy(col("__rem").desc, col("lang"))
+    perLang
+      .withColumn("quota", isqrt)
+      .withColumn("__totq", sum(col("quota")).over(all))
+      // integer division/modulo on longs (the SQL `div` operator — a
+      // double `/` would round at web-scale magnitudes)
+      .withColumn("__flr",
+        when(col("__totq") === 0, 0L)
+          .otherwise(expr(s"quota * ${budget}L div __totq")))
+      .withColumn("__rem",
+        when(col("__totq") === 0, 0L)
+          .otherwise((col("quota") * lit(budget)) % col("__totq")))
+      .withColumn("__k", lit(budget) - sum(col("__flr")).over(all))
+      .withColumn("__rnk", row_number().over(byRem))
+      .withColumn("alloc",
+        when(col("__totq") === 0, 0L)
+          .otherwise(col("__flr") + when(col("__rnk") <= col("__k"), 1L).otherwise(0L)))
+      .select("lang", "n_docs", "n_tokens", "quota", "alloc")
+  }
+
   /** Exploded (id, bucket) hashed-gram feature rows — the distributed
     * face of [[linearScoreJvm]]'s feature extraction (same unigram+bigram
     * md5-60 % d family, same sqlTrim + `\s+` tokenization), for operators
@@ -1690,6 +1859,100 @@ object Curation {
                     ELSE 'changed' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         ORDER BY doc_id"""),
+    ),
+    // EXACT stratified split: per source, hash-rank order, first 10% to
+    // test and next 10% to valid BY COUNT (⌊n/10⌋ each) — the oracle
+    // replays the rank as a window row_number so rank, thresholds, and
+    // assignments are all in the hash.
+    Q(
+      "c_split_stratified",
+      (s, dir) =>
+        stratifiedSplit(Tables(s, dir, "documents"), testPm = 100, validPm = 100)
+          .orderBy("doc_id"),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, COALESCE(source, '') AS source,
+                 ROW_NUMBER() OVER (PARTITION BY COALESCE(source, '')
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rnk,
+                 COUNT(*) OVER (PARTITION BY COALESCE(source, '')) AS n
+          FROM documents)
+        SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+               CASE WHEN rnk < n * 100 // 1000 THEN 'test'
+                    WHEN rnk < n * 100 // 1000 + n * 100 // 1000 THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM r ORDER BY doc_id"""),
+    ),
+    // Vocabulary drift between the SAME two synthetic snapshots
+    // c_corpus_diff compares (one versioning fixture, two faces): top-30
+    // terms by |count delta|, deterministic tie-break.
+    Q(
+      "c_vocab_drift",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bkt = TextAnalysis.splitBucket(col("doc_id"))
+        val v1 = docs.filter(bkt < 90)
+        val v2 = docs.filter(bkt >= 10)
+          .withColumn("text",
+            when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+        vocabDrift(v1, v2, k = 30)
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, text,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents
+        ),
+        v1 AS (SELECT text FROM b WHERE bkt < 90),
+        v2 AS (SELECT CASE WHEN bkt BETWEEN 40 AND 49 THEN text || ' rev2' ELSE text END AS text
+               FROM b WHERE bkt >= 10),
+        c1 AS (SELECT term, COUNT(*) AS n1 FROM (
+                 SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                 FROM v1 WHERE text IS NOT NULL) GROUP BY term),
+        c2 AS (SELECT term, COUNT(*) AS n2 FROM (
+                 SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                 FROM v2 WHERE text IS NOT NULL) GROUP BY term)
+        SELECT COALESCE(c1.term, c2.term) AS term,
+               CAST(COALESCE(n1, 0) AS BIGINT) AS n_v1,
+               CAST(COALESCE(n2, 0) AS BIGINT) AS n_v2,
+               CAST(COALESCE(n2, 0) - COALESCE(n1, 0) AS BIGINT) AS delta
+        FROM c1 FULL OUTER JOIN c2 ON c1.term = c2.term
+        WHERE COALESCE(n1, 0) <> COALESCE(n2, 0)
+        ORDER BY abs(COALESCE(n2, 0) - COALESCE(n1, 0)) DESC, term
+        LIMIT 30"""),
+    ),
+    // α=1/2 temperature-balanced language quotas under a 100k-token
+    // budget (> the sf corpus total — the oversampling arm is exercised,
+    // not just the down-sampling one). isqrt correction and
+    // largest-remainder division mirrored expression-for-expression.
+    Q(
+      "c_lang_balance",
+      (s, dir) =>
+        langBalance(Tables(s, dir, "documents"), budget = 100000L)
+          .orderBy("lang"),
+      Some("""
+        WITH l AS (
+          SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
+                 CAST(SUM(COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        q0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS g FROM l),
+        qq AS (SELECT lang, n_docs, n_tokens,
+                      CASE WHEN g * g > n_tokens THEN g - 1
+                           WHEN (g + 1) * (g + 1) <= n_tokens THEN g + 1
+                           ELSE g END AS quota
+               FROM q0),
+        t AS (SELECT *, SUM(quota) OVER () AS totq FROM qq),
+        f AS (SELECT *,
+                     CASE WHEN totq = 0 THEN 0 ELSE quota * 100000 // totq END AS flr,
+                     CASE WHEN totq = 0 THEN 0 ELSE (quota * 100000) % totq END AS rem
+              FROM t),
+        g AS (SELECT *, 100000 - SUM(flr) OVER () AS k,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
+              FROM f)
+        SELECT lang, n_docs, n_tokens, CAST(quota AS BIGINT) AS quota,
+               CAST(CASE WHEN totq = 0 THEN 0
+                         ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+        FROM g ORDER BY lang"""),
     ),
     // The packed training shards themselves: one row per 256-subword
     // sequence with the token ids in stream order. The oracle rebuilds

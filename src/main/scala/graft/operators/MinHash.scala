@@ -461,6 +461,51 @@ object MinHash {
         count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
   }
 
+  /** Dedup-rate curve across Jaccard thresholds — the band-tuning report
+    * a dedup owner reads before fixing τ: for each candidate threshold,
+    * how many EXACT Jaccard-≥τ pairs exist and how many docs the greedy
+    * drop policy (remove any doc that duplicates a smaller-id doc — the
+    * standard keep-first rule) would remove. One row per threshold,
+    * integer-exact end to end: the qualification test is the same
+    * cross-multiplication [[exactJaccardPairs]] applies, per threshold.
+    *
+    * Scale shape: the exact pair frame is computed ONCE at the loosest
+    * threshold (an EVALUATION face — quadratic by design on hot shingles,
+    * pair-mass guard armed); the curve is a bounded explode of that
+    * duplicate-scale frame (|pairs| × |thresholds|) into one aggregation.
+    * Every threshold row is always emitted (zero-filled via the left join
+    * from the threshold seed), so a clean corpus reads as a row of zeros,
+    * not an empty frame.
+    */
+  def dedupThresholdCurve(docs: DataFrame,
+                          thresholds: Seq[(Int, Int)] =
+                            Seq((3, 10), (1, 2), (3, 5), (7, 10), (4, 5), (9, 10)),
+                          idCol: String = "doc_id", textCol: String = "text",
+                          k: Int = 3, maxPairMass: Long = 100000000L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    thresholds.foreach { case (n, d) =>
+      require(n >= 1 && d >= n, s"threshold $n/$d must sit in (0, 1]")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (minNum, minDen) = thresholds.minBy { case (n, d) => n.toDouble / d }
+    val pairs = exactJaccardPairs(docs, idCol, textCol, k, minNum, minDen, maxPairMass)
+    val ths = array(thresholds.map { case (n, d) =>
+      struct(lit(n).as("num"), lit(d).as("den"))
+    }: _*)
+    val perTh = pairs
+      .select(col("id_b"), col("ni"), col("na"), col("nb"), explode(ths).as("t"))
+      .filter(col("ni") * (col("t.den") + col("t.num")) >= (col("na") + col("nb")) * col("t.num"))
+      .groupBy(col("t.num").as("j_num"), col("t.den").as("j_den"))
+      .agg(count(lit(1)).as("p"), count_distinct(col("id_b")).as("d"))
+    thresholds.toDF("j_num", "j_den")
+      .join(perTh, Seq("j_num", "j_den"), "left")
+      .select(col("j_num"), col("j_den"),
+        coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("d"), lit(0L)).as("n_docs_dropped"))
+      .orderBy(col("j_num") * 10000 / col("j_den"), col("j_den"))
+  }
+
   /** Verified near-dup canonicalization — the production
     * estimate-then-verify dedup face. [[nearDupCanonicalMd5]]
     * canonicalizes on band-bucket SHARING alone, so two docs colliding in

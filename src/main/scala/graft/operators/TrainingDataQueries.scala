@@ -162,6 +162,15 @@ object TrainingDataQueries {
       (s, dir) => MinHash.minhashRecall(Tables(s, dir, "documents")),
       Some(minhashRecallOracleSql),
     ),
+    // Dedup-rate CURVE: exact pair counts and greedy-drop doc counts at
+    // six Jaccard thresholds from ONE exact pair frame (computed at the
+    // loosest τ=0.3, guard armed) — the τ-tuning report behind the band
+    // parameters. Every threshold row always present (zero-filled).
+    Q(
+      "d_dedup_thresholds",
+      (s, dir) => MinHash.dedupThresholdCurve(Tables(s, dir, "documents")),
+      Some(dedupThresholdsOracleSql),
+    ),
     // Verified near-dup canonicalization: LSH candidates → EXACT
     // shingle-Jaccard verification (integer cross-multiplied ≥ 1/2) →
     // connected components over the verified edges only. Closes the
@@ -1082,6 +1091,37 @@ object TrainingDataQueries {
              CAST(COUNT(c.id_a) AS BIGINT) AS n_cand_pairs,
              CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit
       FROM tru t FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b"""
+
+  /** ≡ MinHash.dedupThresholdCurve(documents): the exact-pair truth chain
+    * (minhashRecallOracleSql's th/tsz/co CTEs) qualified at the loosest
+    * τ = 3/10, then per-threshold conditional counts via a LEFT JOIN from
+    * the threshold seed (so an empty pair frame still yields six
+    * zero-filled rows, matching the Spark side's seed join).
+    */
+  private def dedupThresholdsOracleSql: String = s"""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                 FROM documents WHERE text IS NOT NULL),
+      sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END AS shs
+             FROM w),
+      th AS (SELECT DISTINCT doc_id, ${md5_60("unnest(list_distinct(shs))")} AS h FROM sh),
+      tsz AS (SELECT doc_id, COUNT(*) AS nsz FROM th GROUP BY doc_id),
+      co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+             FROM th a JOIN th b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+      p AS (SELECT co.id_a, co.id_b, co.ni, sa.nsz AS na, sb.nsz AS nb
+            FROM co JOIN tsz sa ON co.id_a = sa.doc_id
+                    JOIN tsz sb ON co.id_b = sb.doc_id
+            WHERE co.ni * 13 >= (sa.nsz + sb.nsz) * 3),
+      t(j_num, j_den) AS (VALUES (3, 10), (1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+      SELECT t.j_num, t.j_den,
+             CAST(COUNT(CASE WHEN p.ni * (t.j_den + t.j_num) >= (p.na + p.nb) * t.j_num
+                             THEN 1 END) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT CASE WHEN p.ni * (t.j_den + t.j_num) >= (p.na + p.nb) * t.j_num
+                                      THEN p.id_b END) AS BIGINT) AS n_docs_dropped
+      FROM t LEFT JOIN p ON true
+      GROUP BY t.j_num, t.j_den
+      ORDER BY t.j_num * 10000 / t.j_den, t.j_den"""
 
   /** ≡ MinHash.verifiedNearDupCanonicalMd5(documents) ORDER BY doc_id:
     * the band candidate pairs (buckets 2..20 — bucketPairCountsMd5's

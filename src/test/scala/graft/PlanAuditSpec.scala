@@ -257,6 +257,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lq.contains("Window") && lq.contains("HashAggregate"), lq.take(2000))
   }
 
+  test("r15 sampling shapes: drift top-k heap-based, balance join-free, split/curve no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // vocab drift: the global top-k must plan as TakeOrderedAndProject
+    // (per-partition heaps), never a full sort of the vocabulary
+    val vd = plan("c_vocab_drift")
+    assert(vd.contains("TakeOrderedAndProject"), vd.take(2000))
+    assert(!vd.contains("CartesianProduct") && !vd.contains("BroadcastNestedLoopJoin"),
+      vd.take(2000))
+    // language balance: one corpus aggregation to a languages-sized frame,
+    // windows on that frame — never a join
+    val lb = SparkEntry.queries("c_lang_balance")(spark, sfDir).queryExecution.optimizedPlan
+    assert(lb.collect { case j: Join => j }.isEmpty, "langBalance must not join")
+    val lbp = plan("c_lang_balance")
+    assert(lbp.contains("HashAggregate") && lbp.contains("Window"), lbp.take(2000))
+    // stratified split: rank pass over the checkpointed range layout —
+    // no join anywhere (thresholds ride broadcast maps, not frames)
+    val ss = SparkEntry.queries("c_split_stratified")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(ss.collect { case j: Join => j }.isEmpty, "stratifiedSplit must not join")
+    // threshold curve: equi-joins only (sizes + the 6-row threshold seed);
+    // the bounded threshold explode must never become a cartesian
+    val dc = plan("d_dedup_thresholds")
+    assert(!dc.contains("CartesianProduct") && !dc.contains("BroadcastNestedLoopJoin"),
+      dc.take(2000))
+  }
+
   test("f1_filter_cnf pushes its predicate into the parquet scan") {
     val p = plan("f1_filter_cnf")
     assert("PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p).exists(!_.contains("[]")), p.take(2000))

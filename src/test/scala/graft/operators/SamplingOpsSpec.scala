@@ -1,0 +1,200 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** The round-15 sampling/selection faces vs straight-line pure-Scala
+  * references (the CurationSpec discipline): exact stratified split,
+  * vocabulary drift, α=1/2 temperature language balancing, and the
+  * Jaccard-threshold dedup curve. Fixtures exercise the degenerate shapes
+  * the sf corpora never produce — skewed strata, null text/lang, perfect
+  * squares and ±1 sqrt edges, empty pair frames.
+  */
+class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("sampling-ops-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  // ---- stratifiedSplit ---------------------------------------------------
+
+  test("stratifiedSplit: exact per-stratum counts, hash-rank order, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: 23 / 7 / 3 / 1 docs, plus a null-source doc
+    val rows = (0L until 23L).map(i => (i, Option("big"))) ++
+      (23L until 30L).map(i => (i, Option("mid"))) ++
+      (30L until 33L).map(i => (i, Option("small"))) ++
+      Seq((33L, Option("solo")), (34L, Option.empty[String]))
+    val docs = rows.toDF("doc_id", "source")
+
+    // pure-Scala mirror: rank by (md5(id), id) within coalesced stratum
+    val expected = rows
+      .groupBy(_._2.getOrElse(""))
+      .flatMap { case (st, rs) =>
+        val ordered = rs.map(_._1).sortBy(id => (md5Hex(id.toString), id))
+        val n = ordered.size.toLong
+        val testN = n * 250 / 1000
+        val validN = n * 125 / 1000
+        ordered.zipWithIndex.map { case (id, r) =>
+          val split =
+            if (r < testN) "test" else if (r < testN + validN) "valid" else "train"
+          (id, st, r.toLong, split)
+        }
+      }
+      .toSet
+
+    for (parts <- Seq(1, 7)) {
+      val got = Curation
+        .stratifiedSplit(docs.repartition(parts), testPm = 250, validPm = 125)
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // exact proportions: big (23 docs) gives exactly 5 test / 2 valid
+    val big = expected.filter(_._2 == "big")
+    assert(big.count(_._4 == "test") == 5 && big.count(_._4 == "valid") == 2)
+    // a single-doc stratum never loses its doc to eval at these rates
+    assert(expected.filter(_._2 == "solo").head._4 == "train")
+  }
+
+  test("stratifiedSplit: bounds validated, zero rates put everything in train") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSplit(docs, testPm = 600, validPm = 500)
+    }
+    val all = Curation.stratifiedSplit(docs, testPm = 0, validPm = 0)
+      .select("split").as[String].collect()
+    assert(all.forall(_ == "train"))
+  }
+
+  // ---- vocabDrift ----------------------------------------------------------
+
+  test("vocabDrift: exact deltas, |delta| DESC + term ASC cut, null text ignored") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq(
+      (1L, "a a a b c"),
+      (2L, "b c d"),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "a b c zz zz zz zz"),
+      (2L, "c d e"),
+    ).toDF("doc_id", "text")
+    // counts v1: a=3 b=2 c=2 d=1 ; v2: a=1 b=1 c=2 d=1 e=1 zz=4
+    // deltas: zz=+4, a=-2, b=-1, e=+1 (c,d unchanged → excluded)
+    val got = Curation.vocabDrift(v1, v2, k = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("zz", 0L, 4L, 4L), ("a", 3L, 1L, -2L), ("b", 2L, 1L, -1L)))
+    // k larger than the drift set returns the whole set
+    val all = Curation.vocabDrift(v1, v2, k = 100)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(all.map(_._1) == Seq("zz", "a", "b", "e"))
+  }
+
+  // ---- langBalance ---------------------------------------------------------
+
+  test("langBalance: isqrt exact on square/±1 edges, allocations sum to budget") {
+    val s = spark
+    import s.implicits._
+    // token counts per lang: en=16 (square), fr=15 (sq-1), de=17 (sq+1),
+    // xx=0 (empty text), plus a null-lang doc
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, Option("en"), words(16)),
+      (2L, Option("fr"), words(15)),
+      (3L, Option("de"), words(17)),
+      (4L, Option("xx"), null.asInstanceOf[String]),
+      (5L, Option.empty[String], words(9)),
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.langBalance(docs, budget = 100L)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val byLang = got.map(r => r._1 -> r).toMap
+    // quotas: isqrt(16)=4, isqrt(15)=3, isqrt(17)=4, isqrt(0)=0, isqrt(9)=3
+    assert(byLang("en")._4 == 4 && byLang("fr")._4 == 3 && byLang("de")._4 == 4)
+    assert(byLang("xx")._4 == 0 && byLang("")._4 == 3)
+    // largest remainder: totq=14, floors = 100*q/14 → 28,21,28,0,21 (sum 98);
+    // remainders 100*q%14 → en 400%14=8, fr 300%14=6, de 8, ''(9 tokens) 6;
+    // k=2 bonuses go to (rem DESC, lang ASC) = de, en
+    assert(got.map(_._5).sum == 100L)
+    assert(byLang("de")._5 == 29 && byLang("en")._5 == 29)
+    assert(byLang("fr")._5 == 21 && byLang("")._5 == 21 && byLang("xx")._5 == 0)
+  }
+
+  test("langBalance: isqrt correction survives large counts near square boundaries") {
+    val s = spark
+    import s.implicits._
+    // (1L << 31)^2 and ±1 — the double-sqrt ulp zone a naive floor(sqrt)
+    // misreads; emulate the per-lang agg by checking quota directly
+    val big = 1L << 31
+    val docs = Seq(
+      ("sq", big * big), ("sqm1", big * big - 1), ("sqp1", big * big + 1),
+    ).toDF("lang", "n")
+    // feed pre-counted tokens via countOf = the n column itself
+    val got = Curation.langBalance(
+        docs.withColumn("doc_id", lit(1L)), budget = 0L,
+        textCol = "n", countOf = c => c)
+      .select("lang", "quota").as[(String, Long)].collect().toMap
+    assert(got("sq") == big && got("sqm1") == big - 1 && got("sqp1") == big)
+  }
+
+  // ---- dedupThresholdCurve -------------------------------------------------
+
+  test("dedupThresholdCurve: brute-force Jaccard curve, zero-filled clean corpus") {
+    val s = spark
+    import s.implicits._
+    // word-shingle (k=3) sets engineered for a spread of exact Jaccards:
+    // doc 0/1 identical (J=1), doc 2 shares most of doc 0 (high J),
+    // doc 3 partial (mid J), doc 4 disjoint
+    val texts = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "a b c d q r s t"),
+      (4L, "m n o p q1 r1 s1 t1"),
+    )
+    val docs = texts.toDF("doc_id", "text")
+
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+", -1).toSeq
+      if (ws.size < 3) Set(ws.mkString(" "))
+      else (0 to ws.size - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = texts.map { case (id, t) => id -> shingleSet(t) }
+    val thresholds = Seq((3, 10), (1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+    val expected = thresholds.map { case (num, den) =>
+      val qual = for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        ni = (sa & sb).size
+        if ni * (den + num) >= (sa.size + sb.size) * num
+      } yield (ia, ib)
+      (num, den, qual.size.toLong, qual.map(_._2).distinct.size.toLong)
+    }
+    val got = MinHash.dedupThresholdCurve(docs)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // sanity: the fixture is non-vacuous at both ends of the curve
+    assert(expected.head._3 > expected.last._3 && expected.last._3 >= 1)
+
+    // disjoint corpus → all six rows present, zero-filled
+    val clean = Seq((0L, "a b c d"), (1L, "e f g h")).toDF("doc_id", "text")
+    val zeros = MinHash.dedupThresholdCurve(clean)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(zeros.map(r => (r._1, r._2)) == thresholds)
+    assert(zeros.forall(r => r._3 == 0 && r._4 == 0))
+  }
+}
