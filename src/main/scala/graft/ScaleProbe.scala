@@ -138,7 +138,12 @@ object ScaleProbe {
     // BY DESIGN, same ≤10× opt-out / past-10× refusal as
     // d_minhash_recall via the override below)
     "c_split_stratified", "c_vocab_drift", "c_lang_balance",
-    "d_dedup_thresholds")
+    "d_dedup_thresholds",
+    // the calibration report (two corpus aggs + a histogram-bounded
+    // window + a one-row broadcast cross join) and the source-overlap
+    // matrix (shingle-hash distinct + source-bounded member sets — the
+    // ratio should track c_decontaminate's shingle-keyed posture)
+    "c_quality_calibration", "c_source_overlap")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -1126,6 +1126,81 @@ object Curation {
       .select("lang", "n_docs", "n_tokens", "quota", "alloc")
   }
 
+  /** Calibration report for the linear quality scorer: per global score
+    * TERCILE (head / middle / tail, the pplBuckets vocabulary), how many
+    * docs the independent Gopher-rules gate passes — the one-glance check
+    * that a trained scorer and the hand-written rules agree on ordering
+    * (a scorer whose head tercile passes the rules less often than its
+    * tail is mis-trained or mis-wired). Integer-exact: tercile thresholds
+    * are discrete quantiles read off the score HISTOGRAM with the
+    * cum·3 ≥ n(·2) test ([[pplBuckets]]'s shape, global rather than
+    * per-source — the window runs over the histogram, whose size is
+    * bounded by the integer score domain, never the corpus).
+    */
+  def qualityCalibration(docs: DataFrame, d: Int = 4096,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val scored = linearScore(docs, d, idCol, textCol).select(col(idCol), col("score"))
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
+    val wOrd = Window.orderBy("score")
+    val wAll = Window.partitionBy()
+    val th = hist
+      .withColumn("cum", sum("c").over(wOrd))
+      .withColumn("nn", sum("c").over(wAll))
+      .agg(
+        min(when(col("cum") * 3 >= col("nn"), col("score"))).as("t33"),
+        min(when(col("cum") * 3 >= col("nn") * 2, col("score"))).as("t66"))
+    val flags = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.qualityPass(col(textCol)).as("__q"))
+    scored
+      .join(flags, Seq(idCol))
+      .crossJoin(broadcast(th))
+      .select(
+        when(col("score") <= col("t33"), "tail")
+          .when(col("score") <= col("t66"), "middle")
+          .otherwise("head").as("score_bucket"),
+        col("__q"))
+      .groupBy("score_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__q"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("score_bucket")
+  }
+
+  /** Cross-source shingle-overlap matrix: for every source pair, how many
+    * DISTINCT word `k`-shingles occur in both — the provenance-leakage
+    * audit behind mixture design (two "independent" crawls sharing half
+    * their shingles are one source for dedup purposes, and a benchmark
+    * source overlapping a web source is a contamination finding). Sparse
+    * form: pairs with zero overlap are absent.
+    *
+    * Scale shape: text reduces to the native 64-bit [[graft.functions
+    * .ShingleHash64]] fingerprints before anything shuffles (the
+    * decontaminate discipline); one (source, hash) distinct, one
+    * hash-keyed aggregation whose member sets are bounded by the SOURCE
+    * COUNT (never document membership — a boilerplate shingle shared by
+    * every doc still yields one array of ≤ n_sources entries), and a
+    * ≤ n_sources² bounded pair expansion. The DuckDB oracle joins on raw
+    * shingle STRINGS, so the compare also guards the 64-bit hashes
+    * against collisions.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 5, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"shingle size must be positive, got $k")
+    val sh = docs
+      .filter(col(textCol).isNotNull)
+      .select(coalesce(col(srcCol).cast("string"), lit("")).as("src"),
+        explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("h"))
+      .distinct()
+    sh.groupBy("h").agg(array_sort(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Exploded (id, bucket) hashed-gram feature rows — the distributed
     * face of [[linearScoreJvm]]'s feature extraction (same unigram+bigram
     * md5-60 % d family, same sqlTrim + `\s+` tokenization), for operators
@@ -1446,6 +1521,22 @@ object Curation {
 
   // ------------------------------------------------------------- queries
 
+  /** w..sc CTE chain of the linear-score oracle — per-gram md5-60 bucket
+    * rows (unigrams + bigrams, d=4096) for non-null-text docs. ONE
+    * builder shared by c_quality_linear and c_quality_calibration so the
+    * two faces can never drift (the lm-chain factoring precedent).
+    */
+  private def linearGramCtes: String = """
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT doc_id, unnest(ws) AS g FROM w),
+        bx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+        bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM bx),
+        gr AS (SELECT doc_id, g FROM u UNION ALL SELECT doc_id, g FROM bg),
+        sc AS (SELECT doc_id,
+                      CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 4096 AS bkt
+               FROM gr)"""
+
   /** DuckDB k-shingle list of `trim(text)` split on whitespace — the exact
     * mirror of [[MinHash.shingles]] including the <k full-join case.
     */
@@ -1759,16 +1850,8 @@ object Curation {
       "c_quality_linear",
       (s, dir) =>
         linearScore(Tables(s, dir, "documents")).orderBy("doc_id"),
-      Some("""
-        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                   FROM documents WHERE text IS NOT NULL),
-        u AS (SELECT doc_id, unnest(ws) AS g FROM w),
-        bx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
-        bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM bx),
-        gr AS (SELECT doc_id, g FROM u UNION ALL SELECT doc_id, g FROM bg),
-        sc AS (SELECT doc_id,
-                      CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 4096 AS bkt
-               FROM gr)
+      Some(s"""
+        WITH $linearGramCtes
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM((bkt * 2654435761) % 1001 - 500) AS BIGINT) AS score
         FROM sc GROUP BY doc_id ORDER BY doc_id"""),
@@ -1953,6 +2036,49 @@ object Curation {
                CAST(CASE WHEN totq = 0 THEN 0
                          ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
         FROM g ORDER BY lang"""),
+    ),
+    // Scorer-vs-rules calibration: per global linear-score tercile, the
+    // Gopher-rules pass count. Oracle chains the SHARED linear-gram CTEs
+    // into the histogram-tercile cut and the rules CTE — scorer,
+    // thresholds, and gate all under one hash.
+    Q(
+      "c_quality_calibration",
+      (s, dir) =>
+        qualityCalibration(Tables(s, dir, "documents")),
+      Some(s"""
+        WITH $linearGramCtes,
+        d AS (SELECT doc_id, CAST(SUM((bkt * 2654435761) % 1001 - 500) AS BIGINT) AS score
+              FROM sc GROUP BY doc_id),
+        h AS (SELECT score, COUNT(*) AS c FROM d GROUP BY score),
+        cq AS (SELECT score, SUM(c) OVER (ORDER BY score) AS cum, SUM(c) OVER () AS nn FROM h),
+        t AS (SELECT MIN(CASE WHEN cum * 3 >= nn THEN score END) AS t33,
+                     MIN(CASE WHEN cum * 3 >= nn * 2 THEN score END) AS t66 FROM cq),
+        ${TextAnalysis.rulesCteSql()}
+        SELECT CASE WHEN d.score <= t.t33 THEN 'tail'
+                    WHEN d.score <= t.t66 THEN 'middle' ELSE 'head' END AS score_bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN f.ok_words * f.ok_mean_len * f.ok_stopwords * f.ok_distinct = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM d CROSS JOIN t JOIN f ON d.doc_id = f.doc_id
+        GROUP BY 1 ORDER BY score_bucket"""),
+    ),
+    // Cross-source shingle-overlap matrix (5-shingles, sparse pairs).
+    // The oracle joins raw shingle strings — hash-free exact semantics,
+    // so the compare guards ShingleHash64 against collisions too.
+    Q(
+      "c_source_overlap",
+      (s, dir) =>
+        sourceOverlap(Tables(s, dir, "documents"), k = 5)
+          .orderBy("source_a", "source_b"),
+      Some(s"""
+        WITH w AS (SELECT COALESCE(source, '') AS src, string_split_regex(trim(text), '\\s+') AS ws
+                   FROM documents WHERE text IS NOT NULL),
+        sh AS (SELECT src, ${shingleSql(5)} AS shs FROM w),
+        e AS (SELECT DISTINCT src, unnest(shs) AS g FROM sh)
+        SELECT a.src AS source_a, b.src AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM e a JOIN e b ON a.g = b.g AND a.src < b.src
+        GROUP BY 1, 2 ORDER BY source_a, source_b"""),
     ),
     // The packed training shards themselves: one row per 256-subword
     // sequence with the token ids in stream order. The oracle rebuilds

@@ -281,6 +281,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dc = plan("d_dedup_thresholds")
     assert(!dc.contains("CartesianProduct") && !dc.contains("BroadcastNestedLoopJoin"),
       dc.take(2000))
+    // source overlap: everything past the scan is keyed by the 8-byte
+    // shingle hash — no exchange may carry document text, no cartesian
+    val so = plan("c_source_overlap")
+    assert(!so.contains("CartesianProduct") && !so.contains("BroadcastNestedLoopJoin"),
+      so.take(2000))
+    val soEx = so.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(soEx.nonEmpty && !soEx.exists(_.contains("text#")),
+      "overlap exchanges must carry hashes, not bodies:\n" + soEx.mkString("\n"))
+    // calibration: the ONLY nested-loop join allowed is the deliberate
+    // one-row broadcast threshold cross join; id-keyed exchanges must
+    // carry scores/flags, never text
+    val qc = plan("c_quality_calibration")
+    assert(!qc.contains("CartesianProduct"), qc.take(2000))
+    val qcEx = qc.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(qcEx.nonEmpty && !qcEx.exists(_.contains("text#")),
+      "calibration exchanges must carry scores, not bodies:\n" + qcEx.mkString("\n"))
   }
 
   test("f1_filter_cnf pushes its predicate into the parquet scan") {

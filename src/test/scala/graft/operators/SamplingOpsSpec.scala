@@ -197,4 +197,84 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zeros.map(r => (r._1, r._2)) == thresholds)
     assert(zeros.forall(r => r._3 == 0 && r._4 == 0))
   }
+
+  // ---- qualityCalibration --------------------------------------------------
+
+  test("qualityCalibration: tercile cut matches a pure-Scala histogram mirror") {
+    val s = spark
+    import s.implicits._
+    // enough docs for three non-trivial terciles; interleave rule-passing
+    // text (30 words, mean length ≥4, two stopwords, distinct) with
+    // rule-failing text so n_pass discriminates across buckets
+    val good =
+      (0 until 27).map(j => s"alpha$j").mkString(" ") + " the value the"
+    val rows = (0L until 30L).map { i =>
+      val t = if (i % 3 == 0) good + s" extra$i" else s"short fail$i text"
+      (i, t)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    // mirror: per-doc JVM score (independently specced kernel), discrete
+    // histogram terciles, pass flags from the pinned rules face
+    val scores = rows.map { case (id, t) =>
+      id -> Curation.linearScoreJvm(t, 4096, Curation.defaultWeight)._2
+    }.toMap
+    val n = scores.size
+    val sorted = scores.values.toSeq.sorted
+    def thAt(mult: Int): Long =
+      sorted.find(v => sorted.count(_ <= v) * 3 >= n * mult).get
+    val (t33, t66) = (thAt(1), thAt(2))
+    val pass = TextAnalysis.qualityRules(docs)
+      .select(col("doc_id"), (col("ok_words") * col("ok_mean_len") *
+        col("ok_stopwords") * col("ok_distinct") === 1).as("q"))
+      .as[(Long, Boolean)].collect().toMap
+    val expected = rows
+      .map { case (id, _) =>
+        val sc = scores(id)
+        val b = if (sc <= t33) "tail" else if (sc <= t66) "middle" else "head"
+        (b, pass(id))
+      }
+      .groupBy(_._1)
+      .map { case (b, xs) => (b, xs.size.toLong, xs.count(_._2).toLong) }
+      .toSet
+    val got = Curation.qualityCalibration(docs)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.map(_._1) == Set("head", "middle", "tail"))
+  }
+
+  // ---- sourceOverlap -------------------------------------------------------
+
+  test("sourceOverlap: brute-force distinct-shingle intersections, degenerate shapes") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Option("a"), "one two three four five six"),
+      (2L, Option("a"), "unique alpha beta gamma delta words"),
+      (3L, Option("b"), "one two three four five seven"),   // shares a 5-prefix run with src a
+      (4L, Option("b"), "totally different content here now"),
+      (5L, Option("c"), "one two three four five six"),     // exact dup of doc 1 → full overlap with a
+      (6L, Option("c"), null.asInstanceOf[String]),          // null text ignored
+      (7L, Option.empty[String], "one two three"),           // sub-k doc, null source → ""
+      (8L, Option("d"), "nothing shared at all anywhere"),  // overlaps nobody → absent
+    )
+    val docs = rows.toDF("doc_id", "source", "text")
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+", -1).toSeq
+      if (ws.size < 5) Set(ws.mkString(" "))
+      else (0 to ws.size - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val bySrc = rows
+      .filter(_._3 != null)
+      .groupBy(_._2.getOrElse(""))
+      .map { case (src, rs) => src -> rs.map(r => shingleSet(r._3)).reduce(_ ++ _) }
+    val expected = (for {
+      (sa, ga) <- bySrc; (sb, gb) <- bySrc if sa < sb
+      shared = (ga & gb).size if shared > 0
+    } yield (sa, sb, shared.toLong)).toSet
+    val got = Curation.sourceOverlap(docs, k = 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected)
+    // the fixture exercises both a partial and a full overlap, and d is absent
+    assert(expected.exists(_._3 >= 2) && !expected.exists(r => r._1 == "d" || r._2 == "d"))
+  }
 }
