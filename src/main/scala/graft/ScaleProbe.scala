@@ -143,7 +143,11 @@ object ScaleProbe {
     // window + a one-row broadcast cross join) and the source-overlap
     // matrix (shingle-hash distinct + source-bounded member sets — the
     // ratio should track c_decontaminate's shingle-keyed posture)
-    "c_quality_calibration", "c_source_overlap")
+    "c_quality_calibration", "c_source_overlap",
+    // the materialized balanced corpus (quota agg + the two-level token
+    // cumsum — c_token_budget's posture keyed per language) and shingle
+    // novelty (two distinct hash frames + one hash-keyed join)
+    "c_balanced_sample", "c_novelty_stats")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

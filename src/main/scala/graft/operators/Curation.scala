@@ -1126,6 +1126,104 @@ object Curation {
       .select("lang", "n_docs", "n_tokens", "quota", "alloc")
   }
 
+  /** Token-denominated per-source budget sampling — the MATERIALIZATION
+    * of [[langBalance]]'s quotas: within every source (language), keep
+    * the reproducible-hash-order prefix whose INCLUSIVE cumulative token
+    * count fits that source's quota ([[tokenBudgetSample]]'s
+    * never-overshoot rule, applied per stratum). langBalance answers
+    * "how many tokens from each language"; this face emits exactly that
+    * corpus. A doc from a source with no quota entry is dropped
+    * (quota 0).
+    *
+    * Scale shape: [[stratifiedSplit]]'s two-level machinery with token
+    * SUMS instead of row counts — range-repartition by (source, hash,
+    * id), per-(partition, source) token totals to the driver (bounded by
+    * partitions × sources), broadcast prefix offsets, one local cumsum
+    * pass. Quotas ride the closure as a sources-bounded map.
+    */
+  def sourceBudgetSample(docs: DataFrame, quotas: Map[String, Long],
+                         idCol: String = "doc_id", srcCol: String = "source",
+                         textCol: String = "text", numPartitions: Int = 0,
+                         countOf: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    require(numPartitions >= 0,
+      s"numPartitions must be >= 0 (0 = session default), got $numPartitions")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(srcCol).cast("string"), lit("")).as("st"),
+        coalesce(countOf(col(textCol)), lit(0L)).as("n"),
+        md5(col(idCol).cast("string")).as("rk"))
+      .repartitionByRange(nParts, col("st"), col("rk"), col("id"))
+      .sortWithinPartitions("st", "rk", "id")
+      .localCheckpoint(true)
+    val totals = ranged
+      .groupBy(spark_partition_id().as("pid"), col("st"))
+      .agg(sum("n").as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val starts: Map[(Int, String), Long] = totals
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (st, rows) =>
+        val byPid = rows.sortBy(_._1)
+        val offs = byPid.scanLeft(0L)(_ + _._3)
+        byPid.iterator.map(_._1).zip(offs.iterator).map { case (pid, off) => (pid, st) -> off }
+      }
+      .toMap
+    val q = quotas
+    val bcS = spark.sparkContext.broadcast(starts)
+    ranged
+      .as[(Long, String, Long, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var cum = 0L
+        var quota = 0L
+        it.flatMap { case (id, st, n, _) =>
+          if (st != cur) {
+            cur = st
+            cum = bcS.value((pid, st))
+            quota = q.getOrElse(st, 0L)
+          }
+          cum += n
+          if (cum <= quota) Iterator.single((id, st, n, cum)) else Iterator.empty
+        }
+      }
+      .toDF(idCol, srcCol, "n_tokens", "cum_tokens")
+  }
+
+  /** Shingle novelty of a new corpus build against the previous one: of
+    * v2's DISTINCT word `k`-shingles, how many were never seen in v1 —
+    * the crawl-value report (a new snapshot whose shingles are 95% seen
+    * adds little training signal; the GPT-3-lineage dedup papers measure
+    * exactly this overlap before mixing). One integer row
+    * (n_shingles, n_new, n_seen).
+    *
+    * Scale shape: both sides reduce to distinct 64-bit ShingleHash64
+    * fingerprints (the decontaminate discipline — text never shuffles),
+    * one hash-keyed left join between the two distinct frames, one
+    * global count aggregation. The oracle joins raw shingle strings, so
+    * the compare guards the hashes against collisions.
+    */
+  def noveltyStats(v1: DataFrame, v2: DataFrame, k: Int = 5,
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"shingle size must be positive, got $k")
+    def hashes(df: DataFrame): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("h"))
+      .distinct()
+    hashes(v2)
+      .join(hashes(v1).select(col("h"), lit(1L).as("__seen")), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__seen")).as("n_seen"))
+      .select(col("n_shingles"),
+        (col("n_shingles") - col("n_seen")).as("n_new"), col("n_seen"))
+  }
+
   /** Calibration report for the linear quality scorer: per global score
     * TERCILE (head / middle / tail, the pplBuckets vocabulary), how many
     * docs the independent Gopher-rules gate passes — the one-glance check
@@ -1520,6 +1618,32 @@ object Curation {
         countDistinct(col(idCol)).as("n_docs"))
 
   // ------------------------------------------------------------- queries
+
+  /** l..g CTE chain of the langBalance oracle, parameterized by budget —
+    * per-language token counts, corrected isqrt quota, and the
+    * largest-remainder division columns (totq/flr/rem/k/rnk). ONE builder
+    * shared by c_lang_balance and c_balanced_sample so the quota
+    * arithmetic cannot drift between the two faces.
+    */
+  private def langBalanceCtes(budget: Long): String = s"""
+        l AS (
+          SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
+                 CAST(SUM(COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        q0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS g FROM l),
+        qq AS (SELECT lang, n_docs, n_tokens,
+                      CASE WHEN g * g > n_tokens THEN g - 1
+                           WHEN (g + 1) * (g + 1) <= n_tokens THEN g + 1
+                           ELSE g END AS quota
+               FROM q0),
+        t AS (SELECT *, SUM(quota) OVER () AS totq FROM qq),
+        f AS (SELECT *,
+                     CASE WHEN totq = 0 THEN 0 ELSE quota * $budget // totq END AS flr,
+                     CASE WHEN totq = 0 THEN 0 ELSE (quota * $budget) % totq END AS rem
+              FROM t),
+        g AS (SELECT *, $budget - SUM(flr) OVER () AS k,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
+              FROM f)"""
 
   /** w..sc CTE chain of the linear-score oracle — per-gram md5-60 bucket
     * rows (unigrams + bigrams, d=4096) for non-null-text docs. ONE
@@ -2013,29 +2137,75 @@ object Curation {
       (s, dir) =>
         langBalance(Tables(s, dir, "documents"), budget = 100000L)
           .orderBy("lang"),
-      Some("""
-        WITH l AS (
-          SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
-                 CAST(SUM(COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0)) AS BIGINT) AS n_tokens
-          FROM documents GROUP BY 1),
-        q0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS g FROM l),
-        qq AS (SELECT lang, n_docs, n_tokens,
-                      CASE WHEN g * g > n_tokens THEN g - 1
-                           WHEN (g + 1) * (g + 1) <= n_tokens THEN g + 1
-                           ELSE g END AS quota
-               FROM q0),
-        t AS (SELECT *, SUM(quota) OVER () AS totq FROM qq),
-        f AS (SELECT *,
-                     CASE WHEN totq = 0 THEN 0 ELSE quota * 100000 // totq END AS flr,
-                     CASE WHEN totq = 0 THEN 0 ELSE (quota * 100000) % totq END AS rem
-              FROM t),
-        g AS (SELECT *, 100000 - SUM(flr) OVER () AS k,
-                     ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
-              FROM f)
+      Some(s"""
+        WITH ${langBalanceCtes(100000L)}
         SELECT lang, n_docs, n_tokens, CAST(quota AS BIGINT) AS quota,
                CAST(CASE WHEN totq = 0 THEN 0
                          ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
         FROM g ORDER BY lang"""),
+    ),
+    // The MATERIALIZED balanced corpus: langBalance quotas at a 9000-token
+    // budget (≈⅓ of the corpus — every language gets cut, the admission
+    // logic is non-vacuous) applied as per-language hash-order token
+    // prefixes. The oracle chains the SHARED langBalance CTEs into the
+    // per-language cumsum — quotas and admission under one hash.
+    Q(
+      "c_balanced_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val quotas = langBalance(docs, budget = 9000L)
+          .select("lang", "alloc").as[(String, Long)].collect().toMap
+        sourceBudgetSample(docs, quotas, srcCol = "lang").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${langBalanceCtes(9000L)},
+        a AS (SELECT lang,
+                     CAST(CASE WHEN totq = 0 THEN 0
+                               ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+              FROM g),
+        d AS (SELECT doc_id, COALESCE(lang, '') AS lang,
+                     COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0) AS n,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+        c AS (SELECT doc_id, lang, n,
+                     SUM(n) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+              FROM d)
+        SELECT c.doc_id, c.lang, c.n AS n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens
+        FROM c JOIN a USING (lang) WHERE c.cum <= a.alloc ORDER BY doc_id"""),
+    ),
+    // Shingle novelty of the SAME v1/v2 snapshot fixture the diff/drift
+    // faces compare (one versioning fixture, three faces): one integer
+    // row — v2 distinct 5-shingles, never-seen count, seen count.
+    Q(
+      "c_novelty_stats",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bkt = TextAnalysis.splitBucket(col("doc_id"))
+        val v1 = docs.filter(bkt < 90)
+        val v2 = docs.filter(bkt >= 10)
+          .withColumn("text",
+            when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+        noveltyStats(v1, v2, k = 5)
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents
+        ),
+        v1 AS (SELECT text FROM b WHERE bkt < 90),
+        v2 AS (SELECT CASE WHEN bkt BETWEEN 40 AND 49 THEN text || ' rev2' ELSE text END AS text
+               FROM b WHERE bkt >= 10),
+        w1 AS (SELECT string_split_regex(trim(text), '\\s+') AS ws FROM v1 WHERE text IS NOT NULL),
+        w2 AS (SELECT string_split_regex(trim(text), '\\s+') AS ws FROM v2 WHERE text IS NOT NULL),
+        e1 AS (SELECT DISTINCT unnest(shs) AS g FROM (SELECT ${shingleSql(5)} AS shs FROM w1)),
+        e2 AS (SELECT DISTINCT unnest(shs) AS g FROM (SELECT ${shingleSql(5)} AS shs FROM w2))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) - COUNT(e1.g) AS BIGINT) AS n_new,
+               CAST(COUNT(e1.g) AS BIGINT) AS n_seen
+        FROM e2 LEFT JOIN e1 ON e2.g = e1.g"""),
     ),
     // Scorer-vs-rules calibration: per global linear-score tercile, the
     // Gopher-rules pass count. Oracle chains the SHARED linear-gram CTEs

@@ -421,6 +421,53 @@ object DocStream {
       Curation.linearScoreCol(col(textCol), d, b => wm.getOrElse(b, sc)) >= minScore)
   }
 
+  /** Stateful streaming source-quota gate — the ingest-edge face of
+    * [[Curation.sourceBudgetSample]]: admit arriving docs while the
+    * source's cumulative token count (over the WHOLE stream) stays within
+    * its frozen quota, e.g. [[Curation.langBalance]]'s allocations. The
+    * running counter advances for every arriving doc and a doc is
+    * admitted iff its INCLUSIVE cumulative count fits — the
+    * tokenBudgetSample never-overshoot rule, so a too-big doc also closes
+    * the budget for everything after it (strict prefix, not knapsack
+    * backfill: admission must be order-deterministic, and skip-and-refill
+    * would admit different docs depending on micro-batch boundaries).
+    *
+    * State is ONE counter per source — bounded by the source vocabulary,
+    * NEVER by the stream (the StreamProbe arm pins constant state rows);
+    * no watermark, no eviction: a quota is a whole-stream contract.
+    * Admission order: arrival order across batches, id order within a
+    * micro-batch (the group iterator carries no order guarantee — an
+    * explicit sort keeps replays deterministic). When arrival order is
+    * the (md5(id), id) hash order, the admitted set equals the batch
+    * face's — that equality is spec'd.
+    */
+  def sourceQuotaFilter(docs: DataFrame, quotas: Map[String, Long],
+                        idCol: String = "doc_id", srcCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = quotas
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(srcCol).cast("string"), lit("")).as("src"),
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)).as("n"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (src: String, it: Iterator[(Long, String, Long)], state: GroupState[Long]) => {
+          val quota = q.getOrElse(src, 0L)
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_._1).iterator.flatMap { case (id, _, n) =>
+            cum += n
+            if (cum <= quota) Iterator.single((id, src, n, cum)) else Iterator.empty
+          }.toVector
+          state.update(cum)
+          out.iterator
+        })
+      .toDF(idCol, srcCol, "n_tokens", "cum_tokens")
+  }
+
   /** Windowed streaming face of [[Curation.piiScan]]: the same per-row hit
     * expressions (shared regexes + Curation.hits), aggregated per
     * watermarked tumbling window instead of per static group — the shape a

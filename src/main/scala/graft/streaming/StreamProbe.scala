@@ -115,6 +115,17 @@ object StreamProbe {
     val dsirMin = graft.operators.Curation.dsirScore(dsirBase, dsirW)
       .selectExpr("percentile_approx(score, 0.5) AS m").head.getLong(0)
 
+    // per-source quota for the bounded-stateful arm: ~40% of the WHOLE
+    // 10-batch stream's per-source token mass — admission runs for the
+    // first few batches, then the gate saturates and later batches pass
+    // nothing (both measured in one run)
+    val quotaPerSource: Long = {
+      val tot = corpus.iterator.map { case (_, t) =>
+        if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
+      }.sum
+      tot * nBatches * 2 / (5 * 5)
+    }
+
     val arms = Seq(
       runArm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
@@ -136,6 +147,18 @@ object StreamProbe {
       // cost must stay flat as the stream grows
       runArm("dsirFilter",
         docs => DocStream.dsirFilter(docs, dsirW, minScore = dsirMin)),
+      // BOUNDED-stateful arm: the source-quota gate keeps ONE counter per
+      // source — state rows must plateau at the source vocabulary (5
+      // synthetic sources here) and stay flat as the stream grows; quotas
+      // sized so admission saturates mid-run (both admit and reject arms
+      // measured). No watermark: a quota is a whole-stream contract.
+      runArm("sourceQuotaFilter",
+        docs => DocStream.sourceQuotaFilter(
+          docs.withColumn("source",
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("s"),
+              org.apache.spark.sql.functions.col("doc_id") % 5)),
+          quotas = (0 until 5).map(i => s"s$i" -> quotaPerSource).toMap)),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +

@@ -297,6 +297,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qcEx = qc.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
     assert(qcEx.nonEmpty && !qcEx.exists(_.contains("text#")),
       "calibration exchanges must carry scores, not bodies:\n" + qcEx.mkString("\n"))
+    // balanced sample: rank pass over the checkpointed per-language range
+    // layout — no join (quotas ride the closure map)
+    val bs = SparkEntry.queries("c_balanced_sample")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(bs.collect { case j: Join => j }.isEmpty, "sourceBudgetSample must not join")
+    // novelty: one hash-keyed join of two distinct fingerprint frames —
+    // no cartesian, exchanges never carry text
+    val nv = plan("c_novelty_stats")
+    assert(!nv.contains("CartesianProduct") && !nv.contains("BroadcastNestedLoopJoin"),
+      nv.take(2000))
+    val nvEx = nv.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(nvEx.nonEmpty && !nvEx.exists(_.contains("text#")),
+      "novelty exchanges must carry hashes, not bodies:\n" + nvEx.mkString("\n"))
   }
 
   test("f1_filter_cnf pushes its predicate into the parquet scan") {

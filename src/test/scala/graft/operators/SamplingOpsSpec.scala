@@ -198,6 +198,64 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zeros.forall(r => r._3 == 0 && r._4 == 0))
   }
 
+  // ---- sourceBudgetSample --------------------------------------------------
+
+  test("sourceBudgetSample: per-source inclusive hash-order prefix, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int): String = (0 until n).map(j => s"t$j").mkString(" ")
+    val rows = (0L until 12L).map(i => (i, "big", words(3 + (i % 4).toInt))) ++
+      Seq((20L, "tiny", words(2)), (21L, "tiny", null.asInstanceOf[String]),
+        (22L, "none", words(5)))
+    val quotas = Map("big" -> 20L, "tiny" -> 100L)
+    // pure mirror: per source, (md5(id), id) order, inclusive cum <= quota
+    val expected = rows
+      .groupBy(_._2)
+      .flatMap { case (src, rs) =>
+        val q = quotas.getOrElse(src, 0L)
+        var cum = 0L
+        rs.sortBy(r => (md5Hex(r._1.toString), r._1)).flatMap { case (id, _, t) =>
+          val n = if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
+          cum += n
+          if (cum <= q) Some((id, src, n, cum)) else None
+        }
+      }
+      .toSet
+    for (parts <- Seq(1, 5)) {
+      val got = Curation
+        .sourceBudgetSample(rows.toDF("doc_id", "source", "text").repartition(parts), quotas)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // the cut is real on "big" and vacuous on "tiny"; "none" drops entirely
+    assert(expected.count(_._2 == "big") < 12 && expected.count(_._2 == "tiny") == 2)
+    assert(!expected.exists(_._2 == "none"))
+  }
+
+  // ---- noveltyStats --------------------------------------------------------
+
+  test("noveltyStats: brute-force distinct-shingle novelty incl. sub-k and null text") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "one two three four five six"), (2L, "sub k"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq((10L, "one two three four five seven"), (11L, "sub k"),
+      (12L, "all brand new shingle content here")).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+", -1).toSeq
+      if (ws.size < 5) Set(ws.mkString(" "))
+      else (0 to ws.size - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val g1 = Set("one two three four five six", "sub k").flatMap(shingleSet)
+    val g2 = Set("one two three four five seven", "sub k",
+      "all brand new shingle content here").flatMap(shingleSet)
+    val (nAll, nSeen) = (g2.size.toLong, (g2 & g1).size.toLong)
+    val got = Curation.noveltyStats(v1, v2, k = 5)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((nAll, nAll - nSeen, nSeen)))
+    assert(nSeen >= 2 && nAll - nSeen >= 2) // both arms non-vacuous
+  }
+
   // ---- qualityCalibration --------------------------------------------------
 
   test("qualityCalibration: tercile cut matches a pure-Scala histogram mirror") {

@@ -337,6 +337,55 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("sourceQuotaFilter: hash-order stream ≡ batch sourceBudgetSample; strict-prefix, bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(n: Int): String = (0 until n).map(j => s"w$j").mkString(" ")
+    // per-source token counts engineered so quota semantics all trigger:
+    // src a (quota 10): docs fit 4+4, then a 5-token doc overshoots and
+    //   CLOSES the budget — a later 2-token doc must NOT backfill
+    // src b (quota 100): everything admitted (oversized quota)
+    // src c: no quota entry → all dropped
+    val rows = Seq(
+      (1L, "a", words(4)), (2L, "a", words(4)), (3L, "a", words(5)), (4L, "a", words(2)),
+      (5L, "b", words(7)), (6L, "b", words(3)),
+      (7L, "c", words(6)),
+    )
+    val quotas = Map("a" -> 10L, "b" -> 100L)
+    val batch = graft.operators.Curation
+      .sourceBudgetSample(rows.toDF("doc_id", "source", "text"), quotas)
+      .as[(Long, String, Long, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "source", "text")
+    val query = DocStream.sourceQuotaFilter(docs, quotas)
+      .writeStream.format("memory").queryName("quota_out").outputMode("append").start()
+    try {
+      // feed in the batch face's (md5(id), id) hash order, split across
+      // three micro-batches — the equality the scaladoc promises
+      def md5Hex(x: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      val ordered = rows.sortBy { case (id, _, _) => (md5Hex(id.toString), id) }
+      ordered.grouped(3).foreach { g =>
+        input.addData(g.map { case (id, src, t) => (id, ts(id), src, t) })
+        query.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM quota_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      // semantics bite: src a admits a strict prefix (not all four docs),
+      // src b admits everything, src c admits nothing
+      assert(streamed.count(_._2 == "a") >= 1 && streamed.count(_._2 == "a") < 4)
+      assert(streamed.count(_._2 == "b") == 2 && !streamed.exists(_._2 == "c"))
+      // state rows = one counter per seen source, NEVER per doc
+      val st = Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).sum
+      assert(st == 3, s"expected one state row per source, got $st")
+    } finally query.stop()
+  }
+
   test("dsirFilter on a stream keeps exactly the docs whose batch dsirScore clears the bar") {
     val s = spark
     import s.implicits._
