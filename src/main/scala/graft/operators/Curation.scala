@@ -1232,22 +1232,44 @@ object Curation {
     * tail is mis-trained or mis-wired). Integer-exact: tercile thresholds
     * are discrete quantiles read off the score HISTOGRAM with the
     * cum·3 ≥ n(·2) test ([[pplBuckets]]'s shape, global rather than
-    * per-source — the window runs over the histogram, whose size is
-    * bounded by the integer score domain, never the corpus).
+    * per-source). Unlike the per-source faces (whose windows parallelize
+    * across sources), a global histogram window would serialize into ONE
+    * partition — and the distinct-score count grows with the corpus
+    * (measured: the windowed first cut probed 4.12 at 10×, the worst
+    * ratio in the linear cluster) — so the cumsum runs as the two-level
+    * machinery instead: range-partition the histogram by score,
+    * per-partition totals to the driver (one long per partition),
+    * broadcast prefix offsets, one local pass.
     */
   def qualityCalibration(docs: DataFrame, d: Int = 4096,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val scored = linearScore(docs, d, idCol, textCol).select(col(idCol), col("score"))
-    val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
-    val wOrd = Window.orderBy("score")
-    val wAll = Window.partitionBy()
-    val th = hist
-      .withColumn("cum", sum("c").over(wOrd))
-      .withColumn("nn", sum("c").over(wAll))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = scored
+      .groupBy("score").agg(count(lit(1)).as("c"))
+      .repartitionByRange(nParts, col("score"))
+      .sortWithinPartitions("score")
+      .localCheckpoint(true)
+    val parts = ranged
+      .groupBy(spark_partition_id().as("pid")).agg(sum("c").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offs = (0 until nParts).scanLeft(0L)((a, p) => a + parts.getOrElse(p, 0L))
+    val nn = offs.last
+    val bc = spark.sparkContext.broadcast(offs.toArray)
+    val th = ranged
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bc.value(pid)
+        it.map { case (sc, c) => cum += c; (sc, cum) }
+      }
+      .toDF("score", "cum")
       .agg(
-        min(when(col("cum") * 3 >= col("nn"), col("score"))).as("t33"),
-        min(when(col("cum") * 3 >= col("nn") * 2, col("score"))).as("t66"))
+        min(when(col("cum") * 3 >= nn, col("score"))).as("t33"),
+        min(when(col("cum") * 3 >= nn * 2, col("score"))).as("t66"))
     val flags = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), TextAnalysis.qualityPass(col(textCol)).as("__q"))
