@@ -147,7 +147,11 @@ object ScaleProbe {
     // the materialized balanced corpus (quota agg + the two-level token
     // cumsum — c_token_budget's posture keyed per language) and shingle
     // novelty (two distinct hash frames + one hash-keyed join)
-    "c_balanced_sample", "c_novelty_stats")
+    "c_balanced_sample", "c_novelty_stats",
+    // the composed release pipeline (split → md5 canonical → quotas →
+    // admission): its ratio is the sum of d_minhash_lsh's and
+    // c_balanced_sample's postures — a drift localizes to a stage
+    "c_pipeline_release")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -1647,11 +1647,12 @@ object Curation {
     * shared by c_lang_balance and c_balanced_sample so the quota
     * arithmetic cannot drift between the two faces.
     */
-  private def langBalanceCtes(budget: Long): String = s"""
+  private[operators] def langBalanceCtes(budget: Long,
+                                         from: String = "documents"): String = s"""
         l AS (
           SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
                  CAST(SUM(COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0)) AS BIGINT) AS n_tokens
-          FROM documents GROUP BY 1),
+          FROM $from GROUP BY 1),
         q0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS g FROM l),
         qq AS (SELECT lang, n_docs, n_tokens,
                       CASE WHEN g * g > n_tokens THEN g - 1

@@ -171,6 +171,31 @@ object TrainingDataQueries {
       (s, dir) => MinHash.dedupThresholdCurve(Tables(s, dir, "documents")),
       Some(dedupThresholdsOracleSql),
     ),
+    // The composed RELEASE pipeline over the round-15 selection surface:
+    // train split → near-dup canonical keep (train-side bucket sizes —
+    // the dedup must not see eval docs) → α=1/2 temperature quotas over
+    // the SURVIVORS → per-language token-prefix admission. ONE
+    // end-to-end hash: the oracle chains the split rule, the md5 band
+    // CTEs restricted to the train side, the shared langBalance CTEs
+    // (budget 8000 over survivors), and the per-language cumsum.
+    Q(
+      "c_pipeline_release",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val train = docs.filter(
+          TextAnalysis.splitName(org.apache.spark.sql.functions.col("doc_id")) === "train")
+        val canon = MinHash.nearDupCanonicalMd5(train).select("doc_id", "canonical_id")
+        val surv = train.join(canon, Seq("doc_id"))
+          .filter(org.apache.spark.sql.functions.col("canonical_id") ===
+            org.apache.spark.sql.functions.col("doc_id"))
+          .drop("canonical_id")
+        val quotas = Curation.langBalance(surv, budget = 8000L)
+          .select("lang", "alloc").as[(String, Long)].collect().toMap
+        Curation.sourceBudgetSample(surv, quotas, srcCol = "lang").orderBy("doc_id")
+      },
+      Some(pipelineReleaseOracleSql),
+    ),
     // Verified near-dup canonicalization: LSH candidates → EXACT
     // shingle-Jaccard verification (integer cross-multiplied ≥ 1/2) →
     // connected components over the verified edges only. Closes the
@@ -1091,6 +1116,41 @@ object TrainingDataQueries {
              CAST(COUNT(c.id_a) AS BIGINT) AS n_cand_pairs,
              CAST(COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit
       FROM tru t FULL OUTER JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b"""
+
+  /** ≡ the c_pipeline_release composition: hash-split train side, md5
+    * canonical computed over TRAIN-side bucket memberships only
+    * (minhashLshOracleSql's sz/cm restricted through `tr`), survivors =
+    * canonical self-claims, then Curation's shared langBalance CTE chain
+    * over the survivors and the per-language inclusive-prefix cumsum.
+    */
+  private def pipelineReleaseOracleSql: String = {
+    val bkt = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+    s"""
+      WITH $md5BandCtes,
+      tr AS (SELECT doc_id FROM documents WHERE $bkt < 80),
+      bktr AS (SELECT bk.* FROM bk JOIN tr USING (doc_id)),
+      sz AS (SELECT band, bkv, COUNT(*) AS n, MIN(doc_id) AS bmin FROM bktr GROUP BY band, bkv),
+      cm AS (SELECT b.doc_id, MIN(CASE WHEN sz.n <= 50 THEN sz.bmin END) AS cmin
+             FROM bktr b JOIN sz USING (band, bkv) GROUP BY b.doc_id),
+      surv AS (SELECT d.* FROM documents d
+               JOIN tr ON d.doc_id = tr.doc_id
+               LEFT JOIN cm ON d.doc_id = cm.doc_id
+               WHERE COALESCE(cm.cmin, d.doc_id) = d.doc_id),
+      ${Curation.langBalanceCtes(8000L, "surv")},
+      a AS (SELECT lang,
+                   CAST(CASE WHEN totq = 0 THEN 0
+                             ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+            FROM g),
+      d2 AS (SELECT doc_id, COALESCE(lang, '') AS lang,
+                    COALESCE(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 0) AS n,
+                    md5(CAST(doc_id AS VARCHAR)) AS h
+             FROM surv),
+      c AS (SELECT doc_id, lang, n,
+                   SUM(n) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+            FROM d2)
+      SELECT c.doc_id, c.lang, c.n AS n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens
+      FROM c JOIN a USING (lang) WHERE c.cum <= a.alloc ORDER BY doc_id"""
+  }
 
   /** ≡ MinHash.dedupThresholdCurve(documents): the exact-pair truth chain
     * (minhashRecallOracleSql's th/tsz/co CTEs) qualified at the loosest

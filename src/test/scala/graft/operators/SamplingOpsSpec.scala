@@ -256,6 +256,40 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSeen >= 2 && nAll - nSeen >= 2) // both arms non-vacuous
   }
 
+  // ---- c_pipeline_release --------------------------------------------------
+
+  test("c_pipeline_release equals the hand-chained component faces at sf0.01") {
+    val s = spark
+    import s.implicits._
+    // sf0.01, not sf0.001: at the smaller scale the corpus has no
+    // near-dups and fewer tokens than the 8000 budget, so the dedup and
+    // quota stages would both be vacuous — the strictness asserts below
+    // need every stage to bite
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("c_pipeline_release")(s, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // recompose from the component faces, step by step
+    val docs = graft.Tables(s, dir, "documents")
+    val train = docs.filter(TextAnalysis.splitName(col("doc_id")) === "train")
+    val canon = MinHash.nearDupCanonicalMd5(train).select("doc_id", "canonical_id")
+    val surv = train.join(canon, Seq("doc_id"))
+      .filter(col("canonical_id") === col("doc_id")).drop("canonical_id")
+    val quotas = Curation.langBalance(surv, budget = 8000L)
+      .select("lang", "alloc").as[(String, Long)].collect().toMap
+    val expected = Curation.sourceBudgetSample(surv, quotas, srcCol = "lang")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // every stage bites: admitted ⊂ survivors ⊂ train ⊂ docs, and per-lang
+    // admitted tokens respect the quota
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    val survIds = surv.select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(survIds) && survIds.subsetOf(trainIds))
+    assert(got.nonEmpty && got.size < survIds.size && survIds.size < trainIds.size)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= quotas(lang), s"quota exceeded for $lang")
+    }
+  }
+
   // ---- qualityCalibration --------------------------------------------------
 
   test("qualityCalibration: tercile cut matches a pure-Scala histogram mirror") {
