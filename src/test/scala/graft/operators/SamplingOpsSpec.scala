@@ -256,6 +256,95 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSeen >= 2 && nAll - nSeen >= 2) // both arms non-vacuous
   }
 
+  // ---- fuzz ----------------------------------------------------------------
+
+  test("sampling fuzz: split/budget/balance/curve ≡ mirrors on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (iter <- 0 until 6) {
+      val nSrc = 1 + rnd.nextInt(4)
+      val ids = rnd.shuffle((0 until 200).toList).take(8 + rnd.nextInt(40)).map(_.toLong)
+      val rows = ids.map { id =>
+        val src = if (rnd.nextInt(10) == 0) null else s"s${rnd.nextInt(nSrc)}"
+        val text =
+          if (rnd.nextInt(10) == 0) null
+          else Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        (id, src, text)
+      }
+      val docs = rows.toDF("doc_id", "source", "text")
+      def toks(t: String): Long =
+        if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
+      def srcOf(r: (Long, String, String)): String = Option(r._2).getOrElse("")
+      val hashOrd = (r: (Long, String, String)) => (md5Hex(r._1.toString), r._1)
+
+      // stratifiedSplit under random per-mille rates
+      val tpm = rnd.nextInt(400); val vpm = rnd.nextInt(1000 - tpm)
+      val expSplit = rows.groupBy(srcOf).flatMap { case (st, rs) =>
+        val ordered = rs.sortBy(hashOrd)
+        val n = ordered.size.toLong
+        val (tn, vn) = (n * tpm / 1000, n * vpm / 1000)
+        ordered.zipWithIndex.map { case (r, i) =>
+          (r._1, st, i.toLong,
+            if (i < tn) "test" else if (i < tn + vn) "valid" else "train")
+        }
+      }.toSet
+      val gotSplit = Curation.stratifiedSplit(docs, tpm, vpm)
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(gotSplit == expSplit, s"stratifiedSplit iter=$iter tpm=$tpm vpm=$vpm")
+
+      // sourceBudgetSample under random (sometimes missing) quotas
+      val quotas = (0 until nSrc).flatMap { i =>
+        if (rnd.nextInt(4) == 0) None else Some(s"s$i" -> rnd.nextInt(40).toLong)
+      }.toMap
+      val expBudget = rows.groupBy(srcOf).flatMap { case (st, rs) =>
+        val q = quotas.getOrElse(st, 0L)
+        var cum = 0L
+        rs.sortBy(hashOrd).flatMap { r =>
+          cum += toks(r._3)
+          if (cum <= q) Some((r._1, st, toks(r._3), cum)) else None
+        }
+      }.toSet
+      val gotBudget = Curation.sourceBudgetSample(docs, quotas)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(gotBudget == expBudget, s"sourceBudgetSample iter=$iter quotas=$quotas")
+
+      // langBalance on the source column: exact isqrt + exact-sum allocation
+      val budget = rnd.nextInt(5000).toLong
+      val gotBal = Curation.langBalance(docs, budget, langCol = "source")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      val tokBySrc = rows.groupBy(srcOf).view.mapValues(_.map(r => toks(r._3)).sum).toMap
+      gotBal.foreach { case (lang, _, nTok, quota, _) =>
+        assert(nTok == tokBySrc(lang), s"iter=$iter lang=$lang")
+        assert(quota * quota <= nTok && (quota + 1) * (quota + 1) > nTok,
+          s"isqrt wrong: iter=$iter lang=$lang n=$nTok q=$quota")
+      }
+      if (gotBal.map(_._4).sum > 0)
+        assert(gotBal.map(_._5).sum == budget, s"alloc sum != budget iter=$iter")
+
+      // threshold curve vs brute force (k=3 shingle sets, string mirror)
+      def shingleSet(t: String): Set[String] = {
+        val ws = t.trim.split("\\s+", -1).toSeq
+        if (ws.size < 3) Set(ws.mkString(" "))
+        else (0 to ws.size - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = rows.filter(_._3 != null).map(r => r._1 -> shingleSet(r._3))
+      val ths = Seq((3, 10), (1, 2), (3, 5), (7, 10), (4, 5), (9, 10))
+      val expCurve = ths.map { case (num, den) =>
+        val qual = for {
+          (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+          ni = (sa & sb).size
+          if ni * (den + num) >= (sa.size + sb.size) * num
+        } yield (ia, ib)
+        (num, den, qual.size.toLong, qual.map(_._2).distinct.size.toLong)
+      }
+      val gotCurve = MinHash.dedupThresholdCurve(docs)
+        .as[(Int, Int, Long, Long)].collect().toSeq
+      assert(gotCurve == expCurve, s"dedupThresholdCurve iter=$iter")
+    }
+  }
+
   // ---- c_pipeline_release --------------------------------------------------
 
   test("c_pipeline_release equals the hand-chained component faces at sf0.01") {
