@@ -151,7 +151,10 @@ object ScaleProbe {
     // the composed release pipeline (split → md5 canonical → quotas →
     // admission): its ratio is the sum of d_minhash_lsh's and
     // c_balanced_sample's postures — a drift localizes to a stage
-    "c_pipeline_release")
+    "c_pipeline_release",
+    // no-split greedy packing: one bucket-keyed exchange, O(1) streaming
+    // state per bucket — should track the data multiple exactly
+    "c_pack_greedy")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

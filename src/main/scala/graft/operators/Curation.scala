@@ -1197,6 +1197,61 @@ object Curation {
       .toDF(idCol, srcCol, "n_tokens", "cum_tokens")
   }
 
+  /** NO-SPLIT greedy sequence packing — the other production packing
+    * shape: [[packSequences]] concatenates the token stream and cuts at
+    * maxLen (docs span sequences); this face keeps every document whole
+    * and opens a new bin when the next doc does not fit (the "no cross-
+    * document attention contamination" choice). Greedy reset-cumsum
+    * state is inherently sequential, so determinism comes from explicit
+    * HASH BUCKETS, not partition boundaries: docs are routed to
+    * `nBuckets` md5-prefix buckets, each bucket packs independently in
+    * (md5(id), id) order, and bins never span buckets — the result is
+    * identical for ANY partition count (asserted in spec), because
+    * repartition boundaries never cut a bucket.
+    *
+    * A doc longer than maxLen gets its own bin (fill > maxLen — the
+    * loader's truncate/reject decision, not silently dropped).
+    * Zero-token docs ride the current bin.
+    *
+    * Scale shape: one exchange keyed by bucket; each bucket streams
+    * through its task with O(1) packing state — `nBuckets` is the
+    * parallelism knob (256 buckets ≈ corpus/256 rows per task; raise it
+    * with the corpus). The per-bucket sort is the same bounded
+    * sortWithinPartitions every rank face here uses.
+    */
+  def packDocsGreedy(docs: DataFrame, maxLen: Long = 256L, nBuckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     countOf: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    OpChecks.requireIntegralId(docs, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bkt = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % nBuckets).cast("int")
+    val ml = maxLen
+    docs
+      .select(col(idCol).cast("long").as("id"), bkt.as("bkt"),
+        coalesce(countOf(col(textCol)), lit(0L)).as("n"),
+        md5(col(idCol).cast("string")).as("rk"))
+      .repartition(col("bkt"))
+      .sortWithinPartitions("bkt", "rk", "id")
+      .as[(Long, Int, Long, String)]
+      .mapPartitions { it =>
+        var cur = Int.MinValue
+        var bin = 0L
+        var fill = 0L
+        var empty = true
+        it.map { case (id, bk, n, _) =>
+          if (bk != cur) { cur = bk; bin = 0L; fill = 0L; empty = true }
+          if (empty || fill + n <= ml) { fill += n; empty = false }
+          else { bin += 1L; fill = n }
+          (id, bk, bin, n, fill)
+        }
+      }
+      .toDF(idCol, "bucket", "bin", "n_tokens", "fill")
+  }
+
   /** Shingle novelty of a new corpus build against the previous one: of
     * v2's DISTINCT word `k`-shingles, how many were never seen in v1 —
     * the crawl-value report (a new snapshot whose shingles are 95% seen
@@ -2229,6 +2284,37 @@ object Curation {
                CAST(COUNT(*) - COUNT(e1.g) AS BIGINT) AS n_new,
                CAST(COUNT(e1.g) AS BIGINT) AS n_seen
         FROM e2 LEFT JOIN e1 ON e2.g = e1.g"""),
+    ),
+    // No-split greedy packing at maxLen=64 over 16 hash buckets (64, not
+    // 256: the sf corpus's ~55-token docs must sometimes SHARE a bin and
+    // sometimes overflow one — both branches non-vacuous). The oracle
+    // replays the inherently-sequential reset-cumsum as a recursive CTE
+    // stepping doc-by-doc per bucket.
+    Q(
+      "c_pack_greedy",
+      (s, dir) =>
+        packDocsGreedy(Tables(s, dir, "documents"), maxLen = 64L, nBuckets = 16)
+          .orderBy("doc_id"),
+      Some("""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS INTEGER) AS bucket,
+                 COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0) AS n,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        r AS (SELECT doc_id, bucket, n,
+                     ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+              FROM d),
+        rec AS (
+          SELECT doc_id, bucket, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.doc_id, r.bucket, r.n, r.rn,
+                 CASE WHEN rec.fill + r.n <= 64 THEN rec.bin ELSE rec.bin + 1 END,
+                 CASE WHEN rec.fill + r.n <= 64 THEN rec.fill + r.n ELSE r.n END
+          FROM rec JOIN r ON r.bucket = rec.bucket AND r.rn = rec.rn + 1)
+        SELECT doc_id, bucket, bin, n AS n_tokens, CAST(fill AS BIGINT) AS fill
+        FROM rec ORDER BY doc_id"""),
     ),
     // Scorer-vs-rules calibration: per global linear-score tercile, the
     // Gopher-rules pass count. Oracle chains the SHARED linear-gram CTEs

@@ -256,6 +256,56 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSeen >= 2 && nAll - nSeen >= 2) // both arms non-vacuous
   }
 
+  // ---- packDocsGreedy ------------------------------------------------------
+
+  test("packDocsGreedy: reset-cumsum mirror, oversize own-bin, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int): String = (0 until n).map(j => s"w$j").mkString(" ")
+    // token counts engineered around maxLen=10: fits, exact fit, overflow,
+    // oversize (>maxLen), zero-token (null text) riders
+    val rows = (0L until 40L).map { i =>
+      val n = (i % 7) match {
+        case 0 => 3; case 1 => 7; case 2 => 10; case 3 => 15
+        case 4 => 1; case 5 => 0; case _ => 6
+      }
+      (i, if (n == 0) null else words(n.toInt))
+    }
+    def toks(t: String): Long =
+      if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
+    val nB = 4
+    def bktOf(id: Long): Int =
+      (java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 4), 16) % nB).toInt
+    val expected = rows
+      .groupBy(r => bktOf(r._1))
+      .flatMap { case (bk, rs) =>
+        var bin = 0L; var fill = 0L; var empty = true
+        rs.sortBy(r => (md5Hex(r._1.toString), r._1)).map { case (id, t) =>
+          val n = toks(t)
+          if (empty || fill + n <= 10L) { fill += n; empty = false }
+          else { bin += 1L; fill = n }
+          (id, bk, bin, n, fill)
+        }
+      }
+      .toSet
+    for (parts <- Seq(1, 3, 13)) {
+      val got = Curation
+        .packDocsGreedy(rows.toDF("doc_id", "text").repartition(parts),
+          maxLen = 10L, nBuckets = nB)
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // the fixture exercises both branches and the oversize arm
+    val byBin = expected.groupBy(r => (r._2, r._3))
+    assert(byBin.values.exists(_.size > 1), "no shared bin — fixture too coarse")
+    assert(expected.exists(_._5 > 10L), "no oversize own-bin in fixture")
+    // no bin exceeds maxLen except single-oversize-doc bins
+    byBin.foreach { case (_, ds) =>
+      val tot = ds.map(_._4).sum
+      assert(tot <= 10L || ds.size == 1, s"overfull multi-doc bin: $ds")
+    }
+  }
+
   // ---- fuzz ----------------------------------------------------------------
 
   test("sampling fuzz: split/budget/balance/curve ≡ mirrors on random corpora") {
