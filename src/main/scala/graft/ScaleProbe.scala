@@ -154,7 +154,10 @@ object ScaleProbe {
     "c_pipeline_release",
     // no-split greedy packing: one bucket-keyed exchange, O(1) streaming
     // state per bucket — should track the data multiple exactly
-    "c_pack_greedy")
+    "c_pack_greedy",
+    // the per-benchmark contamination report — the decontaminate join
+    // posture with a labels-bounded aggregation on top
+    "c_decon_report")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -1197,6 +1197,46 @@ object Curation {
       .toDF(idCol, srcCol, "n_tokens", "cum_tokens")
   }
 
+  /** Per-benchmark contamination report — the multi-eval-set face of
+    * [[decontaminate]] (the GPT-3 appendix-C table shape): given a
+    * labeling of held-out docs into named benchmarks, report per
+    * benchmark how many TRAIN docs share at least one `k`-shingle with
+    * it and how many distinct shingles overlap. `benchOf` maps a doc-id
+    * column to a benchmark-name column (null = not a benchmark doc).
+    * Every benchmark row is always present (zero-filled via the seed
+    * aggregation), so a clean benchmark reads as zeros, not absence.
+    *
+    * Scale shape: the decontaminate discipline — both sides reduce to
+    * (label, 64-bit ShingleHash64) distinct frames before the one
+    * hash-keyed join; the per-benchmark aggregation carries counts
+    * only. The oracle joins raw shingle strings (hash-collision guard).
+    */
+  def deconReport(docs: DataFrame, benchOf: Column => Column, k: Int = 5,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"shingle size must be positive, got $k")
+    val labeled = docs.withColumn("__bench", benchOf(col(idCol)))
+    val bench = labeled.filter(col("__bench").isNotNull)
+    val train = labeled
+      .filter(col("__bench").isNull &&
+        TextAnalysis.splitName(col(idCol)) === "train")
+    def hashes(df: DataFrame, keep: Column*): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(keep :+
+        explode(array_distinct(graft.functions.ShingleHash64(col(textCol), k))).as("h"): _*)
+      .distinct()
+    val seed = bench.groupBy(col("__bench").as("benchmark"))
+      .agg(count(lit(1)).as("n_docs_bench"))
+    val shared = hashes(bench, col("__bench").as("benchmark"))
+      .join(hashes(train, col(idCol)), Seq("h"))
+      .groupBy("benchmark")
+      .agg(count_distinct(col(idCol)).as("d"), count_distinct(col("h")).as("s"))
+    seed
+      .join(shared, Seq("benchmark"), "left")
+      .select(col("benchmark"), col("n_docs_bench"),
+        coalesce(col("d"), lit(0L)).as("n_contaminated_train_docs"),
+        coalesce(col("s"), lit(0L)).as("n_shared_shingles"))
+  }
+
   /** NO-SPLIT greedy sequence packing — the other production packing
     * shape: [[packSequences]] concatenates the token stream and cuts at
     * maxLen (docs span sequences); this face keeps every document whole
@@ -2284,6 +2324,47 @@ object Curation {
                CAST(COUNT(*) - COUNT(e1.g) AS BIGINT) AS n_new,
                CAST(COUNT(e1.g) AS BIGINT) AS n_seen
         FROM e2 LEFT JOIN e1 ON e2.g = e1.g"""),
+    ),
+    // Per-benchmark contamination report: the test split partitioned into
+    // three named synthetic benchmarks (buckets 90-92 / 93-95 / 96-99);
+    // per benchmark, contaminated-train-doc and shared-shingle counts.
+    Q(
+      "c_decon_report",
+      (s, dir) => {
+        val benchOf: Column => Column = id => {
+          val b = TextAnalysis.splitBucket(id)
+          when(b >= 90 && b <= 92, "bench_a")
+            .when(b >= 93 && b <= 95, "bench_b")
+            .when(b >= 96, "bench_c")
+        }
+        deconReport(Tables(s, dir, "documents"), benchOf).orderBy("benchmark")
+      },
+      Some(s"""
+        WITH b0 AS (
+          SELECT doc_id, text,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+          FROM documents),
+        lbl AS (SELECT doc_id, text, bkt,
+                       CASE WHEN bkt BETWEEN 90 AND 92 THEN 'bench_a'
+                            WHEN bkt BETWEEN 93 AND 95 THEN 'bench_b'
+                            WHEN bkt >= 96 THEN 'bench_c' END AS benchmark
+                FROM b0),
+        w AS (SELECT doc_id, benchmark, bkt, string_split_regex(trim(text), '\\s+') AS ws
+              FROM lbl WHERE text IS NOT NULL),
+        sh AS (SELECT doc_id, benchmark, bkt, ${shingleSql(5)} AS shs FROM w),
+        eb AS (SELECT DISTINCT benchmark, unnest(shs) AS g FROM sh WHERE benchmark IS NOT NULL),
+        et AS (SELECT DISTINCT doc_id, unnest(shs) AS g FROM sh
+               WHERE benchmark IS NULL AND bkt < 80),
+        seed AS (SELECT benchmark, COUNT(*) AS n_docs_bench FROM lbl
+                 WHERE benchmark IS NOT NULL GROUP BY benchmark),
+        shared AS (SELECT eb.benchmark,
+                          COUNT(DISTINCT et.doc_id) AS d, COUNT(DISTINCT eb.g) AS s
+                   FROM eb JOIN et ON eb.g = et.g GROUP BY eb.benchmark)
+        SELECT seed.benchmark, seed.n_docs_bench,
+               CAST(COALESCE(shared.d, 0) AS BIGINT) AS n_contaminated_train_docs,
+               CAST(COALESCE(shared.s, 0) AS BIGINT) AS n_shared_shingles
+        FROM seed LEFT JOIN shared USING (benchmark)
+        ORDER BY benchmark"""),
     ),
     // No-split greedy packing at maxLen=64 over 16 hash buckets (64, not
     // 256: the sf corpus's ~55-token docs must sometimes SHARE a bin and

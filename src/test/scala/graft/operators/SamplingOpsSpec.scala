@@ -256,6 +256,39 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSeen >= 2 && nAll - nSeen >= 2) // both arms non-vacuous
   }
 
+  // ---- deconReport ---------------------------------------------------------
+
+  test("deconReport: per-benchmark contamination counts, zero-filled clean benchmark") {
+    val s = spark
+    import s.implicits._
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // 4 real-split train ids (the operator's train side is split-gated)
+    val trainIds = (0L until 300L).filter(splitOf(_) == "train").take(4)
+    val trainTexts = Seq(
+      "one two three four five six seven",   // overlaps bench_x doc
+      "one two three four five zz",          // shares one 5-shingle with bench_x
+      "alpha beta gamma delta epsilon zeta", // overlaps nothing
+      null,
+    )
+    val rows = trainIds.zip(trainTexts).map { case (id, t) => (id, t) } ++ Seq(
+      (1000L, "one two three four five six"),        // bench_x
+      (1001L, "totally disjoint benchmark content"), // bench_x, no overlap
+      (1002L, "clean benchmark nothing shared here"), // bench_y — stays zero
+      (1003L, null.asInstanceOf[String]),             // bench_y null text
+    )
+    val benchOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => when(id >= 1002, "bench_y").when(id >= 1000, "bench_x")
+    val got = Curation.deconReport(rows.toDF("doc_id", "text"), benchOf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // mirror: bench_x's 5-shingles = {"one two three four five",
+    // "two three four five six"} (+ 1 disjoint doc); train doc 0 shares
+    // both, train doc 1 shares the first → 2 contaminated docs, 2 shingles
+    assert(got == Set(("bench_x", 2L, 2L, 2L), ("bench_y", 2L, 0L, 0L)))
+  }
+
   // ---- packDocsGreedy ------------------------------------------------------
 
   test("packDocsGreedy: reset-cumsum mirror, oversize own-bin, repartition-stable") {
