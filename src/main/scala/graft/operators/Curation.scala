@@ -976,6 +976,31 @@ object Curation {
     * source spans many range partitions instead of pinning one task.
     * NULL strata coalesce to "" so they form one ranked group.
     */
+  /** Per-(partition, stratum) prefix offsets and per-stratum totals of an
+    * already range-partitioned, stratum-sorted frame — the ONE two-level
+    * scaffold shared by [[stratifiedSplit]] (weight 1 → rank) and
+    * [[sourceBudgetSample]] (weight = tokens → cumsum), factored so an
+    * edge fix lands once. Driver traffic is partitions × strata rows.
+    */
+  private def strataPrefixOffsets(ranged: DataFrame, stCol: String, weight: Column)
+      : (Map[(Int, String), Long], Map[String, Long]) = {
+    val rows = ranged
+      .groupBy(spark_partition_id().as("pid"), col(stCol))
+      .agg(sum(weight).as("w"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val starts = rows
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (st, rs) =>
+        val byPid = rs.sortBy(_._1)
+        val offs = byPid.scanLeft(0L)(_ + _._3)
+        byPid.iterator.map(_._1).zip(offs.iterator).map { case (pid, off) => (pid, st) -> off }
+      }
+      .toMap
+    val totals = rows.groupBy(_._2).map { case (st, rs) => st -> rs.map(_._3).sum }
+    (starts, totals)
+  }
+
   def stratifiedSplit(docs: DataFrame, testPm: Int = 100, validPm: Int = 100,
                       strataCol: String = "source", idCol: String = "doc_id",
                       numPartitions: Int = 0): DataFrame = {
@@ -996,21 +1021,7 @@ object Curation {
       .repartitionByRange(nParts, col("st"), col("rk"), col("id"))
       .sortWithinPartitions("st", "rk", "id")
       .localCheckpoint(true)
-    val counts = ranged
-      .groupBy(spark_partition_id().as("pid"), col("st"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val starts: Map[(Int, String), Long] = counts
-      .groupBy(_._2)
-      .iterator
-      .flatMap { case (st, rows) =>
-        val byPid = rows.sortBy(_._1)
-        val offs = byPid.scanLeft(0L)(_ + _._3)
-        byPid.iterator.map(_._1).zip(offs.iterator).map { case (pid, off) => (pid, st) -> off }
-      }
-      .toMap
-    val totals: Map[String, Long] =
-      counts.groupBy(_._2).map { case (st, rows) => st -> rows.map(_._3).sum }
+    val (starts, totals) = strataPrefixOffsets(ranged, "st", lit(1L))
     val (tpm, vpm) = (testPm.toLong, validPm.toLong)
     val bcS = spark.sparkContext.broadcast(starts)
     val bcT = spark.sparkContext.broadcast(totals)
@@ -1111,13 +1122,24 @@ object Curation {
       .withColumn("quota", isqrt)
       .withColumn("__totq", sum(col("quota")).over(all))
       // integer division/modulo on longs (the SQL `div` operator — a
-      // double `/` would round at web-scale magnitudes)
+      // double `/` would round at web-scale magnitudes), with the
+      // largest-remainder product REORDERED to divide before
+      // multiplying: a naive quota·budget wraps past Long.MaxValue at
+      // exactly the web-scale magnitudes this face targets (quota ~3e6
+      // at 1e13 tokens × a 1e13-token budget ≈ 3e19). The identity
+      //   ⌊B·q/T⌋ = (B div T)·q + ⌊(B mod T)·q / T⌋
+      //   (B·q) mod T = ((B mod T)·q) mod T
+      // keeps every intermediate ≤ T·q_max — safe while
+      // totq · max(quota) < 2^63, i.e. far past any physical corpus
+      // (the isqrt correction's (q0+1)² term similarly requires
+      // n_tokens < 2^62 ≈ 18 exabytes of text per language).
       .withColumn("__flr",
         when(col("__totq") === 0, 0L)
-          .otherwise(expr(s"quota * ${budget}L div __totq")))
+          .otherwise(expr(
+            s"(${budget}L div __totq) * quota + ((${budget}L % __totq) * quota) div __totq")))
       .withColumn("__rem",
         when(col("__totq") === 0, 0L)
-          .otherwise((col("quota") * lit(budget)) % col("__totq")))
+          .otherwise((lit(budget) % col("__totq")) * col("quota") % col("__totq")))
       .withColumn("__k", lit(budget) - sum(col("__flr")).over(all))
       .withColumn("__rnk", row_number().over(byRem))
       .withColumn("alloc",
@@ -1162,19 +1184,7 @@ object Curation {
       .repartitionByRange(nParts, col("st"), col("rk"), col("id"))
       .sortWithinPartitions("st", "rk", "id")
       .localCheckpoint(true)
-    val totals = ranged
-      .groupBy(spark_partition_id().as("pid"), col("st"))
-      .agg(sum("n").as("t"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val starts: Map[(Int, String), Long] = totals
-      .groupBy(_._2)
-      .iterator
-      .flatMap { case (st, rows) =>
-        val byPid = rows.sortBy(_._1)
-        val offs = byPid.scanLeft(0L)(_ + _._3)
-        byPid.iterator.map(_._1).zip(offs.iterator).map { case (pid, off) => (pid, st) -> off }
-      }
-      .toMap
+    val (starts, _) = strataPrefixOffsets(ranged, "st", col("n"))
     val q = quotas
     val bcS = spark.sparkContext.broadcast(starts)
     ranged
@@ -1341,7 +1351,12 @@ object Curation {
                          textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = linearScore(docs, d, idCol, textCol).select(col(idCol), col("score"))
+    // the gram explode + per-doc aggregation is the dominant cost and
+    // feeds BOTH the histogram and the final join — checkpoint the small
+    // (id, score) frame once so the hot stage runs once, not twice
+    val scored = linearScore(docs, d, idCol, textCol)
+      .select(col(idCol), col("score"))
+      .localCheckpoint(true)
     val nParts = spark.sessionState.conf.numShufflePartitions
     val ranged = scored
       .groupBy("score").agg(count(lit(1)).as("c"))
@@ -1736,6 +1751,34 @@ object Curation {
 
   // ------------------------------------------------------------- queries
 
+  /** The ONE synthetic corpus-versioning fixture shared by the
+    * diff/drift/novelty registered faces: v1 = hash buckets <90, v2 =
+    * buckets ≥10 with buckets 40-49 rewritten (" rev2" appended) — so
+    * added/removed/changed/unchanged and both novelty arms are all
+    * non-vacuous. Factored (with [[snapshotCtes]] as its SQL mirror) so
+    * a fixture tweak cannot silently leave the three faces comparing
+    * different corpora.
+    */
+  private[operators] def snapshotV1V2(docs: DataFrame): (DataFrame, DataFrame) = {
+    val bkt = TextAnalysis.splitBucket(col("doc_id"))
+    val v1 = docs.filter(bkt < 90)
+    val v2 = docs.filter(bkt >= 10)
+      .withColumn("text",
+        when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    (v1, v2)
+  }
+
+  /** b/v1/v2 CTEs mirroring [[snapshotV1V2]]; v1/v2 carry (doc_id, text). */
+  private def snapshotCtes: String = """
+        b AS (SELECT doc_id, text,
+                     CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
+              FROM documents),
+        v1 AS (SELECT doc_id, text FROM b WHERE bkt < 90),
+        v2 AS (SELECT doc_id,
+                      CASE WHEN bkt BETWEEN 40 AND 49 THEN text || ' rev2' ELSE text END AS text
+               FROM b WHERE bkt >= 10)"""
+
   /** l..g CTE chain of the langBalance oracle, parameterized by budget —
     * per-language token counts, corrected isqrt quota, and the
     * largest-remainder division columns (totq/flr/rem/k/rnk). ONE builder
@@ -1756,8 +1799,10 @@ object Curation {
                FROM q0),
         t AS (SELECT *, SUM(quota) OVER () AS totq FROM qq),
         f AS (SELECT *,
-                     CASE WHEN totq = 0 THEN 0 ELSE quota * $budget // totq END AS flr,
-                     CASE WHEN totq = 0 THEN 0 ELSE (quota * $budget) % totq END AS rem
+                     CASE WHEN totq = 0 THEN 0
+                          ELSE ($budget // totq) * quota + (($budget % totq) * quota) // totq END AS flr,
+                     CASE WHEN totq = 0 THEN 0
+                          ELSE (($budget % totq) * quota) % totq END AS rem
               FROM t),
         g AS (SELECT *, $budget - SUM(flr) OVER () AS k,
                      ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
@@ -2157,32 +2202,19 @@ object Curation {
     Q(
       "c_corpus_diff",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val bkt = TextAnalysis.splitBucket(col("doc_id"))
-        val v1 = docs.filter(bkt < 90)
-        val v2 = docs.filter(bkt >= 10)
-          .withColumn("text",
-            when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")))
+        val (v1, v2) = snapshotV1V2(Tables(s, dir, "documents"))
         corpusDiff(v1, v2).orderBy("doc_id")
       },
-      Some("""
-        WITH b AS (
-          SELECT doc_id, text,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
-          FROM documents
-        ),
-        v1 AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM b WHERE bkt < 90),
-        v2 AS (SELECT doc_id,
-                      md5(COALESCE(CASE WHEN bkt BETWEEN 40 AND 49
-                        THEN text || ' rev2' ELSE text END, '')) AS h
-               FROM b WHERE bkt >= 10)
-        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
-               CASE WHEN v1.doc_id IS NULL THEN 'added'
-                    WHEN v2.doc_id IS NULL THEN 'removed'
-                    WHEN v1.h = v2.h THEN 'unchanged'
+      Some(s"""
+        WITH $snapshotCtes,
+        d1 AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM v1),
+        d2 AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM v2)
+        SELECT COALESCE(d1.doc_id, d2.doc_id) AS doc_id,
+               CASE WHEN d1.doc_id IS NULL THEN 'added'
+                    WHEN d2.doc_id IS NULL THEN 'removed'
+                    WHEN d1.h = d2.h THEN 'unchanged'
                     ELSE 'changed' END AS status
-        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id
         ORDER BY doc_id"""),
     ),
     // EXACT stratified split: per source, hash-rank order, first 10% to
@@ -2213,29 +2245,16 @@ object Curation {
     Q(
       "c_vocab_drift",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val bkt = TextAnalysis.splitBucket(col("doc_id"))
-        val v1 = docs.filter(bkt < 90)
-        val v2 = docs.filter(bkt >= 10)
-          .withColumn("text",
-            when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")))
+        val (v1, v2) = snapshotV1V2(Tables(s, dir, "documents"))
         vocabDrift(v1, v2, k = 30)
       },
-      Some("""
-        WITH b AS (
-          SELECT doc_id, text,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
-          FROM documents
-        ),
-        v1 AS (SELECT text FROM b WHERE bkt < 90),
-        v2 AS (SELECT CASE WHEN bkt BETWEEN 40 AND 49 THEN text || ' rev2' ELSE text END AS text
-               FROM b WHERE bkt >= 10),
+      Some(s"""
+        WITH $snapshotCtes,
         c1 AS (SELECT term, COUNT(*) AS n1 FROM (
-                 SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                 SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
                  FROM v1 WHERE text IS NOT NULL) GROUP BY term),
         c2 AS (SELECT term, COUNT(*) AS n2 FROM (
-                 SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                 SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
                  FROM v2 WHERE text IS NOT NULL) GROUP BY term)
         SELECT COALESCE(c1.term, c2.term) AS term,
                CAST(COALESCE(n1, 0) AS BIGINT) AS n_v1,
@@ -2298,24 +2317,11 @@ object Curation {
     Q(
       "c_novelty_stats",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val bkt = TextAnalysis.splitBucket(col("doc_id"))
-        val v1 = docs.filter(bkt < 90)
-        val v2 = docs.filter(bkt >= 10)
-          .withColumn("text",
-            when(bkt >= 40 && bkt < 50, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")))
+        val (v1, v2) = snapshotV1V2(Tables(s, dir, "documents"))
         noveltyStats(v1, v2, k = 5)
       },
       Some(s"""
-        WITH b AS (
-          SELECT doc_id, text,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bkt
-          FROM documents
-        ),
-        v1 AS (SELECT text FROM b WHERE bkt < 90),
-        v2 AS (SELECT CASE WHEN bkt BETWEEN 40 AND 49 THEN text || ' rev2' ELSE text END AS text
-               FROM b WHERE bkt >= 10),
+        WITH $snapshotCtes,
         w1 AS (SELECT string_split_regex(trim(text), '\\s+') AS ws FROM v1 WHERE text IS NOT NULL),
         w2 AS (SELECT string_split_regex(trim(text), '\\s+') AS ws FROM v2 WHERE text IS NOT NULL),
         e1 AS (SELECT DISTINCT unnest(shs) AS g FROM (SELECT ${shingleSql(5)} AS shs FROM w1)),

@@ -435,11 +435,15 @@ object DocStream {
     * State is ONE counter per source — bounded by the source vocabulary,
     * NEVER by the stream (the StreamProbe arm pins constant state rows);
     * no watermark, no eviction: a quota is a whole-stream contract.
-    * Admission order: arrival order across batches, id order within a
-    * micro-batch (the group iterator carries no order guarantee — an
-    * explicit sort keeps replays deterministic). When arrival order is
-    * the (md5(id), id) hash order, the admitted set equals the batch
-    * face's — that equality is spec'd.
+    * Admission order: arrival order across batches, (md5(id), id) hash
+    * order WITHIN a micro-batch (the group iterator carries no order
+    * guarantee — an explicit sort keeps replays deterministic, and it
+    * must be the HASH order, not bare id order, or a micro-batch holding
+    * two same-source docs whose id order differs from hash order at the
+    * quota frontier admits a different set than the batch face). When
+    * arrival order is the (md5(id), id) hash order, the admitted set
+    * equals the batch face's — that equality is spec'd, including the
+    * order-inverting pair.
     */
   def sourceQuotaFilter(docs: DataFrame, quotas: Map[String, Long],
                         idCol: String = "doc_id", srcCol: String = "source",
@@ -458,10 +462,17 @@ object DocStream {
         (src: String, it: Iterator[(Long, String, Long)], state: GroupState[Long]) => {
           val quota = q.getOrElse(src, 0L)
           var cum = state.getOption.getOrElse(0L)
-          val out = it.toArray.sortBy(_._1).iterator.flatMap { case (id, _, n) =>
-            cum += n
-            if (cum <= quota) Iterator.single((id, src, n, cum)) else Iterator.empty
-          }.toVector
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def md5Hex(s: String): String = {
+            md.reset()
+            md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          }
+          val out = it.toArray
+            .sortBy { case (id, _, _) => (md5Hex(id.toString), id) }
+            .iterator.flatMap { case (id, _, n) =>
+              cum += n
+              if (cum <= quota) Iterator.single((id, src, n, cum)) else Iterator.empty
+            }.toVector
           state.update(cum)
           out.iterator
         })

@@ -122,29 +122,16 @@ object RestartProbe {
         .filter(graft.operators.TextAnalysis.splitName(
           org.apache.spark.sql.functions.col("doc_id")) === "test"))
 
-    // per-source quota for the quota-gate arm: ~40% of the whole-stream
-    // per-source token mass, so the gate saturates around the restart
-    // point — recovery must reproduce the exact admission frontier (a
-    // lost or double-counted counter shifts which docs fit)
-    val quotaPerSource: Long = {
-      val tot = corpus.iterator.map { case (_, t) =>
-        if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
-      }.sum
-      tot * nBatches * 2 / (5 * 5)
-    }
-
     val arms = Seq(
       arm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
-      // bounded-stateful arm: one counter per source; the checkpoint must
-      // restore the running totals exactly or the admission prefix drifts
+      // bounded-stateful arm: one counter per source ([[ProbeSynth]]'s
+      // shared labeling + ~40%-saturating quota, so the gate saturates
+      // around the restart point); the checkpoint must restore the
+      // running totals exactly or the admission prefix drifts
       arm("sourceQuotaFilter",
         docs => DocStream.sourceQuotaFilter(
-          docs.withColumn("source",
-            org.apache.spark.sql.functions.concat(
-              org.apache.spark.sql.functions.lit("s"),
-              org.apache.spark.sql.functions.col("doc_id") % 5)),
-          quotas = (0 until 5).map(i => s"s$i" -> quotaPerSource).toMap)),
+          ProbeSynth.withSource(docs), ProbeSynth.quotas(corpus, nBatches))),
       arm("lmScoreByWindow",
         docs => DocStream.lmScoreByWindow(docs, lm, watermarkDelay = watermark)),
       // stateless arm: recovery here exercises the SOURCE/offset replay

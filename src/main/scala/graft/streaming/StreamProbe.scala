@@ -6,6 +6,31 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.{GraftSession, Tables}
 
+/** Shared synthesis for the two streaming probes' quota-gate arms — the
+  * synthetic source labeling and the quota sizing live ONCE so StreamProbe
+  * and RestartProbe can never silently measure different gates: `doc_id %
+  * NSources` sources, quota ≈ 40% of the whole-stream per-source token
+  * mass (admission runs the first few batches, then the gate saturates —
+  * both arms measured in one run).
+  */
+private[streaming] object ProbeSynth {
+  val NSources = 5
+
+  def withSource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("source",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"),
+        org.apache.spark.sql.functions.col("doc_id") % NSources))
+
+  def quotas(corpus: Array[(Long, String)], nBatches: Int): Map[String, Long] = {
+    val tot = corpus.iterator.map { case (_, t) =>
+      if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
+    }.sum
+    val q = tot * nBatches * 2 / (NSources * 5)
+    (0 until NSources).map(i => s"s$i" -> q).toMap
+  }
+}
+
 /** Streaming-face scale probe: drives [[DocStream.dedupNearMinHash]] over
   * `nBatches` micro-batches of the full documents corpus (ids shifted per
   * batch, event time advancing one `stepSec` per batch) and records, per
@@ -115,17 +140,6 @@ object StreamProbe {
     val dsirMin = graft.operators.Curation.dsirScore(dsirBase, dsirW)
       .selectExpr("percentile_approx(score, 0.5) AS m").head.getLong(0)
 
-    // per-source quota for the bounded-stateful arm: ~40% of the WHOLE
-    // 10-batch stream's per-source token mass — admission runs for the
-    // first few batches, then the gate saturates and later batches pass
-    // nothing (both measured in one run)
-    val quotaPerSource: Long = {
-      val tot = corpus.iterator.map { case (_, t) =>
-        if (t == null) 0L else t.trim.split("\\s+", -1).length.toLong
-      }.sum
-      tot * nBatches * 2 / (5 * 5)
-    }
-
     val arms = Seq(
       runArm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
@@ -154,11 +168,7 @@ object StreamProbe {
       // measured). No watermark: a quota is a whole-stream contract.
       runArm("sourceQuotaFilter",
         docs => DocStream.sourceQuotaFilter(
-          docs.withColumn("source",
-            org.apache.spark.sql.functions.concat(
-              org.apache.spark.sql.functions.lit("s"),
-              org.apache.spark.sql.functions.col("doc_id") % 5)),
-          quotas = (0 until 5).map(i => s"s$i" -> quotaPerSource).toMap)),
+          ProbeSynth.withSource(docs), ProbeSynth.quotas(corpus, nBatches))),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +

@@ -135,6 +135,37 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byLang("fr")._5 == 21 && byLang("")._5 == 21 && byLang("xx")._5 == 0)
   }
 
+  test("langBalance: largest-remainder arithmetic exact where the naive product overflows") {
+    val s = spark
+    import s.implicits._
+    // 1e13 tokens/lang, 1e15-token budget: quota ≈ 3.16e6, so the naive
+    // quota·budget ≈ 3e21 wraps a long; the divide-first identity stays
+    // within T·q_max ≈ 3e13. Expected allocations via a BigInt mirror.
+    val toks = Seq("aa" -> 10000000000000L, "bb" -> 9999999999999L, "cc" -> 4000000000000L)
+    val budget = 1000000000000000L
+    val docs = toks.toDF("lang", "n").withColumn("doc_id", lit(1L))
+    val got = Curation.langBalance(docs, budget, textCol = "n", countOf = c => c)
+      .orderBy("lang").as[(String, Long, Long, Long, Long)].collect().toSeq
+    def isqrt(n: Long): Long = {
+      var q = math.floor(math.sqrt(n.toDouble)).toLong
+      if (q * q > n) q -= 1 else if ((q + 1) * (q + 1) <= n) q += 1
+      q
+    }
+    val quotas = toks.map { case (l, n) => l -> isqrt(n) }
+    val t = quotas.map(_._2).sum
+    val flr = quotas.map { case (l, q) => l -> (BigInt(q) * budget / t).toLong }.toMap
+    val remOrd = quotas
+      .map { case (l, q) => (l, (BigInt(q) * budget % t).toLong) }
+      .sortBy { case (l, r) => (-r, l) }.map(_._1)
+    val k = budget - flr.values.sum
+    val bonus = remOrd.take(k.toInt).toSet
+    got.foreach { case (lang, _, _, quota, alloc) =>
+      assert(quota == quotas.toMap.apply(lang), s"quota drift for $lang")
+      assert(alloc == flr(lang) + (if (bonus(lang)) 1L else 0L), s"alloc wrong for $lang")
+    }
+    assert(got.map(_._5).sum == budget)
+  }
+
   test("langBalance: isqrt correction survives large counts near square boundaries") {
     val s = spark
     import s.implicits._

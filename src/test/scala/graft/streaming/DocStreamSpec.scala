@@ -386,6 +386,33 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("sourceQuotaFilter: within-batch order is HASH order, not id order (frontier pair)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(n: Int): String = (0 until n).map(j => s"w$j").mkString(" ")
+    // md5("4") = a87f... < md5("3") = eccb..., so hash order INVERTS id
+    // order; at quota 10, the batch face admits {4} (8 tokens first),
+    // a bare-id sort would admit {3} instead
+    val rows = Seq((3L, "a", words(4)), (4L, "a", words(8)))
+    val quotas = Map("a" -> 10L)
+    val batch = graft.operators.Curation
+      .sourceBudgetSample(rows.toDF("doc_id", "source", "text"), quotas)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(batch.map(_._1) == Set(4L), s"fixture assumption broken: $batch")
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "event_time", "source", "text")
+    val query = DocStream.sourceQuotaFilter(docs, quotas)
+      .writeStream.format("memory").queryName("quota_ord_out").outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, src, t) => (id, ts(id), src, t) }) // ONE batch
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM quota_ord_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("dsirFilter on a stream keeps exactly the docs whose batch dsirScore clears the bar") {
     val s = spark
     import s.implicits._
