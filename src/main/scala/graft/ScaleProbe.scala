@@ -157,7 +157,10 @@ object ScaleProbe {
     "c_pack_greedy",
     // the per-benchmark contamination report — the decontaminate join
     // posture with a labels-bounded aggregation on top
-    "c_decon_report")
+    "c_decon_report",
+    // crawl-stage URL dedup: one URL-keyed agg + join-back — the
+    // exchange carries short addresses, never documents
+    "d_url_dedup")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

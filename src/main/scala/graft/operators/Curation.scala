@@ -1730,6 +1730,31 @@ object Curation {
     ))
   }
 
+  /** URL-keyed dedup — the crawl-stage dedup that runs BEFORE any
+    * content dedup (two fetches of one address are duplicates whatever
+    * their bytes say; CommonCrawl-lineage pipelines dedup by normalized
+    * URL first): each doc's FIRST extracted URL, lowercased, is its
+    * crawl address; docs sharing an address collapse to the min id, docs
+    * with no URL keep themselves. Returns (id, canonical_id) like every
+    * dedup face here.
+    *
+    * Scale shape: one projection to (id, url) — the exchange carries the
+    * short address string, never the document — one URL-keyed
+    * aggregation, one left join back.
+    */
+  def urlDedup(df: DataFrame, idCol: String = "doc_id",
+               urlCol: String = "url_text"): DataFrame = {
+    OpChecks.requireIntegralId(df, idCol)
+    val u = lower(regexp_extract(coalesce(col(urlCol), lit("")), UrlRe, 0))
+    val withU = df.select(col(idCol).cast("long").as(idCol), u.as("__u"))
+    val canon = withU
+      .filter(col("__u") =!= "")
+      .groupBy("__u").agg(min(col(idCol)).as("__c"))
+    withU
+      .join(canon, Seq("__u"), "left")
+      .select(col(idCol), coalesce(col("__c"), col(idCol)).as("canonical_id"))
+  }
+
   /** Per-domain URL statistics — the C4/CommonCrawl-style provenance
     * audit (which hosts does this corpus cite, how concentrated): extract
     * every URL, lowercase its host, count occurrences and distinct citing
@@ -1750,6 +1775,21 @@ object Curation {
         countDistinct(col(idCol)).as("n_docs"))
 
   // ------------------------------------------------------------- queries
+
+  /** u CTE mirroring [[withSyntheticUrls]] — the ONE synthetic URL
+    * fixture string, shared by the URL-face oracles so they can never
+    * drift from each other.
+    */
+  private def synthUrlCte: String = """
+        u AS (
+          SELECT doc_id,
+                 substring(COALESCE(text, ''), 1, 40) ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+                           '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' https://cdn.example.org/a-' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END AS url_text
+          FROM documents)"""
 
   /** The ONE synthetic corpus-versioning fixture shared by the
     * diff/drift/novelty registered faces: v1 = hash buckets <90, v2 =
@@ -2689,17 +2729,8 @@ object Curation {
       "c_url_stats_syn",
       (s, dir) =>
         urlDomainStats(withSyntheticUrls(Tables(s, dir, "documents"))).orderBy("domain"),
-      Some("""
-        WITH u AS (
-          SELECT doc_id,
-                 substring(COALESCE(text, ''), 1, 40) ||
-                 CASE WHEN doc_id % 3 = 0
-                      THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR) ||
-                           '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-                 CASE WHEN doc_id % 5 = 0
-                      THEN ' https://cdn.example.org/a-' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END AS url_text
-          FROM documents
-        ),
+      Some(s"""
+        WITH $synthUrlCte,
         e AS (SELECT doc_id,
                      unnest(regexp_extract_all(url_text, 'https?://[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?(/[A-Za-z0-9._/-]*)?', 0)) AS uu
               FROM u),
@@ -2708,6 +2739,23 @@ object Curation {
                CAST(COUNT(*) AS BIGINT) AS n_urls,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM d GROUP BY domain ORDER BY domain"""),
+    ),
+    // Crawl-stage URL dedup over the same synthetic fixture: first
+    // extracted URL (lowercased) = crawl address, min-id canonical;
+    // CDN addresses (a-<id%11>) collide across docs, page addresses are
+    // unique — both the dedup and keep-self arms non-vacuous.
+    Q(
+      "d_url_dedup",
+      (s, dir) =>
+        urlDedup(withSyntheticUrls(Tables(s, dir, "documents"))).orderBy("doc_id"),
+      Some(s"""
+        WITH $synthUrlCte,
+        f AS (SELECT doc_id,
+                     lower(regexp_extract(url_text, '$UrlRe', 0)) AS uu
+              FROM u),
+        c AS (SELECT uu, MIN(doc_id) AS cid FROM f WHERE uu <> '' GROUP BY uu)
+        SELECT f.doc_id, COALESCE(c.cid, f.doc_id) AS canonical_id
+        FROM f LEFT JOIN c USING (uu) ORDER BY f.doc_id"""),
     ),
   )
 }

@@ -287,6 +287,26 @@ class SamplingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSeen >= 2 && nAll - nSeen >= 2) // both arms non-vacuous
   }
 
+  // ---- urlDedup ------------------------------------------------------------
+
+  test("urlDedup: first URL is the crawl address, min-id canonical, case-normalized") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "see http://a.example.com/x for details"),
+      (2L, "also http://A.EXAMPLE.COM/x mirrored"),        // same address, host case-folded
+      // (an UPPERCASE SCHEME would not extract at all — UrlRe is the
+      // shared lowercase-scheme family of the established URL faces)
+      (3L, "http://b.example.com/y then http://a.example.com/x"), // FIRST url wins → b
+      (4L, "no links in this doc at all"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "http://b.example.com/y again"),
+    )
+    val got = Curation.urlDedup(rows.toDF("doc_id", "url_text"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 3L))
+  }
+
   // ---- deconReport ---------------------------------------------------------
 
   test("deconReport: per-benchmark contamination counts, zero-filled clean benchmark") {
