@@ -598,6 +598,87 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** The (doc, pos, trimmed non-empty line, md5) frame behind the
+    * line-dedup faces: split on newlines, trim each line, drop blanks —
+    * the same normalization both engines apply, so "duplicate" means
+    * duplicate CONTENT, not duplicate surrounding whitespace. Map-only;
+    * only 16-byte line fingerprints (plus the line itself for the clean
+    * face's reconstruction) leave the scan.
+    */
+  private def lineFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(ls).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+  }
+
+  /** Per-line cross-doc duplicate directory: md5 keys of lines appearing
+    * in ≥ 2 DISTINCT documents, decided by the min(doc)≠max(doc) two-long
+    * combine state (the substrDupStats discipline — deliberately lighter
+    * than count_distinct at 100 TB, where a boilerplate line can occur
+    * billions of times and its combine state must stay two longs).
+    */
+  private def dupLines(lines: DataFrame, idCol: String): DataFrame =
+    lines.groupBy("h")
+      .agg(min(idCol).as("__mn"), max(idCol).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("h"), lit(1L).as("__dup"))
+
+  /** Line-level exact dedup stats — the RefinedWeb/CCNet line-dedup stage
+    * (Penedo et al. 2023 "The RefinedWeb Dataset", §3; Wenzek et al. 2019
+    * CCNet both dedup at line granularity before document-level passes):
+    * per document, how many of its trimmed non-empty lines appear verbatim
+    * in at least one OTHER document. Navigation headers, cookie banners,
+    * copyright footers — the boilerplate that survives document-level
+    * dedup because the surrounding page differs, and that the word-window
+    * passage face can't isolate because a line is a LAYOUT unit, not a
+    * fixed word count. Cross-document by definition: within-doc repeats
+    * are the repetition face's business (c_repetition), so a doc's own
+    * repeated line counts 0 here unless some other doc shares it.
+    *
+    * Shape: map-only line split, explode md5 line keys, one
+    * map-side-combined aggregation to the dup minority (two-long combine
+    * state, see [[dupLines]]), AQE broadcasts it back, one per-doc
+    * aggregation — the passageDupStats plan with a distinct-doc dup rule.
+    */
+  def lineDupStats(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol)
+    lines.join(dupLines(lines, idCol), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_lines"))
+  }
+
+  /** Line-level dedup CLEAN face: each document with its cross-doc
+    * duplicated lines removed, surviving lines re-joined with newlines in
+    * original order. Removes EVERY occurrence (the RefinedWeb choice for
+    * boilerplate lines — a shared cookie banner has no meaningful
+    * "canonical" document; same no-keep posture as [[substrDedupClean]],
+    * documented there). A doc whose every line is boilerplate survives
+    * with empty clean_text — fail-visible, not silently dropped.
+    *
+    * The reconstruction is one per-doc aggregation over (pos, line)
+    * structs with a bounded array_sort (per-doc line count), not a
+    * corpus-wide window sort.
+    */
+  def lineDedupClean(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val lines = lineFrame(docs, idCol, textCol)
+    lines.join(dupLines(lines, idCol), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s("line")),
+          "\n").as("clean_text"))
+  }
+
   /** 16-word boilerplate block `i` — the engineered duplicate passages for
     * the d_passage_dup oracle (the synthetic corpus's random texts share no
     * natural 16-word chunk, which would leave the dup arm vacuously zero;
@@ -933,5 +1014,100 @@ object Dedup {
                CAST(s % 256 AS BIGINT) AS seq_offset
         FROM cc ORDER BY doc_id"""),
     ),
+    // Line-level dedup over docs wrapped in shared header (doc_id % 4) and
+    // footer (doc_id % 3) lines plus one per-doc unique line — every doc
+    // carries cross-doc-duplicated lines AND guaranteed-unique lines, so
+    // both arms of the stat and the clean reconstruction are non-vacuous.
+    // The oracle joins raw LINE STRINGS (the true semantics), guarding the
+    // Spark side's md5 keys.
+    Q(
+      "d_line_dup",
+      (s, dir) =>
+        lineDupStats(linedText(Tables(s, dir, "documents")), textCol = "ltext")
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH $lineCtes
+        SELECT l.doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
+        FROM l LEFT JOIN d ON l.line = d.line
+        GROUP BY l.doc_id ORDER BY l.doc_id"""),
+    ),
+    Q(
+      "d_line_clean",
+      (s, dir) =>
+        lineDedupClean(linedText(Tables(s, dir, "documents")), textCol = "ltext")
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH $lineCtes
+        SELECT l.doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN d.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                                   chr(10) ORDER BY l.pos), '') AS clean_text
+        FROM l LEFT JOIN d ON l.line = d.line
+        GROUP BY l.doc_id ORDER BY l.doc_id"""),
+    ),
   )
+
+  /** Shared line-boilerplate block `i` for the d_line_* fixture — one
+    * LINE of distinct words (ln-prefixed so they collide with no other
+    * fixture vocabulary).
+    */
+  private[graft] def lineBlock(i: Int): String =
+    s"ln${i}nav ln${i}home ln${i}products ln${i}contact ln${i}legal"
+
+  /** Planted multi-line fixture for the line-dedup queries: the flat
+    * synthetic corpus has no newlines at all (every doc is one line), so
+    * line dedup would be vacuously document dedup. Wraps each doc as
+    *   header(doc_id % 4) \n own text \n footer(doc_id % 3) \n unique(id)
+    * — headers/footers duplicate corpus-wide, the unique tail line never
+    * does, and the body line duplicates exactly when the whole doc text
+    * does (which the corpus's engineered exact-dup docs exercise).
+    */
+  private def linedText(docs: DataFrame): DataFrame = {
+    val hdr = when(col("doc_id") % 4 === 0, lineBlock(0))
+      .when(col("doc_id") % 4 === 1, lineBlock(1))
+      .when(col("doc_id") % 4 === 2, lineBlock(2))
+      .otherwise(lineBlock(3))
+    val ftr = when(col("doc_id") % 3 === 0, lineBlock(4))
+      .when(col("doc_id") % 3 === 1, lineBlock(5))
+      .otherwise(lineBlock(6))
+    // every-5th-doc promo line: present on a MINORITY of docs (and dup
+    // among them), so line counts VARY across docs — a fixture where every
+    // doc has identical counts would let a per-doc/corpus-wide mixup pass.
+    // concat_ws skips the null branch entirely on the other docs.
+    val promo = when(col("doc_id") % 5 === 0, lineBlock(7))
+    docs.withColumn("ltext", concat_ws("\n", hdr, col("text"), ftr, promo,
+      concat(lit("lnuniq tail of doc "), col("doc_id"))))
+  }
+
+  /** Shared oracle CTE chain for the line-dedup queries: the planted
+    * header/footer/unique-line construction, line split + trim + blank
+    * drop (the exact normalization [[lineFrame]] applies), then the
+    * cross-doc dup directory on raw line strings. Yields
+    * `l(doc_id, pos, line)` and `d(line)`.
+    */
+  private def lineCtes: String = s"""
+        p AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN '${lineBlock(0)}'
+                   WHEN 1 THEN '${lineBlock(1)}'
+                   WHEN 2 THEN '${lineBlock(2)}'
+                   ELSE '${lineBlock(3)}' END || chr(10) || text || chr(10) ||
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN '${lineBlock(4)}'
+                   WHEN 1 THEN '${lineBlock(5)}'
+                   ELSE '${lineBlock(6)}' END ||
+                 CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || '${lineBlock(7)}' ELSE '' END || chr(10) ||
+                 'lnuniq tail of doc ' || CAST(doc_id AS VARCHAR) AS ltext
+          FROM documents WHERE text IS NOT NULL
+        ),
+        w AS (SELECT doc_id,
+                     list_filter(list_transform(string_split(ltext, chr(10)),
+                       x -> trim(x)), x -> x <> '') AS ls
+              FROM p),
+        t AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM w),
+        l AS (SELECT doc_id, pos, ls[pos] AS line FROM t),
+        d AS (SELECT line FROM l GROUP BY line HAVING MIN(doc_id) <> MAX(doc_id))"""
 }
