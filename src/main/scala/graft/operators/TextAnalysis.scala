@@ -227,6 +227,101 @@ object TextAnalysis {
       .select(col(idCol), col("rk").cast("long").as("rk"), col("token"), col("tf"), col("doc_freq"))
   }
 
+  /** Fixed query-term bag for the BM25 face — words the synthetic corpus
+    * actually uses at varied frequencies, so idf and tf both vary. A real
+    * deployment passes its own query terms; the operator takes any list.
+    */
+  private[graft] val Bm25Terms: Seq[String] =
+    Seq("spark", "hash", "scan", "merge", "window")
+
+  /** BM25 ranking of the corpus against a fixed bag of query terms
+    * (Robertson et al., Okapi at TREC-3, 1994 — k1 = 6/5, b = 3/4), in
+    * EXACT integer arithmetic so the ranking crosses the hash oracle: the
+    * idf is the bit-length log₂ surrogate over the odds ratio
+    * (the c_lm_score discipline), and the tf saturation term is cleared of
+    * its rationals by multiplying through by 10·dlsum —
+    *
+    *   score_t = bitlen((N − df_t + 1)·1024 ÷ (df_t + 1))
+    *           · (22000·tf·dlsum ÷ (10·tf·dlsum + 3·dlsum + 9·dl·N))
+    *
+    * where ÷ is integer division on both engines (the 22000 carries
+    * milli-precision through the saturation quotient). Long bounds:
+    * 22000·tf·dlsum stays under 2^63 while tf·dlsum < 4·10^14 — a corpus
+    * of 10^12 total words with tf ≤ 400, far past any single-machine
+    * fixture and checked nowhere because the product simply cannot
+    * overflow at the scales the driver runs; at true 100 TB scale the
+    * scoring runs per-shard against shard-local dlsum anyway.
+    *
+    * Scale shape — the part that matters: the corpus NEVER shuffles. Per-doc
+    * dl and per-term tf come from codegen'd array lambdas in the scan
+    * (no explode: the dense ANN family's sparse counterpart is a map-only
+    * scan), the corpus statistics (N, dlsum, df per term) are ONE
+    * map-side-combined aggregation to a single row broadcast back via
+    * crossJoin, and the top-k is TakeOrdered. Two passes over the scan's
+    * lineage, zero wide exchanges.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = Bm25Terms, kTop: Int = 20,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty query-term bag")
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace) && !t.contains("'")),
+      "query terms must be single whitespace-free words without quotes")
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("__ws"), w => w === lit(terms(i)))).cast("long").as(s"__tf$i"))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), ws.as("__ws"))
+      .select(col(idCol) +: size(col("__ws")).cast("long").as("__dl") +: tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__dlsum") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val termScore = terms.indices.map { i =>
+      val idf = s"length(bin(((__n - __df$i + 1) * 1024) div (__df$i + 1)))"
+      s"($idf * ((22000 * __tf$i * __dlsum) div " +
+        s"(10 * __tf$i * __dlsum + 3 * __dlsum + 9 * __dl * __n)))"
+    }.mkString(" + ")
+    val hits = terms.indices
+      .map(i => s"(CASE WHEN __tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    base.crossJoin(broadcast(stats))
+      .selectExpr(idCol, "__dl AS dl", s"CAST($termScore AS BIGINT) AS score",
+        s"CAST($hits AS BIGINT) AS n_hits")
+      .orderBy(col("score").desc, col(idCol))
+      .limit(kTop)
+  }
+
+  /** The t_bm25_topk oracle: the identical integer BM25 over raw words in
+    * DuckDB — same bit-length idf, same cleared-rational saturation
+    * quotient, same (score DESC, doc_id) cut.
+    */
+  private def bm25OracleSql(terms: Seq[String], kTop: Int): String = {
+    val tfSel = terms.indices.map(i =>
+      s"len(list_filter(ws, x -> x = '${terms(i)}')) AS tf$i").mkString(",\n               ")
+    val dfSel = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n               ")
+    val score = terms.indices.map { i =>
+      s"""(length(bin(CAST(((n - df$i + 1) * 1024) // (df$i + 1) AS BIGINT)))
+           * ((22000 * tf$i * dlsum) // (10 * tf$i * dlsum + 3 * dlsum + 9 * dl * n)))"""
+    }.mkString(" + ")
+    val hits = terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+               $tfSel
+            FROM w),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS dlsum,
+               $dfSel
+            FROM b)
+      SELECT doc_id, dl, CAST($score AS BIGINT) AS score, CAST($hits AS BIGINT) AS n_hits
+      FROM b CROSS JOIN st
+      ORDER BY score DESC, doc_id LIMIT $kTop"""
+  }
+
   /** Language ID: character/stop-word n-gram heuristic scoring against tiny
     * per-language profiles. Pure column expressions — a real system would
     * learn profiles offline; the mechanism (score per language, argmax via
@@ -568,6 +663,13 @@ object TextAnalysis {
               FROM tf JOIN df USING (token))
         SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, doc_freq
         FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""),
+    ),
+    // Sparse retrieval: integer-exact Okapi BM25 top-20 for a fixed
+    // query-term bag — the dense ANN family's keyword counterpart.
+    Q(
+      "t_bm25_topk",
+      (s, dir) => bm25TopK(Tables(s, dir, "documents")),
+      Some(bm25OracleSql(Bm25Terms, kTop = 20)),
     ),
     Q(
       "t_fingerprint",
