@@ -289,6 +289,91 @@ object Similarity {
     out
   }
 
+  /** Semantic decontamination (the embedding-space counterpart of the
+    * shingle faces c_substr_decon / c_decontaminate): flag every TRAIN
+    * vector whose quantized cosine against ANY held-out test vector meets
+    * tNum/tDen — paraphrased or re-rendered benchmark items that share no
+    * n-gram with the test split but sit next to it in embedding space.
+    * Same exact integer arithmetic as [[quantizedPairsAbove]] (cross-
+    * multiplied squared compare over floor(x·scale) vectors, no floats
+    * cross the oracle), same deterministic md5 split as every other
+    * held-out face.
+    *
+    * Scale shape — and why it differs from the pair kernels: an eval set
+    * is SMALL by nature (thousands of items against billions of train
+    * docs), so the test side is collected under the
+    * [[MaxBroadcastRowsKey]] guard and broadcast, and the train side
+    * streams through one map-only pass with a tight per-row loop — no
+    * shuffle, no pair materialization, O(train × test) work with the test
+    * factor bounded by the guard. Returns one row per CONTAMINATED train
+    * vector: (idCol, n_test_hits, first_test_id = lowest matching test
+    * id). Clean vectors are absent — the survivor set is the anti-join.
+    */
+  def semanticDecon(
+      vecs: DataFrame,
+      tNum: Int = 7,
+      tDen: Int = 20,
+      testPct: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(vecs, idCol)
+    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(tDen <= 128, "threshold denominators above 128 can push the " +
+      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
+    require(testPct > 0 && testPct < 100, s"testPct must be in (0,100), got $testPct")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cut = 100 - testPct
+    val base = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        TextAnalysis.splitBucket(col(idCol)).as("bkt"))
+    val testDs = base.filter(col("bkt") >= cut).select("id", "vec").as[(Long, Array[Float])]
+    val cap = spark.conf.getOption(MaxBroadcastRowsKey).map(_.trim.toLong)
+      .getOrElse(MaxBroadcastRowsDefault)
+    val nTest = testDs.count()
+    if (nTest > cap)
+      throw new IllegalArgumentException(
+        s"semanticDecon would broadcast $nTest test vectors (bound $cap): an eval " +
+          s"split this large is not an eval split — narrow testPct or raise " +
+          MaxBroadcastRowsKey)
+    val test = spark.sparkContext.broadcast(
+      testDs.collect().map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        var nn = 0L; var i = 0
+        while (i < q.length) { nn += q(i) * q(i); i += 1 }
+        (id, q, nn)
+      }.sortBy(_._1))
+    val n2 = BigInt(tNum) * tNum
+    val d2 = BigInt(tDen) * tDen
+    base.filter(col("bkt") < cut).select("id", "vec").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ts = test.value
+        it.flatMap { case (id, v) =>
+          val q = quantizeChecked(v, scale)
+          var nn = 0L; var i = 0
+          while (i < q.length) { nn += q(i) * q(i); i += 1 }
+          var hits = 0L
+          var first = -1L
+          var j = 0
+          while (j < ts.length) {
+            val (tid, tq, tn) = ts(j)
+            var d = 0L; var x = 0
+            val nx = math.min(q.length, tq.length)
+            while (x < nx) { d += q(x) * tq(x); x += 1 }
+            if (d > 0 && d2 * (BigInt(d) * d) >= n2 * (BigInt(nn) * tn)) {
+              hits += 1
+              if (first < 0) first = tid // test side sorted by id: min match
+            }
+            j += 1
+          }
+          if (hits > 0) Iterator.single((id, hits, first)) else Iterator.empty
+        }
+      }
+      .toDF(idCol, "n_test_hits", "first_test_id")
+  }
+
   /** Conf key bounding [[exactPairsAboveBroadcast]]'s driver collect; the
     * same fail-loud posture as [[graft.engine.TrailEngine.lexiconSweep]]'s
     * implicit-foreach bound: a pre-flight count against a configurable cap

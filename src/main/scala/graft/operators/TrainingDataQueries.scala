@@ -402,6 +402,37 @@ object TrainingDataQueries {
         WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
         ORDER BY id_a, id_b"""),
     ),
+    // Semantic decontamination: train vectors whose quantized cosine vs
+    // ANY md5-held-out test vector reaches 7/20 — the embedding-space
+    // counterpart of c_substr_decon, fully integer-exact. The oracle
+    // replays split, quantization, and the cross-multiplied compare.
+    Q(
+      "c_embed_decon",
+      (s, dir) =>
+        Similarity.semanticDecon(Tables(s, dir, "embeddings"), tNum = 7, tDen = 20)
+          .orderBy("vec_id"),
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv,
+                 CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % 100 AS bkt
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        n AS (SELECT vec_id, qv, bkt,
+                     CAST(list_sum(list_transform(qv, x -> x * x)) AS HUGEINT) AS n2
+              FROM qz),
+        p AS (SELECT tr.vec_id, te.vec_id AS tid,
+                     CAST(list_sum(list_transform(range(1, len(tr.qv) + 1),
+                       i -> tr.qv[i] * te.qv[i])) AS HUGEINT) AS dot,
+                     tr.n2 AS na2, te.n2 AS nb2
+              FROM n tr, n te WHERE tr.bkt < 90 AND te.bkt >= 90)
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_test_hits,
+               CAST(MIN(tid) AS BIGINT) AS first_test_id
+        FROM p WHERE dot > 0 AND 400 * dot * dot >= 49 * na2 * nb2
+        GROUP BY vec_id ORDER BY vec_id"""),
+    ),
     // SemDeDup (Abbas et al. 2023): cluster-then-dedup-within-cluster,
     // whole mechanism integer-exact — deterministic centroid assignment,
     // per-cell smaller-id domination at cosine >= 7/20 — so the oracle
