@@ -275,6 +275,33 @@ object MinHash {
       .select((col("band").cast("long") * lit(1L << 32) +
         col("bk").cast("long").bitwiseAND(lit(0xffffffffL))).as("key"))
 
+  /** [[nearDupAgainst]] probing a PERSISTED [[bucketDirectory64]] key
+    * frame instead of re-scanning the existing corpus — the compaction
+    * production path at 100 TB: the directory is written ONCE as a table
+    * bucketed on `key`, and every nightly ingest batch joins against it
+    * with zero shuffle on the directory side (only the small batch's
+    * memberships exchange to the directory's bucketing; see
+    * BucketedDirectorySpec for the pinned plan). Exactly
+    * [[nearDupAgainst]]'s flags when the directory was built with the
+    * same (k, h, bands, maxBucket) — the hot-bucket policy is baked into
+    * the directory at build time (spec-pinned equality).
+    */
+  def nearDupAgainstDirectory(incoming: DataFrame, directory: DataFrame,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              k: Int = 3, h: Int = 64, bands: Int = 16): DataFrame = {
+    val mem = membershipsNative(incoming, idCol, textCol, k, h, bands)
+      .select(col(idCol),
+        (col("band").cast("long") * lit(1L << 32) +
+          col("bk").cast("long").bitwiseAND(lit(0xffffffffL))).as("key"))
+    val hits = mem.join(directory, Seq("key"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("dup_of_existing", lit(true))
+    incoming.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dup_of_existing"), lit(false)).as("dup_of_existing"))
+  }
+
   /** [[bucketDirectory64]] folded into a Bloom sketch, bound to the
     * (k, h, bands, maxBucket) parameters it was built with — the probe
     * side MUST derive keys identically, and a bare BloomFilter cannot
