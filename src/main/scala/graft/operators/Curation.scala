@@ -1302,6 +1302,59 @@ object Curation {
       .toDF(idCol, "bucket", "bin", "n_tokens", "fill")
   }
 
+  /** Packing-efficiency report over [[packDocsGreedy]]'s bins: per hash
+    * bucket, (n_bins, n_docs, n_tokens, n_pad, n_oversize_bins,
+    * fill_millis) where n_pad sums each bin's unused capacity and
+    * fill_millis = total tokens ·1000 ÷ total capacity (integer-exact).
+    * Padding is wasted training FLOPs and oversize bins are documents a
+    * no-split packer cannot place — this report is what tunes maxLen and
+    * arbitrates packSequences (split, zero pad except the tail) against
+    * packDocsGreedy (whole docs, padded bins). Two bounded aggregations
+    * over the bin assignment; nothing new shuffles beyond the packer's
+    * own bucket exchange.
+    */
+  def packStats(docs: DataFrame, maxLen: Long = 64L, nBuckets: Int = 16,
+                idCol: String = "doc_id", textCol: String = "text",
+                countOf: Column => Column = TextAnalysis.tokenCount): DataFrame = {
+    val bins = packDocsGreedy(docs, maxLen, nBuckets, idCol, textCol, countOf)
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("__docs"), sum("n_tokens").as("__tok"),
+        max("fill").as("__fill"))
+    bins.groupBy("bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n_bins"),
+        sum("__docs").cast("long").as("n_docs"),
+        sum("__tok").cast("long").as("n_tokens"),
+        sum(greatest(lit(maxLen) - col("__fill"), lit(0L))).cast("long").as("n_pad"),
+        sum(when(col("__fill") > maxLen, 1L).otherwise(0L)).as("n_oversize_bins"))
+      .withColumn("fill_millis", expr(s"(n_tokens * 1000) div (n_bins * $maxLen)"))
+  }
+
+  /** The c_pack_greedy oracle chain (maxLen=64, nBuckets=16) ending at
+    * `rec(doc_id, bucket, n, rn, bin, fill)` — the inherently-sequential
+    * reset-cumsum replayed doc-by-doc per bucket as a recursive CTE.
+    * Shared by c_pack_greedy and c_pack_stats so the stats face can never
+    * drift from the assignment it reports on. Callers prepend
+    * `WITH RECURSIVE `.
+    */
+  private def packGreedyCtes: String = """d AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS INTEGER) AS bucket,
+                 COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0) AS n,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        r AS (SELECT doc_id, bucket, n,
+                     ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+              FROM d),
+        rec AS (
+          SELECT doc_id, bucket, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.doc_id, r.bucket, r.n, r.rn,
+                 CASE WHEN rec.fill + r.n <= 64 THEN rec.bin ELSE rec.bin + 1 END,
+                 CASE WHEN rec.fill + r.n <= 64 THEN rec.fill + r.n ELSE r.n END
+          FROM rec JOIN r ON r.bucket = rec.bucket AND r.rn = rec.rn + 1)"""
+
   /** Shingle novelty of a new corpus build against the previous one: of
     * v2's DISTINCT word `k`-shingles, how many were never seen in v1 —
     * the crawl-value report (a new snapshot whose shingles are 95% seen
@@ -2422,26 +2475,34 @@ object Curation {
       (s, dir) =>
         packDocsGreedy(Tables(s, dir, "documents"), maxLen = 64L, nBuckets = 16)
           .orderBy("doc_id"),
-      Some("""
-        WITH RECURSIVE d AS (
-          SELECT doc_id,
-                 CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 16 AS INTEGER) AS bucket,
-                 COALESCE(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 0) AS n,
-                 md5(CAST(doc_id AS VARCHAR)) AS h
-          FROM documents),
-        r AS (SELECT doc_id, bucket, n,
-                     ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
-              FROM d),
-        rec AS (
-          SELECT doc_id, bucket, n, rn, CAST(0 AS BIGINT) AS bin, n AS fill
-          FROM r WHERE rn = 1
-          UNION ALL
-          SELECT r.doc_id, r.bucket, r.n, r.rn,
-                 CASE WHEN rec.fill + r.n <= 64 THEN rec.bin ELSE rec.bin + 1 END,
-                 CASE WHEN rec.fill + r.n <= 64 THEN rec.fill + r.n ELSE r.n END
-          FROM rec JOIN r ON r.bucket = rec.bucket AND r.rn = rec.rn + 1)
+      Some(s"""
+        WITH RECURSIVE $packGreedyCtes
         SELECT doc_id, bucket, bin, n AS n_tokens, CAST(fill AS BIGINT) AS fill
         FROM rec ORDER BY doc_id"""),
+    ),
+    // Packing-efficiency report over the greedy bins: per bucket, bins /
+    // docs / tokens / padding / oversize-bin count and the milli-exact
+    // fill rate — the artifact that tunes maxLen and arbitrates
+    // split-packing vs whole-doc packing (padding is wasted training
+    // FLOPs; oversize bins are docs a no-split packer cannot place).
+    // Shares the ENTIRE recursive replay with c_pack_greedy's oracle, so
+    // the two can never drift.
+    Q(
+      "c_pack_stats",
+      (s, dir) =>
+        packStats(Tables(s, dir, "documents"), maxLen = 64L, nBuckets = 16)
+          .orderBy("bucket"),
+      Some(s"""
+        WITH RECURSIVE $packGreedyCtes,
+        b AS (SELECT bucket, bin, COUNT(*) AS bdocs, SUM(n) AS btok, MAX(fill) AS bfill
+              FROM rec GROUP BY bucket, bin)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(bdocs) AS BIGINT) AS n_docs,
+               CAST(SUM(btok) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN 64 - bfill > 0 THEN 64 - bfill ELSE 0 END) AS BIGINT) AS n_pad,
+               CAST(SUM(CASE WHEN bfill > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize_bins,
+               CAST((SUM(btok) * 1000) // (COUNT(*) * 64) AS BIGINT) AS fill_millis
+        FROM b GROUP BY bucket ORDER BY bucket"""),
     ),
     // Scorer-vs-rules calibration: per global linear-score tercile, the
     // Gopher-rules pass count. Oracle chains the SHARED linear-gram CTEs
