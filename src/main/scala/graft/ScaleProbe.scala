@@ -160,7 +160,18 @@ object ScaleProbe {
     "c_decon_report",
     // crawl-stage URL dedup: one URL-keyed agg + join-back — the
     // exchange carries short addresses, never documents
-    "d_url_dedup")
+    "d_url_dedup",
+    // r16: line-level dedup (md5 line-key agg + join-back + per-doc
+    // fold — the passage posture at line granularity; the clean face
+    // adds the bounded per-doc reconstruction), integer BM25 (map-only
+    // scan + one-row stats broadcast — should track the data multiple
+    // exactly, like c_quality_rules), semantic decon (train-side map
+    // against the broadcast test split: the test side grows with the
+    // corpus here, so the probe's ratio carries the O(train×test)
+    // product — watch it, the production eval set is FIXED-size), and
+    // the packing report (c_pack_greedy's exchange + two bounded aggs)
+    "d_line_dup", "d_line_clean", "t_bm25_topk", "c_embed_decon",
+    "c_pack_stats")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

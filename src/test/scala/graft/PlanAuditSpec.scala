@@ -444,4 +444,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"funnel should fold once over the filtered conv stream, got ${aggs.length} agg nodes")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("r16 shapes: line dedup join-bounded, bm25 shuffle-free scan, embed decon map-only, pack stats window-free") {
+    // line dedup: md5-key aggregation + one equi-join back + per-doc
+    // aggregation — never a cartesian/nested-loop fallback, no window
+    // (the clean face's ordering is a bounded per-doc array_sort, not a
+    // corpus sort)
+    for (q <- Seq("d_line_dup", "d_line_clean")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(2000)}")
+      assert(p.contains("HashAggregate"), s"$q: ${p.take(2000)}")
+    }
+    // bm25: the corpus never shuffle-joins — the only join is the
+    // broadcast of the ONE-ROW stats frame, and the top-k is TakeOrdered,
+    // not a global sort
+    val bm = plan("t_bm25_topk")
+    assert(!bm.contains("SortMergeJoin") && !bm.contains("ShuffledHashJoin") &&
+      !bm.contains("CartesianProduct"), bm.take(2000))
+    assert(bm.contains("TakeOrderedAndProject"), bm.take(2000))
+    assert(!bm.contains("Generate"), "bm25 must not explode the corpus:\n" + bm.take(2000))
+    // embed decon: one typed map-partitions pass over the train side —
+    // no join of any kind in the plan (the test split rides a broadcast
+    // variable, not a plan-level join)
+    val ed = plan("c_embed_decon")
+    assert(!ed.contains("Join") && !ed.contains("Window"), ed.take(2000))
+    // pack stats: the packer's bucket exchange plus bounded aggregations;
+    // no window, no join
+    val ps = plan("c_pack_stats")
+    assert(!ps.contains("Window") && !ps.contains("Join") && !ps.contains("CartesianProduct"),
+      ps.take(2000))
+  }
 }
