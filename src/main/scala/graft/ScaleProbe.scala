@@ -171,7 +171,11 @@ object ScaleProbe {
     // product — watch it, the production eval set is FIXED-size), and
     // the packing report (c_pack_greedy's exchange + two bounded aggs)
     "d_line_dup", "d_line_clean", "t_bm25_topk", "c_embed_decon",
-    "c_pack_stats")
+    "c_pack_stats",
+    // r16: NB-ratio quality training (one gram explode into <= d buckets
+    // + a d-row weight frame — the dsir_weights posture) and its
+    // train→serve eval face (adds the broadcast scoring join)
+    "c_quality_train", "c_quality_train_eval")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.TrainingDataQueries.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.QualityTrain.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The trck flagship program (single-block counter FSM) run through the

@@ -1491,8 +1491,8 @@ object Curation {
     * Typed mapPartitions with a reused MessageDigest (the measured
     * interpreted-lambda-vs-kernel discipline).
     */
-  private def gramBuckets(docs: DataFrame, d: Int,
-                          idCol: String, textCol: String): DataFrame = {
+  private[operators] def gramBuckets(docs: DataFrame, d: Int,
+                                     idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val dd = d

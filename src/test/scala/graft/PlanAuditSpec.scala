@@ -475,5 +475,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ps = plan("c_pack_stats")
     assert(!ps.contains("Window") && !ps.contains("Join") && !ps.contains("CartesianProduct"),
       ps.take(2000))
+    // NB-ratio training: gram aggregation + d-row frames only — no
+    // cartesian, no window; the serving join in the eval face must ride
+    // a broadcast of the d-row weight table
+    val qt = plan("c_quality_train")
+    assert(!qt.contains("CartesianProduct") && !qt.contains("Window"), qt.take(2000))
+    val qe = plan("c_quality_train_eval")
+    assert(qe.contains("BroadcastHashJoin"), qe.take(2000))
+    assert(!qe.contains("CartesianProduct"), qe.take(2000))
   }
 }
