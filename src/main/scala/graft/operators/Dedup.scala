@@ -651,6 +651,21 @@ object Dedup {
         sum(coalesce(col("__dup"), lit(0L))).as("n_dup_lines"))
   }
 
+  /** The cross-doc duplicate-line directory as a SORTED md5-hex array —
+    * the persistable boilerplate dictionary the streaming strip gate
+    * broadcasts ([[graft.streaming.DocStream.lineStrip]]): build it once
+    * per compaction from the frozen corpus, apply it at the ingest edge.
+    * Bounded by the BOILERPLATE vocabulary (shared lines), not the
+    * corpus — the substrDirectory collection posture.
+    */
+  def lineDirectory(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): Array[String] = {
+    val arr = dupLines(lineFrame(docs, idCol, textCol), idCol)
+      .select("h").collect().map(_.getString(0))
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    arr
+  }
+
   /** Line-level dedup CLEAN face: each document with its cross-doc
     * duplicated lines removed, surviving lines re-joined with newlines in
     * original order. Removes EVERY occurrence (the RefinedWeb choice for
@@ -1063,7 +1078,7 @@ object Dedup {
     * does, and the body line duplicates exactly when the whole doc text
     * does (which the corpus's engineered exact-dup docs exercise).
     */
-  private def linedText(docs: DataFrame): DataFrame = {
+  private[graft] def linedText(docs: DataFrame): DataFrame = {
     val hdr = when(col("doc_id") % 4 === 0, lineBlock(0))
       .when(col("doc_id") % 4 === 1, lineBlock(1))
       .when(col("doc_id") % 4 === 2, lineBlock(2))

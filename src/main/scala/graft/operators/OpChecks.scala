@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Shared input checks for the operator kernels. */
-private[operators] object OpChecks {
+private[graft] object OpChecks {
 
   /** The typed kernels cast id columns to long — fail fast on non-integral
     * ids instead of surfacing as a null-decoding error mid-job.

@@ -375,6 +375,40 @@ object DocStream {
       !anyHit(graft.functions.ShingleHash64(col(textCol), k)))
   }
 
+  /** Stateless streaming boilerplate strip — the ingest-edge face of
+    * [[graft.operators.Dedup.lineDedupClean]]: rewrite each arriving
+    * doc's text with every line in the FROZEN duplicate-line directory
+    * removed ([[graft.operators.Dedup.lineDirectory]], built offline
+    * from the reference corpus). A TRANSFORM gate, not a filter: docs
+    * always pass, lighter. Same normalization as the batch face (sqlTrim
+    * each line, drop blanks), so on the directory's own corpus the
+    * stripped text equals the batch clean_text exactly (spec-pinned).
+    * Per-row and stateless — replay-deterministic, no state store; null
+    * text passes through null.
+    */
+  def lineStrip(docs: DataFrame, directory: Array[String],
+                textCol: String = "text"): DataFrame = {
+    val sorted = directory.clone().asInstanceOf[Array[AnyRef]]
+    java.util.Arrays.sort(sorted)
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    val strip = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dir = bc.value
+        t.split("\n", -1).iterator
+          .map(graft.operators.OpChecks.sqlTrim)
+          .filter(_.nonEmpty)
+          .filter { l =>
+            val h = md.digest(l.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            java.util.Arrays.binarySearch(dir, h) < 0
+          }
+          .mkString("\n")
+      }
+    }
+    docs.withColumn(textCol, strip(col(textCol)))
+  }
+
   /** Stateless streaming face of [[TextAnalysis.qualityRules]]: gate
     * arriving docs on the Gopher-style rules conjunction. Pure map-only
     * column expressions — no state store, replay-deterministic, batch ≡

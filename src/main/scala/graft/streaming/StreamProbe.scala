@@ -140,6 +140,13 @@ object StreamProbe {
     val dsirMin = graft.operators.Curation.dsirScore(dsirBase, dsirW)
       .selectExpr("percentile_approx(score, 0.5) AS m").head.getLong(0)
 
+    // frozen duplicate-line directory for the stateless strip arm, built
+    // from the planted-line corpus (the flat synthetic corpus has no
+    // newlines; the d_line_* fixture provides them)
+    val lineDir = graft.operators.Dedup.lineDirectory(
+      graft.operators.Dedup.linedText(Tables(spark, dir, "documents")),
+      textCol = "ltext")
+
     val arms = Seq(
       runArm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
@@ -161,6 +168,15 @@ object StreamProbe {
       // cost must stay flat as the stream grows
       runArm("dsirFilter",
         docs => DocStream.dsirFilter(docs, dsirW, minScore = dsirMin)),
+      // fourth stateless arm: the boilerplate line-strip TRANSFORM gate —
+      // zero state rows, flat per-batch cost; the sorted md5 directory
+      // (built offline from the planted-line corpus, the lineDirectory
+      // freeze-then-strip lifecycle) rides a broadcast and never grows
+      runArm("lineStrip",
+        docs => DocStream.lineStrip(
+          graft.operators.Dedup.linedText(docs)
+            .drop("text").withColumnRenamed("ltext", "text"),
+          lineDir)),
       // BOUNDED-stateful arm: the source-quota gate keeps ONE counter per
       // source — state rows must plateau at the source vocabulary (5
       // synthetic sources here) and stay flat as the stream grows; quotas

@@ -600,6 +600,42 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("lineStrip on a stream rewrites text exactly like the batch line-dedup clean face") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "hdr nav\nkeep a\nftr legal"),
+      (2L, "hdr nav\nkeep b\nftr legal"),
+      (3L, "  hdr nav  \nsolo content\n\n   "), // padded dup + blanks
+      (4L, null.asInstanceOf[String]),
+    )
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val directory = graft.operators.Dedup.lineDirectory(corpusDf)
+    assert(directory.length == 2, directory.mkString(",")) // hdr + ftr lines
+
+    val input = MemoryStream[(Long, String)]
+    val query = DocStream.lineStrip(input.toDF().toDF("doc_id", "text"), directory)
+      .writeStream.format("memory").queryName("lstrip_out").outputMode("append").start()
+    try {
+      input.addData(corpus.take(2): _*)
+      query.processAllAvailable()
+      input.addData(corpus.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, text FROM lstrip_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      // batch reference: the clean face on the same corpus (it drops the
+      // null-text doc; the stream transform passes it through as null)
+      val batch = graft.operators.Dedup.lineDedupClean(corpusDf).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got.filterKeys(batch.contains).toMap ==
+        batch.map { case (k, v) => k -> Some(v) },
+        s"got=$got batch=$batch")
+      assert(got(4L).isEmpty, "null text must pass through as null")
+      assert(got(1L).contains("keep a") && got(3L).contains("solo content"))
+    } finally query.stop()
+  }
+
   test("sampleBySourceWeights on a stream keeps exactly the batch-kept rows") {
     val s = spark
     import s.implicits._
