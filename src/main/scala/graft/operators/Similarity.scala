@@ -798,6 +798,40 @@ object Similarity {
     * and probing only. Identical results to [[ivfTopK]] given the same
     * centroid array (spec-pinned).
     */
+  /** Persist a trained coarse quantizer as a (cell, centroid) parquet —
+    * the index artifact of the train-once/serve-forever IVF lifecycle:
+    * [[ivfCentroids]] runs at compaction time, every later serving job
+    * [[loadCentroids]] + [[ivfTopKWith]]. Floats round-trip bit-exact
+    * through parquet, so the reloaded index serves IDENTICAL top-k
+    * (spec-pinned in IvfIndexSpec).
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    cent: Array[Array[Float]], outDir: String): Unit = {
+    require(cent.nonEmpty, "refusing to persist an empty centroid set")
+    import spark.implicits._
+    cent.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Reload a persisted quantizer. Validates the cell ids are exactly
+    * 0..n-1 — a dropped or duplicated cell row would silently remap every
+    * assignment, so it fails fast instead.
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir)
+      .select(col("cell").cast("int"), col("centroid"))
+      .as[(Int, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no centroid rows under $dir")
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"centroid cells must be exactly 0..${rows.length - 1}, got " +
+        rows.map(_._1).mkString(","))
+    rows.map(_._2)
+  }
+
   def ivfTopKWith(
       cent: Array[Array[Float]],
       corpus: DataFrame,
