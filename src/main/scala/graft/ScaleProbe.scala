@@ -175,7 +175,11 @@ object ScaleProbe {
     // r16: NB-ratio quality training (one gram explode into <= d buckets
     // + a d-row weight frame — the dsir_weights posture) and its
     // train→serve eval face (adds the broadcast scoring join)
-    "c_quality_train", "c_quality_train_eval")
+    "c_quality_train", "c_quality_train_eval",
+    // r16 continued: line-based layout rules (pure projection — should
+    // track the data multiple like c_quality_rules) and the epochs table
+    // (c_lang_balance's languages-sized aggregation posture)
+    "t_line_rules", "c_source_epochs")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -1148,6 +1148,32 @@ object Curation {
       .select("lang", "n_docs", "n_tokens", "quota", "alloc")
   }
 
+  /** Per-source EPOCHS under [[langBalance]]'s allocation — the training
+    * mixture table every LLM release publishes (LLaMA, Touvron et al.
+    * 2023, table 1: each source with its sampling proportion and epoch
+    * count): when a language's temperature-upsampled allocation exceeds
+    * its corpus, the data REPEATS — full_epochs whole passes plus a
+    * rem_tokens partial pass, epochs_milli the milli-exact rate
+    * (epochs_milli > 1000 ⟺ upsampled/repeating, < 1000 ⟺ subsampled).
+    * Integer-exact with the divide-before-multiply identity (the
+    * langBalance overflow discipline) so alloc·1000 can never wrap at
+    * web-scale token counts. One languages-sized frame; no new scan
+    * beyond langBalance's own aggregation.
+    */
+  def sourceEpochs(docs: DataFrame, budget: Long, langCol: String = "lang",
+                   textCol: String = "text",
+                   countOf: Column => Column = TextAnalysis.tokenCount): DataFrame =
+    langBalance(docs, budget, langCol, textCol, countOf)
+      .select(col("lang"), col("n_tokens"), col("alloc"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("alloc div n_tokens")).as("full_epochs"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(col("alloc") % col("n_tokens")).as("rem_tokens"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr(
+            "(alloc div n_tokens) * 1000 + ((alloc % n_tokens) * 1000) div n_tokens"))
+          .as("epochs_milli"))
+
   /** Token-denominated per-source budget sampling — the MATERIALIZATION
     * of [[langBalance]]'s quotas: within every source (language), keep
     * the reproducible-hash-order prefix whose INCLUSIVE cumulative token
@@ -2373,6 +2399,29 @@ object Curation {
                CAST(CASE WHEN totq = 0 THEN 0
                          ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
         FROM g ORDER BY lang"""),
+    ),
+    // The LLaMA-style epochs table at a budget 2-4x the sf0.01 corpus:
+    // upsampled languages read epochs_milli > 1000 (repeating data),
+    // the head language < its quota share — both regimes live. Shares
+    // the c_lang_balance CTE chain verbatim (same 100k budget).
+    Q(
+      "c_source_epochs",
+      (s, dir) =>
+        sourceEpochs(Tables(s, dir, "documents"), budget = 100000L)
+          .orderBy("lang"),
+      Some(s"""
+        WITH ${langBalanceCtes(100000L)},
+        al AS (SELECT lang, n_tokens,
+                      CAST(CASE WHEN totq = 0 THEN 0
+                           ELSE flr + CASE WHEN rnk <= k THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+               FROM g)
+        SELECT lang, n_tokens, alloc,
+               CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE alloc // n_tokens END AS BIGINT) AS full_epochs,
+               CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE alloc % n_tokens END AS BIGINT) AS rem_tokens,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (alloc // n_tokens) * 1000 + ((alloc % n_tokens) * 1000) // n_tokens
+                    END AS BIGINT) AS epochs_milli
+        FROM al ORDER BY lang"""),
     ),
     // The MATERIALIZED balanced corpus: langBalance quotas at a 9000-token
     // budget (≈⅓ of the corpus — every language gets cut, the admission

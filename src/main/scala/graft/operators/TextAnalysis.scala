@@ -111,6 +111,59 @@ object TextAnalysis {
     )
   }
 
+  /** LINE-based quality rules — the Gopher/RefinedWeb rules that need
+    * layout, which the word-level [[qualityRules]] cannot see (Rae et
+    * al. 2021 Gopher, table A1: drop docs where >90% of lines start
+    * with a bullet or >30% end with an ellipsis — list-page and
+    * truncated-snippet detectors). Per doc over trimmed non-empty lines
+    * (the [[Dedup.lineDupStats]] normalization): line counts, bullet-
+    * start count (`- `, `* `, `• `), ellipsis-end count (`...` / `…`),
+    * and the two integer-exact flags (n_bullet·100 ≤ 90·n_lines;
+    * n_ellipsis·100 ≤ 30·n_lines — cross-multiplied, no floats). A doc
+    * with NO lines (null or all-blank text) fails both flags: an empty
+    * layout is not evidence of quality, and the zero-line div-by-zero
+    * never happens. Map-only column expressions — streaming-safe like
+    * every rules face.
+    */
+  def lineRules(df: DataFrame, maxBulletPct: Int = 90, maxEllipsisPct: Int = 30,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxBulletPct >= 0 && maxBulletPct <= 100, s"bad maxBulletPct $maxBulletPct")
+    require(maxEllipsisPct >= 0 && maxEllipsisPct <= 100, s"bad maxEllipsisPct $maxEllipsisPct")
+    val ls = filter(transform(split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l)), l => l =!= "")
+    val nLines = size(ls).cast("long")
+    val nBullet = size(filter(ls, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val nEllipsis = size(filter(ls, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    df.select(
+      col(idCol),
+      nLines.as("n_lines"),
+      nBullet.as("n_bullet"),
+      nEllipsis.as("n_ellipsis"),
+      (nLines > 0 && nBullet * 100 <= nLines * maxBulletPct)
+        .cast("long").as("ok_bullet"),
+      (nLines > 0 && nEllipsis * 100 <= nLines * maxEllipsisPct)
+        .cast("long").as("ok_ellipsis"),
+    )
+  }
+
+  /** Planted layout fixture for the line-rules query: the flat corpus has
+    * no newlines, so wrap each doc with layout lines that exercise every
+    * arm — docs ≡0 (mod 3) gain a heavy bullet LIST (list-page shape:
+    * more bullet lines than body lines, tripping ok_bullet at the body's
+    * expense only when the list dominates), docs ≡0 (mod 4) gain an
+    * ellipsis-ending teaser line, every doc keeps its body line.
+    */
+  private def layoutText(docs: DataFrame): DataFrame = {
+    val bullets = when(col("doc_id") % 3 === 0,
+      lit("- item alpha\n- item beta\n- item gamma\n- item delta\n" +
+        "- item epsilon\n- item zeta\n- item eta\n- item theta\n" +
+        "- item iota\n- item kappa\n- item lambda\n- item mu"))
+    val teaser = when(col("doc_id") % 4 === 0, lit("read more soon ..."))
+    docs.withColumn("qtext", concat_ws("\n", bullets, col("text"), teaser))
+  }
+
   /** The rules conjunction as one boolean Column — stateless and
     * map-only, so it applies to a streaming DataFrame unchanged
     * ([[graft.streaming.DocStream.qualityRulesFilter]]).
@@ -670,6 +723,47 @@ object TextAnalysis {
       "t_bm25_topk",
       (s, dir) => bm25TopK(Tables(s, dir, "documents")),
       Some(bm25OracleSql(Bm25Terms, kTop = 20)),
+    ),
+    // Gopher line-based rules over the planted layout fixture: docs %3
+    // gain a dominant bullet list (trips ok_bullet unless the %12 teaser
+    // line dilutes it back under 90%), docs %4 an ellipsis teaser — both
+    // failure arms and the pass arm all occur (live at sf0.01:
+    // 125/83/292). Cross-multiplied integer thresholds.
+    Q(
+      "t_line_rules",
+      (s, dir) =>
+        lineRules(layoutText(Tables(s, dir, "documents")), textCol = "qtext")
+          .orderBy("doc_id"),
+      Some("""
+        WITH p AS (
+          SELECT doc_id, concat_ws(chr(10),
+            CASE WHEN doc_id % 3 = 0 THEN
+              '- item alpha' || chr(10) || '- item beta' || chr(10) ||
+              '- item gamma' || chr(10) || '- item delta' || chr(10) ||
+              '- item epsilon' || chr(10) || '- item zeta' || chr(10) ||
+              '- item eta' || chr(10) || '- item theta' || chr(10) ||
+              '- item iota' || chr(10) || '- item kappa' || chr(10) ||
+              '- item lambda' || chr(10) || '- item mu' END,
+            text,
+            CASE WHEN doc_id % 4 = 0 THEN 'read more soon ...' END) AS qtext
+          FROM documents),
+        w AS (SELECT doc_id,
+                     list_filter(list_transform(string_split(COALESCE(qtext, ''), chr(10)),
+                       x -> trim(x)), x -> x <> '') AS ls
+              FROM p),
+        c AS (SELECT doc_id,
+                     CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(ls, x -> x LIKE '- %' OR x LIKE '* %'
+                                              OR x LIKE '• %')) AS BIGINT) AS n_bullet,
+                     CAST(len(list_filter(ls, x -> x LIKE '%...'
+                                              OR x LIKE '%…')) AS BIGINT) AS n_ellipsis
+              FROM w)
+        SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+               CAST(CASE WHEN n_lines > 0 AND n_bullet * 100 <= n_lines * 90
+                         THEN 1 ELSE 0 END AS BIGINT) AS ok_bullet,
+               CAST(CASE WHEN n_lines > 0 AND n_ellipsis * 100 <= n_lines * 30
+                         THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis
+        FROM c ORDER BY doc_id"""),
     ),
     Q(
       "t_fingerprint",

@@ -483,5 +483,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qe = plan("c_quality_train_eval")
     assert(qe.contains("BroadcastHashJoin"), qe.take(2000))
     assert(!qe.contains("CartesianProduct"), qe.take(2000))
+    // line rules: a pure projection over the layout fixture — no join,
+    // no aggregate, no window, no explode
+    val lr = plan("t_line_rules")
+    assert(!lr.contains("Join") && !lr.contains("HashAggregate") &&
+      !lr.contains("Window") && !lr.contains("Generate"), lr.take(2000))
+    // epochs: one languages-sized aggregation + the langBalance frame —
+    // no cartesian, no corpus-sized exchange beyond the aggregation
+    val se = plan("c_source_epochs")
+    assert(!se.contains("CartesianProduct"), se.take(2000))
+    assert(se.contains("HashAggregate"), se.take(2000))
   }
 }

@@ -65,6 +65,21 @@ class LineDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1L, 1L, "solo line")))
   }
 
+  test("lineRules: zero-line docs fail both flags, thresholds are inclusive, guards fire") {
+    val d = docs(
+      1L -> "- a\n- b\n- c\nbody",            // 3/4 bullets = 75% <= 90 -> ok
+      2L -> "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nbody", // 10/11 = 90.9% -> fail
+      3L -> "one ...\ntwo\nthree",             // 1/3 ellipsis = 33.3% -> fail (> 30)
+      4L -> "   \n\n  ",                       // zero lines -> both fail
+      5L -> "plain line",
+    )
+    val r = TextAnalysis.lineRules(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((1L, 1L)) && r(2L) == ((0L, 1L)))
+    assert(r(3L) == ((1L, 0L)) && r(4L) == ((0L, 0L)) && r(5L) == ((1L, 1L)))
+    intercept[IllegalArgumentException](TextAnalysis.lineRules(d, maxBulletPct = 101))
+  }
+
   test("null text drops the doc from both faces; single-doc corpus has zero dups") {
     val d = docs(3L -> "a\nb").union(
       docs().select(org.apache.spark.sql.functions.lit(9L).as("doc_id"),
