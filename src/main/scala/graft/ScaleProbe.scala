@@ -179,7 +179,11 @@ object ScaleProbe {
     // r16 continued: line-based layout rules (pure projection — should
     // track the data multiple like c_quality_rules) and the epochs table
     // (c_lang_balance's languages-sized aggregation posture)
-    "t_line_rules", "c_source_epochs")
+    "t_line_rules", "c_source_epochs",
+    // r16 continued: normalized exact dedup (d_exact_dup's fingerprint
+    // window over normalized text + the fixture union) and the cluster
+    // histogram (two bounded aggs over the minhash canonical)
+    "d_exact_dup_norm", "d_cluster_stats")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

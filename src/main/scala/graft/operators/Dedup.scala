@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -31,6 +31,32 @@ object Dedup {
       .join(clustered, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
   }
+
+  /** Cluster-size report over ANY canonical assignment (exact, MinHash,
+    * SimHash, CC — anything emitting a canonical-id column): per cluster
+    * size, how many clusters and docs — the dedup summary every pipeline
+    * release prints (singleton share, largest-cluster sanity, the size
+    * histogram that tells boilerplate from true mirrors). Two bounded
+    * aggregations; the second's key domain is distinct cluster SIZES
+    * (≤ √n_docs distinct values by a counting argument), so nothing here
+    * grows with the corpus beyond the canonical frame's own shuffle.
+    */
+  def clusterStats(canonical: DataFrame, canonCol: String = "canonical_id"): DataFrame =
+    canonical.groupBy(canonCol).agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
+  /** Unicode-robust text normalization for dedup keys (the CCNet
+    * pre-hash normalization): lowercase, punctuation → space, collapse
+    * whitespace, trim. Case-variant and punctuation-variant mirrors of
+    * the same content collide AFTER this where raw exact dedup misses
+    * them; pair with [[exactCanonical]] over the normalized column.
+    * Same regex semantics in both engines (\\p{L}/\\p{N} classes exist
+    * in Java regex and RE2; oracle-verified).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
 
   /** Connected components over an undirected edge list — the exact closure
     * of pairwise near-dup relations into canonical clusters (the one-pass
@@ -1047,6 +1073,44 @@ object Dedup {
         FROM l LEFT JOIN d ON l.line = d.line
         GROUP BY l.doc_id ORDER BY l.doc_id"""),
     ),
+    // Normalized exact dedup over the case-variant fixture: variants
+    // fold onto their originals only AFTER normalization (raw md5 would
+    // leave them self-canonical — the spec pins that contrast). Null
+    // text stays self-canonical per the module contract.
+    Q(
+      "d_exact_dup_norm",
+      (s, dir) =>
+        exactCanonical(
+          withCaseVariants(Tables(s, dir, "documents"))
+            .select(col("doc_id"), normalizeText(col("text")).as("text")))
+          .orderBy("doc_id"),
+      Some("""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, upper(text) || '!!  '
+          FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+        n AS (SELECT doc_id,
+                     CASE WHEN text IS NULL THEN NULL ELSE
+                       trim(regexp_replace(regexp_replace(lower(text),
+                         '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) END AS ntext
+              FROM u),
+        m AS (SELECT md5(ntext) AS fp, MIN(doc_id) AS canonical_id
+              FROM n WHERE ntext IS NOT NULL GROUP BY 1)
+        SELECT n.doc_id, COALESCE(m.canonical_id, n.doc_id) AS canonical_id
+        FROM n LEFT JOIN m ON md5(n.ntext) = m.fp
+        ORDER BY n.doc_id"""),
+    ),
+    // Dedup cluster-size report over the MinHash canonical assignment —
+    // the release summary (singleton share, size histogram). Shares the
+    // md5 band-bucket semantics with d_minhash_lsh's oracle.
+    Q(
+      "d_cluster_stats",
+      (s, dir) =>
+        clusterStats(MinHash.nearDupCanonicalMd5(Tables(s, dir, "documents")))
+          .orderBy("cluster_size"),
+      Some(clusterStatsOracleSql),
+    ),
     Q(
       "d_line_clean",
       (s, dir) =>
@@ -1062,6 +1126,20 @@ object Dedup {
         GROUP BY l.doc_id ORDER BY l.doc_id"""),
     ),
   )
+
+  /** Case/punctuation-variant fixture for the normalized-dedup query:
+    * every 7th doc gains a mirror at doc_id+1000000 whose text is
+    * uppercased with trailing punctuation and extra whitespace — the
+    * variants RAW exact dedup provably misses (spec'd) and normalized
+    * dedup must fold onto the original (min-id canonical = the original).
+    */
+  private def withCaseVariants(docs: DataFrame): DataFrame = {
+    val variants = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit("!!  ")).as("text"))
+    docs.select("doc_id", "text").unionByName(variants)
+  }
 
   /** Shared line-boilerplate block `i` for the d_line_* fixture — one
     * LINE of distinct words (ln-prefixed so they collide with no other
@@ -1094,6 +1172,24 @@ object Dedup {
     docs.withColumn("ltext", concat_ws("\n", hdr, col("text"), ftr, promo,
       concat(lit("lnuniq tail of doc "), col("doc_id"))))
   }
+
+  /** ≡ clusterStats(MinHash.nearDupCanonicalMd5(documents)): the
+    * d_minhash_lsh canonical chain (shared md5 band CTEs — one
+    * definition, so the report can never drift from the assignment it
+    * summarizes) folded into the size histogram.
+    */
+  private def clusterStatsOracleSql: String = s"""
+        WITH ${TrainingDataQueries.md5BandCtes},
+        sz AS (SELECT band, bkv, COUNT(*) AS n, MIN(doc_id) AS bmin FROM bk GROUP BY band, bkv),
+        cm AS (SELECT bk.doc_id, MIN(CASE WHEN sz.n <= 50 THEN sz.bmin END) AS cmin
+               FROM bk JOIN sz USING (band, bkv) GROUP BY bk.doc_id),
+        can AS (SELECT d.doc_id, COALESCE(cm.cmin, d.doc_id) AS canonical_id
+                FROM documents d LEFT JOIN cm ON d.doc_id = cm.doc_id),
+        cs AS (SELECT canonical_id, COUNT(*) AS csize FROM can GROUP BY canonical_id)
+        SELECT CAST(csize AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+        FROM cs GROUP BY csize ORDER BY cluster_size"""
 
   /** Shared oracle CTE chain for the line-dedup queries: the planted
     * header/footer/unique-line construction, line split + trim + blank

@@ -1030,7 +1030,7 @@ object TrainingDataQueries {
   /** CTEs w→bk computing md5-family band memberships (mirrors
     * MinHash.signaturesMd5 + bandKeysMd5 with k=3, h=16, bands=8, rows=2).
     */
-  private def md5BandCtes: String = md5BandCtes("text")
+  private[operators] def md5BandCtes: String = md5BandCtes("text")
 
   /** The MinHash md5 band CTEs over an arbitrary text expression —
     * `text` for the document-dedup oracles, the synthetic caption

@@ -493,5 +493,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val se = plan("c_source_epochs")
     assert(!se.contains("CartesianProduct"), se.take(2000))
     assert(se.contains("HashAggregate"), se.take(2000))
+    // normalized dedup keeps d_exact_dup's shape: fingerprint window +
+    // id-keyed left join, no cartesian; cluster stats is aggs only
+    val dn = plan("d_exact_dup_norm")
+    assert(!dn.contains("CartesianProduct") && !dn.contains("BroadcastNestedLoopJoin"),
+      dn.take(2000))
+    val cst = plan("d_cluster_stats")
+    assert(!cst.contains("CartesianProduct") && cst.contains("HashAggregate"),
+      cst.take(2000))
   }
 }

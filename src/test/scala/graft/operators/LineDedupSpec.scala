@@ -80,6 +80,31 @@ class LineDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](TextAnalysis.lineRules(d, maxBulletPct = 101))
   }
 
+  test("normalizeText folds case/punct/whitespace variants that raw exact dedup misses") {
+    val d = docs(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO WORLD!!  ",
+      4L -> "different entirely",
+    )
+    val raw = Dedup.exactCanonical(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+      s"raw exact dedup must MISS the variants: $raw")
+    val norm = Dedup.exactCanonical(
+      d.select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.normalizeText(org.apache.spark.sql.functions.col("text")).as("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(norm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), norm.toString)
+  }
+
+  test("clusterStats histogram: sizes sum back to the doc count, singletons counted") {
+    val d = docs(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "c", 6L -> "c")
+    val stats = Dedup.clusterStats(Dedup.exactCanonical(d)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("null text drops the doc from both faces; single-doc corpus has zero dups") {
     val d = docs(3L -> "a\nb").union(
       docs().select(org.apache.spark.sql.functions.lit(9L).as("doc_id"),
