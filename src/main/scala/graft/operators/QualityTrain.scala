@@ -88,9 +88,15 @@ object QualityTrain {
     full.crossJoin(broadcast(totals))
       .as[(Long, Long, Long, Long, Long)]
       .map { case (b, nt, no, tt, tn) =>
-        val w = (BigInt(sc) * (BigInt(nt) + 1) * (BigInt(tn) + dd) /
-          ((BigInt(no) + 1) * (BigInt(tt) + dd))).toLong
-        (b, nt, no, w)
+        val wB = BigInt(sc) * (BigInt(nt) + 1) * (BigInt(tn) + dd) /
+          ((BigInt(no) + 1) * (BigInt(tt) + dd))
+        // fail loud, not wrap: DuckDB's CAST(... AS BIGINT) errors past
+        // 2^63 and a silent BigInt.toLong truncation here would diverge
+        // the engines exactly at the bound (only reachable at extreme
+        // scale×imbalance — a one-class corpus at web-scale totals)
+        require(wB.isValidLong,
+          s"bucket $b weight $wB exceeds Long — lower the fixed-point scale")
+        (b, nt, no, wB.toLong)
       }
       .toDF("bucket", "n_target", "n_other", "weight")
   }
