@@ -183,7 +183,10 @@ object ScaleProbe {
     // r16 continued: normalized exact dedup (d_exact_dup's fingerprint
     // window over normalized text + the fixture union) and the cluster
     // histogram (two bounded aggs over the minhash canonical)
-    "d_exact_dup_norm", "d_cluster_stats")
+    "d_exact_dup_norm", "d_cluster_stats",
+    // r16 continued: markup strip — a pure regex projection; the ratio
+    // should track the data multiple exactly
+    "t_html_strip")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

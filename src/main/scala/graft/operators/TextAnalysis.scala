@@ -280,6 +280,41 @@ object TextAnalysis {
       .select(col(idCol), col("rk").cast("long").as("rk"), col("token"), col("tf"), col("doc_freq"))
   }
 
+  /** Crawl-extraction markup strip (the trafilatura/jusText stage's
+    * mechanical core, regex-expressible): drop <script>/<style> blocks
+    * WITH their contents (code is not prose), replace every remaining
+    * tag with a space (block boundaries must not glue words), decode the
+    * five ubiquitous entities, collapse whitespace. Pure codegen'd
+    * column expressions — the map-only first stage of every web
+    * pipeline; same regex semantics in Java regex and DuckDB's RE2
+    * ((?s) dotall + non-greedy — oracle-verified). NOT a full HTML5
+    * parser by design: malformed markup degrades to extra spaces, never
+    * to an error.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?s)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style\\b.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (col0, (k, v)) => replace(col0, lit(k), lit(v)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Synthetic markup fixture: wraps each doc's text in an HTML shell
+    * with a script block (must vanish ENTIRELY), a styled div, entities,
+    * and an unclosed tag on every 5th doc (malformed-input arm). The
+    * body text survives verbatim up to whitespace collapse.
+    */
+  private def withSyntheticHtml(docs: DataFrame): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<html><head><title>t</title><style>p { color: red }</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script></head><body>"),
+      when(col("doc_id") % 5 === 0, lit("<div class=\"unclosed\" <p>")).otherwise(lit("")),
+      lit("<h1>Doc &quot;"), col("doc_id").cast("string"), lit("&quot;</h1><p>"),
+      coalesce(col("text"), lit("")),
+      lit("</p><span>&amp;&nbsp;&lt;tail&gt;</span></body></html>")))
+
   /** Fixed query-term bag for the BM25 face — words the synthetic corpus
     * actually uses at varied frequencies, so idf and tf both vary. A real
     * deployment passes its own query terms; the operator takes any list.
@@ -723,6 +758,40 @@ object TextAnalysis {
       "t_bm25_topk",
       (s, dir) => bm25TopK(Tables(s, dir, "documents")),
       Some(bm25OracleSql(Bm25Terms, kTop = 20)),
+    ),
+    // Crawl extraction over the synthetic HTML shell (script/style
+    // blocks, entities, a malformed unclosed tag every 5th doc): the
+    // body text must survive verbatim up to whitespace collapse, the
+    // script's code must vanish entirely. Both engines run the identical
+    // ordered regex/replace chain.
+    Q(
+      "t_html_strip",
+      (s, dir) => {
+        val docs = withSyntheticHtml(Tables(s, dir, "documents"))
+        docs.select(col("doc_id"), stripMarkup(col("html")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>t</title><style>p { color: red }</style>' ||
+                 '<script type="text/javascript">var x = 1 < 2 && 3 > 2;</script></head><body>' ||
+                 CASE WHEN doc_id % 5 = 0 THEN '<div class="unclosed" <p>' ELSE '' END ||
+                 '<h1>Doc &quot;' || CAST(doc_id AS VARCHAR) || '&quot;</h1><p>' ||
+                 COALESCE(text, '') ||
+                 '</p><span>&amp;&nbsp;&lt;tail&gt;</span></body></html>' AS html
+          FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?s)<script\b.*?</script>', ' ', 'g'),
+                       '(?s)<style\b.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+                 '\s+', ' ', 'g')) AS clean_text
+        FROM h ORDER BY doc_id"""),
     ),
     // Gopher line-based rules over the planted layout fixture: docs %3
     // gain a dominant bullet list (trips ok_bullet unless the %12 teaser

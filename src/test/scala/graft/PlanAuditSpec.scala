@@ -501,5 +501,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cst = plan("d_cluster_stats")
     assert(!cst.contains("CartesianProduct") && cst.contains("HashAggregate"),
       cst.take(2000))
+    // markup strip: a pure projection — no join, no aggregate, no window
+    val hs = plan("t_html_strip")
+    assert(!hs.contains("Join") && !hs.contains("HashAggregate") && !hs.contains("Window"),
+      hs.take(2000))
   }
 }

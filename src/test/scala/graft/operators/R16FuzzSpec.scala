@@ -131,6 +131,29 @@ class R16FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stripMarkup: script/style contents vanish, body survives, malformed markup never throws") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<p>keep me</p><script>var SECRET = 1;</script><b>and me</b>"),
+      (2L, "<style>body { x: y }</style>plain"),
+      (3L, "a &lt;tag&gt; &amp; &quot;quote&quot;&nbsp;end"),
+      (4L, "<div <p unclosed attr=\" >still fine"),
+      (5L, "no markup at all"),
+      (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "html")
+    val out = rows.select(col("doc_id"), Dedup.normalizeText(lit("x")).as("__touch"),
+      TextAnalysis.stripMarkup(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L).contains("keep me and me"))
+    assert(!out(1L).get.contains("SECRET"))
+    assert(out(2L).contains("plain"))
+    assert(out(3L).contains("a <tag> & \"quote\" end"))
+    assert(out(4L).contains("still fine"))
+    assert(out(5L).contains("no markup at all"))
+    assert(out(6L).isEmpty)
+  }
+
   test("normalizeText is idempotent and whitespace-canonical on hostile strings") {
     val s = spark
     import s.implicits._
