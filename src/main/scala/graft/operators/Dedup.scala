@@ -1169,8 +1169,13 @@ object Dedup {
     // doc has identical counts would let a per-doc/corpus-wide mixup pass.
     // concat_ws skips the null branch entirely on the other docs.
     val promo = when(col("doc_id") % 5 === 0, lineBlock(7))
-    docs.withColumn("ltext", concat_ws("\n", hdr, col("text"), ftr, promo,
-      concat(lit("lnuniq tail of doc "), col("doc_id"))))
+    // null-text docs are excluded entirely (the oracle's WHERE text IS NOT
+    // NULL arm) — concat_ws would otherwise still build a non-null ltext
+    // out of the header/footer/uniq lines and silently diverge from the
+    // oracle on a corpus with null texts.
+    docs.filter(col("text").isNotNull)
+      .withColumn("ltext", concat_ws("\n", hdr, col("text"), ftr, promo,
+        concat(lit("lnuniq tail of doc "), col("doc_id"))))
   }
 
   /** ≡ clusterStats(MinHash.nearDupCanonicalMd5(documents)): the

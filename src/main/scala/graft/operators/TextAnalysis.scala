@@ -292,11 +292,14 @@ object TextAnalysis {
     * to an error.
     */
   def stripMarkup(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?s)<script\\b.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style\\b.*?</style>", " ")
+    val noScript = regexp_replace(c, "(?is)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
-    val ent = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&nbsp;" -> " ")
+    // &amp; decodes LAST (standard entity-decode order): decoding it first
+    // would double-decode escaped entities — '&amp;lt;' must become '&lt;',
+    // not '<'.
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (col0, (k, v)) => replace(col0, lit(k), lit(v)) }
     trim(regexp_replace(ent, "\\s+", " "))
   }
@@ -364,11 +367,16 @@ object TextAnalysis {
       sum(col("__dl")).as("__dlsum") +:
         terms.indices.map(i =>
           sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
-    val termScore = terms.indices.map { i =>
+    // dlsum = 0 (every doc tokenizes to zero words) zeroes the whole tf
+    // denominator; without the guard Spark's non-ANSI div returns null
+    // while DuckDB errors — short-circuit to score 0, which is also the
+    // semantically right answer (no term occurrences anywhere).
+    val rawScore = terms.indices.map { i =>
       val idf = s"length(bin(((__n - __df$i + 1) * 1024) div (__df$i + 1)))"
       s"($idf * ((22000 * __tf$i * __dlsum) div " +
         s"(10 * __tf$i * __dlsum + 3 * __dlsum + 9 * __dl * __n)))"
     }.mkString(" + ")
+    val termScore = s"CASE WHEN __dlsum = 0 THEN 0 ELSE $rawScore END"
     val hits = terms.indices
       .map(i => s"(CASE WHEN __tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
     base.crossJoin(broadcast(stats))
@@ -388,10 +396,11 @@ object TextAnalysis {
     val dfSel = terms.indices.map(i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
       .mkString(",\n               ")
-    val score = terms.indices.map { i =>
+    val rawScore = terms.indices.map { i =>
       s"""(length(bin(CAST(((n - df$i + 1) * 1024) // (df$i + 1) AS BIGINT)))
            * ((22000 * tf$i * dlsum) // (10 * tf$i * dlsum + 3 * dlsum + 9 * dl * n)))"""
     }.mkString(" + ")
+    val score = s"CASE WHEN dlsum = 0 THEN 0 ELSE $rawScore END"
     val hits = terms.indices
       .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
     s"""
@@ -786,10 +795,10 @@ object TextAnalysis {
                  replace(replace(replace(replace(replace(
                    regexp_replace(
                      regexp_replace(
-                       regexp_replace(html, '(?s)<script\b.*?</script>', ' ', 'g'),
-                       '(?s)<style\b.*?</style>', ' ', 'g'),
+                       regexp_replace(html, '(?is)<script\b.*?</script>', ' ', 'g'),
+                       '(?is)<style\b.*?</style>', ' ', 'g'),
                      '(?s)<[^>]*>', ' ', 'g'),
-                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
                  '\s+', ' ', 'g')) AS clean_text
         FROM h ORDER BY doc_id"""),
     ),

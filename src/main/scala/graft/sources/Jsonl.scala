@@ -46,10 +46,16 @@ object Jsonl {
     * source.
     */
   def read(spark: SparkSession, dir: String,
-           schema: StructType = DocumentsSchema): DataFrame =
+           schema: StructType = DocumentsSchema): DataFrame = {
+    // A caller re-reading a previously classified dump already carries the
+    // corrupt column — adding it again would fail on the duplicate name.
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", StringType)
     spark.read
-      .schema(schema.add("_corrupt_record", StringType))
+      .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
+  }
 }

@@ -388,25 +388,70 @@ object DocStream {
     */
   def lineStrip(docs: DataFrame, directory: Array[String],
                 textCol: String = "text"): DataFrame = {
-    val sorted = directory.clone().asInstanceOf[Array[AnyRef]]
-    java.util.Arrays.sort(sorted)
-    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    // Pre-digest the hex directory ONCE on the driver into two parallel
+    // long arrays (md5 hi/lo words) sorted unsigned — the per-row path
+    // then does one md5 + one branchless word assembly + one binary
+    // search, with no per-row MessageDigest allocation and no per-byte
+    // "%02x" formatting (the ingest hot path; gramBuckets discipline).
+    val pairs = directory.map { h =>
+      require(h.length == 32, s"md5 hex directory entry of length ${h.length}: '$h'")
+      (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+        java.lang.Long.parseUnsignedLong(h.substring(16), 16))
+    }.sortWith { case ((ah, al), (bh, bl)) =>
+      val c = java.lang.Long.compareUnsigned(ah, bh)
+      if (c != 0) c < 0 else java.lang.Long.compareUnsigned(al, bl) < 0
+    }
+    val bcHi = docs.sparkSession.sparkContext.broadcast(pairs.map(_._1))
+    val bcLo = docs.sparkSession.sparkContext.broadcast(pairs.map(_._2))
     val strip = udf { (t: String) =>
       if (t == null) null
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val dir = bc.value
+        val md = Md5Local.get()
+        val his = bcHi.value
+        val los = bcLo.value
         t.split("\n", -1).iterator
           .map(graft.operators.OpChecks.sqlTrim)
           .filter(_.nonEmpty)
           .filter { l =>
-            val h = md.digest(l.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            java.util.Arrays.binarySearch(dir, h) < 0
+            md.reset()
+            val d = md.digest(l.getBytes("UTF-8"))
+            !md5PairContains(his, los, beLong(d, 0), beLong(d, 8))
           }
           .mkString("\n")
       }
     }
     docs.withColumn(textCol, strip(col(textCol)))
+  }
+
+  /** One MessageDigest per executor thread — MD5 instances are not
+    * thread-safe and a udf closure can be shared across task threads in
+    * one JVM.
+    */
+  private val Md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Big-endian long from 8 digest bytes at `off` — the same word the
+    * hex directory's first/second 16 hex chars spell. */
+  private def beLong(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Unsigned binary search over the parallel sorted (hi, lo) arrays. */
+  private def md5PairContains(his: Array[Long], los: Array[Long],
+                              hi: Long, lo: Long): Boolean = {
+    var a = 0
+    var b = his.length - 1
+    while (a <= b) {
+      val m = (a + b) >>> 1
+      var c = java.lang.Long.compareUnsigned(his(m), hi)
+      if (c == 0) c = java.lang.Long.compareUnsigned(los(m), lo)
+      if (c == 0) return true
+      if (c < 0) a = m + 1 else b = m - 1
+    }
+    false
   }
 
   /** Stateless streaming face of [[TextAnalysis.qualityRules]]: gate

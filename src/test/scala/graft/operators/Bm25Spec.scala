@@ -66,4 +66,9 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](TextAnalysis.bm25TopK(d, Seq("two words")))
     intercept[IllegalArgumentException](TextAnalysis.bm25TopK(d, Seq("o'quote")))
   }
+
+  test("degenerate corpus (every doc tokenizes to zero words) scores 0, no div-by-zero") {
+    val s = scores(Seq(1L -> "", 2L -> "   ", 3L -> ""), Seq("cat"))
+    assert(s.values.toSet == Set(0L), s.toString)
+  }
 }

@@ -113,4 +113,12 @@ class LineDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Dedup.lineDedupClean(d).collect()
     assert(r.length == 1 && r.head.getString(3) == "a\nb")
   }
+
+  test("linedText fixture excludes null-text docs (matches the oracle's null arm)") {
+    val d = docs(4L -> "body").union(
+      docs().select(org.apache.spark.sql.functions.lit(8L).as("doc_id"),
+        org.apache.spark.sql.functions.lit(null).cast("string").as("text")))
+    val ids = Dedup.linedText(d).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(4L), ids.toString)
+  }
 }

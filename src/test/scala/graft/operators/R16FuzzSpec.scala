@@ -141,6 +141,10 @@ class R16FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "<div <p unclosed attr=\" >still fine"),
       (5L, "no markup at all"),
       (6L, null.asInstanceOf[String]),
+      // escaped entity must single-decode (&amp; decodes LAST)
+      (7L, "show &amp;lt; literally"),
+      // case-insensitive block tags
+      (8L, "<SCRIPT>var S = 2;</SCRIPT>kept<STYLE>a{}</STYLE>"),
     ).toDF("doc_id", "html")
     val out = rows.select(col("doc_id"), Dedup.normalizeText(lit("x")).as("__touch"),
       TextAnalysis.stripMarkup(col("html")).as("t"))
@@ -152,6 +156,9 @@ class R16FuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L).contains("still fine"))
     assert(out(5L).contains("no markup at all"))
     assert(out(6L).isEmpty)
+    assert(out(7L).contains("show &lt; literally"), out(7L).toString)
+    assert(out(8L).contains("kept"), out(8L).toString)
+    assert(!out(8L).get.contains("S = 2") && !out(8L).get.contains("a{}"), out(8L).toString)
   }
 
   test("normalizeText is idempotent and whitespace-canonical on hostile strings") {

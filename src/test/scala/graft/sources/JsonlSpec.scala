@@ -71,4 +71,18 @@ class JsonlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("_corrupt_record").isNull).count() == 2)
     assert(back.filter(col("doc_id") === 2L).head.getString(1) == "also good")
   }
+
+  test("re-reading a dump whose schema already carries _corrupt_record works") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    Jsonl.write(Seq((1L, "ok", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), dir)
+    val classified = Jsonl.read(spark, dir)
+    // the classified frame's own schema (incl. _corrupt_record) must be
+    // accepted verbatim — no duplicate-column failure
+    val again = Jsonl.read(spark, dir, classified.schema).cache()
+    assert(again.count() == 1)
+    assert(again.filter(col("_corrupt_record").isNull).count() == 1)
+  }
 }
