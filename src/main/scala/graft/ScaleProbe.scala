@@ -186,7 +186,12 @@ object ScaleProbe {
     "d_exact_dup_norm", "d_cluster_stats",
     // r16 continued: markup strip — a pure regex projection; the ratio
     // should track the data multiple exactly
-    "t_html_strip")
+    "t_html_strip",
+    // r17: mojibake repair + code layout rules (pure projections — the
+    // t_html_strip posture) and the domain blocklist (bounded suffix
+    // explode + broadcast list join + id-keyed fold — the exchange
+    // carries hosts/rules, so the ratio should track d_url_dedup's)
+    "t_mojibake_fix", "t_code_rules", "c_domain_block")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

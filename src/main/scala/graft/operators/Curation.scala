@@ -1853,6 +1853,62 @@ object Curation {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** UT1-style domain blocklist classification (the Université
+    * Toulouse 1 blacklists RefinedWeb §2.2 and every CommonCrawl-lineage
+    * pipeline screen against): a document is blocked when its crawl
+    * address's host — or ANY parent domain of it — appears in the
+    * blocklist. Matching is by whole label via the exploded label-suffix
+    * chain (host `cdn.example.org` probes `cdn.example.org`,
+    * `example.org`, `org`), so `ample.org` can never false-match. Emits
+    * the host, the most-specific (longest) matching rule, and a 0/1 flag;
+    * docs with no URL pass.
+    *
+    * Scale shape: a real UT1 list is millions of entries — far too big
+    * for a literal expression but trivially broadcast — so the chain
+    * joins it as a BROADCAST hash join against the exploded suffixes
+    * (bounded ≤ host label count ≈ 5 rows per doc, short strings only);
+    * the per-doc fold and the join back to the host frame are id-keyed
+    * exchanges that carry (id, rule), never document text. The
+    * most-specific rule is max(struct(len, rule)) — suffixes of one host
+    * have pairwise-distinct lengths, so the argmax is unique and
+    * deterministic.
+    */
+  def domainBlock(df: DataFrame, blocklist: Seq[String],
+                  idCol: String = "doc_id", urlCol: String = "url_text"): DataFrame = {
+    OpChecks.requireIntegralId(df, idCol)
+    require(blocklist.nonEmpty, "empty blocklist")
+    require(blocklist.forall(e => e.nonEmpty && e == e.toLowerCase &&
+      !e.exists(_.isWhitespace) && !e.contains("'")),
+      "blocklist entries must be non-empty lowercase hosts without quotes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocklist.toDF("__entry"))
+    val hosts = df.select(col(idCol),
+      lower(regexp_extract(coalesce(col(urlCol), lit("")), UrlHostRe, 1)).as("domain"))
+    val sfx = hosts
+      .filter(col("domain") =!= "")
+      .withColumn("__labels", split(col("domain"), "\\."))
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__labels"))),
+        i => array_join(slice(col("__labels"), i, size(col("__labels"))), "."))).as("__sfx"))
+    val matched = sfx
+      .join(bl, col("__sfx") === col("__entry"))
+      .groupBy(idCol)
+      .agg(max(struct(length(col("__entry")).as("l"), col("__entry").as("e"))).as("__m"))
+      .select(col(idCol), col("__m.e").as("block_rule"))
+    hosts
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("domain"), col("block_rule"),
+        when(col("block_rule").isNotNull, 1L).otherwise(0L).as("blocked"))
+  }
+
+  /** Fixture blocklist for `c_domain_block`, one entry per arm: an exact
+    * host (site1.example.com), a parent domain that must catch
+    * cdn.example.org by suffix, and a never-matching entry.
+    */
+  private[operators] val FixtureBlocklist: Seq[String] =
+    Seq("site1.example.com", "example.org", "badsite.test")
+
   // ------------------------------------------------------------- queries
 
   /** u CTE mirroring [[withSyntheticUrls]] — the ONE synthetic URL
@@ -2866,6 +2922,33 @@ object Curation {
         c AS (SELECT uu, MIN(doc_id) AS cid FROM f WHERE uu <> '' GROUP BY uu)
         SELECT f.doc_id, COALESCE(c.cid, f.doc_id) AS canonical_id
         FROM f LEFT JOIN c USING (uu) ORDER BY f.doc_id"""),
+    ),
+    // UT1-style domain blocklist over the same synthetic URL fixture:
+    // exact-host, parent-domain-suffix, and never-matching blocklist arms
+    // are all non-vacuous (site1.example.com hits exactly, example.org
+    // catches cdn.example.org by suffix, badsite.test hits nothing).
+    Q(
+      "c_domain_block",
+      (s, dir) =>
+        domainBlock(withSyntheticUrls(Tables(s, dir, "documents")), FixtureBlocklist)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH $synthUrlCte,
+        bl(entry) AS (VALUES ${FixtureBlocklist.map(e => s"('$e')").mkString(", ")}),
+        h AS (SELECT doc_id,
+                     lower(regexp_extract(url_text, '$UrlHostRe', 1)) AS domain
+              FROM u),
+        sx AS (SELECT doc_id,
+                      unnest(list_transform(
+                        range(1, len(string_split(domain, '.')) + 1),
+                        i -> array_to_string(list_slice(string_split(domain, '.'), i,
+                               len(string_split(domain, '.'))), '.'))) AS sfx
+               FROM h WHERE domain <> ''),
+        m AS (SELECT doc_id, arg_max(sfx, length(sfx)) AS block_rule
+              FROM sx JOIN bl ON sx.sfx = bl.entry GROUP BY doc_id)
+        SELECT h.doc_id, h.domain, m.block_rule,
+               CAST(CASE WHEN m.block_rule IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        FROM h LEFT JOIN m ON h.doc_id = m.doc_id ORDER BY h.doc_id"""),
     ),
   )
 }

@@ -475,6 +475,140 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Common UTF-8-as-cp1252 mojibake sequences and their repairs — the
+    * deterministic core of ftfy's fixer (Speer, "ftfy: fixes text for
+    * you", 2019): each LHS is what a UTF-8-encoded character becomes when
+    * its bytes are misdecoded once as cp1252/latin-1. Ordered
+    * longest-first so the 3-char punctuation sequences are never clipped
+    * by a 2-char repair; every RHS is a clean character that never
+    * re-enters the table, so one sequential pass is a fixed point
+    * (spec'd idempotent). ONE table feeds both engines — the oracle's
+    * replace chain and count sum are generated from it, so the two sides
+    * cannot drift.
+    */
+  private[operators] val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¼" -> "ü", "Ã±" -> "ñ", "Ã¶" -> "ö",
+    "Â " -> " ",
+  )
+
+  /** Repair every [[MojibakeTable]] sequence. Pure codegen'd replace
+    * chain — map-only, the crawl-ingest posture (fix before any hashing
+    * or dedup, or the damaged and clean copies of one page never
+    * collide).
+    */
+  def fixMojibake(c: Column): Column =
+    MojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  /** Total count of [[MojibakeTable]] sequences in the ORIGINAL text —
+    * the damage metric a pipeline thresholds on. Per pattern:
+    * (len − len-without-pattern) ÷ pattern-len, exact because the
+    * difference is a multiple of the pattern length; the table's
+    * patterns cannot overlap each other in raw text (no LHS is a
+    * substring of another and the shared 'â€' prefix only ever heads one
+    * full sequence at a position), so the per-pattern counts add.
+    */
+  def mojibakeCount(c: Column): Column =
+    MojibakeTable.map { case (bad, _) =>
+      floor((length(c) - length(replace(c, lit(bad), lit("")))) / lit(bad.length))
+    }.reduce(_ + _).cast("long")
+
+  /** Mojibake fixture: every 4th doc (doc_id % 4 = 1) gains one garbled
+    * clause containing five distinct table sequences; doc_id % 4 = 3 docs
+    * gain a CLEAN accented decoy (must survive untouched — the fixer must
+    * not be a blanket non-ASCII scrub). The other docs are pristine.
+    */
+  private[operators] val MojibakeGarble =
+    " donâ€™t do cafÃ© â€œstyleâ€“mojibake hÃ¼ge"
+  private[operators] val MojibakeDecoy = " clean résumé already"
+  private def withMojibake(docs: DataFrame): DataFrame =
+    docs.withColumn("mtext", concat(
+      substring(coalesce(col("text"), lit("")), 1, 60),
+      when(col("doc_id") % 4 === 1, lit(MojibakeGarble)).otherwise(lit("")),
+      when(col("doc_id") % 4 === 3, lit(MojibakeDecoy)).otherwise(lit(""))))
+
+  /** Code-corpus layout rules (the deterministic slice of The Stack /
+    * StarCoder's file filters, Kocetkov et al. 2022): max line length,
+    * milli-exact mean line length, milli-exact alphanumeric fraction, and
+    * an embedded-data-blob flag (a 64+ char unbroken base64-alphabet run
+    * — generated minified/data files, not source). `keep` is the
+    * conjunction. Pure codegen'd column expressions over the line array —
+    * no explode, no shuffle before the caller's aggregation; the same
+    * map-only scan shape as the Gopher word rules.
+    */
+  def codeRules(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                maxLineLen: Int = 200, maxAvgMilli: Long = 100000L,
+                minAlnumMilli: Long = 250L): DataFrame = {
+    require(maxLineLen > 0 && maxAvgMilli > 0 && minAlnumMilli >= 0, "bad thresholds")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n", -1)
+    val nl = size(lines).cast("long")
+    val nChars = length(t).cast("long")
+    val charsNoLf = nChars - (nl - 1)
+    val mx = array_max(transform(lines, l => length(l))).cast("long")
+    val aln = (length(t) - length(regexp_replace(t, "[A-Za-z0-9]", ""))).cast("long")
+    val avgMilli = floor((charsNoLf * 1000L) / nl).cast("long")
+    val alnumMilli = when(nChars === 0, 0L)
+      .otherwise(floor((aln * 1000L) / nChars)).cast("long")
+    val blob = when(t.rlike("[A-Za-z0-9+/=]{64}"), 1L).otherwise(0L)
+    docs.select(
+      col(idCol),
+      mx.as("max_line_len"),
+      avgMilli.as("avg_line_milli"),
+      alnumMilli.as("alnum_milli"),
+      blob.as("has_blob"),
+      when(mx <= maxLineLen && avgMilli <= maxAvgMilli &&
+        alnumMilli >= minAlnumMilli && blob === 0L, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** Code-text fixture: the flat prose corpus would leave every code-rule
+    * arm vacuous, so each residue class plants exactly ONE failure mode —
+    * doc_id % 6 = 0 a 220-char minified line diluted by short lines
+    * (fails ONLY max_line), % 6 = 1 an 80-char base64 blob (fails ONLY
+    * the blob flag), % 6 = 2 a 30-line punctuation soup (fails ONLY the
+    * alnum fraction), % 6 = 3 two 153-char prose lines (fails ONLY the
+    * mean-line rule), everything else prose-plus-code that passes all
+    * four. Mirrored verbatim by the oracle via repeat()/chr(10).
+    */
+  private[operators] val CodeMinified = ("x(a);" * 44) + ("\nok" * 9)
+  private[operators] val CodeBlob = "QUJD" * 20
+  private[operators] val CodeSoup = ("!@#$\n" * 29) + "!@#$"
+  private[operators] val CodeWide = {
+    val l = ("alpha beta " * 14).trim
+    l + "\n" + l
+  }
+  private def withCodeText(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.withColumn("ctext",
+      when(id % 6 === 0, lit(CodeMinified))
+        .when(id % 6 === 1, lit(CodeBlob))
+        .when(id % 6 === 2, lit(CodeSoup))
+        .when(id % 6 === 3, lit(CodeWide))
+        .otherwise(concat(substring(coalesce(col("text"), lit("")), 1, 80),
+          lit("\nval n = 1\n// end"))))
+  }
+
+  /** The t_mojibake_fix oracle pieces, generated from [[MojibakeTable]]. */
+  private def mojibakeFixSql: String = {
+    val fixed = MojibakeTable.foldLeft("mtext") { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+    val cnt = MojibakeTable.map { case (bad, _) =>
+      s"((length(mtext) - length(replace(mtext, '$bad', ''))) // ${bad.length})"
+    }.mkString(" + ")
+    s"""
+        WITH m AS (
+          SELECT doc_id,
+                 substring(COALESCE(text, ''), 1, 60) ||
+                 CASE WHEN doc_id % 4 = 1 THEN '$MojibakeGarble' ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 3 THEN '$MojibakeDecoy' ELSE '' END AS mtext
+          FROM documents)
+        SELECT doc_id, CAST($cnt AS BIGINT) AS n_bad, $fixed AS fixed_text
+        FROM m ORDER BY doc_id"""
+  }
+
   val queries: Seq[Q] = Seq(
     // deterministic hash split: per-split document counts + token sums
     Q(
@@ -801,6 +935,57 @@ object TextAnalysis {
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
                  '\s+', ' ', 'g')) AS clean_text
         FROM h ORDER BY doc_id"""),
+    ),
+    // ftfy-style encoding repair over the planted mojibake fixture: the
+    // damage count (threshold metric) and the repaired text itself, with
+    // a clean-unicode decoy arm proving the fixer is not a non-ASCII
+    // scrub. Map-only; both engines generated from MojibakeTable.
+    Q(
+      "t_mojibake_fix",
+      (s, dir) => {
+        val docs = withMojibake(Tables(s, dir, "documents"))
+        docs.select(col("doc_id"),
+          mojibakeCount(col("mtext")).as("n_bad"),
+          fixMojibake(col("mtext")).as("fixed_text"))
+          .orderBy("doc_id")
+      },
+      Some(mojibakeFixSql),
+    ),
+    // The Stack-style code-file layout rules over the planted code
+    // fixture: each residue class fails exactly one arm, so a broken
+    // conjunction cannot stay green. Integer/milli-exact; map-only.
+    Q(
+      "t_code_rules",
+      (s, dir) =>
+        codeRules(withCodeText(Tables(s, dir, "documents")), textCol = "ctext")
+          .orderBy("doc_id"),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 6 = 0 THEN repeat('x(a);', 44) || repeat(chr(10) || 'ok', 9)
+                   WHEN doc_id % 6 = 1 THEN repeat('QUJD', 20)
+                   WHEN doc_id % 6 = 2 THEN repeat('!@#$' || chr(10), 29) || '!@#$'
+                   WHEN doc_id % 6 = 3 THEN rtrim(repeat('alpha beta ', 14)) || chr(10) || rtrim(repeat('alpha beta ', 14))
+                   ELSE substring(COALESCE(text, ''), 1, 80) || chr(10) || 'val n = 1' || chr(10) || '// end'
+                 END AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(string_split(t, chr(10))) AS BIGINT) AS nl,
+                 CAST(list_aggregate(list_transform(string_split(t, chr(10)), x -> length(x)), 'max') AS BIGINT) AS mx,
+                 CAST(length(t) AS BIGINT) AS n_chars,
+                 CAST(length(t) - length(regexp_replace(t, '[A-Za-z0-9]', '', 'g')) AS BIGINT) AS aln,
+                 CASE WHEN regexp_matches(t, '[A-Za-z0-9+/=]{64}') THEN 1 ELSE 0 END AS blob
+          FROM c)
+        SELECT doc_id, mx AS max_line_len,
+               CAST(((n_chars - (nl - 1)) * 1000) // nl AS BIGINT) AS avg_line_milli,
+               CAST(CASE WHEN n_chars = 0 THEN 0 ELSE (aln * 1000) // n_chars END AS BIGINT) AS alnum_milli,
+               CAST(blob AS BIGINT) AS has_blob,
+               CAST(CASE WHEN mx <= 200 AND ((n_chars - (nl - 1)) * 1000) // nl <= 100000
+                          AND n_chars > 0 AND (aln * 1000) // n_chars >= 250 AND blob = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m ORDER BY doc_id"""),
     ),
     // Gopher line-based rules over the planted layout fixture: docs %3
     // gain a dominant bullet list (trips ok_bullet unless the %12 teaser

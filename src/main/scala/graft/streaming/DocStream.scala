@@ -423,6 +423,20 @@ object DocStream {
     docs.withColumn(textCol, strip(col(textCol)))
   }
 
+  /** Stateless streaming encoding repair — the ingest-edge face of
+    * [[graft.operators.TextAnalysis.fixMojibake]]: rewrite each arriving
+    * doc's text with every known UTF-8-as-cp1252 mojibake sequence
+    * repaired BEFORE any hashing or dedup sees it (a damaged and a clean
+    * copy of one page must collide downstream). A TRANSFORM gate: docs
+    * always pass; null text passes through null. Pure codegen'd column
+    * expressions — per-row, stateless, replay-deterministic, any output
+    * mode, no watermark; text-equal to the batch face by construction
+    * (spec-pinned).
+    */
+  def mojibakeFix(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      graft.operators.TextAnalysis.fixMojibake(col(textCol)))
+
   /** One MessageDigest per executor thread — MD5 instances are not
     * thread-safe and a udf closure can be shared across task threads in
     * one JVM.

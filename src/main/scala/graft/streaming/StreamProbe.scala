@@ -177,6 +177,11 @@ object StreamProbe {
           graft.operators.Dedup.linedText(docs)
             .drop("text").withColumnRenamed("ltext", "text"),
           lineDir)),
+      // fifth stateless arm: the mojibake-repair TRANSFORM gate — zero
+      // state rows, flat per-batch cost; the fix table is a compile-time
+      // constant replace chain, nothing rides the stream at all
+      runArm("mojibakeFix",
+        docs => DocStream.mojibakeFix(docs)),
       // BOUNDED-stateful arm: the source-quota gate keeps ONE counter per
       // source — state rows must plateau at the source vocabulary (5
       // synthetic sources here) and stay flat as the stream grows; quotas

@@ -506,4 +506,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hs.contains("Join") && !hs.contains("HashAggregate") && !hs.contains("Window"),
       hs.take(2000))
   }
+
+  test("r17 shapes: mojibake/code rules map-only, domain blocklist broadcast-joined without text") {
+    // mojibake fix + code rules: pure projections over the fixture — no
+    // join, no aggregate, no window, no explode; these must stay
+    // embarrassingly parallel map stages at 100 TB
+    for (q <- Seq("t_mojibake_fix", "t_code_rules")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+        !p.contains("Window") && !p.contains("Generate"), s"$q: ${p.take(2000)}")
+    }
+    // domain blocklist: the list side must ride a broadcast hash join
+    // (a UT1 list is millions of rows — broadcast-able, never a shuffle
+    // of the corpus against it), no cartesian/nested-loop fallback, and
+    // no exchange may carry document text (only id/host/rule strings)
+    val db = plan("c_domain_block")
+    assert(db.contains("BroadcastHashJoin"), db.take(2000))
+    assert(!db.contains("CartesianProduct") && !db.contains("BroadcastNestedLoopJoin"),
+      db.take(2000))
+    val dbEx = db.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!dbEx.exists(_.contains("text#")),
+      "blocklist exchanges must carry hosts/rules, not bodies:\n" + dbEx.mkString("\n"))
+  }
 }

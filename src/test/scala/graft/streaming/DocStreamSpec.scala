@@ -636,6 +636,35 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("mojibakeFix on a stream repairs text exactly like the batch column face") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "donâ€™t cafÃ© â€œgarbledâ€“text"),
+      (2L, "clean résumé stays"),
+      (3L, null.asInstanceOf[String]),
+    )
+    val input = MemoryStream[(Long, String)]
+    val query = DocStream.mojibakeFix(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mfix_out").outputMode("append").start()
+    try {
+      input.addData(corpus.take(1): _*)
+      query.processAllAvailable()
+      input.addData(corpus.drop(1): _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, text FROM mfix_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val batch = corpus.toDF("doc_id", "text")
+        .select($"doc_id", graft.operators.TextAnalysis.fixMojibake($"text").as("t"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == batch, s"got=$got batch=$batch")
+      assert(got(1L).contains("don’t café “garbled–text"))
+      assert(got(2L).contains("clean résumé stays"))
+      assert(got(3L).isEmpty)
+    } finally query.stop()
+  }
+
   test("sampleBySourceWeights on a stream keeps exactly the batch-kept rows") {
     val s = spark
     import s.implicits._
