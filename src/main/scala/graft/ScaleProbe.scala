@@ -191,7 +191,19 @@ object ScaleProbe {
     // t_html_strip posture) and the domain blocklist (bounded suffix
     // explode + broadcast list join + id-keyed fold — the exchange
     // carries hosts/rules, so the ratio should track d_url_dedup's)
-    "t_mojibake_fix", "t_code_rules", "c_domain_block")
+    "t_mojibake_fix", "t_code_rules", "c_domain_block",
+    // r17: WordPiece ids (pure native-expression projection — the BPE
+    // faces' posture), exact heavy hitters (explode + one groupBy — the
+    // t_vocab_topk posture), and the CMS face (exact audit side plus the
+    // no-explode Aggregator sketch: its one-partial-per-partition
+    // exchange should make the sketch side's cost track the SCAN, not
+    // the token count)
+    "c_tokenize_wordpiece", "t_heavy_hitters", "t_heavy_hitters_cms",
+    // r17: PQ ANN and its exact integer-L2 truth face — both ride the
+    // broadcast-heap shape (slim exchange bounded by partitions × Q × k);
+    // PQ's encode pass is the corpus-linear step, ADC the per-candidate
+    // O(m) lookup, so the ratio should sit with the quantized MIPS family
+    "ann_quant_l2_topk", "ann_quant_pq_topk")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

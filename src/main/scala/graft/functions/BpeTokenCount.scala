@@ -135,12 +135,12 @@ object BpeTokenCount {
     var keys: Array[Byte] = Array.emptyByteArray
     var kids: Array[Trie] = Array.empty
 
-    private[BpeTokenCount] def childFor(b: Byte): Trie = {
+    private[functions] def childFor(b: Byte): Trie = {
       val i = java.util.Arrays.binarySearch(keys, b)
       if (i >= 0) kids(i) else null
     }
 
-    private[BpeTokenCount] def addChild(b: Byte): Trie = {
+    private[functions] def addChild(b: Byte): Trie = {
       val i = java.util.Arrays.binarySearch(keys, b)
       if (i >= 0) return kids(i)
       val at = -i - 1

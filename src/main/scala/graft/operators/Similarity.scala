@@ -1128,6 +1128,168 @@ object Similarity {
     } else cs.indices.sortBy(c => (-dots(c), c)).take(n).toArray
   }
 
+  /** Exact top-k by quantized squared-L2 distance (ranks ascend by
+    * (dist, neighbor_id)) — the exact-integer distance face
+    * [[quantizedPqTopK]] trades against, and the truth its recall is
+    * measured on (PqSpec). Same physical shape as [[quantizedMipsTopK]]:
+    * broadcast queries, partition-local bounded min-heaps, global window
+    * over ≤ partitions × Q × k survivors.
+    */
+  def quantizedL2TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => (id, quantizeChecked(v, scale)) }
+    // min-distance top-k: the heap's "worst kept" is the LARGEST (dist, id)
+    val worstFirst = Ordering.Tuple2[Long, Long]
+    val scored = broadcastHeapTopK[Array[Long], Array[Long], Long](
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
+      q, k,
+      prep = cv => quantizeChecked(cv, scale),
+      scoreOf = { (qv, cq) =>
+        var s = 0L; var j = 0
+        val nd = math.min(qv.length, cq.length)
+        while (j < nd) { val d = qv(j) - cq(j); s += d * d; j += 1 }
+        s
+      },
+      worstFirst, "dist")
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** Product-quantized ANN (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)) in
+    * exact integer arithmetic — the ANN COMPRESSION path at 100 TB: each
+    * corpus vector is stored as `m` sub-codeword indices (m bytes at
+    * ks ≤ 256) instead of D floats (64-dim float32 → 8 codes is 32×),
+    * and a query scores candidates by Asymmetric Distance Computation:
+    * one m×ks lookup table per query, then
+    * `dist(candidate) = Σ_j table(j, code_j)` — O(m) per candidate with
+    * NO access to the original vector.
+    *
+    * Codebooks follow [[quantizedIvfTopK]]'s seed contract: subspace j's
+    * codewords are the j-th slices of the quantized `ks` lowest-id corpus
+    * vectors — re-derivable from the table itself, so encoding, the
+    * lookup tables, and the final ranks are bit-identical across engines
+    * (a float k-means codebook per subspace is the production recall
+    * lever, exactly as trained [[ivfTopK]] twins its quantized face).
+    * Distances are squared L2 in the quantized space; ranks ascend by
+    * (dist, neighbor_id); ties in codeword assignment break toward the
+    * lower codeword index. [[quantizeChecked]]'s magnitude bound keeps
+    * every subspace distance sum exact in Long.
+    *
+    * Scale shape: codebooks broadcast inside the closure (m·ks·subDim
+    * longs); encoding is ONE map pass after which the original vectors
+    * are dropped — the scoring pass reads m codes per row, not D floats;
+    * the bounded query batch broadcasts WITH precomputed tables;
+    * partition-local k-heaps prune the exchange to ≤ partitions × Q × k
+    * rows. No shuffle touches anything vector-sized.
+    */
+  def quantizedPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ks: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1 && m >= 1 && ks >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = seedCentroids(corpus, ks, idCol, vecCol, scale)
+    val dim = seeds(0).length
+    require(seeds.forall(_.length == dim),
+      s"PQ requires uniform dimensionality; seed rows disagree with dim=$dim")
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    // codebook(j)(c) = subspace-j slice of seed c
+    val codebook: Array[Array[Array[Long]]] =
+      Array.tabulate(m, seeds.length)((j, c) => seeds(c).slice(j * sub, (j + 1) * sub))
+    val cbB = spark.sparkContext.broadcast(codebook)
+
+    // squared L2 between v's subspace-j slice and codeword cw
+    def subDist(cw: Array[Long], v: Array[Long], j: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < cw.length) { val d = v(j * cw.length + i) - cw(i); s += d * d; i += 1 }
+      s
+    }
+    def encode(cb: Array[Array[Array[Long]]], v: Array[Long]): Array[Int] = {
+      require(v.length == cb.length * cb(0)(0).length,
+        s"PQ corpus vector dim ${v.length} != codebook dim ${cb.length * cb(0)(0).length}")
+      Array.tabulate(cb.length) { j =>
+        val cws = cb(j)
+        var best = 0; var bd = subDist(cws(0), v, j); var c = 1
+        while (c < cws.length) {
+          val d = subDist(cws(c), v, j)
+          if (d < bd) { best = c; bd = d }
+          c += 1
+        }
+        best
+      }
+    }
+
+    // query payload: the flattened m×ks ADC lookup table
+    val q: Array[(Long, Array[Long])] = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        val qv = quantizeChecked(v, scale)
+        val table = new Array[Long](m * seeds.length)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < seeds.length) {
+            table(j * seeds.length + c) = subDist(codebook(j)(c), qv, j)
+            c += 1
+          }
+          j += 1
+        }
+        (id, table)
+      }
+    val nCw = seeds.length
+    val worstFirst = Ordering.Tuple2[Long, Long]
+    val scored = broadcastHeapTopK[Array[Long], Array[Int], Long](
+      corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as[(Long, Array[Float])],
+      q, k,
+      prep = cv => encode(cbB.value, quantizeChecked(cv, scale)),
+      scoreOf = { (table, codes) =>
+        var s = 0L; var j = 0
+        while (j < codes.length) { s += table(j * nCw + codes(j)); j += 1 }
+        s
+      },
+      worstFirst, "dist")
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering the embedding space and deduplicating WITHIN clusters
     * only — the two-level design that makes embedding dedup tractable at

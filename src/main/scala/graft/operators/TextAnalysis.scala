@@ -44,6 +44,96 @@ object TextAnalysis {
     "s", "c", "t", "e", "row", "r", "o", "w", "the", "th", "er",
     "qu", "y", "in", "dow", "win", "d")
 
+  /** WordPiece tokenization under a frozen BERT-style vocab — see
+    * [[graft.functions.WordPieceTokenize]] for the semantics that
+    * distinguish it from the BPE faces (##-continuation entries,
+    * whole-word UNK on any failed position).
+    */
+  def wordpieceTokenize(c: Column, vocab: Seq[String] = WordPieceVocab): Column =
+    graft.functions.WordPieceTokenize(c, vocab)
+
+  /** Frozen fixture vocabulary for the WordPiece query, built against the
+    * synthetic corpus's 31-word stock so every semantic arm is LIVE at
+    * sf0.01: whole-word matches ("table" beats "tab"; "value" beats
+    * "val"+"##ue"), multi-char continuation longest-match ("##dow" beats
+    * "##d" in "window"), initial-position failure ("part"/"query" — no
+    * init 'p'/'q' — whole word UNK), and the piece-discarding mid-word
+    * failure ("group"/"spark"/"dup" match pieces then hit the missing
+    * "##p" and collapse to UNK). A production run passes its real BERT
+    * vocab file's entries.
+    */
+  val WordPieceVocab: Seq[String] = Seq(
+    "table", "tab", "win", "##dow", "value", "val", "##ue", "scan", "##an",
+    "row", "the",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m", "n",
+    "o", "s", "t", "v", "w",
+    "##a", "##b", "##c", "##d", "##e", "##f", "##g", "##h", "##i", "##j",
+    "##k", "##l", "##le", "##m", "##n", "##o", "##r", "##s", "##t", "##u",
+    "##v", "##w", "##y")
+
+  /** The WordPiece vocab as DuckDB VALUES rows `(body, id, cont)` — body
+    * stripped of the ## marker, id the entry's 1-based position, cont
+    * 1 for continuation entries. Single source with [[WordPieceVocab]].
+    */
+  private def wordPieceVocabSqlValues: String =
+    WordPieceVocab.zipWithIndex.map { case (e, i) =>
+      val cont = if (e.startsWith("##")) 1 else 0
+      val body = (if (cont == 1) e.substring(2) else e).replace("'", "''")
+      s"('$body', ${i + 1}, $cont)"
+    }.mkString(", ")
+
+  /** ≡ the c_tokenize_wordpiece Spark pipeline: the same greedy walk as
+    * the BPE oracle's recursive CTE, but the step's candidate set is the
+    * POSITION-APPROPRIATE vocab face and a failed step emits the -1
+    * sentinel and jumps past the word's end; assembly collapses any word
+    * carrying the sentinel to the single UNK id 0, discarding its
+    * already-matched pieces — the BERT rule the BPE face lacks.
+    */
+  private def wordpieceOracleSql: String =
+    s"""
+        WITH RECURSIVE vocab(body, id, cont) AS (
+          SELECT * FROM (VALUES $wordPieceVocabSqlValues) AS v(body, id, cont)),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wpos, ws FROM w),
+        wd AS (SELECT doc_id, wpos, ws[wpos] AS wrd FROM x WHERE ws[wpos] <> ''),
+        r AS (
+          SELECT doc_id, wpos, wrd, 1 AS pos, 0 AS step, CAST(NULL AS BIGINT) AS tid FROM wd
+          UNION ALL
+          SELECT doc_id, wpos, wrd,
+                 pos + COALESCE((SELECT length(body) FROM vocab
+                                 WHERE cont = (CASE WHEN pos = 1 THEN 0 ELSE 1 END)
+                                   AND substr(wrd, pos, length(body)) = body
+                                 ORDER BY length(body) DESC LIMIT 1),
+                                length(wrd) + 1 - pos),
+                 step + 1,
+                 COALESCE((SELECT id FROM vocab
+                           WHERE cont = (CASE WHEN pos = 1 THEN 0 ELSE 1 END)
+                             AND substr(wrd, pos, length(body)) = body
+                           ORDER BY length(body) DESC LIMIT 1), -1)
+          FROM r WHERE pos <= length(wrd)
+        ),
+        f AS (SELECT doc_id, wpos, step, tid FROM r WHERE step > 0),
+        wids AS (
+          SELECT doc_id, wpos,
+                 CASE WHEN MAX(CASE WHEN tid = -1 THEN 1 ELSE 0 END) = 1 THEN '0'
+                      ELSE string_agg(CAST(tid AS VARCHAR), ',' ORDER BY step) END AS wid,
+                 CASE WHEN MAX(CASE WHEN tid = -1 THEN 1 ELSE 0 END) = 1 THEN 1
+                      ELSE COUNT(*) END AS np,
+                 CASE WHEN MAX(CASE WHEN tid = -1 THEN 1 ELSE 0 END) = 1 THEN 1
+                      ELSE 0 END AS nu
+          FROM f GROUP BY doc_id, wpos),
+        g AS (SELECT doc_id, string_agg(wid, ',' ORDER BY wpos) AS ids,
+                     CAST(SUM(np) AS BIGINT) AS n_pieces,
+                     CAST(SUM(nu) AS BIGINT) AS n_unk
+              FROM wids GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(g.ids, '') AS ids,
+               COALESCE(g.n_pieces, 0) AS n_pieces,
+               COALESCE(g.n_unk, 0) AS n_unk
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN g USING (doc_id)
+        ORDER BY doc_id"""
+
   /** Simple quality metrics (counts, not ratios — deterministic for the
     * oracle; ratios are a trivial division on top).
     */
@@ -609,6 +699,97 @@ object TextAnalysis {
         FROM m ORDER BY doc_id"""
   }
 
+  /** Exact top-`k` tokens by TOTAL occurrence count (term frequency, not
+    * the document frequency of [[vocabularyDf]]/t_vocab_topk), ties to
+    * the lexicographically smaller token. The exact face of the
+    * heavy-hitters pair: one explode + one map-side-combined groupBy —
+    * fine when the distinct-token table fits the cluster, which is the
+    * regime the CMS face exists to escape.
+    */
+  def heavyHittersExact(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
+  /** One-row frame holding the Count-Min matrix over `textCol`'s
+    * whitespace tokens ([[graft.functions.CmsSketch]]): the corpus is
+    * never exploded — each partition folds into one depth×width long
+    * array (16 KB at 4×512) and the exchange carries one partial per
+    * partition. THE frequency-profile shape at 100 TB, where the exact
+    * distinct-token table is itself a big-data problem.
+    */
+  def cmsSketch(docs: DataFrame, depth: Int, width: Int,
+                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col(textCol)).as[String]
+      .select(new graft.functions.CmsSketch.Agg(depth, width).toColumn)
+      .toDF("sketch")
+  }
+
+  /** Point-estimate column: `min_r sketch[r·width + h_r(token)]`, with
+    * `h_r` the md5-derived bucket [[graft.functions.CmsSketch.bucket]]
+    * computes — expressed in codegen'd built-ins (md5/conv/element_at)
+    * so estimation over a candidate frame is a pure map stage.
+    */
+  def cmsEstimate(token: Column, sketch: Column, depth: Int, width: Int): Column =
+    (0 until depth).map { r =>
+      val b = conv(substring(md5(concat(lit(s"$r:"), token)), 1, 8), 16, 10)
+        .cast("long") % width
+      element_at(sketch, (b + lit(r * width + 1)).cast("int"))
+    }.reduce(least(_, _))
+
+  /** The verification face pairing both: exact top-`k` heavy hitters with
+    * their CMS point estimates side by side (estimate ≥ exact always —
+    * the sketch's one-sided guarantee, spec-pinned corpus-wide). The
+    * 1-row sketch frame broadcast-joins onto the candidates: no
+    * driver-side matrix, no second corpus pass beyond the exact count
+    * this face exists to audit.
+    */
+  def cmsHeavyHitters(docs: DataFrame, k: Int, depth: Int, width: Int,
+                      textCol: String = "text"): DataFrame = {
+    val top = heavyHittersExact(docs, k, textCol).withColumnRenamed("cnt", "exact_cnt")
+    top.crossJoin(broadcast(cmsSketch(docs, depth, width, textCol)))
+      .select(col("token"), col("exact_cnt"),
+        cmsEstimate(col("token"), col("sketch"), depth, width).as("cms_est"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** ≡ [[cmsHeavyHitters]](documents, k, depth, width): the whole sketch
+    * — matrix cells AND estimates — replayed declaratively in DuckDB from
+    * the same md5 bucket rule, so the cross-engine check pins the sketch
+    * SEMANTICS (hash family, layout, min-rule), not the Aggregator
+    * implementation.
+    */
+  private def cmsOracleSql(k: Int, depth: Int, width: Int): String =
+    s"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        t2 AS (SELECT token FROM tok WHERE token <> ''),
+        e AS (SELECT token, COUNT(*) AS exact_cnt FROM t2 GROUP BY token),
+        top AS (SELECT token, exact_cnt FROM e ORDER BY exact_cnt DESC, token LIMIT $k),
+        rws AS (SELECT unnest(range(0, $depth)) AS r),
+        cells AS (
+          SELECT rws.r AS r,
+                 CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || t2.token), 1, 8) AS BIGINT) % $width AS b,
+                 COUNT(*) AS c
+          FROM t2 CROSS JOIN rws GROUP BY 1, 2),
+        est AS (
+          SELECT t.token, t.exact_cnt, MIN(c.c) AS cms_est
+          FROM top t CROSS JOIN rws
+          JOIN cells c ON c.r = rws.r
+           AND c.b = CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || t.token), 1, 8) AS BIGINT) % $width
+          GROUP BY t.token, t.exact_cnt)
+        SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(cms_est AS BIGINT) AS cms_est
+        FROM est ORDER BY exact_cnt DESC, token"""
+
   val queries: Seq[Q] = Seq(
     // deterministic hash split: per-split document counts + token sums
     Q(
@@ -1046,6 +1227,46 @@ object TextAnalysis {
           .select(col("doc_id"), langId(col("text")).as("lang_pred"), col("lang"))
           .orderBy("doc_id"),
       Some(langIdOracleSql),
+    ),
+    // WordPiece tokenization (the BERT apply semantics the BPE faces
+    // can't express): ##-continuation matching and whole-word UNK with
+    // piece discard, both arms live on the fixture vocab. The oracle
+    // replays the position-dependent greedy walk with a recursive CTE.
+    Q(
+      "c_tokenize_wordpiece",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), wordpieceTokenize(col("text")).as("idsa"))
+          .select(
+            col("doc_id"),
+            array_join(transform(col("idsa"), _.cast("string")), ",").as("ids"),
+            size(col("idsa")).cast("long").as("n_pieces"),
+            size(filter(col("idsa"), _ === 0L)).cast("long").as("n_unk"))
+          .orderBy("doc_id"),
+      Some(wordpieceOracleSql),
+    ),
+    // Exact heavy hitters: top-20 tokens by total term frequency. The
+    // small-data face the CMS query audits against.
+    Q(
+      "t_heavy_hitters",
+      (s, dir) => heavyHittersExact(Tables(s, dir, "documents"), 20),
+      Some("""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL)
+        SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> ''
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20"""),
+    ),
+    // Count-Min sketch heavy hitters: the exact top-20 with their CMS
+    // point estimates. The md5 hash family makes the whole sketch
+    // deterministic, so matrix AND estimates hash-match across engines;
+    // estimate ≥ exact (the one-sided CMS guarantee) is spec-pinned
+    // corpus-wide in CmsSpec.
+    Q(
+      "t_heavy_hitters_cms",
+      (s, dir) => cmsHeavyHitters(Tables(s, dir, "documents"), 20, depth = 4, width = 512),
+      Some(cmsOracleSql(20, 4, 512)),
     ),
   )
 

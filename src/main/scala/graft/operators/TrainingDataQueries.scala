@@ -636,6 +636,54 @@ object TrainingDataQueries {
       },
       Some(quantIvfOracleSql),
     ),
+    // Exact quantized squared-L2 top-k: the integer distance face the PQ
+    // query trades against (and the truth PqSpec measures its recall on).
+    Q(
+      "ann_quant_l2_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedL2TopK(emb, queries, k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                       i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT) AS dist
+              FROM qz c, q WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""),
+    ),
+    // Product-quantized ANN (Jégou et al. 2011): 64-dim vectors become 8
+    // sub-codeword indices, queries score by ADC table lookups — the ANN
+    // compression path at 100 TB. Codebooks are seed-derived (subspace
+    // slices of the ks lowest-id quantized vectors), so encoding, tables,
+    // and ranks are bit-identical across engines; the whole mechanism —
+    // codebook build, argmin encoding, ADC — is replayed by the oracle.
+    Q(
+      "ann_quant_pq_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedPqTopK(emb, queries, k = 5, m = 8, ks = 16)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+          .orderBy("query_id", "rank")
+      },
+      Some(quantPqOracleSql),
+    ),
     // IVF-bucketed ANN (the other scale path: trained coarse quantizer +
     // nProbe cells) — rows-only; recall vs brute force in the unit spec.
     Q(
@@ -1529,6 +1577,49 @@ object TrainingDataQueries {
                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
             FROM s)
       SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+      FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** ≡ Similarity.quantizedPqTopK(embeddings, vec_id<10, k=5, m=8, ks=16):
+    * the codebook re-derived in-SQL (subspace slices of the 16 lowest-id
+    * quantized vectors), per-(vector, subspace) argmin codeword with
+    * (dist, cw) tie-break, ADC via the same distance rows restricted to
+    * query ids, summed over the 8 joined subspace lookups.
+    */
+  private def quantPqOracleSql: String = {
+    val (m, ks, k) = (8, 16, 5)
+    s"""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings WHERE embedding IS NOT NULL
+      ),
+      seed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cw, qv AS sv
+               FROM qz ORDER BY vec_id LIMIT $ks),
+      sdim AS (SELECT len(sv) // $m AS sub FROM seed LIMIT 1),
+      js AS (SELECT unnest(range(1, $m + 1)) AS j),
+      cb AS (SELECT js.j, seed.cw,
+                    list_slice(seed.sv, (js.j - 1) * sdim.sub + 1, js.j * sdim.sub) AS cvec
+             FROM seed CROSS JOIN js CROSS JOIN sdim),
+      dst AS (SELECT z.vec_id, c.j, c.cw,
+                     CAST(list_sum(list_transform(range(1, len(c.cvec) + 1),
+                       i -> (z.qv[(c.j - 1) * len(c.cvec) + i] - c.cvec[i])
+                          * (z.qv[(c.j - 1) * len(c.cvec) + i] - c.cvec[i]))) AS BIGINT) AS d
+              FROM qz z CROSS JOIN cb c),
+      enc AS (SELECT vec_id, j, cw FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cw) AS rk
+                FROM dst) WHERE rk = 1),
+      qt AS (SELECT vec_id AS query_id, j, cw, d FROM dst WHERE vec_id < 10),
+      sc AS (SELECT qt.query_id, e.vec_id AS neighbor_id,
+                    CAST(SUM(qt.d) AS BIGINT) AS dist
+             FROM enc e JOIN qt ON qt.j = e.j AND qt.cw = e.cw
+             WHERE e.vec_id <> qt.query_id
+             GROUP BY qt.query_id, e.vec_id),
+      r AS (SELECT query_id, neighbor_id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+            FROM sc)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
       FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 

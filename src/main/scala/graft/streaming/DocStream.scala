@@ -252,6 +252,30 @@ object DocStream {
       )
       .select(col("w.start").as("window_start"), col("n_docs"), col("n_tokens"), col("n_quality"))
 
+  /** Streaming Count-Min sketch per event-time window: the same
+    * [[graft.functions.CmsSketch.Agg]] the batch face builds with, lifted
+    * to an untyped UDAF inside a watermarked window aggregation — the
+    * frequency profile of a live ingest feed at fixed memory (the state
+    * store holds one depth×width matrix per OPEN window, not per token;
+    * the watermark closes windows, so state is bounded by the lateness
+    * horizon). Point estimates against the emitted matrices use the same
+    * [[graft.operators.TextAnalysis.cmsEstimate]] column; batch ≡ stream
+    * is spec-pinned (one shared kernel, no second tokenizer to drift).
+    */
+  def cmsByWindow(docs: DataFrame, depth: Int = 4, width: Int = 512,
+                  textCol: String = "text", eventTimeCol: String = "event_time",
+                  windowDuration: String = "1 minute",
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    val cms = udaf(new graft.functions.CmsSketch.Agg(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .filter(col(textCol).isNotNull)
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"))
+      .agg(cms(col(textCol)).as("sketch"), count(lit(1)).as("n_docs"))
+      .select(col("w.start").as("window_start"), col("sketch"), col("n_docs"))
+  }
+
   /** Deterministic train/val/test routing for a stream: the same
     * md5-bucket split as the batch `TextAnalysis.splitName`, so batch and
     * streaming ingestion route every document identically.

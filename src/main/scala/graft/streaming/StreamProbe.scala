@@ -190,6 +190,13 @@ object StreamProbe {
       runArm("sourceQuotaFilter",
         docs => DocStream.sourceQuotaFilter(
           ProbeSynth.withSource(docs), ProbeSynth.quotas(corpus, nBatches))),
+      // BOUNDED-stateful arm: the windowed Count-Min sketch keeps ONE
+      // depth×width matrix per OPEN window — state rows must track the
+      // open-window count, never the token volume; the clock steps past
+      // the watermark each batch, so closed windows evict and the curve
+      // stays flat as the stream grows
+      runArm("cmsByWindow",
+        docs => DocStream.cmsByWindow(docs, watermarkDelay = watermark)),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +

@@ -528,4 +528,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dbEx.exists(_.contains("text#")),
       "blocklist exchanges must carry hosts/rules, not bodies:\n" + dbEx.mkString("\n"))
   }
+
+  test("r17 shapes: wordpiece map-only; CMS sketch side never explodes and broadcasts onto candidates") {
+    // wordpiece ids: a pure projection (native expression) — no join, no
+    // aggregate, no window, no explode
+    val wp = plan("c_tokenize_wordpiece")
+    assert(!wp.contains("Join") && !wp.contains("HashAggregate") &&
+      !wp.contains("Window") && !wp.contains("Generate"), wp.take(2000))
+    // CMS: exactly one Generate total (the exact-count audit side); the
+    // sketch build must be aggregation without explode — the whole point
+    // of the Aggregator is that token occurrences never become shuffle
+    // rows — and the 1-row sketch joins the candidates via broadcast,
+    // never by shuffling them
+    val cmsQe = SparkEntry.queries("t_heavy_hitters_cms")(spark, sfDir).queryExecution
+    val generates = cmsQe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.length
+    val cms = cmsQe.explainString(ExplainMode.fromString("formatted"))
+    assert(generates <= 1, s"CMS must not explode the sketch side:\n${cms.take(3000)}")
+    assert(cms.contains("BroadcastNestedLoopJoin") || cms.contains("BroadcastHashJoin"),
+      cms.take(2000))
+    assert(!cms.contains("CartesianProduct"), cms.take(2000))
+  }
+
+  test("r17 shapes: PQ family joins nothing — broadcast-heap pruning, no vector-sized exchange") {
+    for (q <- Seq("ann_quant_pq_topk", "ann_quant_l2_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      // the only exchange is the heap survivors' (query_id, neighbor_id,
+      // dist) rows into the window rank — never embeddings or codes
+      val ex = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+      assert(!ex.exists(l => l.contains("embedding#") || l.contains("vec#")),
+        s"$q exchanges must carry slim rows:\n" + ex.mkString("\n"))
+    }
+  }
 }

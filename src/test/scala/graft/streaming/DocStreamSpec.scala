@@ -808,4 +808,47 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.values.exists(_._2 > 0) && streamed.values.exists(_._3 > 0))
     } finally query.stop()
   }
+
+  test("cmsByWindow: windowed streaming sketch equals the batch Aggregator matrix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (depth, width) = (4, 64)
+    val rows = Seq(
+      (1L, ts(10), "alpha beta alpha"),
+      (2L, ts(20), "beta gamma"),
+      (3L, ts(30), null.asInstanceOf[String]),
+      (4L, ts(70), "alpha delta delta"), // second window
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = DocStream.cmsByWindow(
+      input.toDF().toDF("doc_id", "event_time", "text"), depth, width)
+      .writeStream.format("memory").queryName("cms_out").outputMode("complete").start()
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT window_start, sketch, n_docs FROM cms_out")
+        .collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          ((r.getSeq[Long](1).toVector, r.getLong(2)))).toMap
+      assert(got.keySet == Set(0L, 60L), got.keySet.toString)
+      // window [0,60): docs 1+2 (null-text 3 contributes nothing)
+      def batchMatrix(texts: Seq[String]): Vector[Long] = {
+        val m = new Array[Long](depth * width)
+        texts.foreach(t =>
+          t.split("\\s+").filter(_.nonEmpty).foreach(tok =>
+            (0 until depth).foreach(r =>
+              m(r * width + graft.functions.CmsSketch.bucket(r, tok, width)) += 1L)))
+        m.toVector
+      }
+      assert(got(0L) == ((batchMatrix(Seq(rows(0)._3, rows(1)._3)), 2L)))
+      assert(got(60L) == ((batchMatrix(Seq(rows(3)._3)), 1L)))
+      // the emitted matrix serves the same estimate kernel as batch
+      val m0 = got(0L)._1.toArray
+      assert(graft.functions.CmsSketch.estimate(m0, "alpha", depth, width) >= 2L)
+      assert(graft.functions.CmsSketch.estimate(m0, "beta", depth, width) >= 2L)
+    } finally query.stop()
+  }
 }
