@@ -657,4 +657,61 @@ object Multimodal {
     val c = s"CAST($idExpr % 30 AS VARCHAR)"
     s"'cap' || $c || ' w' || $c || 'a w' || $c || 'b w' || $c || 'c w' || $c || 'd'"
   }
+
+  /** CLIP-style image–caption pair FILTER (the LAION construction rule —
+    * Schuhmann et al. 2022 keep a crawled pair only when the image/text
+    * similarity clears a threshold; CLIP-filtering is how web-scale
+    * multimodal training sets are built): per row, the quantized cosine
+    * between the image's feature vector and its caption's embedding must
+    * reach tNum/tDen. Exact integer arithmetic — the
+    * [[Similarity.quantizedPairsAbove]] compare (keep ⟺ dot > 0 ∧
+    * d²·dot² ≥ n²·|qi|²·|qc|² over floor(x·scale) vectors, BigInt here /
+    * HUGEINT in the oracle) applied per PAIRED row instead of per
+    * candidate pair, so the decision AND the reported dot hash-match
+    * across engines.
+    *
+    * Input: one row per pair with both vectors already joined on
+    * (`imgCol`, `capCol`). A row missing either side reports (qdot 0,
+    * keep 0) — a crawl pair with an undecodable modality is dropped,
+    * not errored, matching the decode faces' classify-don't-fail
+    * contract. Mismatched dims score over the common prefix (the module
+    * contract).
+    *
+    * Scale shape: one typed map pass, no shuffle beyond the caller's
+    * id-equijoin that pairs the modalities — at 100 TB that join is the
+    * irreducible step (features and captions are produced by different
+    * pipelines), and everything downstream is map-only.
+    */
+  def pairCosineGate(pairs: DataFrame, tNum: Int, tDen: Int,
+                     idCol: String = "doc_id", imgCol: String = "features",
+                     capCol: String = "embedding",
+                     scale: Double = 1e6): DataFrame = {
+    require(tNum > 0 && tDen > 0, "threshold must be a positive rational")
+    require(tDen <= 128, "threshold denominators above 128 can push the " +
+      "cross-multiplied compare past DuckDB's HUGEINT range (see quantizeChecked)")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val n2 = BigInt(tNum) * tNum
+    val d2 = BigInt(tDen) * tDen
+    pairs
+      .select(col(idCol).cast("long"), col(imgCol), col(capCol))
+      .as[(Long, Array[Float], Array[Float])]
+      .map { case (id, img, cap) =>
+        if (img == null || cap == null) (id, 0L, 0L)
+        else {
+          val qi = Similarity.quantizeChecked(img, scale)
+          val qc = Similarity.quantizeChecked(cap, scale)
+          val n = math.min(qi.length, qc.length)
+          var dot = 0L; var ni = 0L; var nc = 0L; var k = 0
+          while (k < n) { dot += qi(k) * qc(k); k += 1 }
+          k = 0
+          while (k < qi.length) { ni += qi(k) * qi(k); k += 1 }
+          k = 0
+          while (k < qc.length) { nc += qc(k) * qc(k); k += 1 }
+          val keep = dot > 0 && d2 * (BigInt(dot) * dot) >= n2 * (BigInt(ni) * nc)
+          (id, dot, if (keep) 1L else 0L)
+        }
+      }
+      .toDF(idCol, "qdot", "keep")
+  }
 }

@@ -274,7 +274,7 @@ object Similarity {
     * to lower the scale instead. (At the default scale 1e6 and dim 64 the
     * bound admits |x| ≤ ~33 — far above real embedding magnitudes.)
     */
-  private def quantizeChecked(v: Array[Float], scale: Double): Array[Long] = {
+  private[operators] def quantizeChecked(v: Array[Float], scale: Double): Array[Long] = {
     val limit = math.sqrt((1L << 56).toDouble / math.max(1, v.length)).toLong
     val out = new Array[Long](v.length)
     var i = 0

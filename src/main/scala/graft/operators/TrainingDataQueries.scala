@@ -855,6 +855,31 @@ object TrainingDataQueries {
       },
       Some(mmPairDedupOracleSql),
     ),
+    // CLIP-style pair FILTER (the LAION construction rule): keep an
+    // image–caption pair only when the quantized cosine between the
+    // image's perceptual features and the caption's embedding clears
+    // 1/10 — integer-exact per pair, so the decision AND the dot
+    // hash-match. DuckDB re-derives the image features from the LCG
+    // closed form (the mm_feature_ann precedent), quantizes both sides,
+    // and replays the cross-multiplied HUGEINT compare. Both keep arms
+    // are live at sf0.01.
+    Q(
+      "mm_pair_filter",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") * 4 + 1).as("img_id"))
+        val feats = Multimodal
+          .decodeAndFeaturize(Multimodal.synthesizeImages(docs, "img_id"), "blob")
+          .select(col("doc_id"), col("features"))
+        val caps = Tables(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        Multimodal
+          .pairCosineGate(feats.join(caps, Seq("doc_id")), tNum = 1, tDen = 10)
+          .orderBy("doc_id")
+      },
+      Some(mmPairFilterOracleSql),
+    ),
     // Frame sampling over video-like blobs: every 2nd 1 KiB slice, max 4
     // frames per blob, per-blob frame_idx from the generator. Frames are
     // compared as md5-of-hex (DuckDB cannot slice BLOBs, but hex strings
@@ -1683,6 +1708,38 @@ object TrainingDataQueries {
     * engines round identically), quantized floor(x·1e6), ranked by exact
     * integer dot products (the quantizedMipsTopK contract).
     */
+  /** ≡ the mm_pair_filter Spark pipeline: image features from the LCG
+    * closed form (the shared mmGridCtes), both sides quantized
+    * floor(x·1e6), dot over the common 64-dim prefix, and the
+    * cross-multiplied keep compare in HUGEINT (d²·dot² ≥ n²·|qi|²·|qc|²
+    * at 1/10, dot strictly positive).
+    */
+  private def mmPairFilterOracleSql: String =
+    s"""
+      WITH RECURSIVE $mmGridCtes,
+      fq AS (SELECT doc_id, gy * 8 + gx AS idx,
+                    CAST(floor(CAST(CAST(cell AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+             FROM g8),
+      img AS (SELECT doc_id, list(q ORDER BY idx) AS qi FROM fq GROUP BY doc_id),
+      cap AS (SELECT vec_id AS doc_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qc
+              FROM embeddings WHERE embedding IS NOT NULL),
+      j AS (SELECT i.doc_id, i.qi, c.qc FROM img i JOIN cap c USING (doc_id)),
+      m AS (SELECT doc_id,
+                   CAST(list_sum(list_transform(range(1, LEAST(len(qi), len(qc)) + 1),
+                     k -> qi[k] * qc[k])) AS BIGINT) AS dot,
+                   CAST(list_sum(list_transform(range(1, len(qi) + 1),
+                     k -> qi[k] * qi[k])) AS BIGINT) AS ni,
+                   CAST(list_sum(list_transform(range(1, len(qc) + 1),
+                     k -> qc[k] * qc[k])) AS BIGINT) AS nc
+            FROM j)
+      SELECT doc_id, dot AS qdot,
+             CAST(CASE WHEN dot > 0
+                        AND 100 * CAST(dot AS HUGEINT) * dot >= CAST(ni AS HUGEINT) * nc
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM m ORDER BY doc_id"""
+
   private def mmFeatureAnnOracleSql: String =
     s"""
       WITH RECURSIVE $mmGridCtes,

@@ -562,4 +562,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q exchanges must carry slim rows:\n" + ex.mkString("\n"))
     }
   }
+
+  test("r17 shapes: pair gate is one id-equijoin + typed map — no cartesian, no text in exchanges") {
+    val p = plan("mm_pair_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    val ex = p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!ex.exists(_.contains("text#")),
+      "pair-gate exchanges must carry ids/vectors, not bodies:\n" + ex.mkString("\n"))
+  }
 }

@@ -943,4 +943,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // approximate pass returned nothing — still a (0, 0) row
     assert(got == Set((1L, 2L, 1L), (2L, 1L, 0L), (3L, 0L, 0L)))
   }
+
+  test("pairCosineGate: keep iff quantized cosine clears the rational threshold; nulls drop") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      // identical vectors: cosine 1 — keep at any threshold
+      (1L, Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
+      // orthogonal: dot 0 — never keep (dot > 0 is strict)
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      // opposed: negative dot — never keep
+      (3L, Array(1f, 0f, 0f), Array(-1f, 0f, 0f)),
+      // cos = 1/√2 ≈ 0.707: keep at 1/2, drop at 3/4
+      (4L, Array(1f, 0f, 0f), Array(1f, 1f, 0f)),
+      // missing modality: dropped, not errored
+      (5L, null.asInstanceOf[Array[Float]], Array(1f, 0f, 0f)),
+      (6L, Array(1f, 0f, 0f), null.asInstanceOf[Array[Float]]),
+    ).toDF("doc_id", "features", "embedding")
+    def keeps(tn: Int, td: Int): Map[Long, Long] =
+      Multimodal.pairCosineGate(pairs, tn, td)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val atHalf = keeps(1, 2)
+    assert(atHalf == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 0L), atHalf)
+    val atThreeQ = keeps(3, 4)
+    assert(atThreeQ(4L) == 0L && atThreeQ(1L) == 1L, atThreeQ.toString)
+    // monotone: raising the threshold can only shrink the kept set
+    val keptHalf = atHalf.filter(_._2 == 1L).keySet
+    val keptThreeQ = atThreeQ.filter(_._2 == 1L).keySet
+    assert(keptThreeQ.subsetOf(keptHalf))
+    // the reported dot is the exact quantized integer product
+    val dots = Multimodal.pairCosineGate(pairs, 1, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dots(1L) == 1000000L * 1000000L + 2000000L * 2000000L)
+    assert(dots(3L) == -1000000L * 1000000L)
+  }
 }
