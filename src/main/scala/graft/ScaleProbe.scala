@@ -207,7 +207,11 @@ object ScaleProbe {
     // r17: CLIP-style pair gate — image synthesis + pixel decode + one
     // id-equijoin + a typed map; should track mm_features' ratio (the
     // decode dominates, the join carries slim 64-dim rows)
-    "mm_pair_filter")
+    "mm_pair_filter",
+    // r17: phrase mining — two explodes with partial-agg counts + two
+    // vocabulary-sized string joins + top-k; the c_bigram_support family's
+    // posture with strings kept only because they are the output
+    "c_pmi_topk")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

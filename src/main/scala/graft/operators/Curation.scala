@@ -353,6 +353,53 @@ object Curation {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Phrase mining: top-`k` word bigrams by the word2vec phrase score
+    * (Mikolov et al. 2013, "Distributed Representations of Words and
+    * Phrases...", §4: score(wa,wb) = (count(ab) − δ) / (count(a) ·
+    * count(b)) — bigrams scoring high relative to their parts are
+    * promoted to single tokens; δ discounts rare accidents). Kept
+    * integer-exact as parts-per-million via SEQUENTIAL integer division
+    * ((cab − δ)·10⁶ div ca div cb ≡ div (ca·cb) for positive ints — the
+    * associativity identity keeps every intermediate ≤ cab·10⁶, so
+    * nothing overflows Long even at 100 TB corpus counts where ca·cb
+    * alone would), ties to the lexicographically smaller bigram. Note
+    * the score ranks identically to PMI: pmi = log(cab·N²/(N_bi·ca·cb))
+    * and the N terms are constant across bigrams.
+    *
+    * Scale shape: two explodes with map-side-combined counts (a hot
+    * bigram reaches its reducer as one partial per map task), then two
+    * string-keyed equi-joins against the unigram table — vocabulary-
+    * sized, AQE-splittable — and a TakeOrdered top-k. No window, no
+    * driver state, no corpus-sized structure. Raw bigram STRINGS stay
+    * only because they ARE the output; the filtering twin
+    * [[bigramSupport]] hashes before any exchange.
+    */
+  def pmiTopK(docs: DataFrame, k: Int, delta: Long = 1L,
+              textCol: String = "text"): DataFrame = {
+    require(k >= 1 && delta >= 0)
+    val ws = split(trim(col(textCol)), "\\s+")
+    val base = docs.filter(col(textCol).isNotNull).select(ws.as("ws"))
+    val uni = base.select(explode(col("ws")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = base
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("wa"),
+          element_at(col("ws"), i + 1).as("wb")))).as("bg"))
+      .select(col("bg.wa"), col("bg.wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+    bi.filter(col("cab") > delta)
+      .join(uni.select(col("w").as("wa"), col("c").as("ca")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("c").as("cb")), Seq("wb"))
+      .select(
+        concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("cab"), col("ca"), col("cb"),
+        expr(s"((cab - $delta) * 1000000) div ca div cb").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Concat-and-chunk sequence packing — the standard pretraining step:
     * documents are concatenated in deterministic `idCol` order into one
     * global token stream, which is then chunked into fixed `maxLen`
@@ -2949,6 +2996,29 @@ object Curation {
         SELECT h.doc_id, h.domain, m.block_rule,
                CAST(CASE WHEN m.block_rule IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked
         FROM h LEFT JOIN m ON h.doc_id = m.doc_id ORDER BY h.doc_id"""),
+    ),
+    // word2vec phrase mining: top-30 bigrams by the discounted phrase
+    // score in exact parts-per-million (sequential integer division — see
+    // pmiTopK's overflow note). Ranks identically to PMI; ties to the
+    // smaller bigram string.
+    Q(
+      "c_pmi_topk",
+      (s, dir) => pmiTopK(Tables(s, dir, "documents"), k = 30),
+      Some("""
+        WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents WHERE text IS NOT NULL),
+        u AS (SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest(ws) AS w FROM w) WHERE w <> '' GROUP BY w),
+        b AS (SELECT wa, wb, COUNT(*) AS cab FROM (
+                SELECT ws[i] AS wa, ws[i + 1] AS wb
+                FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w))
+              GROUP BY wa, wb),
+        sc AS (SELECT b.wa || ' ' || b.wb AS bigram, b.cab, ua.c AS ca, ub.c AS cb,
+                      CAST(((b.cab - 1) * 1000000) // ua.c // ub.c AS BIGINT) AS score_ppm
+               FROM b JOIN u ua ON b.wa = ua.w JOIN u ub ON b.wb = ub.w
+               WHERE b.cab > 1)
+        SELECT bigram, cab, ca, cb, score_ppm
+        FROM sc ORDER BY score_ppm DESC, bigram LIMIT 30"""),
     ),
   )
 }
