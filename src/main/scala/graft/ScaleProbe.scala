@@ -211,7 +211,10 @@ object ScaleProbe {
     // r17: phrase mining — two explodes with partial-agg counts + two
     // vocabulary-sized string joins + top-k; the c_bigram_support family's
     // posture with strings kept only because they are the output
-    "c_pmi_topk")
+    "c_pmi_topk",
+    // r17: unigram Viterbi ids — a pure native-expression projection like
+    // the BPE/WordPiece faces, with an O(len·maxPiece) DP per word
+    "c_tokenize_unigram")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -134,6 +134,91 @@ object TextAnalysis {
         LEFT JOIN g USING (doc_id)
         ORDER BY doc_id"""
 
+  /** Unigram-LM (SentencePiece) Viterbi tokenization — see
+    * [[graft.functions.UnigramTokenize]]: maximize summed piece scores,
+    * the decode no greedy face can reproduce.
+    */
+  def unigramTokenize(c: Column, vocab: Seq[(String, Long)] = UnigramVocab): Column =
+    graft.functions.UnigramTokenize(c, vocab)
+
+  /** Frozen (piece, score) fixture for the unigram query, built so every
+    * semantic arm is LIVE on the corpus word stock at sf0.01:
+    * Viterbi-beats-greedy ("scan" → sca+n at 9+1=10 over the whole-word
+    * match scan=8 that every greedy face takes), the piece-count
+    * tie-break ("table" → ta+ble and t+a+ble both score 6; fewer pieces
+    * wins), multi-piece decompositions ("customer" → cus+tom+er), and
+    * the uncoverable-word UNK arm ("query" — no 'q' piece). Singles for
+    * every letter except q/z keep the rest of the stock coverable. A
+    * production run passes its trained unigram model's (piece, log-prob
+    * scaled to integer) table.
+    */
+  val UnigramVocab: Seq[(String, Long)] = Seq(
+    "sca" -> 9L, "scan" -> 8L, "can" -> 7L, "the" -> 5L, "win" -> 5L,
+    "dow" -> 5L, "ta" -> 2L, "ble" -> 4L, "val" -> 4L, "ue" -> 3L,
+    "er" -> 3L, "cus" -> 4L, "tom" -> 4L) ++
+    "abcdefghijklmnoprstuvwxy".map(ch => ch.toString -> 1L)
+
+  /** The unigram vocab as DuckDB VALUES rows `(piece, id, score)` —
+    * single source with [[UnigramVocab]].
+    */
+  private def unigramVocabSqlValues: String =
+    UnigramVocab.zipWithIndex.map { case ((p, sc), i) =>
+      s"('${p.replace("'", "''")}', ${i + 1}, $sc)"
+    }.mkString(", ")
+
+  /** ≡ the c_tokenize_unigram Spark pipeline: every segmentation path
+    * enumerated by a recursive CTE, ranked per word by the SAME total
+    * order the Viterbi DP composes (score DESC, piece count ASC, id
+    * sequence lexicographically ASC — via the zero-padded id string),
+    * uncoverable words collapsing to the single UNK id 0 with score 0.
+    */
+  private def unigramOracleSql: String =
+    s"""
+        WITH RECURSIVE vocab(piece, id, score) AS (
+          SELECT * FROM (VALUES $unigramVocabSqlValues) AS v(piece, id, score)),
+        w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+        x AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wpos, ws FROM w),
+        wd AS (SELECT doc_id, wpos, ws[wpos] AS wrd FROM x WHERE ws[wpos] <> ''),
+        r AS (
+          SELECT doc_id, wpos, wrd, 1 AS pos, 0 AS score, 0 AS n,
+                 '' AS idp, '' AS ids
+          FROM wd
+          UNION ALL
+          SELECT r.doc_id, r.wpos, r.wrd, r.pos + length(v.piece),
+                 r.score + v.score, r.n + 1,
+                 r.idp || lpad(CAST(v.id AS VARCHAR), 3, '0'),
+                 CASE WHEN r.ids = '' THEN CAST(v.id AS VARCHAR)
+                      ELSE r.ids || ',' || CAST(v.id AS VARCHAR) END
+          FROM r JOIN vocab v
+            ON substr(r.wrd, r.pos, length(v.piece)) = v.piece
+          WHERE r.pos <= length(r.wrd)
+        ),
+        term AS (SELECT doc_id, wpos, score, n, idp, ids FROM r
+                 WHERE pos > length(wrd) AND n > 0),
+        best AS (SELECT doc_id, wpos, score, n, ids FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id, wpos
+                            ORDER BY score DESC, n ASC, idp ASC) AS rk
+                   FROM term) WHERE rk = 1),
+        perw AS (SELECT wd.doc_id, wd.wpos,
+                        COALESCE(b.ids, '0') AS ids,
+                        COALESCE(b.n, 1) AS n,
+                        COALESCE(b.score, 0) AS score,
+                        CASE WHEN b.ids IS NULL THEN 1 ELSE 0 END AS unk
+                 FROM wd LEFT JOIN best b USING (doc_id, wpos)),
+        g AS (SELECT doc_id, string_agg(ids, ',' ORDER BY wpos) AS ids,
+                     CAST(SUM(n) AS BIGINT) AS n_pieces,
+                     CAST(SUM(unk) AS BIGINT) AS n_unk,
+                     CAST(SUM(score) AS BIGINT) AS score
+              FROM perw GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(g.ids, '') AS ids,
+               COALESCE(g.n_pieces, 0) AS n_pieces,
+               COALESCE(g.n_unk, 0) AS n_unk,
+               COALESCE(g.score, 0) AS score
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN g USING (doc_id)
+        ORDER BY doc_id"""
+
   /** Simple quality metrics (counts, not ratios — deterministic for the
     * oracle; ratios are a trivial division on top).
     */
@@ -1245,6 +1330,31 @@ object TextAnalysis {
             size(filter(col("idsa"), _ === 0L)).cast("long").as("n_unk"))
           .orderBy("doc_id"),
       Some(wordpieceOracleSql),
+    ),
+    // Unigram-LM Viterbi tokenization (the SentencePiece decode): the
+    // segmentation MAXIMIZING summed piece scores, which no greedy face
+    // can produce (fixture arm: "scan" → sca+n over the whole-word
+    // match). Oracle enumerates all paths recursively and ranks by the
+    // same (score, count, lex) order; score is re-derived from the ids
+    // on the Spark side, so the lookup table is pinned too.
+    Q(
+      "c_tokenize_unigram",
+      (s, dir) => {
+        val scoresLit = typedlit(UnigramVocab.map(_._2))
+        val pieceScore = (id: Column) =>
+          when(id === 0L, 0L).otherwise(element_at(scoresLit, id.cast("int")))
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), unigramTokenize(col("text")).as("idsa"))
+          .select(
+            col("doc_id"),
+            array_join(transform(col("idsa"), _.cast("string")), ",").as("ids"),
+            size(col("idsa")).cast("long").as("n_pieces"),
+            size(filter(col("idsa"), _ === 0L)).cast("long").as("n_unk"),
+            aggregate(col("idsa"), lit(0L), (acc, id) => acc + pieceScore(id)).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(unigramOracleSql),
     ),
     // Exact heavy hitters: top-20 tokens by total term frequency. The
     // small-data face the CMS query audits against.

@@ -530,11 +530,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("r17 shapes: wordpiece map-only; CMS sketch side never explodes and broadcasts onto candidates") {
-    // wordpiece ids: a pure projection (native expression) — no join, no
-    // aggregate, no window, no explode
-    val wp = plan("c_tokenize_wordpiece")
-    assert(!wp.contains("Join") && !wp.contains("HashAggregate") &&
-      !wp.contains("Window") && !wp.contains("Generate"), wp.take(2000))
+    // wordpiece + unigram ids: pure projections (native expressions) — no
+    // join, no aggregate, no window, no explode
+    for (q <- Seq("c_tokenize_wordpiece", "c_tokenize_unigram")) {
+      val wp = plan(q)
+      assert(!wp.contains("Join") && !wp.contains("HashAggregate") &&
+        !wp.contains("Window") && !wp.contains("Generate"), s"$q: ${wp.take(2000)}")
+    }
     // CMS: exactly one Generate total (the exact-count audit side); the
     // sketch build must be aggregation without explode — the whole point
     // of the Aggregator is that token occurrences never become shuffle
