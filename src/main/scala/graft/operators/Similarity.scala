@@ -1086,6 +1086,148 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** IVF-PQ in exact integer arithmetic — the composition a 100 TB ANN
+    * deployment actually runs (Jégou et al. 2011 §V: IVFADC): a coarse
+    * quantizer routes vectors into cells, and PQ encodes the RESIDUAL
+    * v − centroid(cell) — residuals are tighter than raw vectors, so the
+    * same code budget buys more precision; queries probe `nProbe` cells
+    * and score candidates with a PER-CELL ADC table over the query's
+    * residual in that cell. Memory per vector: one cell id + m codes.
+    *
+    * Determinism contract: coarse centroids are [[quantizedIvfTopK]]'s
+    * seeds (quantized `nCells` lowest-id vectors, MIPS assignment, ties
+    * to the lower cell); the residual codebook's codewords are the
+    * subspace slices of the `ks` lowest-id vectors' OWN-CELL residuals;
+    * encoding argmin ties to the lower codeword; ranks ascend by
+    * (dist, neighbor_id). Every step is integer, so cell routing, codes,
+    * tables, and ranks are bit-identical across engines and the oracle
+    * replays the ENTIRE index mechanics. (Float k-means at both levels
+    * is the production recall lever, as with the other quantized twins.)
+    *
+    * Scale shape: centroids + residual codebooks broadcast; one map pass
+    * emits (cell, id, m codes) and DROPS the vectors; the bounded query
+    * batch broadcasts with one ADC table per probed cell; the cell
+    * equi-join bounds score work to O(N·Q·nProbe/nCells) code lookups —
+    * the IVF pruning and the PQ compression compose multiplicatively.
+    */
+  def quantizedIvfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1 && nCells >= 1 && nProbe >= 1 && m >= 1 && ks >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = seedCentroids(corpus, nCells, idCol, vecCol, scale)
+    val dim = cent(0).length
+    require(cent.forall(_.length == dim),
+      s"IVF-PQ requires uniform dimensionality; seed rows disagree with dim=$dim")
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+
+    def residual(q: Array[Long], cell: Int): Array[Long] = {
+      val c = cent(cell)
+      val out = new Array[Long](q.length)
+      var i = 0
+      while (i < q.length) { out(i) = q(i) - c(i); i += 1 }
+      out
+    }
+    // residual codebook: subspace slices of the ks lowest-id vectors'
+    // own-cell residuals (seedCentroids re-collects the same rows — the
+    // shared deterministic seed contract, bounded at ks rows)
+    val resSeeds = seedCentroids(corpus, ks, idCol, vecCol, scale).map { q =>
+      require(q.length == dim, s"seed dim ${q.length} != $dim")
+      residual(q, bestCells(cent, q, 1)(0))
+    }
+    val codebook: Array[Array[Array[Long]]] =
+      Array.tabulate(m, resSeeds.length)((j, c) => resSeeds(c).slice(j * sub, (j + 1) * sub))
+    val nCw = resSeeds.length
+    val centB = spark.sparkContext.broadcast(cent)
+    val cbB = spark.sparkContext.broadcast(codebook)
+
+    def subDist(cw: Array[Long], v: Array[Long], j: Int): Long = {
+      var s = 0L; var i = 0
+      while (i < cw.length) { val d = v(j * cw.length + i) - cw(i); s += d * d; i += 1 }
+      s
+    }
+    def encode(cb: Array[Array[Array[Long]]], r: Array[Long]): Array[Int] =
+      Array.tabulate(cb.length) { j =>
+        val cws = cb(j)
+        var best = 0; var bd = subDist(cws(0), r, j); var c = 1
+        while (c < cws.length) {
+          val d = subDist(cws(c), r, j)
+          if (d < bd) { best = c; bd = d }
+          c += 1
+        }
+        best
+      }
+
+    val cells = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        require(q.length == dim, s"corpus vector dim ${q.length} != codebook dim $dim")
+        val cell = bestCells(centB.value, q, 1)(0)
+        (cell, id, encode(cbB.value, residualOf(q, centB.value(cell))))
+      }
+      .toDF("cell", "neighbor_id", "codes")
+    // one ADC table per (query, probed cell) over the query's residual
+    val probes: Array[(Int, Long, Array[Long])] = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .flatMap { case (id, v) =>
+        val q = quantizeChecked(v, scale)
+        bestCells(cent, q, nProbe).map { cell =>
+          val r = residualOf(q, cent(cell))
+          val table = new Array[Long](m * nCw)
+          var j = 0
+          while (j < m) {
+            var c = 0
+            while (c < nCw) { table(j * nCw + c) = subDist(codebook(j)(c), r, j); c += 1 }
+            j += 1
+          }
+          (cell, id, table)
+        }
+      }
+    val qdf = spark.createDataset(probes.toSeq).toDF("cell", "query_id", "q_table")
+    val scored = cells
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist",
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, j) => element_at(col("q_table"), (j * nCw + code + 1).cast("int"))),
+          lit(0L), _ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dist")
+  }
+
+  /** q − c, elementwise (object-level so executor closures call it
+    * statically without capturing the module).
+    */
+  private def residualOf(q: Array[Long], c: Array[Long]): Array[Long] = {
+    val out = new Array[Long](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i) - c(i); i += 1 }
+    out
+  }
+
   /** Quantized vectors of the `nCells` lowest-id corpus rows — the ONE
     * deterministic seed-centroid contract shared by [[quantizedIvfTopK]]
     * and [[semDedup]] (a bounded ordered collect; any engine re-derives

@@ -684,6 +684,23 @@ object TrainingDataQueries {
       },
       Some(quantPqOracleSql),
     ),
+    // IVF-PQ (Jégou et al. 2011 §V, IVFADC) — the full composed index a
+    // 100 TB deployment runs: coarse cells route, PQ codes the RESIDUAL
+    // v − centroid, queries probe nProbe cells with per-cell ADC tables.
+    // Every stage seed-derived and integer, so the oracle replays cell
+    // routing, residual codebooks, codes, tables, and ranks end-to-end.
+    Q(
+      "ann_quant_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity
+          .quantizedIvfPqTopK(emb, queries, k = 5, nCells = 8, nProbe = 2, m = 8, ks = 16)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+          .orderBy("query_id", "rank")
+      },
+      Some(quantIvfPqOracleSql),
+    ),
     // IVF-bucketed ANN (the other scale path: trained coarse quantizer +
     // nProbe cells) — rows-only; recall vs brute force in the unit spec.
     Q(
@@ -1708,6 +1725,71 @@ object TrainingDataQueries {
     * engines round identically), quantized floor(x·1e6), ranked by exact
     * integer dot products (the quantizedMipsTopK contract).
     */
+  /** ≡ Similarity.quantizedIvfPqTopK(embeddings, vec_id<10, k=5,
+    * nCells=8, nProbe=2, m=8, ks=16): coarse seed centroids + MIPS cell
+    * routing (the quantIvf CTEs), residual codebook from the 16
+    * lowest-id vectors' own-cell residuals, per-(vector, subspace)
+    * argmin codes, per-(query, probed cell) ADC tables, summed over the
+    * cell-respecting 8-way join.
+    */
+  private def quantIvfPqOracleSql: String = {
+    val (nCells, nProbe, m, ks, k) = (8, 2, 8, 16, 5)
+    s"""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        FROM embeddings WHERE embedding IS NOT NULL
+      ),
+      cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS c, qv AS cv
+               FROM qz ORDER BY vec_id LIMIT $nCells),
+      asg AS (SELECT z.vec_id, z.qv, c.c,
+                     CAST(list_sum(list_transform(range(1, len(z.qv) + 1),
+                       i -> z.qv[i] * c.cv[i])) AS BIGINT) AS d
+              FROM qz z CROSS JOIN cent c),
+      rka AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+              FROM asg),
+      cellv AS (SELECT a.vec_id, a.c AS cell,
+                       list_transform(range(1, len(a.qv) + 1),
+                         i -> a.qv[i] - ct.cv[i]) AS rv
+                FROM rka a JOIN cent ct ON ct.c = a.c WHERE a.rk = 1),
+      rseed AS (SELECT row_number() OVER (ORDER BY vec_id) AS cw, rv AS sv
+                FROM cellv ORDER BY vec_id LIMIT $ks),
+      sdim AS (SELECT len(sv) // $m AS sub FROM rseed LIMIT 1),
+      js AS (SELECT unnest(range(1, $m + 1)) AS j),
+      cb AS (SELECT js.j, rseed.cw,
+                    list_slice(rseed.sv, (js.j - 1) * sdim.sub + 1, js.j * sdim.sub) AS cvec
+             FROM rseed CROSS JOIN js CROSS JOIN sdim),
+      encd AS (SELECT v.vec_id, c.j, c.cw,
+                      CAST(list_sum(list_transform(range(1, len(c.cvec) + 1),
+                        i -> (v.rv[(c.j - 1) * len(c.cvec) + i] - c.cvec[i])
+                           * (v.rv[(c.j - 1) * len(c.cvec) + i] - c.cvec[i]))) AS BIGINT) AS d
+               FROM cellv v CROSS JOIN cb c),
+      enc AS (SELECT vec_id, j, cw FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cw) AS rk
+                FROM encd) WHERE rk = 1),
+      ecell AS (SELECT e.vec_id, v.cell, e.j, e.cw FROM enc e JOIN cellv v USING (vec_id)),
+      qres AS (SELECT q.vec_id AS query_id, q.c AS cell,
+                      list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] - ct.cv[i]) AS rv
+               FROM rka q JOIN cent ct ON ct.c = q.c
+               WHERE q.vec_id < 10 AND q.rk <= $nProbe),
+      qt AS (SELECT r.query_id, r.cell, c.j, c.cw,
+                    CAST(list_sum(list_transform(range(1, len(c.cvec) + 1),
+                      i -> (r.rv[(c.j - 1) * len(c.cvec) + i] - c.cvec[i])
+                         * (r.rv[(c.j - 1) * len(c.cvec) + i] - c.cvec[i]))) AS BIGINT) AS d
+             FROM qres r CROSS JOIN cb c),
+      sc AS (SELECT qt.query_id, e.vec_id AS neighbor_id, CAST(SUM(qt.d) AS BIGINT) AS dist
+             FROM ecell e JOIN qt ON qt.cell = e.cell AND qt.j = e.j AND qt.cw = e.cw
+             WHERE e.vec_id <> qt.query_id
+             GROUP BY qt.query_id, e.vec_id),
+      r2 AS (SELECT query_id, neighbor_id, dist,
+                    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+             FROM sc)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
+      FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** ≡ the mm_pair_filter Spark pipeline: image features from the LCG
     * closed form (the shared mmGridCtes), both sides quantized
     * floor(x·1e6), dot over the common 64-dim prefix, and the

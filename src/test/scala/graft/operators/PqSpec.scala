@@ -92,6 +92,44 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage != null)
   }
 
+  test("IVF-PQ exactness limit: all cells probed + every residual a codeword == exact L2") {
+    val c = smallCorpus
+    val q = c.filter(col("vec_id") < 3)
+    val ivfpq = collectRanks(
+      Similarity.quantizedIvfPqTopK(c, q, k = 4, nCells = 4, nProbe = 4, m = 4, ks = 12)
+        .orderBy("query_id", "rank"))
+    val l2 = collectRanks(
+      Similarity.quantizedL2TopK(c, q, k = 4).orderBy("query_id", "rank"))
+    assert(ivfpq == l2)
+  }
+
+  test("IVF-PQ recall on real embeddings: compressed+pruned still overlaps exact L2") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val apx = Similarity
+      .quantizedIvfPqTopK(emb, q, k = 5, nCells = 8, nProbe = 2, m = 8, ks = 16)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val l2 = Similarity.quantizedL2TopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = l2.map { case (qid, truth) => (apx.getOrElse(qid, Set.empty) & truth).size }.sum
+    val total = l2.values.map(_.size).sum
+    assert(total > 0 && hits > 0, s"IVF-PQ found nothing of the exact top-5 ($hits/$total)")
+  }
+
+  test("IVF-PQ partitioning insensitivity") {
+    val c = smallCorpus
+    val q = c.filter(col("vec_id") < 3)
+    val one = collectRanks(
+      Similarity.quantizedIvfPqTopK(c.repartition(1), q, k = 3, nCells = 3, nProbe = 2, m = 4, ks = 5)
+        .orderBy("query_id", "rank"))
+    val many = collectRanks(
+      Similarity.quantizedIvfPqTopK(c.repartition(7), q, k = 3, nCells = 3, nProbe = 2, m = 4, ks = 5)
+        .orderBy("query_id", "rank"))
+    assert(one == many)
+  }
+
   test("L2 face: self excluded, ranks ascend by (dist, id)") {
     val c = smallCorpus
     val q = c.filter(col("vec_id") === 0L)
