@@ -1354,21 +1354,91 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       scale: Double = 1e6,
-  ): DataFrame = {
-    requireIntegralId(corpus, idCol)
-    requireIntegralId(queries, idCol)
-    require(k >= 1 && m >= 1 && ks >= 1)
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  ): DataFrame =
+    quantizedPqTopKWith(pqCodebook(corpus, m, ks, idCol, vecCol, scale),
+      corpus, queries, k, idCol, vecCol, scale)
+
+  /** The seed-contract PQ codebook of [[quantizedPqTopK]], exposed for
+    * the train-once/serve-forever lifecycle: `codebook(j)(c)` = the
+    * subspace-j slice of the quantized c-th lowest-id corpus vector.
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, ks: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 scale: Double = 1e6): Array[Array[Array[Long]]] = {
+    require(m >= 1 && ks >= 1)
     val seeds = seedCentroids(corpus, ks, idCol, vecCol, scale)
     val dim = seeds(0).length
     require(seeds.forall(_.length == dim),
       s"PQ requires uniform dimensionality; seed rows disagree with dim=$dim")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    // codebook(j)(c) = subspace-j slice of seed c
-    val codebook: Array[Array[Array[Long]]] =
-      Array.tabulate(m, seeds.length)((j, c) => seeds(c).slice(j * sub, (j + 1) * sub))
+    Array.tabulate(m, seeds.length)((j, c) => seeds(c).slice(j * sub, (j + 1) * sub))
+  }
+
+  /** Persist a PQ codebook as a (subspace, cw, codeword) parquet — the
+    * index artifact: encode/serve jobs [[loadPqCodebook]] +
+    * [[quantizedPqTopKWith]] without re-deriving from the corpus (and a
+    * FLOAT-k-means-trained codebook would flow through the same files).
+    * Longs round-trip exactly, so the reloaded index serves IDENTICAL
+    * top-k (PqSpec).
+    */
+  def savePqCodebook(spark: org.apache.spark.sql.SparkSession,
+                     codebook: Array[Array[Array[Long]]], outDir: String): Unit = {
+    require(codebook.nonEmpty && codebook(0).nonEmpty,
+      "refusing to persist an empty codebook")
+    import spark.implicits._
+    (for {
+      j <- codebook.indices
+      c <- codebook(j).indices
+    } yield (j, c, codebook(j)(c))).toDF("subspace", "cw", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Reload a persisted PQ codebook. Validates the (subspace, cw) grid is
+    * complete and uniform — a dropped row would silently remap every code
+    * downstream, so it fails fast instead.
+    */
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Array[Array[Array[Long]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir)
+      .select(col("subspace").cast("int"), col("cw").cast("int"), col("codeword"))
+      .as[(Int, Int, Array[Long])]
+      .collect()
+    require(rows.nonEmpty, s"no codebook rows under $dir")
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    require(rows.length == m * ks &&
+      rows.map(r => (r._1, r._2)).toSet.size == m * ks,
+      s"codebook grid must be complete ${m}x$ks, got ${rows.length} rows")
+    val sub = rows(0)._3.length
+    require(rows.forall(_._3.length == sub), "codeword lengths disagree")
+    val out = Array.ofDim[Array[Long]](m, ks)
+    rows.foreach { case (j, c, v) => out(j)(c) = v }
+    out
+  }
+
+  /** [[quantizedPqTopK]] against a PRE-DERIVED codebook — the serving
+    * path of the persisted index.
+    */
+  def quantizedPqTopKWith(
+      codebook: Array[Array[Array[Long]]],
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scale: Double = 1e6,
+  ): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(queries, idCol)
+    require(k >= 1)
+    require(codebook.nonEmpty && codebook(0).nonEmpty, "codebook must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val dim = m * sub
     val cbB = spark.sparkContext.broadcast(codebook)
 
     // squared L2 between v's subspace-j slice and codeword cw
@@ -1400,19 +1470,21 @@ object Similarity {
       .collect()
       .map { case (id, v) =>
         val qv = quantizeChecked(v, scale)
-        val table = new Array[Long](m * seeds.length)
+        require(qv.length == dim, s"PQ query vector dim ${qv.length} != codebook dim $dim")
+        val nk = codebook(0).length
+        val table = new Array[Long](m * nk)
         var j = 0
         while (j < m) {
           var c = 0
-          while (c < seeds.length) {
-            table(j * seeds.length + c) = subDist(codebook(j)(c), qv, j)
+          while (c < nk) {
+            table(j * nk + c) = subDist(codebook(j)(c), qv, j)
             c += 1
           }
           j += 1
         }
         (id, table)
       }
-    val nCw = seeds.length
+    val nCw = codebook(0).length
     val worstFirst = Ordering.Tuple2[Long, Long]
     val scored = broadcastHeapTopK[Array[Long], Array[Int], Long](
       corpus.filter(col(vecCol).isNotNull)

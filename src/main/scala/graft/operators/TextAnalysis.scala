@@ -845,6 +845,80 @@ object TextAnalysis {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
+  /** Per-source Count-Min sketches — the DISTRIBUTED face of the sketch
+    * family: each source (pipeline, day, shard) folds its own matrix and
+    * the elementwise SUM of per-source matrices IS the global sketch
+    * (linearity — the property that lets 1000 executors or 30 daily jobs
+    * each sketch independently and merge in O(depth·width); CmsSpec pins
+    * sum == global exactly). One untyped UDAF aggregation keyed by
+    * source: the exchange carries one 16 KB partial per (partition,
+    * source), never token rows.
+    */
+  def cmsBySource(docs: DataFrame, depth: Int, width: Int,
+                  sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val cms = udaf(new graft.functions.CmsSketch.Agg(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(cms(col(textCol)).as("sketch"))
+  }
+
+  /** The verification face of [[cmsBySource]]: for the global top-`k`
+    * tokens, each source's exact count next to its OWN sketch's point
+    * estimate — the per-tenant frequency audit a multi-source ingest
+    * runs, fully hash-oracled (per-source matrices replayed in SQL).
+    */
+  def cmsMergeReport(docs: DataFrame, k: Int, depth: Int, width: Int,
+                     sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val top = heavyHittersExact(docs, k, textCol)
+      .withColumnRenamed("cnt", "exact_global")
+    val srcExact = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("exact_src"))
+    top.crossJoin(broadcast(cmsBySource(docs, depth, width, sourceCol, textCol)))
+      .join(srcExact, Seq("source", "token"), "left")
+      .select(col("source"), col("token"), col("exact_global"),
+        coalesce(col("exact_src"), lit(0L)).as("exact_src"),
+        cmsEstimate(col("token"), col("sketch"), depth, width).as("est_src"))
+      .orderBy(col("source"), col("exact_global").desc, col("token"))
+  }
+
+  /** ≡ [[cmsMergeReport]](documents, k, depth, width): per-source
+    * matrices, per-source exact counts, and the global top-k replayed
+    * declaratively.
+    */
+  private def cmsMergeOracleSql(k: Int, depth: Int, width: Int): String =
+    s"""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        t2 AS (SELECT source, token FROM tok WHERE token <> ''),
+        top AS (SELECT token, COUNT(*) AS exact_global FROM t2
+                GROUP BY token ORDER BY exact_global DESC, token LIMIT $k),
+        se AS (SELECT source, token, COUNT(*) AS exact_src FROM t2 GROUP BY source, token),
+        rws AS (SELECT unnest(range(0, $depth)) AS r),
+        cells AS (
+          SELECT t2.source, rws.r AS r,
+                 CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || t2.token), 1, 8) AS BIGINT) % $width AS b,
+                 COUNT(*) AS c
+          FROM t2 CROSS JOIN rws GROUP BY 1, 2, 3),
+        srcs AS (SELECT DISTINCT source FROM t2),
+        est AS (
+          SELECT s.source, t.token, t.exact_global, MIN(COALESCE(c.c, 0)) AS est_src
+          FROM top t CROSS JOIN srcs s CROSS JOIN rws
+          LEFT JOIN cells c ON c.source = s.source AND c.r = rws.r
+           AND c.b = CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || t.token), 1, 8) AS BIGINT) % $width
+          GROUP BY s.source, t.token, t.exact_global)
+        SELECT e.source, e.token, e.exact_global,
+               CAST(COALESCE(se.exact_src, 0) AS BIGINT) AS exact_src,
+               CAST(e.est_src AS BIGINT) AS est_src
+        FROM est e LEFT JOIN se ON se.source = e.source AND se.token = e.token
+        ORDER BY e.source, e.exact_global DESC, e.token"""
+
   /** ≡ [[cmsHeavyHitters]](documents, k, depth, width): the whole sketch
     * — matrix cells AND estimates — replayed declaratively in DuckDB from
     * the same md5 bucket rule, so the cross-engine check pins the sketch
@@ -1377,6 +1451,15 @@ object TextAnalysis {
       "t_heavy_hitters_cms",
       (s, dir) => cmsHeavyHitters(Tables(s, dir, "documents"), 20, depth = 4, width = 512),
       Some(cmsOracleSql(20, 4, 512)),
+    ),
+    // The distributed-merge face: per-source sketches next to per-source
+    // exact counts for the global top-5 — the linearity property (sum of
+    // per-source matrices == global matrix) is what makes the sketch
+    // mergeable across executors and days; CmsSpec pins it exactly.
+    Q(
+      "t_cms_merge",
+      (s, dir) => cmsMergeReport(Tables(s, dir, "documents"), 5, depth = 4, width = 512),
+      Some(cmsMergeOracleSql(5, 4, 512)),
     ),
   )
 

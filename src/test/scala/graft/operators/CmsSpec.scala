@@ -100,6 +100,22 @@ class CmsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("linearity: elementwise sum of per-source sketches == the global sketch") {
+    val s = spark
+    import s.implicits._
+    val withSrc = fixture.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+    val global = sketchOf(withSrc)
+    val perSource = TextAnalysis.cmsBySource(withSrc, depth, width)
+      .collect().map(_.getSeq[Long](1).toArray)
+    assert(perSource.length == 2)
+    val merged = perSource.reduce { (a, b) =>
+      a.indices.foreach(i => a(i) += b(i)); a
+    }
+    assert(merged.toSeq == global.toSeq)
+  }
+
   test("cmsHeavyHitters pairs exact counts with >= estimates in rank order") {
     val out = TextAnalysis.cmsHeavyHitters(docs(fixture: _*), k = 5, depth, width).collect()
     assert(out.nonEmpty && out.length <= 5)

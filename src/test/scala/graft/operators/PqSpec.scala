@@ -130,6 +130,28 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
   }
 
+  test("PQ codebook persists and reloads bit-exact; reloaded index serves identical top-k") {
+    val c = smallCorpus
+    val q = c.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString + "/cb"
+    val cb = Similarity.pqCodebook(c, m = 4, ks = 6)
+    Similarity.savePqCodebook(spark, cb, dir)
+    val re = Similarity.loadPqCodebook(spark, dir)
+    assert(re.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val a = collectRanks(Similarity.quantizedPqTopKWith(cb, c, q, k = 4)
+      .orderBy("query_id", "rank"))
+    val b = collectRanks(Similarity.quantizedPqTopKWith(re, c, q, k = 4)
+      .orderBy("query_id", "rank"))
+    val direct = collectRanks(Similarity.quantizedPqTopK(c, q, k = 4, m = 4, ks = 6)
+      .orderBy("query_id", "rank"))
+    assert(a == b && a == direct)
+    // incomplete grid fails fast
+    spark.read.parquet(dir).filter(col("cw") =!= 0)
+      .write.mode("overwrite").parquet(dir + "_broken")
+    val e = intercept[IllegalArgumentException](Similarity.loadPqCodebook(spark, dir + "_broken"))
+    assert(e.getMessage.contains("complete"), e.getMessage)
+  }
+
   test("L2 face: self excluded, ranks ascend by (dist, id)") {
     val c = smallCorpus
     val q = c.filter(col("vec_id") === 0L)
