@@ -139,6 +139,12 @@ object RestartProbe {
       // same docs across the kill/restart boundary
       arm("deconFilter",
         docs => DocStream.deconFilter(docs, deconDir)),
+      // bounded-stateful arm: the windowed Count-Min matrix — recovery
+      // must restore the open window's 2048-counter state exactly or the
+      // emitted sketch (and every estimate served from it) drifts; the
+      // kill lands with a batch in flight mid-window
+      arm("cmsByWindow",
+        docs => DocStream.cmsByWindow(docs, watermarkDelay = watermark)),
     )
     val json =
       s"""{"metric":"restart_probe","sf_dir":"$dir","batches":$nBatches,""" +
