@@ -1452,6 +1452,41 @@ object TextAnalysis {
       (s, dir) => cmsHeavyHitters(Tables(s, dir, "documents"), 20, depth = 4, width = 512),
       Some(cmsOracleSql(20, 4, 512)),
     ),
+    // Vocabulary-cardinality HLL per source: the CARDINALITY sketch next
+    // to the CMS FREQUENCY sketch — together the two fixed-size summaries
+    // a 100 TB token profile runs (how many distinct tokens / how often
+    // each). Reuses the trck HllAggregator (register-level parity-tested
+    // against the reference); the oracle hash-compares the exact distinct
+    // count and the within-4% flag (the a4_hll_estimate_check pattern).
+    // Feeding the sketch deduped (source, token) pairs is byte-identical
+    // to feeding every occurrence — register-max insertion is idempotent.
+    Q(
+      "t_vocab_hll",
+      (s, dir) => {
+        import graft.functions.HllAggregator
+        val tok = Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+        tok.distinct()
+          .groupBy("source")
+          .agg(
+            HllAggregator.trckHllHex(encode(col("token"), "UTF-8")).as("hll_hex"),
+            count(lit(1)).cast("long").as("n_exact"))
+          .withColumn("within_tol",
+            abs(HllAggregator.estimateUdf(col("hll_hex")) - col("n_exact")) <=
+              lit(0.04) * greatest(col("n_exact"), lit(1L)))
+          .select(col("source"), col("n_exact"), col("within_tol"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL)
+        SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact,
+               TRUE AS within_tol
+        FROM tok WHERE token <> '' GROUP BY source ORDER BY source"""),
+    ),
     // The distributed-merge face: per-source sketches next to per-source
     // exact counts for the global top-5 — the linearity property (sum of
     // per-source matrices == global matrix) is what makes the sketch
