@@ -485,13 +485,55 @@ object TextAnalysis {
     * body text survives verbatim up to whitespace collapse.
     */
   private def withSyntheticHtml(docs: DataFrame): DataFrame =
+    withSyntheticHtml(docs, coalesce(col("text"), lit("")))
+
+  private def withSyntheticHtml(docs: DataFrame, body: Column): DataFrame =
     docs.withColumn("html", concat(
       lit("<html><head><title>t</title><style>p { color: red }</style>" +
         "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script></head><body>"),
       when(col("doc_id") % 5 === 0, lit("<div class=\"unclosed\" <p>")).otherwise(lit("")),
       lit("<h1>Doc &quot;"), col("doc_id").cast("string"), lit("&quot;</h1><p>"),
-      coalesce(col("text"), lit("")),
+      body,
       lit("</p><span>&amp;&nbsp;&lt;tail&gt;</span></body></html>")))
+
+  /** The synthetic HTML shell around `inner` as a DuckDB expression —
+    * single source with [[withSyntheticHtml]] for every oracle that
+    * wraps a body.
+    */
+  private def htmlShellSqlExpr(inner: String): String =
+    "'<html><head><title>t</title><style>p { color: red }</style>' ||\n" +
+      "                 '<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script></head><body>' ||\n" +
+      "                 CASE WHEN doc_id % 5 = 0 THEN '<div class=\"unclosed\" <p>' ELSE '' END ||\n" +
+      "                 '<h1>Doc &quot;' || CAST(doc_id AS VARCHAR) || '&quot;</h1><p>' ||\n" +
+      s"                 $inner ||\n" +
+      "                 '</p><span>&amp;&nbsp;&lt;tail&gt;</span></body></html>'"
+
+  /** [[stripMarkup]] over `inner` as a DuckDB expression — the exact
+    * ordered regex/replace chain, shared by the t_html_strip oracle and
+    * the composed crawl pipeline.
+    */
+  private def stripSqlExpr(inner: String): String =
+    s"""trim(regexp_replace(
+                 replace(replace(replace(replace(replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace($inner, '(?is)<script\\b.*?</script>', ' ', 'g'),
+                       '(?is)<style\\b.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+                 '\\s+', ' ', 'g'))"""
+
+  /** [[fixMojibake]] over `inner` as a DuckDB expression. */
+  private def mojibakeFixSqlExpr(inner: String): String =
+    MojibakeTable.foldLeft(inner) { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
+
+  /** [[mojibakeCount]] over `inner` as a DuckDB expression. */
+  private def mojibakeCountSqlExpr(inner: String): String =
+    MojibakeTable.map { case (bad, _) =>
+      s"((length($inner) - length(replace($inner, '$bad', ''))) // ${bad.length})"
+    }.mkString(" + ")
 
   /** Fixed query-term bag for the BM25 face — words the synthetic corpus
     * actually uses at varied frequencies, so idf and tf both vary. A real
@@ -765,14 +807,42 @@ object TextAnalysis {
           lit("\nval n = 1\n// end"))))
   }
 
+  /** ≡ the c_pipeline_crawl Spark chain: the mojibake fixture over FULL
+    * bodies → the HTML shell → the strip chain → the fix/count chains →
+    * the rules CTEs, all from the same single-source expression
+    * generators the per-stage oracles use. CTE names chosen to avoid
+    * [[rulesCteSql]]'s own `s`/`f`.
+    */
+  private def crawlPipelineOracleSql: String =
+    s"""
+        WITH mj AS (
+          SELECT doc_id,
+                 COALESCE(text, '') ||
+                 CASE WHEN doc_id % 4 = 1 THEN '$MojibakeGarble' ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 3 THEN '$MojibakeDecoy' ELSE '' END AS mtext
+          FROM documents),
+        hh AS (
+          SELECT doc_id, ${htmlShellSqlExpr("mtext")} AS html
+          FROM mj),
+        st AS (
+          SELECT doc_id, ${stripSqlExpr("html")} AS ctext
+          FROM hh),
+        fx AS (
+          SELECT doc_id,
+                 CAST(${mojibakeCountSqlExpr("ctext")} AS BIGINT) AS n_bad,
+                 ${mojibakeFixSqlExpr("ctext")} AS fixed
+          FROM st),
+        fixedt AS (SELECT doc_id, fixed AS text FROM fx),
+        ${rulesCteSql("fixedt")}
+        SELECT fx.doc_id, fx.n_bad, md5(fx.fixed) AS fp,
+               CAST(f.ok_words * f.ok_mean_len * f.ok_stopwords * f.ok_distinct AS BIGINT) AS pass
+        FROM fx JOIN f ON fx.doc_id = f.doc_id
+        ORDER BY fx.doc_id"""
+
   /** The t_mojibake_fix oracle pieces, generated from [[MojibakeTable]]. */
   private def mojibakeFixSql: String = {
-    val fixed = MojibakeTable.foldLeft("mtext") { case (acc, (bad, good)) =>
-      s"replace($acc, '$bad', '$good')"
-    }
-    val cnt = MojibakeTable.map { case (bad, _) =>
-      s"((length(mtext) - length(replace(mtext, '$bad', ''))) // ${bad.length})"
-    }.mkString(" + ")
+    val fixed = mojibakeFixSqlExpr("mtext")
+    val cnt = mojibakeCountSqlExpr("mtext")
     s"""
         WITH m AS (
           SELECT doc_id,
@@ -1275,6 +1345,31 @@ object TextAnalysis {
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
                  '\s+', ' ', 'g')) AS clean_text
         FROM h ORDER BY doc_id"""),
+    ),
+    // The composed CRAWL chain under ONE end-to-end hash: markup strip →
+    // mojibake repair → Gopher-rules gate, over the HTML shell wrapping
+    // encoding-damaged full bodies — the first three stages every web
+    // pipeline runs before any dedup, composed so a drift in ANY stage
+    // (strip order, entity decode, fix table, rule thresholds) breaks
+    // the final fingerprint. All fixture arms live: damaged (%4=1),
+    // clean-decoy (%4=3), malformed-markup (%5=0), and both rule-gate
+    // outcomes. Map-only until the caller aggregates.
+    Q(
+      "c_pipeline_crawl",
+      (s, dir) => {
+        val damaged = Tables(s, dir, "documents").withColumn("mtext", concat(
+          coalesce(col("text"), lit("")),
+          when(col("doc_id") % 4 === 1, lit(MojibakeGarble)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 3, lit(MojibakeDecoy)).otherwise(lit(""))))
+        withSyntheticHtml(damaged, col("mtext"))
+          .withColumn("ctext", stripMarkup(col("html")))
+          .select(col("doc_id"),
+            mojibakeCount(col("ctext")).as("n_bad"),
+            md5(fixMojibake(col("ctext"))).as("fp"),
+            qualityPass(fixMojibake(col("ctext"))).cast("long").as("pass"))
+          .orderBy("doc_id")
+      },
+      Some(crawlPipelineOracleSql),
     ),
     // ftfy-style encoding repair over the planted mojibake fixture: the
     // damage count (threshold metric) and the repaired text itself, with
