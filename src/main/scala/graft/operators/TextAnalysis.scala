@@ -1582,6 +1582,54 @@ object TextAnalysis {
                TRUE AS within_tol
         FROM tok WHERE token <> '' GROUP BY source ORDER BY source"""),
     ),
+    // CMS calibration report: the overestimate-error histogram over
+    // EVERY distinct token (est − exact; never negative — the one-sided
+    // guarantee shows up as the absent negative bucket) plus the exact
+    // and estimated masses. The evaluation face that sizes (depth,
+    // width) for a corpus — the d_minhash_recall analog for the sketch
+    // family. Deterministic end-to-end, so the whole histogram
+    // hash-matches. width=64 here (vs the heavy-hitter query's 512) so
+    // collisions actually occur and the error arms are non-vacuous.
+    Q(
+      "t_cms_err",
+      (s, dir) => {
+        val (depth, width) = (4, 64)
+        val docs = Tables(s, dir, "documents")
+        val exact = docs.filter(col("text").isNotNull)
+          .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        exact.crossJoin(broadcast(cmsSketch(docs, depth, width)))
+          .select(col("token"), col("exact_cnt"),
+            (cmsEstimate(col("token"), col("sketch"), depth, width) - col("exact_cnt"))
+              .as("err"))
+          .groupBy("err")
+          .agg(count(lit(1)).as("n_tokens"), sum("exact_cnt").as("exact_mass"))
+          .orderBy("err")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE text IS NOT NULL),
+        t2 AS (SELECT token FROM tok WHERE token <> ''),
+        e AS (SELECT token, COUNT(*) AS exact_cnt FROM t2 GROUP BY token),
+        rws AS (SELECT unnest(range(0, 4)) AS r),
+        cells AS (
+          SELECT rws.r AS r,
+                 CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || t2.token), 1, 8) AS BIGINT) % 64 AS b,
+                 COUNT(*) AS c
+          FROM t2 CROSS JOIN rws GROUP BY 1, 2),
+        est AS (
+          SELECT e.token, e.exact_cnt, MIN(COALESCE(c.c, 0)) AS est
+          FROM e CROSS JOIN rws
+          LEFT JOIN cells c ON c.r = rws.r
+           AND c.b = CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || e.token), 1, 8) AS BIGINT) % 64
+          GROUP BY e.token, e.exact_cnt)
+        SELECT CAST(est - exact_cnt AS BIGINT) AS err,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(exact_cnt) AS BIGINT) AS exact_mass
+        FROM est GROUP BY 1 ORDER BY err"""),
+    ),
     // The distributed-merge face: per-source sketches next to per-source
     // exact counts for the global top-5 — the linearity property (sum of
     // per-source matrices == global matrix) is what makes the sketch
