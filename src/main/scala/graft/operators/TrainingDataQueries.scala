@@ -684,6 +684,22 @@ object TrainingDataQueries {
       },
       Some(quantPqOracleSql),
     ),
+    // RECALL@5 of the PQ index against the exact quantized-L2 truth —
+    // the integer recall face (the ann_lsh_recall precedent), so the
+    // compression trade carries a full hash oracle alongside PqSpec's
+    // floor assertion.
+    Q(
+      "ann_pq_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10 && col("embedding").isNotNull)
+        Similarity.recallAgainst(
+          Similarity.quantizedPqTopK(emb, queries, k = 5, m = 8, ks = 16),
+          Similarity.quantizedL2TopK(emb, queries, k = 5),
+          queries).orderBy("query_id")
+      },
+      Some(pqRecallOracleSql),
+    ),
     // IVF-PQ (Jégou et al. 2011 §V, IVFADC) — the full composed index a
     // 100 TB deployment runs: coarse cells route, PQ codes the RESIDUAL
     // v − centroid, queries probe nProbe cells with per-cell ADC tables.
@@ -1629,9 +1645,22 @@ object TrainingDataQueries {
     * query ids, summed over the 8 joined subspace lookups.
     */
   private def quantPqOracleSql: String = {
-    val (m, ks, k) = (8, 16, 5)
+    val k = 5
     s"""
-      WITH qz AS (
+      WITH $quantPqCtesSql,
+      r AS (SELECT query_id, neighbor_id, dist,
+                   row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+            FROM sc)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
+      FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** The quantized-PQ oracle chain up through the scored candidates `sc`
+    * — shared by the top-k and recall oracles (no WITH, no final rank).
+    */
+  private def quantPqCtesSql: String = {
+    val (m, ks) = (8, 16)
+    s"""qz AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
@@ -1657,12 +1686,41 @@ object TrainingDataQueries {
                     CAST(SUM(qt.d) AS BIGINT) AS dist
              FROM enc e JOIN qt ON qt.j = e.j AND qt.cw = e.cw
              WHERE e.vec_id <> qt.query_id
-             GROUP BY qt.query_id, e.vec_id),
-      r AS (SELECT query_id, neighbor_id, dist,
+             GROUP BY qt.query_id, e.vec_id)"""
+  }
+
+  /** ≡ Similarity.recallAgainst(quantizedPqTopK, quantizedL2TopK): the
+    * PQ chain and an exact quantized-L2 chain side by side, intersected
+    * per query — RECALL@5 of the 32×-compressed index against the exact
+    * integer distance truth, fully hash-oracled (integer counts, no
+    * float rank ambiguity anywhere).
+    */
+  private def pqRecallOracleSql: String = {
+    val k = 5
+    s"""
+      WITH $quantPqCtesSql,
+      r AS (SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-            FROM sc)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
-      FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+            FROM sc),
+      l2 AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT) AS dist
+             FROM qz c JOIN (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 10) q
+               ON c.vec_id <> q.query_id),
+      l2r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM l2),
+      apx AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $k),
+      ex AS (SELECT query_id, neighbor_id FROM l2r WHERE rank <= $k),
+      qs AS (SELECT vec_id AS query_id FROM qz WHERE vec_id < 10),
+      na AS (SELECT query_id, COUNT(*) AS n_approx FROM apx GROUP BY 1),
+      nf AS (SELECT a.query_id, COUNT(*) AS n_found
+             FROM apx a JOIN ex e USING (query_id, neighbor_id) GROUP BY 1)
+      SELECT qs.query_id,
+             CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+             CAST(COALESCE(nf.n_found, 0) AS BIGINT) AS n_found
+      FROM qs LEFT JOIN na USING (query_id) LEFT JOIN nf USING (query_id)
+      ORDER BY query_id"""
   }
 
   /** ≡ the mm_features Spark pipeline, re-derived from first principles:
