@@ -1190,6 +1190,7 @@ object Similarity {
       .collect()
       .flatMap { case (id, v) =>
         val q = quantizeChecked(v, scale)
+        require(q.length == dim, s"IVF-PQ query vector dim ${q.length} != codebook dim $dim")
         bestCells(cent, q, nProbe).map { cell =>
           val r = residualOf(q, cent(cell))
           val table = new Array[Long](m * nCw)

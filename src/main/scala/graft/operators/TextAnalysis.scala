@@ -976,7 +976,10 @@ object TextAnalysis {
                  CAST('0x' || substring(md5(CAST(rws.r AS VARCHAR) || ':' || t2.token), 1, 8) AS BIGINT) % $width AS b,
                  COUNT(*) AS c
           FROM t2 CROSS JOIN rws GROUP BY 1, 2, 3),
-        srcs AS (SELECT DISTINCT source FROM t2),
+        -- sources from the DOC filter, not the token rows: a source whose
+        -- docs all carry empty (non-null) text still owns an all-zero
+        -- sketch on the Spark side and must appear here with est 0
+        srcs AS (SELECT DISTINCT source FROM documents WHERE text IS NOT NULL),
         est AS (
           SELECT s.source, t.token, t.exact_global, MIN(COALESCE(c.c, 0)) AS est_src
           FROM top t CROSS JOIN srcs s CROSS JOIN rws

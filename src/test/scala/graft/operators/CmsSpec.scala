@@ -116,6 +116,20 @@ class CmsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.toSeq == global.toSeq)
   }
 
+  test("an all-empty-text source still owns an (all-zero) sketch in the merge report") {
+    val s = spark
+    import s.implicits._
+    val withSrc = (fixture.map { case (id, t) => (id, t, "srcA") } :+
+      ((9L, "", "srcEmpty"))).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.cmsMergeReport(withSrc, k = 2, depth, width).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("srcA", "srcEmpty"), bySrc.keySet.toString)
+    // the empty source's estimates and exact counts are all zero
+    bySrc("srcEmpty").foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L, r.toString)
+    }
+  }
+
   test("cmsHeavyHitters pairs exact counts with >= estimates in rank order") {
     val out = TextAnalysis.cmsHeavyHitters(docs(fixture: _*), k = 5, depth, width).collect()
     assert(out.nonEmpty && out.length <= 5)
