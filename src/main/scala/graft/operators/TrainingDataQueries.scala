@@ -717,6 +717,20 @@ object TrainingDataQueries {
       },
       Some(quantIvfPqOracleSql),
     ),
+    // RECALL@5 of the composed IVF-PQ index vs the same exact L2 truth —
+    // completes the oracled recall matrix (LSH, IVF, PQ, IVF-PQ).
+    Q(
+      "ann_ivfpq_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10 && col("embedding").isNotNull)
+        Similarity.recallAgainst(
+          Similarity.quantizedIvfPqTopK(emb, queries, k = 5, nCells = 8, nProbe = 2, m = 8, ks = 16),
+          Similarity.quantizedL2TopK(emb, queries, k = 5),
+          queries).orderBy("query_id")
+      },
+      Some(ivfPqRecallOracleSql),
+    ),
     // IVF-bucketed ANN (the other scale path: trained coarse quantizer +
     // nProbe cells) — rows-only; recall vs brute force in the unit spec.
     Q(
@@ -1791,9 +1805,22 @@ object TrainingDataQueries {
     * cell-respecting 8-way join.
     */
   private def quantIvfPqOracleSql: String = {
-    val (nCells, nProbe, m, ks, k) = (8, 2, 8, 16, 5)
+    val k = 5
     s"""
-      WITH qz AS (
+      WITH $quantIvfPqCtesSql,
+      r2 AS (SELECT query_id, neighbor_id, dist,
+                    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+             FROM sc)
+      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
+      FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** The IVF-PQ oracle chain up through the scored candidates `sc` —
+    * shared by the top-k and recall oracles.
+    */
+  private def quantIvfPqCtesSql: String = {
+    val (nCells, nProbe, m, ks) = (8, 2, 8, 16)
+    s"""qz AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
@@ -1840,12 +1867,42 @@ object TrainingDataQueries {
       sc AS (SELECT qt.query_id, e.vec_id AS neighbor_id, CAST(SUM(qt.d) AS BIGINT) AS dist
              FROM ecell e JOIN qt ON qt.cell = e.cell AND qt.j = e.j AND qt.cw = e.cw
              WHERE e.vec_id <> qt.query_id
-             GROUP BY qt.query_id, e.vec_id),
-      r2 AS (SELECT query_id, neighbor_id, dist,
+             GROUP BY qt.query_id, e.vec_id)"""
+  }
+
+  /** ≡ Similarity.recallAgainst(quantizedIvfPqTopK, quantizedL2TopK):
+    * the pqRecallOracleSql shape over the IVF-PQ chain — the composed
+    * index's RECALL@5 against the same exact integer-L2 truth, fully
+    * hash-oracled. n_approx can sit below k here: a query's probed
+    * cells may hold fewer than k foreign vectors (the IVF pruning
+    * showing up in the output, not an error).
+    */
+  private def ivfPqRecallOracleSql: String = {
+    val k = 5
+    s"""
+      WITH $quantIvfPqCtesSql,
+      r2 AS (SELECT query_id, neighbor_id,
                     row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-             FROM sc)
-      SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
-      FROM r2 WHERE rank <= $k ORDER BY query_id, rank"""
+             FROM sc),
+      l2 AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT) AS dist
+             FROM qz c JOIN (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 10) q
+               ON c.vec_id <> q.query_id),
+      l2r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM l2),
+      apx AS (SELECT query_id, neighbor_id FROM r2 WHERE rank <= $k),
+      ex AS (SELECT query_id, neighbor_id FROM l2r WHERE rank <= $k),
+      qs AS (SELECT vec_id AS query_id FROM qz WHERE vec_id < 10),
+      na AS (SELECT query_id, COUNT(*) AS n_approx FROM apx GROUP BY 1),
+      nf AS (SELECT a.query_id, COUNT(*) AS n_found
+             FROM apx a JOIN ex e USING (query_id, neighbor_id) GROUP BY 1)
+      SELECT qs.query_id,
+             CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+             CAST(COALESCE(nf.n_found, 0) AS BIGINT) AS n_found
+      FROM qs LEFT JOIN na USING (query_id) LEFT JOIN nf USING (query_id)
+      ORDER BY query_id"""
   }
 
   /** ≡ the mm_pair_filter Spark pipeline: image features from the LCG
