@@ -205,6 +205,7 @@ object ScaleProbe {
     // PQ's encode pass is the corpus-linear step, ADC the per-candidate
     // O(m) lookup, so the ratio should sit with the quantized MIPS family
     "ann_quant_l2_topk", "ann_quant_pq_topk", "ann_quant_ivfpq_topk", "ann_pq_recall",
+    "ann_ivfpq_recall",
     // r17: CLIP-style pair gate — image synthesis + pixel decode + one
     // id-equijoin + a typed map; should track mm_features' ratio (the
     // decode dominates, the join carries slim 64-dim rows)
