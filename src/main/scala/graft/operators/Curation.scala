@@ -1856,6 +1856,88 @@ object Curation {
     ))
   }
 
+  /** URL grammar INCLUDING query string and fragment — [[UrlRe]] stops at
+    * the path because the pre-canonicalization faces treat params as
+    * noise; the canonicalizer must see them to strip/sort them.
+    */
+  val CanonUrlRe: String =
+    "https?://[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?(/[A-Za-z0-9._/-]*)?(\\?[A-Za-z0-9_=&-]*)?(#[A-Za-z0-9_-]*)?"
+
+  /** URL canonicalization — the crawl normalization EVERY CommonCrawl-
+    * lineage pipeline runs before URL dedup (two fetches of one address
+    * differ by tracking params, fragments, host case, and trailing
+    * slashes far more often than by path): lowercase the scheme://host,
+    * drop the fragment, drop tracking parameters (`utm_*`, `ref`,
+    * `fbclid`, `gclid`) while KEEPING content-bearing ones, sort the
+    * survivors (param order is transport noise), and strip one trailing
+    * slash. Pure codegen'd string/array expressions — map-only, mirrored
+    * expression-for-expression by the oracle; no URL ⇒ empty string.
+    */
+  def canonicalizeUrl(raw: Column): Column = {
+    val url = regexp_extract(coalesce(raw, lit("")), CanonUrlRe, 0)
+    val nofrag = regexp_replace(url, "#.*$", "")
+    val hostPart = regexp_extract(nofrag, "^(https?://[^/?]+)", 1)
+    val rest = regexp_replace(nofrag, "^https?://[^/?]+", "")
+    val hasQ = instr(rest, "?") > 0
+    val path = when(hasQ, substring_index(rest, "?", 1)).otherwise(rest)
+    val qs = when(hasQ, substring_index(rest, "?", -1)).otherwise(lit(""))
+    val kept = filter(split(qs, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      p =!= "" && !name.startsWith("utm_") &&
+        !name.isin("ref", "fbclid", "gclid")
+    })
+    val qs2 = array_join(array_sort(kept), "&")
+    when(url === "", lit("")).otherwise(concat(
+      lower(hostPart),
+      regexp_replace(path, "/$", ""),
+      when(qs2 === "", lit("")).otherwise(concat(lit("?"), qs2))))
+  }
+
+  /** Canonical-URL dedup: [[canonicalizeUrl]] then the [[urlDedup]] fold
+    * — docs whose addresses differ only by canonicalization noise
+    * collapse to the min id; docs with no URL keep themselves. Emits the
+    * canonical URL alongside so the folding itself is auditable.
+    */
+  def urlCanonDedup(df: DataFrame, idCol: String = "doc_id",
+                    urlCol: String = "url_text"): DataFrame = {
+    OpChecks.requireIntegralId(df, idCol)
+    val withU = df.select(col(idCol).cast("long").as(idCol),
+      canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val canon = withU
+      .filter(col("canon_url") =!= "")
+      .groupBy("canon_url").agg(min(col(idCol)).as("__c"))
+    withU
+      .join(canon, Seq("canon_url"), "left")
+      .select(col(idCol), col("canon_url"),
+        coalesce(col("__c"), col(idCol)).as("canonical_id"))
+  }
+
+  /** Fixture for the canonicalization faces: every doc gets one URL whose
+    * host CASE flips by parity, plus tracking-param (%2), mixed
+    * keep+strip-param (%4=1), fragment (%5=2), and trailing-slash (%6=3)
+    * arms — the (id%7, id%13) base key gives real cross-doc fan-in once
+    * the noise cancels. Mirrored in [[canonUrlCte]].
+    */
+  private[operators] def withCanonUrls(docs: DataFrame, idCol: String = "doc_id",
+                                       textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val urlPart = concat(
+      lit(" http://"),
+      when(id % 2 === 0, lit("Site")).otherwise(lit("site")),
+      (id % 7).cast("string"),
+      when(id % 2 === 0, lit(".EXAMPLE.com/p/")).otherwise(lit(".example.com/p/")),
+      (id % 13).cast("string"),
+      when(id % 6 === 3, lit("/")).otherwise(lit("")),
+      when(id % 4 === 1,
+        concat(lit("?page="), (id % 3).cast("string"), lit("&utm_source=feed")))
+        .when(id % 2 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(id % 5 === 2, concat(lit("#sec-"), id.cast("string"))).otherwise(lit("")))
+    docs.withColumn("curl_text", concat(
+      substring(coalesce(col(textCol), lit("")), 1, 30),
+      when(id % 9 === 4, lit("")).otherwise(urlPart)))
+  }
+
   /** URL-keyed dedup — the crawl-stage dedup that runs BEFORE any
     * content dedup (two fetches of one address are duplicates whatever
     * their bytes say; CommonCrawl-lineage pipelines dedup by normalized
@@ -1957,6 +2039,57 @@ object Curation {
     Seq("site1.example.com", "example.org", "badsite.test")
 
   // ------------------------------------------------------------- queries
+
+  /** ≡ urlCanonDedup(withCanonUrls(documents), curl_text): the fixture,
+    * the extraction, and every canonicalization rule mirrored
+    * expression-for-expression (DuckDB split_part/list_filter/list_sort
+    * against Spark substring_index/filter/array_sort).
+    */
+  private def urlCanonOracleSql: String =
+    s"""
+        WITH cu AS (
+          SELECT doc_id,
+                 substring(COALESCE(text, ''), 1, 30) ||
+                 CASE WHEN doc_id % 9 = 4 THEN '' ELSE
+                   ' http://' ||
+                   CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END ||
+                   CAST(doc_id % 7 AS VARCHAR) ||
+                   CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE.com/p/' ELSE '.example.com/p/' END ||
+                   CAST(doc_id % 13 AS VARCHAR) ||
+                   CASE WHEN doc_id % 6 = 3 THEN '/' ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 1 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_source=feed'
+                        WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 2 THEN '#sec-' || CAST(doc_id AS VARCHAR) ELSE '' END
+                 END AS curl_text
+          FROM documents),
+        x AS (SELECT doc_id,
+                     regexp_replace(regexp_extract(curl_text, '$CanonUrlRe', 0), '#.*$$', '') AS nofrag
+              FROM cu),
+        z AS (SELECT doc_id, nofrag,
+                     regexp_extract(nofrag, '^(https?://[^/?]+)', 1) AS hostpart,
+                     regexp_replace(nofrag, '^https?://[^/?]+', '') AS rest
+              FROM x),
+        w2 AS (SELECT doc_id, nofrag, hostpart,
+                      split_part(rest, '?', 1) AS path,
+                      CASE WHEN contains(rest, '?') THEN split_part(rest, '?', 2) ELSE '' END AS qs
+               FROM z),
+        k AS (SELECT doc_id, nofrag, hostpart, path,
+                     -- COALESCE: DuckDB's array_to_string of an EMPTY list
+                     -- is NULL where Spark's array_join is '' — without it
+                     -- every all-tracking query string nulls the canon
+                     COALESCE(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                       p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                          AND split_part(p, '=', 1) NOT IN ('ref', 'fbclid', 'gclid'))), '&'), '') AS qs2
+              FROM w2),
+        c AS (SELECT doc_id,
+                     CASE WHEN nofrag = '' THEN ''
+                          ELSE lower(hostpart) || regexp_replace(path, '/$$', '') ||
+                               CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END END AS canon_url
+              FROM k),
+        m AS (SELECT canon_url, MIN(doc_id) AS cid FROM c WHERE canon_url <> '' GROUP BY canon_url)
+        SELECT c.doc_id, c.canon_url, COALESCE(m.cid, c.doc_id) AS canonical_id
+        FROM c LEFT JOIN m USING (canon_url) ORDER BY c.doc_id"""
 
   /** u CTE mirroring [[withSyntheticUrls]] — the ONE synthetic URL
     * fixture string, shared by the URL-face oracles so they can never
@@ -2996,6 +3129,20 @@ object Curation {
         SELECT h.doc_id, h.domain, m.block_rule,
                CAST(CASE WHEN m.block_rule IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS blocked
         FROM h LEFT JOIN m ON h.doc_id = m.doc_id ORDER BY h.doc_id"""),
+    ),
+    // URL canonicalization + dedup: host-case folding, fragment drop,
+    // tracking-param strip with surviving params SORTED, trailing-slash
+    // strip — every arm live by fixture residue, with real cross-doc
+    // fan-in once the noise cancels (the (id%7, id%13) base key) and a
+    // no-URL keep-self arm (%9=4). Map-only canonicalization + the
+    // urlDedup fold; the canonical URL itself is in the output, so the
+    // folding is auditable and the whole rule set hash-pinned.
+    Q(
+      "d_url_canon",
+      (s, dir) =>
+        urlCanonDedup(withCanonUrls(Tables(s, dir, "documents")), urlCol = "curl_text")
+          .orderBy("doc_id"),
+      Some(urlCanonOracleSql),
     ),
     // word2vec phrase mining: top-30 bigrams by the discounted phrase
     // score in exact parts-per-million (sequential integer division — see
