@@ -219,6 +219,66 @@ object TextAnalysis {
         LEFT JOIN g USING (doc_id)
         ORDER BY doc_id"""
 
+  /** Unicode script blocks counted by [[scriptStats]] — (name, RE2/Java
+    * character-class range). BMP-only ranges, so Spark's UTF-16
+    * `length` and DuckDB's code-point `length` agree; the `\\x{hhhh}`
+    * class syntax parses identically in Java regex and RE2, so ONE
+    * pattern string serves both engines.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "\\x{0041}-\\x{005A}\\x{0061}-\\x{007A}\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}")
+
+  /** Per-doc Unicode-script profile — the multilingual routing step
+    * langId's word-profile heuristic cannot do (it needs per-language
+    * word lists; script ranges need nothing): count characters per
+    * script block and call the argmax (ties to the FIRST block in
+    * [[ScriptRanges]] order via strict >; all-zero ⇒ 'und'). The char
+    * counts are length-minus-length-without-class — pure codegen'd
+    * regexp_replace, map-only, one shared pattern string per block
+    * across engines.
+    */
+  def scriptStats(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = ScriptRanges.map { case (name, cls) =>
+      (length(t) - length(regexp_replace(t, s"[$cls]", ""))).cast("long").as(s"n_$name")
+    }
+    val withCounts = docs.select(col(idCol) +: counts: _*)
+    // argmax, ties to the EARLIER block: greatest(), then the first
+    // count equal to it (the langId CASE-chain idiom, SQL-mirrorable)
+    val g = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
+    val pred = when(g <= 0, lit("und")).otherwise(
+      ScriptRanges.map(_._1).foldRight(lit("und")) { (name, tail) =>
+        when(col(s"n_$name") === g, lit(name)).otherwise(tail)
+      })
+    withCounts.withColumn("script", pred)
+  }
+
+  /** Planted multi-script fixture: residues gain a real sentence in a
+    * non-Latin script (long enough to outvote the Latin base), the rest
+    * stay Latin-dominant. Mirrored in the oracle.
+    */
+  private[operators] def withScriptText(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.withColumn("stext", concat(
+      substring(coalesce(col("text"), lit("")), 1, 20),
+      when(id % 7 === 2, lit(" " + ScriptFixtures("cyrillic") * 3))
+        .when(id % 7 === 3, lit(" " + ScriptFixtures("cjk") * 8))
+        .when(id % 7 === 4, lit(" " + ScriptFixtures("greek") * 3))
+        .when(id % 7 === 5, lit(" " + ScriptFixtures("arabic") * 3))
+        .otherwise(lit(""))))
+  }
+
+  private[operators] val ScriptFixtures: Map[String, String] = Map(
+    "cyrillic" -> "привет мир это тест",
+    "cjk" -> "你好世界",
+    "greek" -> "γεια σου κοσμε δοκιμη",
+    "arabic" -> "مرحبا بالعالم هذا اختبار")
+
   /** Simple quality metrics (counts, not ratios — deterministic for the
     * oracle; ratios are a trivial division on top).
     */
@@ -838,6 +898,35 @@ object TextAnalysis {
                CAST(f.ok_words * f.ok_mean_len * f.ok_stopwords * f.ok_distinct AS BIGINT) AS pass
         FROM fx JOIN f ON fx.doc_id = f.doc_id
         ORDER BY fx.doc_id"""
+
+  /** ≡ scriptStats(withScriptText(documents)): fixture, counts, and the
+    * greatest-then-first-match argmax generated from the same
+    * [[ScriptRanges]]/[[ScriptFixtures]] values.
+    */
+  private def scriptStatsOracleSql: String = {
+    val cnts = ScriptRanges.map { case (n, cls) =>
+      s"CAST(length(stext) - length(regexp_replace(stext, '[$cls]', '', 'g')) AS BIGINT) AS n_$n"
+    }.mkString(",\n                 ")
+    val g = ScriptRanges.map(r => s"n_${r._1}").mkString("greatest(", ", ", ")")
+    val cases = ScriptRanges.map(_._1)
+      .map(n => s"WHEN n_$n = $g THEN '$n'").mkString("\n                 ")
+    s"""
+        WITH p AS (
+          SELECT doc_id,
+                 substring(COALESCE(text, ''), 1, 20) ||
+                 CASE WHEN doc_id % 7 = 2 THEN ' ${ScriptFixtures("cyrillic") * 3}'
+                      WHEN doc_id % 7 = 3 THEN ' ${ScriptFixtures("cjk") * 8}'
+                      WHEN doc_id % 7 = 4 THEN ' ${ScriptFixtures("greek") * 3}'
+                      WHEN doc_id % 7 = 5 THEN ' ${ScriptFixtures("arabic") * 3}'
+                      ELSE '' END AS stext
+          FROM documents),
+        s2 AS (SELECT doc_id, $cnts FROM p)
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+               CASE WHEN $g <= 0 THEN 'und'
+                 $cases
+                 ELSE 'und' END AS script
+        FROM s2 ORDER BY doc_id"""
+  }
 
   /** The t_mojibake_fix oracle pieces, generated from [[MojibakeTable]]. */
   private def mojibakeFixSql: String = {
@@ -1502,6 +1591,17 @@ object TextAnalysis {
             size(filter(col("idsa"), _ === 0L)).cast("long").as("n_unk"))
           .orderBy("doc_id"),
       Some(wordpieceOracleSql),
+    ),
+    // Unicode-script profile over the planted multi-script fixture: the
+    // routing step ahead of langId (script ranges need no word lists).
+    // Every script arm live by residue; counts + argmax hash-oracled
+    // from ONE pattern string per block shared across engines.
+    Q(
+      "t_script_stats",
+      (s, dir) =>
+        scriptStats(withScriptText(Tables(s, dir, "documents")), textCol = "stext")
+          .orderBy("doc_id"),
+      Some(scriptStatsOracleSql),
     ),
     // Unigram-LM Viterbi tokenization (the SentencePiece decode): the
     // segmentation MAXIMIZING summed piece scores, which no greedy face
