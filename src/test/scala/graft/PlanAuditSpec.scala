@@ -573,4 +573,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ex.exists(_.contains("text#")),
       "pair-gate exchanges must carry ids/vectors, not bodies:\n" + ex.mkString("\n"))
   }
+
+  test("r17 late shapes: crawl chain + script profile map-only; URL canon exchanges carry addresses") {
+    // the composed crawl chain and the script profile are pure
+    // projections — no join, no aggregate, no window, no explode
+    for (q <- Seq("c_pipeline_crawl", "t_script_stats")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+        !p.contains("Window") && !p.contains("Generate"), s"$q: ${p.take(2000)}")
+    }
+    // URL canonicalization dedup: the urlDedup posture — no cartesian,
+    // and no exchange may carry document text (only the short canonical
+    // address and ids)
+    val uc = plan("d_url_canon")
+    assert(!uc.contains("CartesianProduct") && !uc.contains("BroadcastNestedLoopJoin"),
+      uc.take(2000))
+    val ucEx = uc.linesIterator.filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(!ucEx.exists(_.contains("text#")),
+      "canon-dedup exchanges must carry addresses, not bodies:\n" + ucEx.mkString("\n"))
+  }
 }
