@@ -62,6 +62,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         AudioFingerprint32(args(0))
       },
     ))
+    // the three tokenizer families as SQL functions — vocabularies are
+    // foldable array literals (the shingle_hash64 literal-parameter
+    // discipline), evaluated once at plan time so the per-JVM trie/model
+    // caches behave exactly as in the Column API
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bpe_token_count takes (text, vocab array literal)")
+        BpeTokenCount(args(0), GraftExtensions.stringSeqLiteral(args(1), "bpe_token_count"))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_tokenize"),
+      new ExpressionInfo(classOf[BpeTokenize].getName, "bpe_tokenize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bpe_tokenize takes (text, vocab array literal)")
+        BpeTokenize(args(0), GraftExtensions.stringSeqLiteral(args(1), "bpe_tokenize"))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece_tokenize"),
+      new ExpressionInfo(classOf[WordPieceTokenize].getName, "wordpiece_tokenize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "wordpiece_tokenize takes (text, vocab array literal)")
+        WordPieceTokenize(args(0), GraftExtensions.stringSeqLiteral(args(1), "wordpiece_tokenize"))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("unigram_tokenize"),
+      new ExpressionInfo(classOf[UnigramTokenize].getName, "unigram_tokenize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "unigram_tokenize takes (text, pieces array literal, scores array literal)")
+        val pieces = GraftExtensions.stringSeqLiteral(args(1), "unigram_tokenize")
+        val scores = GraftExtensions.longSeqLiteral(args(2), "unigram_tokenize")
+        require(pieces.length == scores.length,
+          s"unigram_tokenize: ${pieces.length} pieces vs ${scores.length} scores")
+        UnigramTokenize(args(0), pieces.zip(scores))
+      },
+    ))
     // trck-format HLL sketch of a binary column → reference RLE-hex.
     // Spark's partial aggregation runs the register-max merge, so the SQL
     // form distributes exactly like the Column API one.
@@ -92,5 +133,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           None, Some("trck_hll_estimate"), true, true)
       },
     ))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** A foldable `array<string>` literal argument, evaluated at plan time. */
+  private[functions] def stringSeqLiteral(e: Expression, fn: String): Seq[String] = {
+    require(e.foldable && e.dataType == ArrayType(StringType, containsNull = false) ||
+      e.foldable && e.dataType == ArrayType(StringType, containsNull = true),
+      s"$fn's vocabulary must be an array<string> literal, got ${e.sql}")
+    val ad = e.eval().asInstanceOf[ArrayData]
+    require(ad != null, s"$fn's vocabulary literal must not be null")
+    ad.toObjectArray(StringType).map { v =>
+      require(v != null, s"$fn's vocabulary must not contain nulls")
+      v.asInstanceOf[UTF8String].toString
+    }.toSeq
+  }
+
+  /** A foldable `array<bigint>` literal argument, evaluated at plan time. */
+  private[functions] def longSeqLiteral(e: Expression, fn: String): Seq[Long] = {
+    require(e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+      e.dataType.asInstanceOf[ArrayType].elementType == LongType,
+      s"$fn's scores must be an array<bigint> literal, got ${e.sql}")
+    val ad = e.eval().asInstanceOf[ArrayData]
+    require(ad != null, s"$fn's scores literal must not be null")
+    ad.toLongArray().toSeq
   }
 }
