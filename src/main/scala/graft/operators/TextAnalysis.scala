@@ -928,6 +928,80 @@ object TextAnalysis {
         FROM s2 ORDER BY doc_id"""
   }
 
+  /** One hard-EM iteration of the unigram-training oracle: the Viterbi
+    * path enumeration (the c_tokenize_unigram CTE discipline) over word
+    * TYPES under the previous model `v$${i-1}`, the per-word argmax, the
+    * frequency-weighted usage fold, and the bit-length re-score.
+    */
+  private def unigramIterCtes(i: Int): String = {
+    val pv = s"v${i - 1}"
+    s"""r$i AS (
+          SELECT w, f, 1 AS pos, 0 AS score, 0 AS n, '' AS idp, '' AS ids FROM wt
+          UNION ALL
+          SELECT r.w, r.f, r.pos + length(v.piece), r.score + v.score, r.n + 1,
+                 r.idp || lpad(CAST(v.id AS VARCHAR), 6, '0'),
+                 CASE WHEN r.ids = '' THEN CAST(v.id AS VARCHAR)
+                      ELSE r.ids || ',' || CAST(v.id AS VARCHAR) END
+          FROM r$i r JOIN $pv v ON substr(r.w, r.pos, length(v.piece)) = v.piece
+          WHERE r.pos <= length(r.w)
+        ),
+        b$i AS (SELECT w, f, score, n, ids FROM (
+                  SELECT *, row_number() OVER (PARTITION BY w
+                           ORDER BY score DESC, n ASC, idp ASC) AS rk
+                  FROM r$i WHERE pos > length(w) AND n > 0) WHERE rk = 1),
+        u$i AS (SELECT CAST(t.id AS BIGINT) AS id, CAST(SUM(b.f) AS BIGINT) AS u
+                FROM b$i b, unnest(string_split(b.ids, ',')) AS t(id) GROUP BY 1),
+        tot$i AS (SELECT CAST(length(bin(SUM(u))) AS BIGINT) AS bt FROM u$i),
+        v$i AS (SELECT p.piece, p.id,
+                       CAST(CASE WHEN u.u IS NULL OR u.u = 0 THEN 0
+                            ELSE length(bin(u.u)) END - tot$i.bt AS BIGINT) AS score
+                FROM v0 p LEFT JOIN u$i u ON u.id = p.id CROSS JOIN tot$i)"""
+  }
+
+  /** Shared training prologue: word types, substring seeds, and the
+    * iteration-0 model (ids = lexicographic piece rank; score = bit
+    * length of the occurrence-weighted substring count).
+    */
+  private def unigramTrainPrologueCtes(maxPieceLen: Int): String =
+    s"""wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+                 SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                 FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+        pos0 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS st FROM wt),
+        sub0 AS (SELECT w, f, st,
+                        unnest(range(1, least($maxPieceLen, length(w) - st + 1) + 1)) AS pl
+                 FROM pos0),
+        p0 AS (SELECT substr(w, st, pl) AS piece, CAST(SUM(f) AS BIGINT) AS u0
+               FROM sub0 GROUP BY 1),
+        tot0 AS (SELECT CAST(length(bin(SUM(u0))) AS BIGINT) AS bt FROM p0),
+        v0 AS (SELECT piece, row_number() OVER (ORDER BY piece) AS id,
+                      CAST(length(bin(u0)) - tot0.bt AS BIGINT) AS score
+               FROM p0 CROSS JOIN tot0)"""
+
+  /** ≡ UnigramTrain.train(documents, iters=2): the full hard-EM run
+    * replayed in SQL — seed, two E/M iterations, top-30 by final usage.
+    */
+  private def unigramTrainOracleSql: String =
+    s"""
+        WITH RECURSIVE ${unigramTrainPrologueCtes(4)},
+        ${unigramIterCtes(1)},
+        ${unigramIterCtes(2)},
+        t AS (SELECT v2.piece, CAST(COALESCE(u2.u, 0) AS BIGINT) AS usage, v2.score
+              FROM v2 LEFT JOIN u2 ON u2.id = v2.id)
+        SELECT piece, usage, score
+        FROM t ORDER BY usage DESC, piece LIMIT 30"""
+
+  /** ≡ applying the trained model back to the corpus word types: a third
+    * Viterbi pass under v2, emitting each word's id sequence and score.
+    */
+  private def unigramTrainApplyOracleSql: String =
+    s"""
+        WITH RECURSIVE ${unigramTrainPrologueCtes(4)},
+        ${unigramIterCtes(1)},
+        ${unigramIterCtes(2)},
+        ${unigramIterCtes(3)}
+        SELECT w AS word, ids, CAST(score AS BIGINT) AS score
+        FROM b3 ORDER BY word"""
+
   /** The t_mojibake_fix oracle pieces, generated from [[MojibakeTable]]. */
   private def mojibakeFixSql: String = {
     val fixed = mojibakeFixSqlExpr("mtext")
@@ -1627,6 +1701,42 @@ object TextAnalysis {
           .orderBy("doc_id")
       },
       Some(unigramOracleSql),
+    ),
+    // Unigram vocab TRAINING (hard-EM / Viterbi-EM, Kudo 2018 §3.2 made
+    // integer-exact): substring-count seeding, two E/M iterations where
+    // the E-step is the SAME Viterbi kernel the apply face runs and the
+    // M-step re-scores by usage bit length. The oracle replays the whole
+    // run — seed, both iterations, the final usage table.
+    Q(
+      "c_unigram_train",
+      (s, dir) => {
+        import s.implicits._
+        UnigramTrain.train(Tables(s, dir, "documents"), iters = 2)
+          .map { case (p, sc, u) => (p, u, sc) }
+          .sortBy { case (p, u, _) => (-u, p) }
+          .take(30)
+          .toDF("piece", "usage", "score")
+      },
+      Some(unigramTrainOracleSql),
+    ),
+    // The trained model applied back to the corpus word types — a third
+    // Viterbi pass under the learned scores, pinning train→apply as one
+    // end-to-end chain (the c_bpe_train_apply precedent).
+    Q(
+      "c_unigram_train_apply",
+      (s, dir) => {
+        val vocab = UnigramTrain.trainedVocab(Tables(s, dir, "documents"), iters = 2)
+        val scoresLit = typedlit(vocab.map(_._2))
+        val pieceScore = (id: Column) =>
+          when(id === 0L, 0L).otherwise(element_at(scoresLit, id.cast("int")))
+        UnigramTrain.wordTypes(Tables(s, dir, "documents"))
+          .select(col("w").as("word"), unigramTokenize(col("w"), vocab).as("idsa"))
+          .select(col("word"),
+            array_join(transform(col("idsa"), _.cast("string")), ",").as("ids"),
+            aggregate(col("idsa"), lit(0L), (acc, id) => acc + pieceScore(id)).as("score"))
+          .orderBy("word")
+      },
+      Some(unigramTrainApplyOracleSql),
     ),
     // Exact heavy hitters: top-20 tokens by total term frequency. The
     // small-data face the CMS query audits against.
