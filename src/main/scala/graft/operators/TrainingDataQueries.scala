@@ -684,6 +684,40 @@ object TrainingDataQueries {
       },
       Some(quantPqOracleSql),
     ),
+    // Hard-negative mining (the DPR/contrastive-training data miner:
+    // Karpukhin et al. 2020 train retrievers on near-but-not-nearest
+    // candidates): per query, the exact-L2 neighbors ranked (k, 2k] —
+    // close enough to be informative, far enough to be negatives.
+    // Derived from the same integer L2 ranking, so fully hash-oracled.
+    Q(
+      "ann_hard_negatives",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.quantizedL2TopK(emb, queries, k = 10)
+          .filter(col("rank") > 5)
+          .select(col("query_id"), (col("rank") - 5).cast("int").as("neg_rank"),
+            col("neighbor_id"), col("dist"))
+          .orderBy("query_id", "neg_rank")
+      },
+      Some("""
+        WITH qz AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        q AS (SELECT vec_id AS query_id, qv FROM qz WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                       i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS BIGINT) AS dist
+              FROM qz c, q WHERE c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+              FROM s)
+        SELECT query_id, CAST(rank - 5 AS INT) AS neg_rank, neighbor_id, dist
+        FROM r WHERE rank > 5 AND rank <= 10 ORDER BY query_id, neg_rank"""),
+    ),
     // RECALL@5 of the PQ index against the exact quantized-L2 truth —
     // the integer recall face (the ann_lsh_recall precedent), so the
     // compression trade carries a full hash oracle alongside PqSpec's
