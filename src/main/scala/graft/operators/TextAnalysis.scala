@@ -1002,6 +1002,37 @@ object TextAnalysis {
         SELECT w AS word, ids, CAST(score AS BIGINT) AS score
         FROM b3 ORDER BY word"""
 
+  /** ≡ packSequences(documents, 256, countOf = trained-unigram count):
+    * the full training replay (prologue + two E/M iterations), a third
+    * Viterbi pass for per-word-type piece counts, the per-doc fold over
+    * the doc's words, and the naive global pack window the distributed
+    * two-level cumsum must equal.
+    */
+  private def packUnigramOracleSql: String =
+    s"""
+        WITH RECURSIVE ${unigramTrainPrologueCtes(4)},
+        ${unigramIterCtes(1)},
+        ${unigramIterCtes(2)},
+        ${unigramIterCtes(3)},
+        dw AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents WHERE text IS NOT NULL),
+        dn AS (SELECT dw.doc_id, CAST(SUM(b.n) AS BIGINT) AS n
+               FROM dw JOIN b3 b ON b.w = dw.w
+               WHERE dw.w <> ''
+               GROUP BY dw.doc_id),
+        t AS (SELECT d.doc_id, COALESCE(dn.n, 0) AS n
+              FROM documents d LEFT JOIN dn ON d.doc_id = dn.doc_id),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               CAST(s // 256 AS BIGINT) AS seq_id,
+               CAST(s % 256 AS BIGINT) AS seq_offset
+        FROM c ORDER BY doc_id"""
+
   /** The t_mojibake_fix oracle pieces, generated from [[MojibakeTable]]. */
   private def mojibakeFixSql: String = {
     val fixed = mojibakeFixSqlExpr("mtext")
@@ -1737,6 +1768,21 @@ object TextAnalysis {
           .orderBy("word")
       },
       Some(unigramTrainApplyOracleSql),
+    ),
+    // Packing denominated in the TRAINED unigram tokenizer — the full
+    // self-contained chain train → count → pack under ONE hash (the
+    // c_pack_bpe plumbing with a LEARNED model instead of a frozen
+    // fixture vocab): the oracle re-runs the entire hard-EM training,
+    // re-segments every word type under the trained scores, folds
+    // per-doc counts, and chains them into the pack cumsum.
+    Q(
+      "c_pack_unigram",
+      (s, dir) => {
+        val vocab = UnigramTrain.trainedVocab(Tables(s, dir, "documents"), iters = 2)
+        Curation.packSequences(Tables(s, dir, "documents"), maxLen = 256,
+          countOf = c => size(unigramTokenize(c, vocab)).cast("long")).orderBy("doc_id")
+      },
+      Some(packUnigramOracleSql),
     ),
     // Exact heavy hitters: top-20 tokens by total term frequency. The
     // small-data face the CMS query audits against.
