@@ -37,6 +37,10 @@ import graft.functions.UnigramTokenize
   * UTF-16 order == DuckDB byte order), Viterbi ties break by the
   * tokenizer's (score DESC, count ASC, id lex ASC) chain, usage sums
   * are exact integers, and the M-step is a pure function of usage.
+  * Substring seeding indexes by JVM chars here and by code points in
+  * the oracle — identical for ASCII/BMP word stocks (this corpus);
+  * an astral-plane corpus would need byte-indexed seeding on both
+  * sides before the cross-engine compare holds.
   *
   * Scale shape: word TYPES (not occurrences) drive the E-step — one
   * explode + map-side-combined count builds (word, freq) once, and each
