@@ -199,7 +199,7 @@ object ScaleProbe {
     // exchange should make the sketch side's cost track the SCAN, not
     // the token count)
     "c_tokenize_wordpiece", "t_heavy_hitters", "t_heavy_hitters_cms", "t_cms_merge",
-    "t_vocab_hll", "c_pipeline_crawl", "t_cms_err", "d_url_canon", "t_script_stats", "c_unigram_train", "c_unigram_train_apply", "ann_hard_negatives", "c_pack_unigram",
+    "t_vocab_hll", "c_pipeline_crawl", "t_cms_err", "d_url_canon", "t_script_stats", "c_unigram_train", "c_unigram_train_apply", "ann_hard_negatives", "c_pack_unigram", "c_unigram_heldout",
     // r17: PQ ANN and its exact integer-L2 truth face — both ride the
     // broadcast-heap shape (slim exchange bounded by partitions × Q × k);
     // PQ's encode pass is the corpus-linear step, ADC the per-candidate

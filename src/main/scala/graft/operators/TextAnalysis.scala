@@ -962,10 +962,11 @@ object TextAnalysis {
     * iteration-0 model (ids = lexicographic piece rank; score = bit
     * length of the occurrence-weighted substring count).
     */
-  private def unigramTrainPrologueCtes(maxPieceLen: Int): String =
+  private def unigramTrainPrologueCtes(maxPieceLen: Int,
+                                       whereSql: String = "text IS NOT NULL"): String =
     s"""wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
                  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-                 FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+                 FROM documents WHERE $whereSql) WHERE w <> '' GROUP BY w),
         pos0 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS st FROM wt),
         sub0 AS (SELECT w, f, st,
                         unnest(range(1, least($maxPieceLen, length(w) - st + 1) + 1)) AS pl
@@ -1032,6 +1033,46 @@ object TextAnalysis {
                CAST(s // 256 AS BIGINT) AS seq_id,
                CAST(s % 256 AS BIGINT) AS seq_offset
         FROM c ORDER BY doc_id"""
+
+  /** ≡ the c_unigram_heldout Spark chain: training replayed on the
+    * TRAIN-split word types only, then a Viterbi apply pass over the
+    * TEST-split word types (planted unseen-char arm included), folded
+    * per test doc — uncovered words count one UNK.
+    */
+  private def unigramHeldoutOracleSql: String =
+    s"""
+        WITH RECURSIVE ${unigramTrainPrologueCtes(4,
+          s"text IS NOT NULL AND ${splitCaseSql()} = 'train'")},
+        ${unigramIterCtes(1)},
+        ${unigramIterCtes(2)},
+        td AS (SELECT doc_id,
+                      text || CASE WHEN doc_id % 2 = 0 THEN ' zebraz' ELSE '' END AS htext
+               FROM documents
+               WHERE text IS NOT NULL AND ${splitCaseSql()} = 'test'),
+        dw3 AS (SELECT doc_id, unnest(string_split_regex(trim(htext), '\\s+')) AS w FROM td),
+        wt3 AS (SELECT DISTINCT w FROM dw3 WHERE w <> ''),
+        r3 AS (
+          SELECT w, 1 AS pos, 0 AS score, 0 AS n, '' AS idp FROM wt3
+          UNION ALL
+          SELECT r.w, r.pos + length(v.piece), r.score + v.score, r.n + 1,
+                 r.idp || lpad(CAST(v.id AS VARCHAR), 6, '0')
+          FROM r3 r JOIN v2 v ON substr(r.w, r.pos, length(v.piece)) = v.piece
+          WHERE r.pos <= length(r.w)
+        ),
+        b3h AS (SELECT w, n FROM (
+                  SELECT *, row_number() OVER (PARTITION BY w
+                           ORDER BY score DESC, n ASC, idp ASC) AS rk
+                  FROM r3 WHERE pos > length(w) AND n > 0) WHERE rk = 1),
+        perw AS (SELECT dw3.doc_id, COALESCE(b.n, 1) AS np,
+                        CASE WHEN b.w IS NULL THEN 1 ELSE 0 END AS nu
+                 FROM dw3 LEFT JOIN b3h b ON b.w = dw3.w WHERE dw3.w <> ''),
+        g AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
+                     CAST(SUM(nu) AS BIGINT) AS n_unk
+              FROM perw GROUP BY doc_id)
+        SELECT td.doc_id, COALESCE(g.n_pieces, 0) AS n_pieces,
+               COALESCE(g.n_unk, 0) AS n_unk
+        FROM td LEFT JOIN g USING (doc_id)
+        ORDER BY td.doc_id"""
 
   /** The t_mojibake_fix oracle pieces, generated from [[MojibakeTable]]. */
   private def mojibakeFixSql: String = {
@@ -1783,6 +1824,33 @@ object TextAnalysis {
           countOf = c => size(unigramTokenize(c, vocab)).cast("long")).orderBy("doc_id")
       },
       Some(packUnigramOracleSql),
+    ),
+    // HELD-OUT tokenizer evaluation — the leakage-free protocol: the
+    // unigram model trains on the md5 TRAIN split only, then tokenizes
+    // the TEST split; per test doc, piece and UNK counts. The planted
+    // " zebraz" arm (%2=0 test docs) carries a character the train
+    // split never saw, so the whole-word-UNK path is live; everything
+    // else stays coverable (single chars seed from train words). The
+    // oracle re-runs training on the train-split word types and a
+    // Viterbi apply pass over the test-split word types.
+    Q(
+      "c_unigram_heldout",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val vocab = UnigramTrain.trainedVocab(
+          docs.filter(splitName(col("doc_id")) === "train"), iters = 2)
+        val scoredTest = docs
+          .filter(splitName(col("doc_id")) === "test" && col("text").isNotNull)
+          .withColumn("htext", concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(" zebraz")).otherwise(lit(""))))
+          .select(col("doc_id"), unigramTokenize(col("htext"), vocab).as("idsa"))
+        scoredTest.select(
+          col("doc_id"),
+          size(col("idsa")).cast("long").as("n_pieces"),
+          size(filter(col("idsa"), _ === 0L)).cast("long").as("n_unk"))
+          .orderBy("doc_id")
+      },
+      Some(unigramHeldoutOracleSql),
     ),
     // Exact heavy hitters: top-20 tokens by total term frequency. The
     // small-data face the CMS query audits against.
