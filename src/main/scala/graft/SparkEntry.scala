@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.TrainingDataQueries.queries ++
       operators.Curation.queries ++
-      operators.QualityTrain.queries
+      operators.QualityTrain.queries ++
+      operators.Graph.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The trck flagship program (single-block counter FSM) run through the

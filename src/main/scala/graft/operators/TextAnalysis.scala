@@ -1257,6 +1257,108 @@ object TextAnalysis {
                CAST(cms_est AS BIGINT) AS cms_est
         FROM est ORDER BY exact_cnt DESC, token"""
 
+  // ---- mergeable quantile sketch (log2 histogram) ----------------------
+
+  /** Per-`srcCol` log-histogram sketches over a long column
+    * ([[graft.functions.LogHistogram]]): each partition folds into one
+    * dense 960-long array (7.7 KB) and the exchange carries one partial
+    * per (partition, source) — the quantile member of the sketch triad
+    * (CMS frequency / HLL cardinality / this), for the regime where even
+    * the (source, distinct value) histogram of [[lengthQuantiles]] is
+    * big data. Merge is elementwise sum (LINEAR — per-day matrices sum
+    * to the global matrix exactly; QsketchSpec pins it).
+    */
+  def qsketchBySource(docs: DataFrame, srcCol: String = "source",
+                      valCol: String = "n_chars"): DataFrame = {
+    val agg = udaf(new graft.functions.LogHistogram.Agg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(srcCol).as("source"),
+        coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
+      .groupBy("source").agg(agg(col("v")).as("sketch"))
+  }
+
+  /** The sparse readout of [[qsketchBySource]]: one row per occupied
+    * bucket with its count and inclusive [lo, hi] value bounds — what a
+    * dataset card renders as the per-source length distribution. Buckets
+    * below 16 are EXACT (lo == hi); above, width ≤ lo/16 (≤6.25%
+    * relative error). Fully integer, so the DuckDB oracle replays the
+    * whole histogram from the same `length(bin(v))`/shift rule.
+    */
+  def qsketchHistogram(docs: DataFrame, srcCol: String = "source",
+                       valCol: String = "n_chars"): DataFrame =
+    qsketchBySource(docs, srcCol, valCol)
+      .select(col("source"), posexplode(col("sketch")).as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("bucket", col("bucket").cast("long"))
+      .withColumn("lo", graft.functions.LogHistogram.lowerBoundColOf("bucket"))
+      .withColumn("hi", graft.functions.LogHistogram.upperBoundColOf("bucket"))
+      .orderBy("source", "bucket")
+
+  /** The verification face: sketch-derived quantile BOUNDS next to the
+    * exact discrete quantiles ([[lengthQuantiles]] semantics: value at
+    * row ⌈p·n/100⌉), per source. Because the bucket map is monotone,
+    * bucket(quantile(p)) IS the sketch's answering bucket, so
+    * `lo ≤ exact ≤ hi` holds by construction — `pNN_ok` columns pin it
+    * corpus-wide in the cross-engine hash, making the ≤6.25% guarantee a
+    * VERIFIED property, not a claim. Shape: two bounded histograms
+    * (source × occupied buckets / source × distinct values) + windowed
+    * cumsums — no per-source sort of raw rows.
+    */
+  def qsketchQuantiles(docs: DataFrame, ps: Seq[Int] = Seq(50, 90, 99),
+                       srcCol: String = "source",
+                       valCol: String = "n_chars"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must sit in [1,100], got $ps")
+    val lh = graft.functions.LogHistogram
+    val v = docs.select(col(srcCol).as("source"),
+      coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    // sketch side: histogram of buckets, cumulative count, min bucket
+    // clearing each ⌈p·n/100⌉ threshold (100·cum ≥ n·p, pure integers)
+    val hb = v.withColumn("bucket", lh.bucketColOf("v"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("bucket")))
+      .withColumn("n", sum("c").over(wAll))
+    val qb = hb.groupBy("source").agg(max("n").as("n_docs"),
+      ps.map(p => min(when(col("cum") * 100 >= col("n") * p, col("bucket"))).as(s"b$p")): _*)
+    // exact side: the lengthQuantiles shape over the raw values
+    val hv = v.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("v")))
+      .withColumn("n", sum("c").over(wAll))
+    val eCols = ps.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"e$p"))
+    val qv = hv.groupBy("source").agg(eCols.head, eCols.tail: _*)
+    val joined = qb.join(qv, Seq("source"))
+    val out = ps.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"p${p}_lo", lh.lowerBoundColOf(s"b$p"))
+        .withColumn(s"p${p}_hi", lh.upperBoundColOf(s"b$p"))
+        .withColumn(s"p${p}_exact", col(s"e$p"))
+        .withColumn(s"p${p}_ok",
+          (col(s"p${p}_lo") <= col(s"e$p") && col(s"e$p") <= col(s"p${p}_hi")).cast("long"))
+    }
+    out.select(col("source") +: col("n_docs") +:
+      ps.flatMap(p => Seq(col(s"p${p}_lo"), col(s"p${p}_hi"),
+        col(s"p${p}_exact"), col(s"p${p}_ok"))): _*)
+      .orderBy("source")
+  }
+
+  /** The bucket rule / bound rules as DuckDB expressions — single source
+    * with [[graft.functions.LogHistogram]]'s column twins so the two
+    * engines can never drift. `//` and `>>`/`<<` on BIGINT are the same
+    * floor-division/shift semantics Spark's `div`/`shiftright` apply to
+    * the same non-negative inputs.
+    */
+  private def qsketchBucketSql(v: String): String =
+    s"CASE WHEN $v < 16 THEN $v ELSE (length(bin($v)) - 5) * 16 + ($v >> (length(bin($v)) - 5)) END"
+
+  private def qsketchLoSql(b: String): String =
+    s"CASE WHEN $b < 16 THEN $b ELSE ($b % 16 + 16) << (($b // 16) - 1) END"
+
+  private def qsketchHiSql(b: String): String =
+    s"CASE WHEN $b < 16 THEN $b ELSE (($b % 16 + 16) << (($b // 16) - 1)) + ((CAST(1 AS BIGINT) << (($b // 16) - 1)) - 1) END"
+
   val queries: Seq[Q] = Seq(
     // deterministic hash split: per-split document counts + token sums
     Q(
@@ -1965,6 +2067,58 @@ object TextAnalysis {
       "t_cms_merge",
       (s, dir) => cmsMergeReport(Tables(s, dir, "documents"), 5, depth = 4, width = 512),
       Some(cmsMergeOracleSql(5, 4, 512)),
+    ),
+    // Mergeable quantile sketch (log2 histogram, HdrHistogram/DDSketch
+    // family): the quantile member of the sketch triad. The registered
+    // face is the AGGREGATOR build (one 7.7 KB partial per partition —
+    // the 100 TB shape); the oracle replays the whole histogram
+    // declaratively from the same integer bucket rule.
+    Q(
+      "t_qsketch",
+      (s, dir) => qsketchHistogram(Tables(s, dir, "documents")),
+      Some(s"""
+        WITH v AS (SELECT source, COALESCE(n_chars, 0) AS v FROM documents),
+        b AS (SELECT source, ${qsketchBucketSql("v")} AS bucket FROM v)
+        SELECT source, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt,
+               CAST(${qsketchLoSql("bucket")} AS BIGINT) AS lo,
+               CAST(${qsketchHiSql("bucket")} AS BIGINT) AS hi
+        FROM b GROUP BY source, bucket ORDER BY source, bucket"""),
+    ),
+    // The sketch's error CONTRACT, verified corpus-wide: per-source
+    // p50/p90/p99 bounds from the sketch next to the exact discrete
+    // quantiles, with in-bounds flags in the cross-engine hash.
+    Q(
+      "t_qsketch_err",
+      (s, dir) => qsketchQuantiles(Tables(s, dir, "documents")),
+      Some {
+        val loHi = Seq(50, 90, 99).map { p =>
+          s"""CAST(${qsketchLoSql(s"b$p")} AS BIGINT) AS p${p}_lo,
+               CAST(${qsketchHiSql(s"b$p")} AS BIGINT) AS p${p}_hi,
+               CAST(e$p AS BIGINT) AS p${p}_exact,
+               CAST(CASE WHEN ${qsketchLoSql(s"b$p")} <= e$p AND e$p <= ${qsketchHiSql(s"b$p")} THEN 1 ELSE 0 END AS BIGINT) AS p${p}_ok"""
+        }.mkString(",\n               ")
+        val bMins = Seq(50, 90, 99).map(p =>
+          s"MIN(CASE WHEN cum * 100 >= n * $p THEN bucket END) AS b$p").mkString(", ")
+        val eMins = Seq(50, 90, 99).map(p =>
+          s"MIN(CASE WHEN cum * 100 >= n * $p THEN v END) AS e$p").mkString(", ")
+        s"""
+        WITH vv AS (SELECT source, COALESCE(n_chars, 0) AS v FROM documents),
+        bb AS (SELECT source, v, ${qsketchBucketSql("v")} AS bucket FROM vv),
+        hb AS (SELECT source, bucket, COUNT(*) AS c FROM bb GROUP BY source, bucket),
+        cb AS (SELECT source, bucket,
+                      SUM(c) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+                      SUM(c) OVER (PARTITION BY source) AS n FROM hb),
+        qb AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, $bMins
+               FROM cb GROUP BY source),
+        hv AS (SELECT source, v, COUNT(*) AS c FROM vv GROUP BY source, v),
+        cv AS (SELECT source, v,
+                      SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                      SUM(c) OVER (PARTITION BY source) AS n FROM hv),
+        qv AS (SELECT source, $eMins FROM cv GROUP BY source)
+        SELECT source, n_docs,
+               $loHi
+        FROM qb JOIN qv USING (source) ORDER BY source"""
+      },
     ),
   )
 

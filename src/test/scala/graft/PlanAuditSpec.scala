@@ -592,4 +592,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ucEx.exists(_.contains("text#")),
       "canon-dedup exchanges must carry addresses, not bodies:\n" + ucEx.mkString("\n"))
   }
+
+  test("r17 continuation shapes: qsketch explodes only post-aggregate; pagerank scan pruned to doc_id") {
+    // t_qsketch: the Generate (posexplode) must sit ABOVE the aggregation —
+    // the corpus folds into 7.7 KB partials and only the tiny finished
+    // sketch explodes; a Generate below the aggregate would mean a
+    // bucket-per-row shuffle at corpus scale
+    val qs = plan("t_qsketch")
+    val genIdx = qs.indexOf("Generate")
+    val aggIdx = qs.indexOf("ObjectHashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, qs.take(2000))
+    // formatted explain lists operators leaves-last: the post-aggregate
+    // Generate prints BEFORE the aggregate nodes it consumes
+    assert(genIdx < aggIdx,
+      "posexplode must consume the aggregated sketch, not raw rows:\n" + qs.take(2000))
+    assert(!qs.contains("Join"), "qsketch joins nothing:\n" + qs.take(2000))
+    // g_pagerank: the fixture derives everything from doc_id — the parquet
+    // scan must prune to that single column (no text/lang/source read),
+    // and the iterative plan must stay cartesian-free
+    val pr = plan("g_pagerank")
+    val reads = pr.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty && reads.forall(l => l.contains("doc_id") && !l.contains("text")),
+      "pagerank must scan doc_id only:\n" + reads.mkString("\n"))
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
+      pr.take(2000))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftSession, Tables}
+
+/** PageRank / degree-stats properties: hand-computed integer exactness on
+  * a 3-node graph (the arithmetic contract the staged-CTE oracle
+  * replays), fixture-arm liveness on the real documents table (hub,
+  * dangling, teleport-only hosts), rank-mass bounds under the sink-loss
+  * variant, partition invariance, and seeded-face mass locality
+  * (unreachable non-seeds stay at exactly zero).
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("graph-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def edgesOf(rows: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  private def ranksOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("hand graph: one iteration is integer-exact") {
+    // a->b, a->c, b->a; outdeg a=2, b=1; c dangling.
+    // r0 = 1e6 each. contrib(a) = 1e6 div 1; contrib(b) = contrib(c) = 1e6 div 2.
+    // r1 = 150000 + (85 * contrib) div 100:
+    //   a: 150000 + 850000 = 1000000; b, c: 150000 + 425000 = 575000
+    val e = edgesOf(0L -> 1L, 0L -> 2L, 1L -> 0L)
+    val r1 = ranksOf(Graph.pageRank(e, iters = 1))
+    assert(r1 == Map(0L -> 1000000L, 1L -> 575000L, 2L -> 575000L), s"got $r1")
+    // second iteration: contrib(a) = r1(b) div 1 = 575000 ->
+    //   a: 150000 + (85*575000) div 100 = 150000 + 488750 = 638750
+    //   b = c: 150000 + (85*(1000000 div 2)) div 100 = 575000
+    val r2 = ranksOf(Graph.pageRank(e, iters = 2))
+    assert(r2 == Map(0L -> 638750L, 1L -> 575000L, 2L -> 575000L), s"got $r2")
+  }
+
+  test("parallel links dedup before ranking; self-loops never enter") {
+    val dup = edgesOf(0L -> 1L, 0L -> 1L, 0L -> 2L, 1L -> 0L)
+    val single = edgesOf(0L -> 1L, 0L -> 2L, 1L -> 0L)
+    assert(ranksOf(Graph.pageRank(dup)) == ranksOf(Graph.pageRank(single)))
+  }
+
+  test("fixture arms live on documents: hub, dangling, teleport-only hosts") {
+    val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
+    val deg = Graph.degreeStats(links).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(deg.size == 23)
+    // dangling arm: host 22 receives but never contributes
+    assert(deg(22L).getAs[Long]("is_dangling") == 1L)
+    assert(deg(22L).getAs[Long]("out_deg") == 0L && deg(22L).getAs[Long]("in_deg") > 0L)
+    // hub arm: host 0 has the max raw in-link count
+    val maxIn = deg.values.map(_.getAs[Long]("in_links")).max
+    assert(deg(0L).getAs[Long]("in_links") == maxIn && maxIn > deg(1L).getAs[Long]("in_links"))
+    // raw >= distinct everywhere
+    deg.values.foreach { r =>
+      assert(r.getAs[Long]("out_links") >= r.getAs[Long]("out_deg"))
+      assert(r.getAs[Long]("in_links") >= r.getAs[Long]("in_deg"))
+    }
+    val ranks = ranksOf(Graph.pageRank(links))
+    val base = 15L * Graph.ScalePpm / 100
+    // every rank >= teleport base; total mass <= N * SCALE (sink loss only)
+    assert(ranks.values.forall(_ >= base))
+    assert(ranks.values.sum <= 23L * Graph.ScalePpm)
+    // hub dominates
+    assert(ranks(0L) == ranks.values.max)
+    // hosts with no in-edges sit at EXACTLY the teleport base: dst 11's
+    // only source is 11 itself (self-loop, dropped), dst 19's is host 22
+    // (dangling, emits nothing)
+    assert(ranks(11L) == base && ranks(19L) == base)
+  }
+
+  test("partition invariance: repartitioned links change nothing") {
+    val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
+    assert(ranksOf(Graph.pageRank(links.repartition(7))) == ranksOf(Graph.pageRank(links)))
+  }
+
+  test("seeded face: teleport mass stays on seeds; unreachable non-seeds at zero") {
+    val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
+    val out = Graph.pageRankSeeded(links).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = 15L * Graph.ScalePpm / 100
+    Graph.FixtureSeeds.foreach { s =>
+      assert(out(s)._2 == 1L && out(s)._1 >= base, s"seed $s below base")
+    }
+    // in-edge-free hosts are unreachable and non-seed -> exactly 0
+    assert(out(11L)._1 == 0L && out(19L)._1 == 0L)
+    // total seeded mass strictly below the uniform run's
+    val uniform = ranksOf(Graph.pageRank(links)).values.sum
+    assert(out.values.map(_._1).sum < uniform)
+  }
+}
