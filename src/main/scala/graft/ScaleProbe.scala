@@ -216,7 +216,20 @@ object ScaleProbe {
     "c_pmi_topk",
     // r17: unigram Viterbi ids — a pure native-expression projection like
     // the BPE/WordPiece faces, with an O(len·maxPiece) DP per word
-    "c_tokenize_unigram")
+    "c_tokenize_unigram",
+    // r17 continuation: the quantile sketch — one typed-Aggregator scan
+    // folding 7.7 KB partials per (partition, source); the ratio should
+    // track the data multiple like the CMS face, and the posexplode side
+    // is aggregate-sized (constant), so drift would indict the partial
+    // path, not the readout
+    "t_qsketch",
+    // r17 continuation: PageRank over the host-link fixture — the scan +
+    // residue projection + edge DEDUP grow with docs, but the distinct
+    // graph saturates at the host universe (23 nodes — exactly how real
+    // host graphs behave: |V| ≪ |docs|), so the 5 fixed-size iterations
+    // are constant work and the ratio should sit well BELOW the data
+    // multiple, pinning the "dedup before iterate" claim
+    "g_pagerank")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
