@@ -77,4 +77,31 @@ object HllAggregator {
     }
 
   def trckHllMergeHex(c: Column): Column = udaf(mergeRegisters).apply(c)
+
+  /** [[mergeRegisters]] with a BINARY result instead of the RLE-hex
+    * serialization — for iterative consumers (HyperBall's per-round ball
+    * union) that feed the merged registers straight into the next round
+    * and would only pay a decode for the hex form.
+    */
+  val mergeRegistersBinary: Aggregator[Array[Byte], Array[Byte], Array[Byte]] =
+    new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      override def zero: Array[Byte] = new Array[Byte](Hll.M)
+      override def reduce(buf: Array[Byte], regs: Array[Byte]): Array[Byte] =
+        merge(buf, regs)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        if (b != null) {
+          var i = 0
+          while (i < a.length && i < b.length) {
+            if ((a(i) & 0xff) < (b(i) & 0xff)) a(i) = b(i)
+            i += 1
+          }
+        }
+        a
+      }
+      override def finish(buf: Array[Byte]): Array[Byte] = buf
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+
+  def trckHllMergeRegs(c: Column): Column = udaf(mergeRegistersBinary).apply(c)
 }

@@ -144,13 +144,30 @@ object Graph {
     pageRankFrom(links, iters, scalePpm, seeds = Some(seeds))
   }
 
+  /** WEIGHTED PageRank: parallel links count — share(u→v) =
+    * `(rank(u) · w(u,v)) div W(u)` with `w` the raw link multiplicity and
+    * `W(u)` its out-total (the host-graph reality: a site linking another
+    * 40 times endorses it more than one linking once). Same integer
+    * arithmetic, same staged-CTE oracle; reduces to [[pageRank]] when all
+    * multiplicities are 1.
+    */
+  def pageRankWeighted(links: DataFrame, iters: Int = Iters,
+                       scalePpm: Long = ScalePpm): DataFrame =
+    pageRankFrom(links, iters, scalePpm, seeds = None, weighted = true)
+
   private def pageRankFrom(links: DataFrame, iters: Int, scalePpm: Long,
-                           seeds: Option[Seq[Long]]): DataFrame = {
+                           seeds: Option[Seq[Long]],
+                           weighted: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val edges = links.distinct()
+    // weighted: one row per distinct edge with its multiplicity; uniform:
+    // the distinct edge set with outdeg. Both keep the iterated side at
+    // |E| distinct rows — raw parallel links collapse BEFORE any iteration
+    val edges =
+      if (weighted) links.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      else links.distinct().withColumn("w", lit(1L))
     val nodes = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host"))).distinct()
-    val od = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val od = edges.groupBy("src").agg(sum("w").as("outw"))
     val isSeed = seeds.map(ss => col("host").isin(ss: _*))
     val baseTerm: org.apache.spark.sql.Column = isSeed match {
       case None    => lit(15L * scalePpm / 100)
@@ -163,7 +180,7 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = edges.join(od, "src")
         .join(ranks.withColumnRenamed("host", "src"), "src")
-        .select(col("dst").as("host"), expr("rank_ppm div outdeg").as("share"))
+        .select(col("dst").as("host"), expr("(rank_ppm * w) div outw").as("share"))
         .groupBy("host").agg(sum("share").as("contrib"))
       ranks = nodes.join(contrib, Seq("host"), "left")
         .select(col("host"),
@@ -176,10 +193,147 @@ object Graph {
     out.orderBy("host")
   }
 
+  /** Fixture threshold for [[hostQuality]]: splits the converged ranks
+    * meaningfully (the teleport-only and weakly-linked hosts fall below,
+    * the hub / seed-adjacent cluster clears it) so both gate arms are
+    * live at every SF.
+    */
+  val QualityRankThresholdPpm = 260000L
+
+  /** The graph family feeding curation: every document joined to its
+    * host's CONVERGED PageRank and gated on a rank threshold — the
+    * host-level quality prior web pipelines apply before any per-document
+    * scoring (a doc on a spam-ranked host starts distrusted). The rank
+    * table is |V| rows — tiny next to the corpus — so it rides an
+    * explicit broadcast onto the doc scan: the gate is ONE map-side join,
+    * no shuffle of document rows (plan-pinned).
+    */
+  def hostQuality(docs: DataFrame,
+                  thresholdPpm: Long = QualityRankThresholdPpm): DataFrame = {
+    val pr = pageRank(syntheticLinks(docs))
+    docs.select(col("doc_id"), (col("doc_id") % NHosts).as("host"))
+      .join(broadcast(pr), Seq("host"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("rank_ppm"), lit(0L)).as("host_rank_ppm"),
+        (coalesce(col("rank_ppm"), lit(0L)) >= thresholdPpm).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---- harmonic centrality: exact audit face + HyperBall scale path ----
+
+  /** All-pairs shortest distances up to 2^`doublingRounds` hops via
+    * min-plus DOUBLING (dist ⋈ dist per round, not dist ⋈ edges) —
+    * 4 rounds cover 16 hops, comfortably past the fixture's measured
+    * diameter of 12. This EXACT face materializes the (u, v, d) pair
+    * table, which is |V|²-bounded: it exists as the AUDIT for
+    * [[hyperBallHarmonic]], never as the 100 TB path (the same
+    * exact-feeder-vs-production-twin split as d_embed_cc / d_embed_cc_lsh).
+    */
+  def shortestPaths(links: DataFrame, doublingRounds: Int = 4): DataFrame = {
+    require(doublingRounds >= 1, "need at least one doubling round")
+    val edges = links.distinct()
+    var dist = edges.select(col("src").as("u"), col("dst").as("v"), lit(1L).as("d"))
+    for (_ <- 1 to doublingRounds) {
+      val comp = dist.as("a").join(dist.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"),
+          (col("a.d") + col("b.d")).as("d"))
+      dist = dist.union(comp).groupBy("u", "v").agg(min("d").as("d"))
+    }
+    dist
+  }
+
+  /** EXACT harmonic centrality in ppm: `H(v) = Σ_{u≠v reaching v}
+    * SCALE div d(u, v)` (Boldi & Vigna's centrality of choice for host
+    * ranking — "Axioms for centrality", 2014; unreachable pairs
+    * contribute nothing, which is the property that makes harmonic
+    * robust on disconnected crawls where closeness degenerates).
+    */
+  def harmonicExact(links: DataFrame, doublingRounds: Int = 4,
+                    scalePpm: Long = ScalePpm): DataFrame = {
+    val edges = links.distinct()
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val h = shortestPaths(links, doublingRounds)
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("v").as("host"))
+      .agg(sum(expr(s"$scalePpm div d")).as("hp"))
+    nodes.join(h, Seq("host"), "left")
+      .select(col("host"), coalesce(col("hp"), lit(0L)).as("harmonic_ppm"))
+      .orderBy("host")
+  }
+
+  /** HyperBall harmonic-centrality estimate (Boldi & Vigna 2013,
+    * "In-core computation of geometric centralities with HyperBall"):
+    * per node, an HLL sketch of the ball `B_r(v) = {u : d(u,v) ≤ r}`,
+    * grown one hop per round by register-max UNION with the in-neighbor
+    * balls — `H(v) ≈ Σ_r (|B_r| − |B_(r−1)|)/r` off the per-round
+    * estimates. THE published scale path for centrality on web graphs:
+    * state is one fixed-size sketch per node (here the trck p=14 /
+    * 16 KiB registers for kernel parity — production would shrink p),
+    * each round one self-join + one register-max aggregation, memory
+    * NEVER proportional to ball sizes — where the exact face's pair
+    * table is |V|². Negative per-round deltas (estimator jitter) clamp
+    * to 0, as in the paper's implementation. The returned score is a
+    * Double estimate; the registered face hashes only the tolerance
+    * FLAG against the exact ppm value (the a4_hll_estimate_check
+    * pattern).
+    */
+  def hyperBallHarmonic(links: DataFrame, maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val edges = links.distinct()
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val initRegs = udf { (h: Long) =>
+      val s = graft.trck.Hll()
+      s.add(h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.registers
+    }
+    val est = udf((r: Array[Byte]) => graft.trck.Hll.wrap(r.clone()).estimate)
+    // the baseline estimate is the SINGLETON sketch's own estimate (linear
+    // counting gives ~1.00003, not exactly 1.0) — seeding with lit(1.0)
+    // would credit every never-growing ball a phantom round-1 delta
+    var st = nodes
+      .withColumn("regs", initRegs(col("host")))
+      .withColumn("est", est(col("regs")))
+      .withColumn("hacc", lit(0.0))
+    for (r <- 1 to maxHops) {
+      val contrib = edges
+        .join(st.select(col("host").as("src"), col("regs")), "src")
+        .select(col("dst").as("host"), col("regs"))
+      val merged = st.select(col("host"), col("regs")).union(contrib)
+        .groupBy("host")
+        .agg(graft.functions.HllAggregator.trckHllMergeRegs(col("regs")).as("regs"))
+      st = merged.join(st.select(col("host"), col("est"), col("hacc")), "host")
+        .withColumn("est_new", est(col("regs")))
+        .withColumn("hacc",
+          col("hacc") + greatest(lit(0.0), col("est_new") - col("est")) / lit(r.toDouble))
+        .select(col("host"), col("regs"), col("est_new").as("est"), col("hacc"))
+      // tiny per-round frames, but 16 rounds of lazy self-reference make a
+      // deep plan — cut the lineage every few rounds (eager, off-heap-free)
+      if (r % 4 == 0 && r < maxHops) st = st.localCheckpoint(true)
+    }
+    st.select(col("host"), col("hacc").as("hb_centrality"))
+  }
+
   /** Staged-CTE oracle for [[pageRankFrom]]: r0..r`iters` generated
     * mechanically with the same integer arithmetic.
     */
-  private def pageRankOracleSql(iters: Int, seeds: Option[Seq[Long]]): String = {
+  private def pageRankOracleSql(iters: Int, seeds: Option[Seq[Long]],
+                                weighted: Boolean = false): String = {
+    val seedCol = seeds.fold("") { ss =>
+      s", CAST(CASE WHEN host IN (${ss.mkString(", ")}) THEN 1 ELSE 0 END AS BIGINT) AS is_seed"
+    }
+    s"""
+        WITH ${pageRankCtesSql(iters, seeds, weighted)}
+        SELECT host, rank_ppm$seedCol FROM r$iters ORDER BY host"""
+  }
+
+  /** The full CTE chain (graph fixture + r0..r`iters`) WITHOUT the final
+    * select — shared by [[pageRankOracleSql]] and compositions that join
+    * the converged ranks onto other tables (c_host_quality).
+    */
+  private def pageRankCtesSql(iters: Int, seeds: Option[Seq[Long]],
+                              weighted: Boolean): String = {
     val base = seeds match {
       case None     => (15L * ScalePpm / 100).toString
       case Some(ss) =>
@@ -191,23 +345,57 @@ object Graph {
         s"""r0 AS (SELECT host, CAST(CASE WHEN host IN (${ss.mkString(", ")})
                  THEN $ScalePpm ELSE 0 END AS BIGINT) AS rank_ppm FROM nodes)"""
     }
+    // uniform: share = rank // outdeg over DISTINCT edges; weighted:
+    // share = (rank * w) // W over multiplicity-weighted edges
+    val (edgeCte, shareExpr) =
+      if (weighted)
+        ("""we AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY src, dst),
+        ow AS (SELECT src, SUM(w) AS outw FROM we GROUP BY src)""",
+          "SUM((r.rank_ppm * e.w) // ow.outw)")
+      else ("", "SUM(r.rank_ppm // od.outdeg)")
+    val eFrom =
+      if (weighted) "we e JOIN ow ON ow.src = e.src"
+      else "edges e JOIN od ON od.src = e.src"
     val steps = (1 to iters).map { k =>
       s"""r$k AS (
           SELECT n.host,
                  CAST($base + ($Damp * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank_ppm
           FROM nodes n LEFT JOIN (
-            SELECT e.dst AS host, SUM(r.rank_ppm // od.outdeg) AS contrib
-            FROM edges e JOIN od ON od.src = e.src JOIN r${k - 1} r ON r.host = e.src
+            SELECT e.dst AS host, $shareExpr AS contrib
+            FROM $eFrom JOIN r${k - 1} r ON r.host = e.src
             GROUP BY e.dst) c ON c.host = n.host)"""
     }.mkString(",\n        ")
-    val seedCol = seeds.fold("") { ss =>
-      s", CAST(CASE WHEN host IN (${ss.mkString(", ")}) THEN 1 ELSE 0 END AS BIGINT) AS is_seed"
-    }
+    val extraCtes = if (weighted) s",\n        $edgeCte" else ""
+    s"""$graphCtesSql$extraCtes,
+        $r0,
+        $steps"""
+  }
+
+  /** Oracle for the exact half of `g_harmonic`: min-plus doubling CTEs
+    * d1, d2, d4, … (d_{2k} built from d_k ⋈ d_k), then the harmonic sum —
+    * the same `//` arithmetic as [[harmonicExact]]. The hb_ok column is
+    * the literal 1 the Spark-side tolerance check must reproduce.
+    */
+  private def harmonicOracleSql(doublingRounds: Int): String = {
+    val steps = (1 to doublingRounds).map { k =>
+      val (cur, prev) = (1 << k, 1 << (k - 1))
+      s"""d$cur AS (
+          SELECT u, v, MIN(d) AS d FROM (
+            SELECT u, v, d FROM d$prev
+            UNION ALL
+            SELECT a.u, b.v, a.d + b.d FROM d$prev a JOIN d$prev b ON a.v = b.u)
+          GROUP BY u, v)"""
+    }.mkString(",\n        ")
+    val last = 1 << doublingRounds
     s"""
         WITH $graphCtesSql,
-        $r0,
-        $steps
-        SELECT host, rank_ppm$seedCol FROM r$iters ORDER BY host"""
+        d1 AS (SELECT src AS u, dst AS v, CAST(1 AS BIGINT) AS d FROM edges),
+        $steps,
+        h AS (SELECT v AS host, SUM($ScalePpm // d) AS hp
+              FROM d$last WHERE u <> v GROUP BY v)
+        SELECT n.host, CAST(COALESCE(h.hp, 0) AS BIGINT) AS harmonic_ppm,
+               CAST(1 AS BIGINT) AS hb_ok
+        FROM nodes n LEFT JOIN h ON h.host = n.host ORDER BY n.host"""
   }
 
   val queries: Seq[Q] = Seq(
@@ -247,6 +435,47 @@ object Graph {
       "g_pagerank_seeded",
       (s, dir) => pageRankSeeded(syntheticLinks(Tables(s, dir, "documents"))),
       Some(pageRankOracleSql(Iters, Some(FixtureSeeds))),
+    ),
+    // Weighted PageRank: raw link multiplicities as endorsement weights —
+    // the hub's repeated links shift mass vs the uniform face.
+    Q(
+      "g_pagerank_weighted",
+      (s, dir) => pageRankWeighted(syntheticLinks(Tables(s, dir, "documents"))),
+      Some(pageRankOracleSql(Iters, None, weighted = true)),
+    ),
+    // Harmonic centrality: the EXACT ppm value (min-plus doubling, fully
+    // replayed by the oracle's staged CTEs) beside the HyperBall
+    // estimate's tolerance flag — tolerance evaluated in Spark, oracle
+    // row a deterministic (host, exact, TRUE): an end-to-end hash-pinned
+    // guard on the published scale-path estimator.
+    Q(
+      "g_harmonic",
+      (s, dir) => {
+        val links = syntheticLinks(Tables(s, dir, "documents"))
+        val exact = harmonicExact(links)
+        val hb = hyperBallHarmonic(links)
+        exact.join(hb, Seq("host"))
+          .select(col("host"), col("harmonic_ppm"),
+            (abs(col("hb_centrality") - col("harmonic_ppm") / lit(1e6)) <=
+              greatest(col("harmonic_ppm") / lit(1e6) * lit(0.15), lit(0.5)))
+              .cast("long").as("hb_ok"))
+          .orderBy("host")
+      },
+      Some(harmonicOracleSql(4)),
+    ),
+    // The composed curation gate: per-doc host-rank join + threshold —
+    // PageRank CTE chain reused verbatim inside the oracle.
+    Q(
+      "c_host_quality",
+      (s, dir) => hostQuality(Tables(s, dir, "documents")),
+      Some(s"""
+        WITH ${pageRankCtesSql(Iters, None, weighted = false)},
+        d AS (SELECT doc_id, doc_id % $NHosts AS host FROM documents)
+        SELECT d.doc_id, d.host,
+               CAST(COALESCE(r.rank_ppm, 0) AS BIGINT) AS host_rank_ppm,
+               CAST(CASE WHEN COALESCE(r.rank_ppm, 0) >= $QualityRankThresholdPpm
+                    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM d LEFT JOIN r$Iters r ON r.host = d.host ORDER BY d.doc_id"""),
     ),
   )
 }

@@ -276,6 +276,31 @@ object DocStream {
       .select(col("w.start").as("window_start"), col("sketch"), col("n_docs"))
   }
 
+  /** Streaming quantile sketch per event-time window: the same
+    * [[graft.functions.LogHistogram.Agg]] the batch face builds with,
+    * lifted into a watermarked window aggregation — the live length/size
+    * profile of an ingest feed at fixed memory (one 960-long histogram
+    * per OPEN window; the watermark closes windows, so state is bounded
+    * by the lateness horizon, never by value cardinality). The emitted
+    * matrices serve the same bucket/bound kernels as batch
+    * ([[graft.functions.LogHistogram.bucket]]/`lowerBound`/`upperBound`)
+    * and, being linear, SUM across windows or feeds into coarser rollups
+    * — batch ≡ stream is spec-pinned through the one shared kernel.
+    */
+  def qsketchByWindow(docs: DataFrame, valCol: String = "n_chars",
+                      eventTimeCol: String = "event_time",
+                      windowDuration: String = "1 minute",
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val qh = udaf(new graft.functions.LogHistogram.Agg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"))
+      .agg(qh(coalesce(col(valCol).cast("long"), lit(0L))).as("sketch"),
+        count(lit(1)).as("n_docs"))
+      .select(col("w.start").as("window_start"), col("sketch"), col("n_docs"))
+  }
+
   /** Deterministic train/val/test routing for a stream: the same
     * md5-bucket split as the batch `TextAnalysis.splitName`, so batch and
     * streaming ingestion route every document identically.

@@ -197,6 +197,15 @@ object StreamProbe {
       // stays flat as the stream grows
       runArm("cmsByWindow",
         docs => DocStream.cmsByWindow(docs, watermarkDelay = watermark)),
+      // BOUNDED-stateful arm: the windowed quantile sketch keeps ONE
+      // 960-long histogram per OPEN window — same eviction contract as
+      // the CMS arm, state never proportional to value cardinality
+      runArm("qsketchByWindow",
+        docs => DocStream.qsketchByWindow(
+          docs.withColumn("n_chars",
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("text")).cast("long")),
+          watermarkDelay = watermark)),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +

@@ -616,5 +616,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pagerank must scan doc_id only:\n" + reads.mkString("\n"))
     assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
       pr.take(2000))
+    // c_host_quality: the |V|-row rank table must broadcast onto the doc
+    // scan — the gate joins docs exactly once and that join is a
+    // BroadcastHashJoin, so document rows never shuffle for the gate
+    val hq = plan("c_host_quality")
+    assert(hq.contains("BroadcastHashJoin"),
+      "host-quality gate must broadcast the rank table:\n" + hq.take(2000))
+    assert(!hq.contains("SortMergeJoin"),
+      "host-quality gate must not sort-merge the corpus:\n" + hq.take(2000))
   }
 }

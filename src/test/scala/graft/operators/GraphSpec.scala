@@ -47,6 +47,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == Map(0L -> 638750L, 1L -> 575000L, 2L -> 575000L), s"got $r2")
   }
 
+  test("weighted face: multiplicities split shares exactly; reduces to uniform at w=1") {
+    // a->b twice, a->c once, b->a once. W(a)=3, W(b)=1.
+    // share(a->b) = (1e6 * 2) div 3 = 666666; share(a->c) = 333333;
+    // share(b->a) = 1e6.
+    // r1: a = 150000 + 850000 = 1000000
+    //     b = 150000 + (85*666666) div 100 = 150000 + 566666 = 716666
+    //     c = 150000 + (85*333333) div 100 = 150000 + 283333 = 433333
+    val w = edgesOf(0L -> 1L, 0L -> 1L, 0L -> 2L, 1L -> 0L)
+    val r1 = ranksOf(Graph.pageRankWeighted(w, iters = 1))
+    assert(r1 == Map(0L -> 1000000L, 1L -> 716666L, 2L -> 433333L), s"got $r1")
+    // all multiplicities 1 -> identical to the uniform face
+    val single = edgesOf(0L -> 1L, 0L -> 2L, 1L -> 0L)
+    assert(ranksOf(Graph.pageRankWeighted(single)) == ranksOf(Graph.pageRank(single)))
+  }
+
   test("parallel links dedup before ranking; self-loops never enter") {
     val dup = edgesOf(0L -> 1L, 0L -> 1L, 0L -> 2L, 1L -> 0L)
     val single = edgesOf(0L -> 1L, 0L -> 2L, 1L -> 0L)
@@ -85,6 +100,56 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("partition invariance: repartitioned links change nothing") {
     val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
     assert(ranksOf(Graph.pageRank(links.repartition(7))) == ranksOf(Graph.pageRank(links)))
+  }
+
+  test("harmonic exact: hand graph, doubling convergence, fixture arms") {
+    // a->b, b->a, a->c: H(a) = 1/d(b,a) = 1e6 (c has no out-edge);
+    // H(b) = 1e6; H(c) = 1/d(a,c) + 1/d(b,c) = 1e6 + 500000
+    val e = edgesOf(0L -> 1L, 1L -> 0L, 0L -> 2L)
+    val h = ranksOf(Graph.harmonicExact(e))
+    assert(h == Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1500000L), s"got $h")
+    // fixture: 4 doubling rounds (16 hops) already past the fixed point —
+    // a 5th round changes nothing (measured diameter 12)
+    val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
+    val h4 = ranksOf(Graph.harmonicExact(links, doublingRounds = 4))
+    val h5 = ranksOf(Graph.harmonicExact(links, doublingRounds = 5))
+    assert(h4 == h5, "16-hop horizon not converged on the fixture")
+    // in-edge-free hosts have harmonic 0; the hub is reached by everyone
+    // that has any path, so it holds the maximum
+    assert(h4(11L) == 0L && h4(19L) == 0L)
+    assert(h4(0L) == h4.values.max)
+  }
+
+  test("hyperball estimate tracks exact within the registered tolerance") {
+    val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
+    val exact = ranksOf(Graph.harmonicExact(links))
+    val hb = Graph.hyperBallHarmonic(links).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hb.keySet == exact.keySet)
+    exact.foreach { case (host, ppm) =>
+      val x = ppm / 1e6
+      assert(math.abs(hb(host) - x) <= math.max(0.15 * x, 0.5),
+        s"host $host: hyperball ${hb(host)} vs exact $x")
+    }
+    // zero-centrality hosts estimate exactly zero (ball never grows)
+    assert(hb(11L) == 0.0 && hb(19L) == 0.0)
+  }
+
+  test("host-quality gate: both arms live, flags consistent with the rank table") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Graph.hostQuality(docs).collect()
+    assert(out.length == docs.count())
+    val ranks = ranksOf(Graph.pageRank(Graph.syntheticLinks(docs)))
+    out.foreach { r =>
+      val (id, host, rank, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(host == id % 23)
+      assert(rank == ranks(host), s"doc $id host $host: $rank != ${ranks(host)}")
+      assert(kept == (if (rank >= Graph.QualityRankThresholdPpm) 1L else 0L))
+    }
+    // the threshold must actually split the corpus (both gate arms live)
+    val keptN = out.count(_.getLong(3) == 1L)
+    assert(keptN > 0 && keptN < out.length, s"degenerate gate: $keptN/${out.length}")
   }
 
   test("seeded face: teleport mass stays on seeds; unreachable non-seeds at zero") {

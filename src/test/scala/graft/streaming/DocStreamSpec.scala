@@ -851,4 +851,43 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(graft.functions.CmsSketch.estimate(m0, "beta", depth, width) >= 2L)
     } finally query.stop()
   }
+
+  test("qsketchByWindow: windowed streaming quantile histogram equals the batch kernel") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(10), 0L),
+      (2L, ts(20), 15L),
+      (3L, ts(30), 17L),   // same bucket (17 -> 17) as nothing; distinct buckets
+      (4L, ts(40), 558L),
+      (5L, ts(70), 1024L), // second window
+    )
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val query = DocStream.qsketchByWindow(
+      input.toDF().toDF("doc_id", "event_time", "n_chars"))
+      .writeStream.format("memory").queryName("qs_out").outputMode("complete").start()
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT window_start, sketch, n_docs FROM qs_out")
+        .collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          ((r.getSeq[Long](1).toVector, r.getLong(2)))).toMap
+      assert(got.keySet == Set(0L, 60L), got.keySet.toString)
+      def batchMatrix(vs: Seq[Long]): Vector[Long] = {
+        val m = new Array[Long](graft.functions.LogHistogram.NumBuckets)
+        vs.foreach(v => m(graft.functions.LogHistogram.bucket(v)) += 1L)
+        m.toVector
+      }
+      assert(got(0L) == ((batchMatrix(Seq(0L, 15L, 17L, 558L)), 4L)))
+      assert(got(60L) == ((batchMatrix(Seq(1024L)), 1L)))
+      // linearity across windows: the summed stream matrices == one batch
+      // matrix over all values (the rollup a daily job would run)
+      val summed = got(0L)._1.zip(got(60L)._1).map { case (a, b) => a + b }
+      assert(summed == batchMatrix(rows.map(_._3)))
+    } finally query.stop()
+  }
 }
