@@ -229,7 +229,19 @@ object ScaleProbe {
     // host graphs behave: |V| ≪ |docs|), so the 5 fixed-size iterations
     // are constant work and the ratio should sit well BELOW the data
     // multiple, pinning the "dedup before iterate" claim
-    "g_pagerank")
+    "g_pagerank",
+    // r17 continuation 2: harmonic/HyperBall — the 9.6 s band is 16
+    // rounds of fixed stage-setup overhead (codegen + scheduling on a
+    // 23-node graph), so the probe ratio should sit near 1.0: a ratio
+    // tracking the data multiple would instead indict the edge-dedup
+    // scan feeding the rounds. The broadcast host-quality gate is
+    // scan-bound and should track the multiple.
+    "g_harmonic", "c_host_quality",
+    // r17 continuation 2: the event-transition PageRank — the lag window
+    // over user trails is the corpus-sized stage (the FSM partitioning);
+    // the weighted iterations run on the saturated type-universe graph,
+    // so the ratio should track the events multiple, not exceed it
+    "g_event_pagerank")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded

@@ -90,12 +90,17 @@ object Graph {
                              AND doc_id % $HubEvery = 0)
           WHERE src <> dst)"""
 
-  /** Shared graph CTE chain: raw → distinct edges → nodes → out-degrees. */
-  private def graphCtesSql: String =
-    s"""$rawEdgesSql,
+  /** Shared graph CTE chain: raw → distinct edges → nodes → out-degrees.
+    * `rawCte` defaults to the synthetic host-link fixture; the
+    * event-transition face injects its own raw-edge source.
+    */
+  private def graphCtesFrom(rawCte: String): String =
+    s"""$rawCte,
         edges AS (SELECT DISTINCT src, dst FROM raw),
         nodes AS (SELECT src AS host FROM edges UNION SELECT dst AS host FROM edges),
         od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)"""
+
+  private def graphCtesSql: String = graphCtesFrom(rawEdgesSql)
 
   /** Per-host degree profile over the link fixture: raw link counts and
     * distinct-neighbor degrees both ways, plus the dangling flag — the
@@ -219,6 +224,38 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** REAL-data edge source: consecutive event-type transitions within
+    * each user's time-ordered trail (the same user-partitioned,
+    * (ts, event_id)-ordered pass the FSM engine runs; consecutive
+    * SELF-transitions drop, mirroring the matcher's consecutive-dup rule
+    * — reference: the M8 dedup semantic). The (ts_sec, event_id)
+    * composite is a total order both engines share, so the lag walk is
+    * deterministic regardless of sub-second timestamp precision. At
+    * 100 TB the window pass is the only corpus-sized stage — the
+    * transition graph itself saturates at the event-type universe, with
+    * the volume carried entirely in the multiplicities the weighted
+    * PageRank consumes.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_sec", "event_id")
+    events
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("event_type"))
+      .select(col("prev").as("src"), col("event_type").as("dst"))
+  }
+
+  /** `raw(src, dst)` CTE mirroring [[eventTransitions]] in DuckDB. */
+  private def eventRawCte: String =
+    """raw AS (
+          SELECT prev AS src, event_type AS dst FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+            FROM events)
+          WHERE prev IS NOT NULL AND prev <> event_type)"""
+
   // ---- harmonic centrality: exact audit face + HyperBall scale path ----
 
   /** All-pairs shortest distances up to 2^`doublingRounds` hops via
@@ -333,7 +370,8 @@ object Graph {
     * the converged ranks onto other tables (c_host_quality).
     */
   private def pageRankCtesSql(iters: Int, seeds: Option[Seq[Long]],
-                              weighted: Boolean): String = {
+                              weighted: Boolean,
+                              rawCte: String = rawEdgesSql): String = {
     val base = seeds match {
       case None     => (15L * ScalePpm / 100).toString
       case Some(ss) =>
@@ -366,7 +404,7 @@ object Graph {
             GROUP BY e.dst) c ON c.host = n.host)"""
     }.mkString(",\n        ")
     val extraCtes = if (weighted) s",\n        $edgeCte" else ""
-    s"""$graphCtesSql$extraCtes,
+    s"""${graphCtesFrom(rawCte)}$extraCtes,
         $r0,
         $steps"""
   }
@@ -476,6 +514,18 @@ object Graph {
                CAST(CASE WHEN COALESCE(r.rank_ppm, 0) >= $QualityRankThresholdPpm
                     THEN 1 ELSE 0 END AS BIGINT) AS kept
         FROM d LEFT JOIN r$Iters r ON r.host = d.host ORDER BY d.doc_id"""),
+    ),
+    // PageRank over REAL data: the per-user event-type transition graph
+    // (trck's trail ordering feeding the graph family) — weighted by
+    // transition counts, every iteration oracle-replayed.
+    Q(
+      "g_event_pagerank",
+      (s, dir) =>
+        pageRankWeighted(eventTransitions(Tables.events(s, dir)))
+          .withColumnRenamed("host", "event_type"),
+      Some(s"""
+        WITH ${pageRankCtesSql(Iters, None, weighted = true, rawCte = eventRawCte)}
+        SELECT host AS event_type, rank_ppm FROM r$Iters ORDER BY event_type"""),
     ),
   )
 }

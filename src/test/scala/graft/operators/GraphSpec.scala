@@ -152,6 +152,26 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptN > 0 && keptN < out.length, s"degenerate gate: $keptN/${out.length}")
   }
 
+  test("event transitions: per-user lag walk, consecutive dups drop, order deterministic") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: a -> a -> b -> a   (self-transition a->a drops)
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "a"), (3L, 1L, 30L, "b"), (4L, 1L, 40L, "a"),
+      // user 2: same second, event_id breaks the tie: b -> c
+      (5L, 2L, 50L, "b"), (6L, 2L, 50L, "c"),
+      // user 3: single event, no edge
+      (7L, 3L, 60L, "a"),
+    ).toDF("event_id", "user_id", "ts_sec", "event_type")
+    val got = Graph.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq("a" -> "b", "b" -> "a", "b" -> "c"), s"got $got")
+    // partition invariance: the window re-sorts per user either way
+    val rep = Graph.eventTransitions(ev.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rep == got)
+  }
+
   test("seeded face: teleport mass stays on seeds; unreachable non-seeds at zero") {
     val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
     val out = Graph.pageRankSeeded(links).collect()
