@@ -145,6 +145,15 @@ object RestartProbe {
       // kill lands with a batch in flight mid-window
       arm("cmsByWindow",
         docs => DocStream.cmsByWindow(docs, watermarkDelay = watermark)),
+      // bounded-stateful arm: the windowed quantile sketch — recovery
+      // must restore the open window's 960-bucket histogram exactly or
+      // the emitted matrix (and every bound served from it) drifts
+      arm("qsketchByWindow",
+        docs => DocStream.qsketchByWindow(
+          docs.withColumn("n_chars",
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("text")).cast("long")),
+          watermarkDelay = watermark)),
     )
     val json =
       s"""{"metric":"restart_probe","sf_dir":"$dir","batches":$nBatches,""" +
