@@ -103,6 +103,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnigramTokenize(args(0), pieces.zip(scores))
       },
     ))
+    // the quantile-sketch integer arithmetic as scalar SQL — with GROUP BY
+    // these express the whole log-histogram declaratively, and the bound
+    // decoders read any stored bucket column back to value ranges
+    ext.injectFunction((
+      FunctionIdentifier("qsketch_bucket"),
+      new ExpressionInfo(classOf[QsketchBucket].getName, "qsketch_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "qsketch_bucket takes exactly 1 argument (bigint value)")
+        QsketchBucket(args(0))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("qsketch_lo"),
+      new ExpressionInfo(classOf[QsketchLo].getName, "qsketch_lo"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "qsketch_lo takes exactly 1 argument (bigint bucket)")
+        QsketchLo(args(0))
+      },
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("qsketch_hi"),
+      new ExpressionInfo(classOf[QsketchHi].getName, "qsketch_hi"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "qsketch_hi takes exactly 1 argument (bigint bucket)")
+        QsketchHi(args(0))
+      },
+    ))
     // trck-format HLL sketch of a binary column → reference RLE-hex.
     // Spark's partial aggregation runs the register-max merge, so the SQL
     // form distributes exactly like the Column API one.
