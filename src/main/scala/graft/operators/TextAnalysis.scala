@@ -1344,6 +1344,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-source DISTRIBUTION DRIFT off the quantile sketch: the L1
+    * distance, in ppm of probability mass, between each source's bucket
+    * histogram and the corpus-wide one —
+    * `Σ_b |cnt_s(b)·10⁶ div n_s − cnt_g(b)·10⁶ div n_g|`. The ingest
+    * diagnostic that flags a source whose length distribution has
+    * drifted from the corpus (a scraper gone wrong, a truncating
+    * upstream) BEFORE per-document rules would notice. ppm fractions
+    * keep every term inside int64 at any corpus size (the raw
+    * cross-product form `cnt_s·n_g` overflows at web scale); floor-div
+    * is engine-identical, so the whole report hash-matches the oracle.
+    * Shape: two bounded histograms + one (sources × occupied-buckets)
+    * join — the global histogram is ≤960 rows and broadcasts.
+    */
+  def qsketchDrift(docs: DataFrame, srcCol: String = "source",
+                   valCol: String = "n_chars"): DataFrame = {
+    val lh = graft.functions.LogHistogram
+    val b = docs.select(col(srcCol).as("source"),
+        coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
+      .withColumn("bucket", lh.bucketColOf("v"))
+    val hs = b.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val ns = b.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val hg = b.groupBy("bucket").agg(count(lit(1)).as("cg"))
+    val ng = b.agg(count(lit(1)).as("ng"))
+    val grid = ns.join(broadcast(hg)).join(broadcast(ng)) // sources × occupied buckets
+    grid.join(hs, Seq("source", "bucket"), "left")
+      .withColumn("term", abs(
+        expr("coalesce(c, 0) * 1000000 div n_docs") - expr("cg * 1000000 div ng")))
+      .groupBy("source").agg(max("n_docs").as("n_docs"),
+        sum("term").as("drift_ppm"))
+      .orderBy("source")
+  }
+
   /** The bucket rule / bound rules as DuckDB expressions — single source
     * with [[graft.functions.LogHistogram]]'s column twins so the two
     * engines can never drift. `//` and `>>`/`<<` on BIGINT are the same
@@ -2119,6 +2151,26 @@ object TextAnalysis {
                $loHi
         FROM qb JOIN qv USING (source) ORDER BY source"""
       },
+    ),
+    // Per-source distribution drift off the sketch: ppm L1 distance from
+    // the corpus-wide histogram — the ingest diagnostic for a source
+    // whose length distribution has gone wrong.
+    Q(
+      "t_qsketch_drift",
+      (s, dir) => qsketchDrift(Tables(s, dir, "documents")),
+      Some(s"""
+        WITH v AS (SELECT source, COALESCE(n_chars, 0) AS v FROM documents),
+        b AS (SELECT source, ${qsketchBucketSql("v")} AS bucket FROM v),
+        hs AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY source, bucket),
+        ns AS (SELECT source, COUNT(*) AS n_docs FROM b GROUP BY source),
+        hg AS (SELECT bucket, COUNT(*) AS cg FROM b GROUP BY bucket),
+        ng AS (SELECT COUNT(*) AS ng FROM b)
+        SELECT ns.source, CAST(ns.n_docs AS BIGINT) AS n_docs,
+               CAST(SUM(ABS(COALESCE(hs.c, 0) * 1000000 // ns.n_docs
+                            - hg.cg * 1000000 // ng.ng)) AS BIGINT) AS drift_ppm
+        FROM ns CROSS JOIN hg CROSS JOIN ng
+        LEFT JOIN hs ON hs.source = ns.source AND hs.bucket = hg.bucket
+        GROUP BY ns.source, ns.n_docs ORDER BY ns.source"""),
     ),
   )
 

@@ -301,6 +301,58 @@ object DocStream {
       .select(col("w.start").as("window_start"), col("sketch"), col("n_docs"))
   }
 
+  /** Streaming distribution-drift monitor: per event-time window, the
+    * ppm L1 distance between the window's [[qsketchByWindow]] histogram
+    * and a FROZEN baseline fraction table (ppm per bucket, built offline
+    * from the reference corpus — the freeze-then-gate lifecycle every
+    * other stream gate here follows). The alert a live ingest raises
+    * when a scraper starts truncating: per-document rules pass while the
+    * DISTRIBUTION walks away. Integer floor-div throughout (the batch
+    * [[graft.operators.TextAnalysis.qsketchDrift]] arithmetic), computed
+    * by exploding the already-aggregated 960-bucket matrix — post-agg
+    * rows, never the stream.
+    */
+  def qsketchDriftByWindow(docs: DataFrame, baselineFracPpm: Seq[Long],
+                           valCol: String = "n_chars",
+                           eventTimeCol: String = "event_time",
+                           windowDuration: String = "1 minute",
+                           watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(baselineFracPpm.length == graft.functions.LogHistogram.NumBuckets,
+      s"baseline must carry one ppm fraction per bucket " +
+        s"(${graft.functions.LogHistogram.NumBuckets}), got ${baselineFracPpm.length}")
+    // the drift fold is a PROJECTION over the finished 960-long matrix
+    // (zip_with + aggregate) — a second groupBy here would be a second
+    // streaming aggregation, which append-mode plans reject. Floor-div
+    // as (a - a%b)/b: exact for these magnitudes (cnt·10⁶ < 2^53) and
+    // identical to the batch face's `div` on non-negative inputs.
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = typedLit(baselineFracPpm)
+    qsketchByWindow(docs, valCol, eventTimeCol, windowDuration, watermarkDelay)
+      .withColumn("drift_ppm", aggregate(
+        zip_with(col("sketch"), base,
+          (c, f) => abs(fdiv(c * lit(1000000L), col("n_docs")) - f)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("window_start"), col("n_docs"), col("drift_ppm"))
+  }
+
+  /** Baseline fraction table for [[qsketchDriftByWindow]]: ppm of
+    * probability mass per bucket from a frozen reference corpus — one
+    * dense 960-long array, computed with the same floor-div the stream
+    * applies.
+    */
+  def qsketchBaselineFracPpm(docs: DataFrame, valCol: String = "n_chars"): Seq[Long] = {
+    val lh = graft.functions.LogHistogram
+    val agg = udaf(new lh.Agg, org.apache.spark.sql.Encoders.scalaLong)
+    val row = docs
+      .select(coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
+      .agg(agg(col("v")).as("sketch"), count(lit(1)).as("n"))
+      .head()
+    val (m, n) = (row.getSeq[Long](0), row.getLong(1))
+    require(n > 0, "baseline corpus must be non-empty")
+    m.map(c => c * 1000000L / n)
+  }
+
   /** Deterministic train/val/test routing for a stream: the same
     * md5-bucket split as the batch `TextAnalysis.splitName`, so batch and
     * streaming ingestion route every document identically.

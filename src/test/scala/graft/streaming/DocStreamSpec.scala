@@ -890,4 +890,45 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(summed == batchMatrix(rows.map(_._3)))
     } finally query.stop()
   }
+
+  test("qsketchDriftByWindow: in-distribution window near zero, planted drift fires") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lh = graft.functions.LogHistogram
+    // frozen baseline: lengths 20 and 300, half each
+    val baseVals = Seq(20L, 300L, 20L, 300L)
+    val baseline = DocStream.qsketchBaselineFracPpm(baseVals.toDF("n_chars"))
+    assert(baseline(lh.bucket(20L)) == 500000L && baseline(lh.bucket(300L)) == 500000L)
+    val rows = Seq(
+      // window [0,60): same 50/50 mix as the baseline -> drift 0
+      (1L, ts(10), 20L), (2L, ts(20), 300L),
+      // window [60,120): all docs 100k chars -> full mass displaced
+      (3L, ts(70), 100000L), (4L, ts(80), 100000L),
+    )
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val query = DocStream.qsketchDriftByWindow(
+      input.toDF().toDF("doc_id", "event_time", "n_chars"), baseline)
+      .writeStream.format("memory").queryName("qd_out").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT window_start, n_docs, drift_ppm FROM qd_out")
+        .collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == Set(0L, 60L))
+      assert(got(0L) == ((2L, 0L)), s"in-distribution window must read zero: ${got(0L)}")
+      // displaced mass: window puts 10^6 ppm on an unseen bucket (counted
+      // once) and zero on the two baseline buckets (5·10^5 each) -> 2·10^6
+      assert(got(60L) == ((2L, 2000000L)), s"planted drift: ${got(60L)}")
+      // streamed arithmetic == the batch face's integer contract, replayed
+      val win2 = Seq(100000L, 100000L)
+      val m = new Array[Long](lh.NumBuckets)
+      win2.foreach(v => m(lh.bucket(v)) += 1)
+      val expect = m.toSeq.zip(baseline).map { case (c, f) =>
+        math.abs(c * 1000000L / win2.length - f)
+      }.sum
+      assert(got(60L)._2 == expect)
+    } finally query.stop()
+  }
 }
