@@ -18,6 +18,21 @@ import graft.trck.Hll
   */
 object HllAggregator {
 
+  /** Register-max union into `a` (null-tolerant on `b`) — the ONE merge
+    * all three aggregators below share, so a future fix can never
+    * silently miss a face.
+    */
+  private def registerMax(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (b != null) {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        if ((a(i) & 0xff) < (b(i) & 0xff)) a(i) = b(i)
+        i += 1
+      }
+    }
+    a
+  }
+
   val toHex: Aggregator[Array[Byte], Array[Byte], String] =
     new Aggregator[Array[Byte], Array[Byte], String] {
       override def zero: Array[Byte] = new Array[Byte](Hll.M)
@@ -25,14 +40,8 @@ object HllAggregator {
         if (item != null) Hll.wrap(buf).add(item)
         buf
       }
-      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-        var i = 0
-        while (i < a.length) {
-          if ((a(i) & 0xff) < (b(i) & 0xff)) a(i) = b(i)
-          i += 1
-        }
-        a
-      }
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        registerMax(a, b)
       // serializeRegisters: a group whose items were all null must emit the
       // reference's empty form "0e00", not a version-01 RLE of zeros
       override def finish(buf: Array[Byte]): String = Hll.serializeRegisters(buf)
@@ -60,17 +69,9 @@ object HllAggregator {
     new Aggregator[Array[Byte], Array[Byte], String] {
       override def zero: Array[Byte] = new Array[Byte](Hll.M)
       override def reduce(buf: Array[Byte], regs: Array[Byte]): Array[Byte] =
-        merge(buf, regs)
-      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-        if (b != null) {
-          var i = 0
-          while (i < a.length && i < b.length) {
-            if ((a(i) & 0xff) < (b(i) & 0xff)) a(i) = b(i)
-            i += 1
-          }
-        }
-        a
-      }
+        registerMax(buf, regs)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        registerMax(a, b)
       override def finish(buf: Array[Byte]): String = Hll.serializeRegisters(buf)
       override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
       override def outputEncoder: Encoder[String] = Encoders.STRING
@@ -87,17 +88,9 @@ object HllAggregator {
     new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
       override def zero: Array[Byte] = new Array[Byte](Hll.M)
       override def reduce(buf: Array[Byte], regs: Array[Byte]): Array[Byte] =
-        merge(buf, regs)
-      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-        if (b != null) {
-          var i = 0
-          while (i < a.length && i < b.length) {
-            if ((a(i) & 0xff) < (b(i) & 0xff)) a(i) = b(i)
-            i += 1
-          }
-        }
-        a
-      }
+        registerMax(buf, regs)
+      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        registerMax(a, b)
       override def finish(buf: Array[Byte]): Array[Byte] = buf
       override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
       override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

@@ -80,7 +80,11 @@ object LogHistogram {
     */
   def bucketColOf(vName: String): Column = {
     val v = col(vName)
-    when(v < 16, v)
+    // negatives clamp to bucket 0 — the SAME corrupt-length posture as
+    // [[Agg]]/[[bucket]], so the declarative build, the Aggregator, and
+    // the SQL oracle can never diverge on a corrupt row
+    when(v < 0, lit(0L))
+      .when(v < 16, v)
       .otherwise((length(bin(v)) - lit(5)).cast("long") * 16 +
         expr(s"shiftright($vName, length(bin($vName)) - 5)"))
       .cast("long")

@@ -108,10 +108,17 @@ object Graph {
     * strategy downstream). One pass of small aggregations; every join is
     * on the host key.
     */
+  /** The node universe of a distinct edge set — the ONE normalization
+    * every face shares (a self-loop/dedup policy change lands everywhere
+    * or nowhere).
+    */
+  private def nodesOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+
   def degreeStats(links: DataFrame): DataFrame = {
     val edges = links.distinct()
-    val nodes = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host"))).distinct()
+    val nodes = nodesOf(edges)
     val outL = links.groupBy(col("src").as("host")).agg(count(lit(1)).as("out_links"))
     val outD = edges.groupBy(col("src").as("host")).agg(count(lit(1)).as("out_deg"))
     val inL = links.groupBy(col("dst").as("host")).agg(count(lit(1)).as("in_links"))
@@ -170,8 +177,21 @@ object Graph {
     val edges =
       if (weighted) links.groupBy("src", "dst").agg(count(lit(1)).as("w"))
       else links.distinct().withColumn("w", lit(1L))
-    val nodes = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host"))).distinct()
+    // fail-loud domain guard (the hot-bucket-guard discipline): the
+    // weighted share decomposes as q·w + (r·w) div W with r < W, so the
+    // arithmetic stays exact in int64 iff max_src(W · max w) < 2^62.
+    // Corpus-volume multiplicities that exceed it must pre-aggregate at
+    // coarser edge granularity — wrapping silently would rank wrong.
+    if (weighted) {
+      val hot = edges.groupBy("src")
+        .agg(sum("w").as("outw"), max("w").as("mw"))
+        .agg(max(col("outw").cast("double") * col("mw").cast("double")))
+        .head.getDouble(0)
+      require(hot < math.pow(2, 62),
+        f"weighted PageRank domain exceeded: max src (W·max w) = $hot%.3g >= 2^62 — " +
+          "pre-aggregate edge multiplicities at coarser granularity")
+    }
+    val nodes = nodesOf(edges)
     val od = edges.groupBy("src").agg(sum("w").as("outw"))
     val isSeed = seeds.map(ss => col("host").isin(ss: _*))
     val baseTerm: org.apache.spark.sql.Column = isSeed match {
@@ -185,7 +205,13 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = edges.join(od, "src")
         .join(ranks.withColumnRenamed("host", "src"), "src")
-        .select(col("dst").as("host"), expr("(rank_ppm * w) div outw").as("share"))
+        // share = (rank·w) div W, computed as q·w + (r·w) div W with
+        // q = rank div W, r = rank mod W — the exact same value (plain
+        // integer identity) without the rank·w product that overflows
+        // int64 at corpus-volume multiplicities; the guard above bounds
+        // the r·w term. Uniform runs have w = 1, where this IS rank div W.
+        .select(col("dst").as("host"),
+          expr("(rank_ppm div outw) * w + ((rank_ppm % outw) * w) div outw").as("share"))
         .groupBy("host").agg(sum("share").as("contrib"))
       ranks = nodes.join(contrib, Seq("host"), "left")
         .select(col("host"),
@@ -266,9 +292,11 @@ object Graph {
     * [[hyperBallHarmonic]], never as the 100 TB path (the same
     * exact-feeder-vs-production-twin split as d_embed_cc / d_embed_cc_lsh).
     */
-  def shortestPaths(links: DataFrame, doublingRounds: Int = 4): DataFrame = {
+  def shortestPaths(links: DataFrame, doublingRounds: Int = 4): DataFrame =
+    shortestPathsFromEdges(links.distinct(), doublingRounds)
+
+  private def shortestPathsFromEdges(edges: DataFrame, doublingRounds: Int): DataFrame = {
     require(doublingRounds >= 1, "need at least one doubling round")
-    val edges = links.distinct()
     var dist = edges.select(col("src").as("u"), col("dst").as("v"), lit(1L).as("d"))
     for (_ <- 1 to doublingRounds) {
       val comp = dist.as("a").join(dist.as("b"), col("a.v") === col("b.u"))
@@ -288,9 +316,8 @@ object Graph {
   def harmonicExact(links: DataFrame, doublingRounds: Int = 4,
                     scalePpm: Long = ScalePpm): DataFrame = {
     val edges = links.distinct()
-    val nodes = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host"))).distinct()
-    val h = shortestPaths(links, doublingRounds)
+    val nodes = nodesOf(edges)
+    val h = shortestPathsFromEdges(edges, doublingRounds)
       .filter(col("u") =!= col("v"))
       .groupBy(col("v").as("host"))
       .agg(sum(expr(s"$scalePpm div d")).as("hp"))
@@ -318,8 +345,7 @@ object Graph {
   def hyperBallHarmonic(links: DataFrame, maxHops: Int = 16): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
     val edges = links.distinct()
-    val nodes = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host"))).distinct()
+    val nodes = nodesOf(edges)
     val initRegs = udf { (h: Long) =>
       val s = graft.trck.Hll()
       s.add(h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -389,7 +415,7 @@ object Graph {
       if (weighted)
         ("""we AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY src, dst),
         ow AS (SELECT src, SUM(w) AS outw FROM we GROUP BY src)""",
-          "SUM((r.rank_ppm * e.w) // ow.outw)")
+          "SUM((r.rank_ppm // ow.outw) * e.w + ((r.rank_ppm % ow.outw) * e.w) // ow.outw)")
       else ("", "SUM(r.rank_ppm // od.outdeg)")
     val eFrom =
       if (weighted) "we e JOIN ow ON ow.src = e.src"

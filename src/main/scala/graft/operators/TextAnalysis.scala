@@ -1383,7 +1383,7 @@ object TextAnalysis {
     * the same non-negative inputs.
     */
   private def qsketchBucketSql(v: String): String =
-    s"CASE WHEN $v < 16 THEN $v ELSE (length(bin($v)) - 5) * 16 + ($v >> (length(bin($v)) - 5)) END"
+    s"CASE WHEN $v < 0 THEN 0 WHEN $v < 16 THEN $v ELSE (length(bin($v)) - 5) * 16 + ($v >> (length(bin($v)) - 5)) END"
 
   private def qsketchLoSql(b: String): String =
     s"CASE WHEN $b < 16 THEN $b ELSE ($b % 16 + 16) << (($b // 16) - 1) END"

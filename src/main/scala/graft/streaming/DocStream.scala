@@ -323,10 +323,13 @@ object DocStream {
     // the drift fold is a PROJECTION over the finished 960-long matrix
     // (zip_with + aggregate) — a second groupBy here would be a second
     // streaming aggregation, which append-mode plans reject. Floor-div
-    // as (a - a%b)/b: exact for these magnitudes (cnt·10⁶ < 2^53) and
-    // identical to the batch face's `div` on non-negative inputs.
+    // as (a - a%b)/b through DECIMAL division: the numerator is exactly
+    // divisible, decimal keeps all 38 digits, so the quotient is exact
+    // at ANY magnitude — a double route would round past 2^53 and break
+    // the batch ≡ stream integer contract on huge windows. (`div` itself
+    // is unavailable here: lambda variables have no SQL name for expr.)
     def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      ((a - pmod(a, b)) / b).cast("long")
+      ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
     val base = typedLit(baselineFracPpm)
     qsketchByWindow(docs, valCol, eventTimeCol, windowDuration, watermarkDelay)
       .withColumn("drift_ppm", aggregate(

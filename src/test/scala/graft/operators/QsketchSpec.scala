@@ -87,6 +87,9 @@ class QsketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a" -> 0L, "a" -> 1L, "a" -> 15L, "a" -> 16L, "a" -> 17L, "a" -> 300L,
     "b" -> 44L, "b" -> 44L, "b" -> 558L, "b" -> 1024L,
     "c" -> 7L,
+    // corrupt-length arm: a negative value must clamp to bucket 0 in the
+    // Aggregator AND the declarative/oracle rule alike
+    "d" -> -3L, "d" -> 20L,
   )
 
   test("Aggregator build == declarative column-expression build") {
@@ -140,5 +143,11 @@ class QsketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // single-value source: exact bucket, lo == hi == value
     val c = out("c")
     assert(c.getAs[Long]("p50_lo") == 7L && c.getAs[Long]("p50_hi") == 7L)
+    // corrupt arm: a negative exact quantile falls OUTSIDE its clamped
+    // bucket-0 bounds — the flag goes 0 identically in both engines (the
+    // documented corrupt-data caveat, not a guarantee violation)
+    val d = out("d")
+    assert(d.getAs[Long]("p50_exact") == -3L && d.getAs[Long]("p50_lo") == 0L)
+    assert(d.getAs[Long]("p50_ok") == 0L)
   }
 }
