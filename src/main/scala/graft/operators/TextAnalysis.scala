@@ -1376,6 +1376,51 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** The CDF read of the sketch — the third face beside quantiles
+    * ([[qsketchQuantiles]]) and drift ([[qsketchDrift]]): per source and
+    * per fixed threshold T, the ppm of documents with value ≤ T, as
+    * BOUNDS from the histogram (buckets entirely below T count surely;
+    * the straddling bucket is the uncertainty) beside the exact ppm.
+    * `lo ≤ exact ≤ hi` is a THEOREM of the bucket map (v ≤ T ⇒ its
+    * bucket's lo ≤ T; hi(b) ≤ T ⇒ every value in b ≤ T), so the ok
+    * flags hash-pin the contract corpus-wide. The SLA read a dataset
+    * card answers ("what fraction of source X is under 200 chars?")
+    * from the 7.7 KB sketch alone.
+    */
+  def qsketchCdf(docs: DataFrame, thresholds: Seq[Long] = Seq(100L, 200L, 400L),
+                 srcCol: String = "source", valCol: String = "n_chars"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 0), "thresholds must be >= 0")
+    val lh = graft.functions.LogHistogram
+    val v = docs.select(col(srcCol).as("source"),
+      coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
+    val hb = v.withColumn("bucket", lh.bucketColOf("v"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("blo", lh.lowerBoundColOf("bucket"))
+      .withColumn("bhi", lh.upperBoundColOf("bucket"))
+    val sketchCols = thresholds.flatMap { t =>
+      Seq(sum(when(col("bhi") <= t, col("c")).otherwise(lit(0L))).as(s"c${t}_lo"),
+        sum(when(col("blo") <= t, col("c")).otherwise(lit(0L))).as(s"c${t}_hi"))
+    }
+    val sk = hb.groupBy("source").agg(sketchCols.head, sketchCols.tail: _*)
+    val exactCols = count(lit(1)).as("n_docs") +: thresholds.map { t =>
+      sum(when(col("v") <= t, 1L).otherwise(0L)).as(s"c${t}_ex")
+    }
+    val ex = v.groupBy("source").agg(exactCols.head, exactCols.tail: _*)
+    val joined = sk.join(ex, Seq("source"))
+    val out = thresholds.foldLeft(joined) { (df, t) =>
+      df.withColumn(s"t${t}_lo", expr(s"c${t}_lo * 1000000 div n_docs"))
+        .withColumn(s"t${t}_hi", expr(s"c${t}_hi * 1000000 div n_docs"))
+        .withColumn(s"t${t}_exact", expr(s"c${t}_ex * 1000000 div n_docs"))
+        .withColumn(s"t${t}_ok",
+          (col(s"t${t}_lo") <= col(s"t${t}_exact") &&
+            col(s"t${t}_exact") <= col(s"t${t}_hi")).cast("long"))
+    }
+    out.select(col("source") +: col("n_docs") +:
+      thresholds.flatMap(t => Seq(col(s"t${t}_lo"), col(s"t${t}_hi"),
+        col(s"t${t}_exact"), col(s"t${t}_ok"))): _*)
+      .orderBy("source")
+  }
+
   /** The bucket rule / bound rules as DuckDB expressions — single source
     * with [[graft.functions.LogHistogram]]'s column twins so the two
     * engines can never drift. `//` and `>>`/`<<` on BIGINT are the same
@@ -2171,6 +2216,39 @@ object TextAnalysis {
         FROM ns CROSS JOIN hg CROSS JOIN ng
         LEFT JOIN hs ON hs.source = ns.source AND hs.bucket = hg.bucket
         GROUP BY ns.source, ns.n_docs ORDER BY ns.source"""),
+    ),
+    // The CDF read of the sketch: per-source ppm-of-mass-below-threshold
+    // BOUNDS beside the exact ppm, ok flags a theorem of the bucket map.
+    Q(
+      "t_qsketch_cdf",
+      (s, dir) => qsketchCdf(Tables(s, dir, "documents")),
+      Some {
+        val ts = Seq(100L, 200L, 400L)
+        val sCols = ts.flatMap { t =>
+          Seq(s"SUM(CASE WHEN ${qsketchHiSql("bucket")} <= $t THEN c ELSE 0 END) AS c${t}_lo",
+            s"SUM(CASE WHEN ${qsketchLoSql("bucket")} <= $t THEN c ELSE 0 END) AS c${t}_hi")
+        }.mkString(",\n               ")
+        val eCols = ts.map(t =>
+          s"SUM(CASE WHEN v <= $t THEN 1 ELSE 0 END) AS c${t}_ex").mkString(", ")
+        val outCols = ts.map { t =>
+          s"""CAST(sk.c${t}_lo * 1000000 // ex.n_docs AS BIGINT) AS t${t}_lo,
+               CAST(sk.c${t}_hi * 1000000 // ex.n_docs AS BIGINT) AS t${t}_hi,
+               CAST(ex.c${t}_ex * 1000000 // ex.n_docs AS BIGINT) AS t${t}_exact,
+               CAST(CASE WHEN sk.c${t}_lo <= ex.c${t}_ex AND ex.c${t}_ex <= sk.c${t}_hi
+                    THEN 1 ELSE 0 END AS BIGINT) AS t${t}_ok"""
+        }.mkString(",\n               ")
+        s"""
+        WITH v AS (SELECT source, COALESCE(n_chars, 0) AS v FROM documents),
+        b AS (SELECT source, ${qsketchBucketSql("v")} AS bucket FROM v),
+        hb AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY source, bucket),
+        sk AS (SELECT source,
+               $sCols
+               FROM hb GROUP BY source),
+        ex AS (SELECT source, COUNT(*) AS n_docs, $eCols FROM v GROUP BY source)
+        SELECT ex.source, CAST(ex.n_docs AS BIGINT) AS n_docs,
+               $outCols
+        FROM sk JOIN ex ON ex.source = sk.source ORDER BY ex.source"""
+      },
     ),
   )
 

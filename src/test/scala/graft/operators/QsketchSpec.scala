@@ -125,6 +125,26 @@ class QsketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.sameElements(rep))
   }
 
+  test("cdf face: bounds contain the exact ppm, straddling bucket shows the gap") {
+    // source b: 44, 44, 558, 1024. T=100: bucket(44)=[44,45] fully below
+    // -> lo = hi = exact = 500000 ppm. T=550: bucket(558)=[544,575]
+    // STRADDLES -> lo 500000 < hi 750000, exact 500000 (558 > 550).
+    val out = TextAnalysis.qsketchCdf(docsOf(fixture: _*), thresholds = Seq(100L, 550L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = out("b")
+    assert(b.getAs[Long]("t100_lo") == 500000L && b.getAs[Long]("t100_hi") == 500000L)
+    assert(b.getAs[Long]("t100_exact") == 500000L)
+    assert(b.getAs[Long]("t550_lo") == 500000L && b.getAs[Long]("t550_hi") == 750000L)
+    assert(b.getAs[Long]("t550_exact") == 500000L)
+    // the containment theorem holds for every source and threshold
+    out.values.foreach { r =>
+      Seq(100L, 550L).foreach { t =>
+        assert(r.getAs[Long](s"t${t}_ok") == 1L,
+          s"${r.getString(0)} T=$t: cdf bounds broken")
+      }
+    }
+  }
+
   test("quantile face: bounds contain the exact quantiles, hand-checked") {
     // source a sorted: 0,1,15,16,17,300 (n=6): p50 -> ceil(3)=row3 = 15,
     // p90 -> ceil(5.4)=row6 = 300, p99 -> row6 = 300
