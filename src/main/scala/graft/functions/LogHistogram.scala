@@ -36,10 +36,12 @@ import org.apache.spark.sql.functions._
   * (partition, group); merge is elementwise sum — LINEAR, so per-source /
   * per-day matrices sum to the global matrix exactly (spec-pinned), which
   * is what lets 1000 executors or 30 daily jobs sketch independently.
-  * Domain: values must sit below 2^58 (bucket < 944) for the bound
-  * arithmetic to stay in int64 — document lengths and token counts are
-  * 40+ bits below that; [[Agg]] clamps negatives to 0 rather than throw
-  * (a corrupt length must not kill a 100 TB pass; bucket 0 is visible).
+  * Domain: exact over the FULL non-negative long range — the top bucket's
+  * upper bound saturates exactly at Long.MaxValue (upperBound(959) ==
+  * Long.MaxValue, pinned by the QsketchSpec/QsketchSqlSpec sweeps), so no
+  * clamp is needed anywhere; [[Agg]] clamps negatives to 0 rather than
+  * throw (a corrupt length must not kill a 100 TB pass; bucket 0 is
+  * visible).
   */
 object LogHistogram {
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** SQL faces of the [[LogHistogram]] quantile-sketch arithmetic —
   * `qsketch_bucket(v)`, `qsketch_lo(b)`, `qsketch_hi(b)` — as native
@@ -26,15 +26,19 @@ case class QsketchBucket(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "qsketch_bucket"
 
+  // every integral width is accepted and widened in place —
+  // `qsketch_bucket(42)` (an INT literal) and INT count columns written
+  // by other engines work like they do with the built-ins, without
+  // reaching for the private[sql] ImplicitCastInputTypes machinery
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case LongType => TypeCheckResult.TypeCheckSuccess
+      case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a bigint argument, got ${t.sql}")
+        s"$prettyName requires an integral argument, got ${t.sql}")
     }
 
   override def nullSafeEval(v: Any): Any =
-    LogHistogram.bucket(v.asInstanceOf[Long]).toLong
+    LogHistogram.bucket(v.asInstanceOf[Number].longValue()).toLong
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v => s"(long) graft.functions.LogHistogram.bucket($v)")
@@ -51,15 +55,17 @@ abstract class QsketchBound extends UnaryExpression {
   protected def decode(b: Int): Long
   protected def kernelName: String
 
+  // INT bucket columns (e.g. written by another engine) widen in place,
+  // same posture as [[QsketchBucket]]
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case LongType => TypeCheckResult.TypeCheckSuccess
+      case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a bigint bucket argument, got ${t.sql}")
+        s"$prettyName requires an integral bucket argument, got ${t.sql}")
     }
 
   override def nullSafeEval(b: Any): Any = {
-    val x = b.asInstanceOf[Long]
+    val x = b.asInstanceOf[Number].longValue()
     if (x < 0 || x >= LogHistogram.NumBuckets) null else decode(x.toInt)
   }
 

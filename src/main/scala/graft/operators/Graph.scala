@@ -183,13 +183,18 @@ object Graph {
     // Corpus-volume multiplicities that exceed it must pre-aggregate at
     // coarser edge granularity — wrapping silently would rank wrong.
     if (weighted) {
-      val hot = edges.groupBy("src")
+      // the global max is NULL on an empty edge set — no edges means no
+      // shares to overflow, so the guard simply doesn't apply there
+      val hotRow = edges.groupBy("src")
         .agg(sum("w").as("outw"), max("w").as("mw"))
         .agg(max(col("outw").cast("double") * col("mw").cast("double")))
-        .head.getDouble(0)
-      require(hot < math.pow(2, 62),
-        f"weighted PageRank domain exceeded: max src (W·max w) = $hot%.3g >= 2^62 — " +
-          "pre-aggregate edge multiplicities at coarser granularity")
+        .head
+      if (!hotRow.isNullAt(0)) {
+        val hot = hotRow.getDouble(0)
+        require(hot < math.pow(2, 62),
+          f"weighted PageRank domain exceeded: max src (W·max w) = $hot%.3g >= 2^62 — " +
+            "pre-aggregate edge multiplicities at coarser granularity")
+      }
     }
     val nodes = nodesOf(edges)
     val od = edges.groupBy("src").agg(sum("w").as("outw"))
@@ -342,6 +347,15 @@ object Graph {
     * FLAG against the exact ppm value (the a4_hll_estimate_check
     * pattern).
     */
+  /** Rounds the last [[hyperBallHarmonic]] call actually executed before
+    * the no-counter-changed termination fired (the convergence witness the
+    * scale probes record, like `Dedup.lastClosureIterations`): on a graph
+    * of diameter d it should read d+1 — d growing rounds plus the one
+    * saturated round that detects convergence. JVM-wide, local-mode-probe
+    * use only.
+    */
+  @volatile var lastHyperBallRounds: Int = -1
+
   def hyperBallHarmonic(links: DataFrame, maxHops: Int = 16): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
     val edges = links.distinct()
@@ -359,22 +373,39 @@ object Graph {
       .withColumn("regs", initRegs(col("host")))
       .withColumn("est", est(col("regs")))
       .withColumn("hacc", lit(0.0))
-    for (r <- 1 to maxHops) {
+      .localCheckpoint(true)
+    // the paper's own termination rule: stop once NO node's counter
+    // changed in a round — every ball has saturated, so all later deltas
+    // are exactly zero (the estimate is a pure function of the registers)
+    // and the remaining hops would be pure stage-setup overhead. Output
+    // is bit-identical to running all `maxHops` rounds; `maxHops` is the
+    // hard ceiling for graphs whose diameter exceeds it. Each round is
+    // checkpointed eagerly: plans stay one-round shallow (16 rounds of
+    // lazy self-reference used to pile up deep codegen) and the register-
+    // equality probe below scans the materialized blocks, not the lineage.
+    var r = 1
+    var converged = false
+    while (r <= maxHops && !converged) {
       val contrib = edges
         .join(st.select(col("host").as("src"), col("regs")), "src")
         .select(col("dst").as("host"), col("regs"))
       val merged = st.select(col("host"), col("regs")).union(contrib)
         .groupBy("host")
         .agg(graft.functions.HllAggregator.trckHllMergeRegs(col("regs")).as("regs"))
-      st = merged.join(st.select(col("host"), col("est"), col("hacc")), "host")
+      val stepped = merged
+        .join(st.select(col("host"), col("regs").as("regs_prev"),
+          col("est"), col("hacc")), "host")
         .withColumn("est_new", est(col("regs")))
         .withColumn("hacc",
           col("hacc") + greatest(lit(0.0), col("est_new") - col("est")) / lit(r.toDouble))
-        .select(col("host"), col("regs"), col("est_new").as("est"), col("hacc"))
-      // tiny per-round frames, but 16 rounds of lazy self-reference make a
-      // deep plan — cut the lineage every few rounds (eager, off-heap-free)
-      if (r % 4 == 0 && r < maxHops) st = st.localCheckpoint(true)
+        .select(col("host"), col("regs"), col("regs_prev"),
+          col("est_new").as("est"), col("hacc"))
+        .localCheckpoint(true)
+      converged = stepped.filter(col("regs") =!= col("regs_prev")).isEmpty
+      st = stepped.select(col("host"), col("regs"), col("est"), col("hacc"))
+      r += 1
     }
+    lastHyperBallRounds = r - 1
     st.select(col("host"), col("hacc").as("hb_centrality"))
   }
 

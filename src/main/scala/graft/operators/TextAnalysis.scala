@@ -1309,6 +1309,8 @@ object TextAnalysis {
                        valCol: String = "n_chars"): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles must sit in [1,100], got $ps")
+    require(ps.distinct == ps,
+      s"percentiles must be distinct (duplicates make duplicate column names), got $ps")
     val lh = graft.functions.LogHistogram
     val v = docs.select(col(srcCol).as("source"),
       coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
@@ -1390,6 +1392,8 @@ object TextAnalysis {
   def qsketchCdf(docs: DataFrame, thresholds: Seq[Long] = Seq(100L, 200L, 400L),
                  srcCol: String = "source", valCol: String = "n_chars"): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(_ >= 0), "thresholds must be >= 0")
+    require(thresholds.distinct == thresholds,
+      s"thresholds must be distinct (duplicates make duplicate column names), got $thresholds")
     val lh = graft.functions.LogHistogram
     val v = docs.select(col(srcCol).as("source"),
       coalesce(col(valCol).cast("long"), lit(0L)).as("v"))
