@@ -23,10 +23,14 @@ import org.apache.spark.sql.SparkSession
   *     most 16 suspects (worst first/band ratios) are re-measured — on a
   *     fully-contaminated run the reps are contaminated too, so beyond
   *     that the remaining names are listed under "unarbitrated_suspects".
-  *     Additionally the top-3 first/band ratios are arbitrated
+  *     Additionally the top-6 first/band ratios are arbitrated
   *     UNCONDITIONALLY (verdicts "inflated"/"clean") — the 0.75 s floor
-  *     shields sub-second bands, and two rounds running a >2×-band
-  *     reading escaped through that gap;
+  *     shields sub-second bands, and three rounds running a sub-trigger
+  *     reading escaped through that gap; and any query ≥1.5× its
+  *     PREVIOUS round's effective time (BENCH_r*.json auto-discovered, or
+  *     env SPARK_GRAFT_PREV_BENCH) is arbitrated under the
+  *     "round_over_round" trigger — a genuine rise that survives the reps
+  *     is verdict "slower_than_prev" (surfaced, never subtracted);
   *   - the headline `corrected_total_sec` (raw total minus the
   *     contaminated deltas) is the number to quote, and `commit` stamps
   *     which code state was measured.
@@ -66,6 +70,52 @@ object Bench {
     * contamination events were multi-second, 2-10×.
     */
   private[graft] def threshold(band: Double): Double = math.max(2 * band, band + 0.75)
+
+  /** Per-query EFFECTIVE times of a previous round's bench artifact: the
+    * first reading, replaced by the arbitration rep minimum wherever that
+    * round self-classified the first reading as noise ("contaminated" /
+    * "inflated"). This is the round-over-round comparison base — the band
+    * floor goes stale exactly when the box drifts, so a riser vs the
+    * PREVIOUS round is an independent trigger (r17: two report queries
+    * slowed 1.6-1.7× vs r16 yet sat under the band trigger and were never
+    * re-read; this closes that gap structurally). Ignored unless the
+    * artifact's sf dir basename matches the current one.
+    */
+  private[graft] def loadPrevEffective(path: String, sfBase: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (new java.io.File(prevSf.stripSuffix("/")).getName != sfBase) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val arb = Option(root.get("arbitrated")).map { a =>
+            a.properties().asScala.flatMap { e =>
+              val v = e.getValue
+              val verdict = Option(v.get("verdict")).map(_.asText()).getOrElse("")
+              val minN = v.get("min")
+              if ((verdict == "contaminated" || verdict == "inflated") &&
+                minN != null && !minN.isNull)
+                Some(e.getKey -> minN.asDouble())
+              else None
+            }.toMap
+          }.getOrElse(Map.empty[String, Double])
+          Option(root.get("queries")).map { q =>
+            q.properties().asScala.flatMap { e =>
+              if (e.getValue.isNull) None
+              else Some(e.getKey -> arb.getOrElse(e.getKey, e.getValue.asDouble()))
+            }.toMap
+          }.getOrElse(Map.empty)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] prev bench unreadable ($path): $e")
+        Map.empty
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,6 +175,16 @@ object Bench {
       new java.io.File(sfDir.stripSuffix("/")).getName != sf
     }
     val bandMap = if (sfMismatch) Map.empty[String, Double] else bands.map(_._2).getOrElse(Map.empty)
+    // previous round's artifact for the round-over-round trigger: env
+    // override, else the highest-numbered BENCH_r*.json in the cwd
+    val sfBase = new java.io.File(sfDir.stripSuffix("/")).getName
+    val prevBenchPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      Option(new java.io.File(".").listFiles()).flatMap(
+        _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+          .lastOption.map(_.getPath))
+    }
+    val prevEff = prevBenchPath.fold(Map.empty[String, Double])(loadPrevEffective(_, sfBase))
     val unbanded = results.collect { case (n, Some(_), _) if !bandMap.contains(n) => n }
     val suspects = results.flatMap { case (name, tOpt, _) =>
       for (first <- tOpt; band <- bandMap.get(name) if first > threshold(band))
@@ -133,21 +193,37 @@ object Bench {
     // the trigger gap: two rounds running a >2×-band reading escaped under
     // max(2×band, band+0.75) — the 0.75 s floor shields every sub-second
     // band (r13 c_pack_sequences at 2.20×, r14 ann_lsh_recall at 2.13×).
-    // So the top-3 first/band ratios are arbitrated UNCONDITIONALLY per
-    // run: on a clean run that costs three ~1 s re-reads and classifies
-    // them "clean"; on a polluted one it catches exactly the sub-trigger
-    // escapes. Verdicts for sub-threshold entries: "inflated" when the
-    // rep minimum shows the first reading ran ≥1.5× its clean cost
-    // (subtracted from the corrected total like "contaminated"), else
-    // "clean" (no subtraction — min-of-reps must not bias a clean run).
+    // So the top-6 first/band ratios are arbitrated UNCONDITIONALLY per
+    // run (was top-3; the gap bit a third time in r17): on a clean run
+    // that costs six ~1 s re-reads classified "clean"; on a polluted one
+    // it catches exactly the sub-trigger escapes. Verdicts for
+    // sub-threshold entries: "inflated" when the rep minimum shows the
+    // first reading ran ≥1.5× its clean cost (subtracted from the
+    // corrected total like "contaminated"), else "clean" (no subtraction —
+    // min-of-reps must not bias a clean run).
     val suspectNames = suspects.map(_._1).toSet
-    val top3 = results
+    val topN = results
       .flatMap { case (name, tOpt, _) =>
         for (first <- tOpt; band <- bandMap.get(name) if !suspectNames(name))
           yield (name, first, band)
       }
       .sortBy { case (_, first, band) => -(first / band) }
-      .take(3)
+      .take(6)
+    val topNNames = topN.map(_._1).toSet
+    // round-over-round trigger: any query ≥1.5× its PREVIOUS round's
+    // effective time (with a 0.25 s absolute delta floor against
+    // sub-second jitter) is arbitrated regardless of band distance —
+    // the band floor is stale exactly when the box drifts, and r16/r17
+    // each shipped silent >1.5× risers that sat under the band trigger.
+    val risers = results
+      .flatMap { case (name, tOpt, _) =>
+        for (first <- tOpt; prev <- prevEff.get(name)
+             if !suspectNames(name) && !topNNames(name) &&
+               first > prev * 1.5 && first - prev > 0.25)
+          yield (name, first, prev)
+      }
+      .sortBy { case (_, first, prev) => -(first / prev) }
+    val (risersToArb, risersOverflow) = risers.splitAt(12)
     // bound the arbitration pass: on a fully-contaminated run, re-measuring
     // every query re-measures inside the same contamination and triples the
     // runtime for nothing. Up to 25 suspects every one gets arbitrated — the
@@ -157,9 +233,14 @@ object Bench {
     val cap = if (suspects.size <= 25) suspects.size else 16
     val (toArbitrate, overflow) =
       suspects.sortBy { case (_, first, band) => -(first / band) }.splitAt(cap)
-    val arbitrated = (toArbitrate ++ top3).map { case (name, first, band) =>
+    val candidates =
+      toArbitrate.map { case (n, f, b) => (n, f, Some(b), prevEff.get(n), "band") } ++
+        topN.map { case (n, f, b) => (n, f, Some(b), prevEff.get(n), "top_ratio") } ++
+        risersToArb.map { case (n, f, p) => (n, f, bandMap.get(n), Some(p), "round_over_round") }
+    val arbitrated = candidates.map { case (name, first, bandOpt, prevOpt, trigger) =>
       System.err.println(
-        f"[bench] $name: $first%.2f s vs band $band%.2f s — re-measuring 3 reps")
+        f"[bench] $name: $first%.2f s (trigger $trigger, band ${bandOpt.getOrElse(Double.NaN)}%.2f, " +
+          f"prev ${prevOpt.getOrElse(Double.NaN)}%.2f) — re-measuring 3 reps")
       // a rep that throws (executor OOM under the same contamination) must
       // not abort main — that would lose the WHOLE artifact, the exact
       // failure this file exists to prevent
@@ -173,23 +254,30 @@ object Bench {
       val best = if (reps.nonEmpty) reps.min else Double.NaN
       val verdict =
         if (reps.isEmpty) "reps_failed"
-        else if (first > threshold(band)) {
-          if (best <= threshold(band)) "contaminated" else "regression"
+        else if (bandOpt.exists(b => first > threshold(b))) {
+          if (best <= threshold(bandOpt.get)) "contaminated" else "regression"
         } else if (best < first / 1.5) "inflated"
+        else if (trigger == "round_over_round" && prevOpt.exists(p => best > p * 1.5))
+          // the rise survives a min-of-4: a REAL slowdown vs the previous
+          // round (new code cost or a lost optimization) — surfaced, never
+          // subtracted from the corrected total
+          "slower_than_prev"
         else "clean"
-      (name, first, band, reps, best, verdict)
+      (name, first, bandOpt, prevOpt, trigger, reps, best, verdict)
     }
     val suspectContamination =
-      arbitrated.exists(a => a._6 == "contaminated" || a._6 == "inflated")
+      arbitrated.exists(a => a._8 == "contaminated" || a._8 == "inflated")
 
     def num(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => num(t).toString) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val arb = arbitrated.map { case (k, first, band, reps, best, verdict) =>
+    val arb = arbitrated.map { case (k, first, bandOpt, prevOpt, trigger, reps, best, verdict) =>
       val minJs = if (best.isNaN) "null" else num(best).toString
-      s""""$k":{"first":${num(first)},"band":${num(band)},"reps":[${reps.map(num).mkString(",")}],"min":$minJs,"verdict":"$verdict"}"""
+      val bandJs = bandOpt.fold("null")(b => num(b).toString)
+      val prevJs = prevOpt.fold("null")(p => num(p).toString)
+      s""""$k":{"first":${num(first)},"band":$bandJs,"prev":$prevJs,"trigger":"$trigger","reps":[${reps.map(num).mkString(",")}],"min":$minJs,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // the headline number a reader should quote: raw total minus the
@@ -197,7 +285,8 @@ object Bench {
     // for every query self-classified "contaminated"). Equals the raw
     // total on a clean run.
     val correctedTotal = total - arbitrated.collect {
-      case (_, first, _, _, best, v) if (v == "contaminated" || v == "inflated") && !best.isNaN =>
+      case (_, first, _, _, _, _, best, v)
+        if (v == "contaminated" || v == "inflated") && !best.isNaN =>
         first - best
     }.sum
     // stamp the artifact with the commit it measured — SURVEY prose citing
@@ -210,7 +299,8 @@ object Bench {
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""bands_file":${bands.fold("null")(_ => "\"" + bandsPath + "\"")},"bands_sf_mismatch":$sfMismatch,""" +
         s""""unbanded":[${unbanded.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""arbitrated":$arb,"unarbitrated_suspects":[${overflow.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""prev_bench_file":${prevBenchPath.filter(_ => prevEff.nonEmpty).fold("null")("\"" + _ + "\"")},""" +
+        s""""arbitrated":$arb,"unarbitrated_suspects":[${(overflow.map(_._1) ++ risersOverflow.map(_._1)).map("\"" + _ + "\"").mkString(",")}],""" +
         s""""suspect_contamination":$suspectContamination,"sf":"$sfDir"}"""
     // file first: if stdout capture is truncated (BENCH_r07) the artifact
     // still exists whole on disk
