@@ -154,6 +154,84 @@ class CliSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("graft.NoSuchModule"), err.getMessage)
   }
+
+  /** ddiff-style semantic compare of two reference-format dumps, with the
+    * TrailDB data-model equivalence: an absent field ≡ the empty string
+    * (bin/json2tdb:31 fills missing fields with '', so a round trip
+    * materializes them — same as the reference's own json2tdb → tdb2json).
+    */
+  private def assertDumpEquivalent(expected: String, actual: String): Unit = {
+    import org.json4s._
+    def trails(s: String): Map[String, List[Map[String, String]]] =
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case JObject(ts) => ts.map { case (c, JArray(es)) =>
+          c -> es.map {
+            case JObject(fs) => fs.map {
+              case (k, JString(v)) => k -> v
+              case (k, JInt(v))    => k -> v.toString
+              case (k, v)          => k -> v.toString
+            }.toMap
+            case e => fail(s"event must be an object: $e")
+          }
+        }.toMap
+        case _ => fail("dump must be a cookie-format object")
+      }
+    val (exp, act) = (trails(expected), trails(actual))
+    assert(exp.keySet == act.keySet, s"cookie sets differ: ${exp.keySet} vs ${act.keySet}")
+    exp.foreach { case (cookie, expEvents) =>
+      val actEvents = act(cookie)
+      assert(expEvents.length == actEvents.length, s"$cookie event counts differ")
+      expEvents.zip(actEvents).foreach { case (e, a) =>
+        assert(e("timestamp") == a("timestamp"), s"$cookie timestamps differ: $e vs $a")
+        (e.keySet ++ a.keySet - "timestamp").foreach { k =>
+          assert(e.getOrElse(k, "") == a.getOrElse(k, ""),
+            s"$cookie field $k differs: ${e.get(k)} vs ${a.get(k)}")
+        }
+      }
+    }
+  }
+
+  test("Json2Tdb -> Tdb2Json round-trips a cookie-format fixture (json2tdb parity)") {
+    val dir = Files.createTempDirectory("graft-json2tdb")
+    // heterogeneous fields across events/trails: the round trip must fill
+    // the union schema with "" exactly like the reference constructor
+    val fixture =
+      """{"u1": [{"timestamp": 100, "event_type": "click", "page": "home"},
+        |        {"timestamp": 200, "event_type": "view"}],
+        | "u2": [{"timestamp": 150, "color": "red"}]}""".stripMargin
+    val in = writeTemp("rt.json", fixture)
+    val out = dir.resolve("trails.parquet").toString
+    Json2Tdb.main(Array(in, out))
+    val (_, dumped) = withCapturedStdout(Tdb2Json.main(Array(out)))
+    assertDumpEquivalent(fixture, new String(dumped, "UTF-8").trim)
+    // and the promoted store runs the distributed engine: same counter as
+    // the LocalRunner JSON path on the same fixture
+    val prog = writeTemp("count.tr", trProgram)
+    val (_, sparkOut) = withCapturedStdout(Trck.main(Array(prog, out)))
+    assert(new String(sparkOut, "UTF-8").trim == "{\"$clicks\":1}",
+      new String(sparkOut, "UTF-8"))
+  }
+
+  test("Json2Tdb simple format gets the all-zero cookie; bad timestamps fail loudly") {
+    val dir = Files.createTempDirectory("graft-json2tdb-simple")
+    val in = writeTemp("simple.json",
+      """[{"timestamp": 10, "event_type": "click"}, {"timestamp": 20, "event_type": "view"}]""")
+    val out = dir.resolve("simple.parquet").toString
+    Json2Tdb.main(Array(in, out))
+    val (_, dumped) = withCapturedStdout(Tdb2Json.main(Array(out)))
+    assertDumpEquivalent(
+      s"""{"${Json2Tdb.ZeroCookie}": [{"timestamp": 10, "event_type": "click"},
+         |                            {"timestamp": 20, "event_type": "view"}]}""".stripMargin,
+      new String(dumped, "UTF-8").trim)
+    // reference constructor guard (bin/json2tdb:40-41): decreasing
+    // per-trail timestamps must abort the conversion, not write a store
+    val bad = writeTemp("bad.json",
+      """{"u1": [{"timestamp": 200, "event_type": "a"}, {"timestamp": 100, "event_type": "b"}]}""")
+    val err = intercept[IllegalArgumentException] {
+      Json2Tdb.main(Array(bad, dir.resolve("never.parquet").toString))
+    }
+    assert(err.getMessage.contains("monotonically"), err.getMessage)
+  }
 }
 
 /** Test fcall module loaded reflectively by the CLI spec — mirrors the
