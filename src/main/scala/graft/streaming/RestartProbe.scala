@@ -122,7 +122,31 @@ object RestartProbe {
         .filter(graft.operators.TextAnalysis.splitName(
           org.apache.spark.sql.functions.col("doc_id")) === "test"))
 
+    // the FSM streaming face: a funnel whose signup/purchase legs STRADDLE
+    // the kill point for most trails (signup in batch u%6, purchase in
+    // batch u%6+2, restart at nBatches/2), so recovery must restore the
+    // per-(cookie × tuple) FSM rule state AND the high-water mark from the
+    // checkpoint or conversions double/vanish — the incremental analog of
+    // the reference's cross-DB state carry (src/match_traildb.c:384-390).
+    // Events derive deterministically from doc_id alone (batch index =
+    // doc_id div nDocs under drive()'s id shift): 97 cookies, distinct
+    // per-cookie timestamps (no same-ts order sensitivity), monotone
+    // across batches.
+    val nDocs = corpus.map(_._1).max + 1
+    val funnelProg = graft.trck.Compiled.compile(graft.engine.TrckQueries.funnelProgram)
+    def funnelEvents(docs: DataFrame): DataFrame = docs.selectExpr(
+      s"concat('u', (doc_id % $nDocs) % 97) AS uuid",
+      s"cast(1700000000 as bigint) + (doc_id div $nDocs) * 1200 + ((doc_id % $nDocs) div 97) AS ts",
+      s"CASE WHEN (doc_id div $nDocs) = ((doc_id % $nDocs) % 97) % 6 THEN 'signup' " +
+        s"WHEN (doc_id div $nDocs) = (((doc_id % $nDocs) % 97) % 6) + 2 THEN 'purchase' " +
+        "ELSE 'view' END AS event_type")
+
     val arms = Seq(
+      arm("trailFsmFunnel",
+        docs => TrailStream.emits(funnelProg, funnelEvents(docs), "uuid", "ts")
+          // binary `item` stringifies as an identity hash — hex it so the
+          // multiset fingerprint is value-stable across runs
+          .toDF().selectExpr("uuid", "tupleIdx", "kind", "dst", "hex(item) AS item_hex", "n")),
       arm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
       // bounded-stateful arm: one counter per source ([[ProbeSynth]]'s
