@@ -20,11 +20,11 @@ import graft.operators.Graph
   * multiplicities (w=3) so the weighted face exercises its multiplicity
   * collapse + exact div arithmetic at volume.
   *
-  * Also runs [[Graph.hyperBallHarmonic]] on a doubling small-world graph
-  * two decades past the fixture (|V|=2000, diameter ≈ 11) and records
+  * Also runs [[Graph.hyperBallHarmonic]] on a binary de Bruijn graph two
+  * decades past the fixture (|V|=2048, diameter exactly 11) and records
   * [[Graph.lastHyperBallRounds]] — the convergence early-exit must stop at
-  * diameter+1 rounds, not the maxHops ceiling, and per-node sketch state
-  * is what bounds memory (2000 × 16 KiB ≈ 32 MB/round here).
+  * diameter+1 = 12 rounds, not the 16-hop ceiling, and per-node sketch
+  * state is what bounds memory (2048 × 16 KiB ≈ 32 MB/round here).
   *
   * Usage: runMain graft.GraphScaleProbe [baseEdges] [mult]
   * (defaults 1_000_000 and 10; |V| = |E|/33 per arm, both scale by mult).
@@ -44,12 +44,16 @@ object GraphScaleProbe {
         s"CASE WHEN eid % 5 = 0 THEN CAST(0 AS BIGINT) ELSE pmod(eid * 2654435761, $nV) END AS src",
         s"CASE WHEN eid % 10 = 1 THEN CAST(1 AS BIGINT) ELSE pmod(eid * 48271 + 11, $nV) END AS dst")
 
-  /** Ring + doubling chords: i→i+1, i→2i (mod n) — O(log n) diameter, the
-    * HyperBall convergence witness graph.
+  /** Binary de Bruijn graph on n = 2^b nodes: u → 2u, u → 2u+1 (mod n) —
+    * b steps shift in any b-bit target, so the diameter is EXACTLY b
+    * (11 at n=2048): the HyperBall convergence witness graph, two decades
+    * past the fixture with a known round count.
     */
-  def smallWorldEdges(spark: SparkSession, n: Long): DataFrame =
-    spark.range(n).selectExpr(s"id AS src", s"pmod(id + 1, $n) AS dst")
-      .unionByName(spark.range(n).selectExpr(s"id AS src", s"pmod(id * 2, $n) AS dst"))
+  def deBruijnEdges(spark: SparkSession, n: Long): DataFrame = {
+    require((n & (n - 1)) == 0, s"de Bruijn witness needs a power-of-two size, got $n")
+    spark.range(n).selectExpr(s"id AS src", s"pmod(id * 2, $n) AS dst")
+      .unionByName(spark.range(n).selectExpr(s"id AS src", s"pmod(id * 2 + 1, $n) AS dst"))
+  }
 
   def main(args: Array[String]): Unit = {
     val baseE = args.headOption.map(_.toLong).getOrElse(1000000L)
@@ -93,10 +97,11 @@ object GraphScaleProbe {
     val prRatio = f(scaledJson, "pagerank_sec") / math.max(f(baseJson, "pagerank_sec"), 0.001)
     val wRatio = f(scaledJson, "weighted_sec") / math.max(f(baseJson, "weighted_sec"), 0.001)
 
-    // HyperBall convergence arm: diameter ≈ 11 at n=2000 — the early-exit
-    // must stop well under the 16-hop ceiling
+    // HyperBall convergence arm: diameter EXACTLY 11 at n=2048 — the
+    // early-exit must stop at 12 rounds (11 growth + 1 saturated detect),
+    // well under the 16-hop ceiling
     Graph.lastHyperBallRounds = -1
-    val sw = smallWorldEdges(spark, 2000L).localCheckpoint(true)
+    val sw = deBruijnEdges(spark, 2048L).localCheckpoint(true)
     val t0 = System.nanoTime()
     Graph.hyperBallHarmonic(sw).write.format("noop").mode("overwrite").save()
     val hbSec = (System.nanoTime() - t0) / 1e9
@@ -108,7 +113,7 @@ object GraphScaleProbe {
       s"""{"metric":"graph_scale_probe","commit":"$commit","mult":$mult,""" +
         s""""base":$baseJson,"scaled":$scaledJson,""" +
         s""""ratio":{"pagerank":${r2(prRatio)},"weighted":${r2(wRatio)}},""" +
-        s""""hyperball":{"n_vertices":2000,"max_hops":16,"rounds":${Graph.lastHyperBallRounds},"sec":${r2(hbSec)}}}"""
+        s""""hyperball":{"n_vertices":2048,"diameter":11,"max_hops":16,"rounds":${Graph.lastHyperBallRounds},"sec":${r2(hbSec)}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_GRAPH_PROBE_OUT", "/tmp/graph_probe_out.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
