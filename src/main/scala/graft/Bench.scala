@@ -87,7 +87,14 @@ object Bench {
       if (!f.exists()) Map.empty
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(f)
+        val wrapper = om.readTree(f)
+        // the round driver re-wraps Bench output as {n, rc, sf, parsed, …};
+        // when the full JSON survived, "parsed" holds it — descend. (Driver
+        // artifacts whose parsed is null carry only a 2000-char tail:
+        // unusable, and the sf check below rejects them.)
+        val root =
+          if (wrapper.has("parsed") && wrapper.get("parsed").isObject) wrapper.get("parsed")
+          else wrapper
         val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
         if (new java.io.File(prevSf.stripSuffix("/")).getName != sfBase) Map.empty
         else {
@@ -176,15 +183,21 @@ object Bench {
     }
     val bandMap = if (sfMismatch) Map.empty[String, Double] else bands.map(_._2).getOrElse(Map.empty)
     // previous round's artifact for the round-over-round trigger: env
-    // override, else the highest-numbered BENCH_r*.json in the cwd
+    // override, else the highest USABLE BENCH_r*.json (driver artifacts
+    // may carry only an output tail — skip those), else the last
+    // committed bench_out.json (Bench's own full artifact; read BEFORE
+    // this run overwrites it, so it is the previous official run)
     val sfBase = new java.io.File(sfDir.stripSuffix("/")).getName
-    val prevBenchPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
-      Option(new java.io.File(".").listFiles()).flatMap(
-        _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-          .lastOption.map(_.getPath))
+    val prevCandidates = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(Seq(_)).getOrElse {
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
+        .map(_.getPath) :+ outPath
     }
-    val prevEff = prevBenchPath.fold(Map.empty[String, Double])(loadPrevEffective(_, sfBase))
+    val (prevBenchPath, prevEff) = prevCandidates.iterator
+      .map(p => (Option(p), loadPrevEffective(p, sfBase)))
+      .find(_._2.nonEmpty)
+      .getOrElse((None, Map.empty[String, Double]))
     val unbanded = results.collect { case (n, Some(_), _) if !bandMap.contains(n) => n }
     val suspects = results.flatMap { case (name, tOpt, _) =>
       for (first <- tOpt; band <- bandMap.get(name) if first > threshold(band))
@@ -299,7 +312,7 @@ object Bench {
         s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
         s""""bands_file":${bands.fold("null")(_ => "\"" + bandsPath + "\"")},"bands_sf_mismatch":$sfMismatch,""" +
         s""""unbanded":[${unbanded.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""prev_bench_file":${prevBenchPath.filter(_ => prevEff.nonEmpty).fold("null")("\"" + _ + "\"")},""" +
+        s""""prev_bench_file":${prevBenchPath.fold("null")("\"" + _ + "\"")},""" +
         s""""arbitrated":$arb,"unarbitrated_suspects":[${(overflow.map(_._1) ++ risersOverflow.map(_._1)).map("\"" + _ + "\"").mkString(",")}],""" +
         s""""suspect_contamination":$suspectContamination,"sf":"$sfDir"}"""
     // file first: if stdout capture is truncated (BENCH_r07) the artifact

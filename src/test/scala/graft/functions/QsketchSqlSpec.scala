@@ -46,6 +46,27 @@ class QsketchSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
+  test("integral widths widen in place: INT literals and INT columns work (r17 advice)") {
+    // qsketch_bucket(42) — a plain INT literal — and INT/SMALLINT bucket
+    // columns (e.g. written by another engine) must analyze and match the
+    // kernel, like the built-ins
+    val r = spark.sql(
+      """SELECT qsketch_bucket(42),
+                qsketch_lo(CAST(20 AS INT)),
+                qsketch_hi(CAST(959 AS SMALLINT))""").head
+    assert(r.getLong(0) == LogHistogram.bucket(42L).toLong)
+    assert(r.getLong(1) == LogHistogram.lowerBound(20))
+    assert(r.getLong(2) == Long.MaxValue)
+    val s = spark
+    import s.implicits._
+    Seq(1, 100, 5000).toDF("v").createOrReplaceTempView("intcol") // IntegerType column
+    val got = spark.sql("SELECT v, qsketch_bucket(v) FROM intcol ORDER BY v").collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(got == Map(1 -> 1L, 100 -> 102L, 5000 -> 132L).map {
+      case (k, _) => k -> LogHistogram.bucket(k.toLong).toLong
+    }, got)
+  }
+
   test("declarative SQL histogram == the registered Aggregator face") {
     val dir = "/root/testdata/sf0.001"
     graft.Tables(spark, dir, "documents").createOrReplaceTempView("documents")

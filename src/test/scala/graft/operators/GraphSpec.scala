@@ -62,6 +62,13 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranksOf(Graph.pageRankWeighted(single)) == ranksOf(Graph.pageRank(single)))
   }
 
+  test("weighted face on an empty edge set returns empty ranks, not an NPE (r17 advice)") {
+    // the domain guard's global max is NULL with no edges — the guard
+    // must not apply, and the result is the empty frame (no hosts)
+    val out = Graph.pageRankWeighted(edgesOf())
+    assert(out.count() == 0, "no edges -> no hosts -> empty ranks")
+  }
+
   test("parallel links dedup before ranking; self-loops never enter") {
     val dup = edgesOf(0L -> 1L, 0L -> 1L, 0L -> 2L, 1L -> 0L)
     val single = edgesOf(0L -> 1L, 0L -> 2L, 1L -> 0L)

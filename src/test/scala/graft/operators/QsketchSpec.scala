@@ -125,6 +125,18 @@ class QsketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.sameElements(rep))
   }
 
+  test("duplicate percentiles/thresholds fail loudly, not with ambiguous columns (r17 advice)") {
+    val docs = docsOf("a" -> 10L, "a" -> 20L)
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.qsketchQuantiles(docs, ps = Seq(50, 50, 90))
+    }
+    assert(e1.getMessage.contains("distinct"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.qsketchCdf(docs, thresholds = Seq(100L, 100L))
+    }
+    assert(e2.getMessage.contains("distinct"), e2.getMessage)
+  }
+
   test("cdf face: bounds contain the exact ppm, straddling bucket shows the gap") {
     // source b: 44, 44, 558, 1024. T=100: bucket(44)=[44,45] fully below
     // -> lo = hi = exact = 500000 ppm. T=550: bucket(558)=[544,575]
