@@ -62,6 +62,23 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranksOf(Graph.pageRankWeighted(single)) == ranksOf(Graph.pageRank(single)))
   }
 
+  test("HyperBall early-exit is bit-identical to a longer ceiling; rounds = diameter+1") {
+    // path 0→1→2→3 plus 3→0 back-edge: strongly connected, diameter 3
+    val e = edgesOf(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L)
+    def run(maxHops: Int): (Map[Long, Double], Int) = {
+      Graph.lastHyperBallRounds = -1
+      val rows = Graph.hyperBallHarmonic(e, maxHops = maxHops).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (rows, Graph.lastHyperBallRounds)
+    }
+    val (atCeil4, r4) = run(4)
+    val (atCeil16, r16) = run(16)
+    // skipped rounds contribute exactly zero delta (the estimate is a pure
+    // function of the registers), so the two ceilings agree bit-for-bit
+    assert(atCeil4 == atCeil16, s"$atCeil4 vs $atCeil16")
+    assert(r4 == 4 && r16 == 4, s"rounds: $r4 / $r16 (diameter 3 -> 4 rounds)")
+  }
+
   test("weighted face on an empty edge set returns empty ranks, not an NPE (r17 advice)") {
     // the domain guard's global max is NULL with no edges — the guard
     // must not apply, and the result is the empty frame (no hosts)
