@@ -58,10 +58,12 @@ object Trick {
   private def parseTimeSpec(s: String): Long = {
     val parts = s.trim.split("\\s+")
     require(parts.length == 2, s"bad time spec: '$s'")
-    val unit = Map("days" -> 86400L, "hours" -> 3600L, "minutes" -> 60L, "seconds" -> 1L)
-    parts(1) match {
+    // singular forms included: the reference README's own example is
+    // `< min 1 second, max 3 days >` (trick/README.md Time Constraints)
+    val unit = Map("day" -> 86400L, "hour" -> 3600L, "minute" -> 60L, "second" -> 1L)
+    parts(1).stripSuffix("s") match {
       case u if unit.contains(u) => parts(0).toLong * unit(u)
-      case u => sys.error(s"unknown time unit '$u' in '$s'")
+      case u => sys.error(s"unknown time unit '${parts(1)}' in '$s'")
     }
   }
 

@@ -74,6 +74,38 @@ class TrickCliSpec extends AnyFunSuite {
     assert(out.contains("All 250 trails ok."), out)
   }
 
+  test("multi-case spec: Positive Only skips negativity masks; repeated-yield counters") {
+    val tr = writeTemp("count.tr",
+      """foreach %aeid in @arr
+        |    start ->
+        |        receive
+        |            type = "cli", advertisable_eid = %aeid -> yield $match, repeat
+        |            * -> repeat
+        |""".stripMargin)
+    val tk = writeTemp("two.trick",
+      """# Double click
+        |Input: @arr = %aeid
+        |Output: $match = 2
+        |Positive Only
+        |[ type=cli, advertisable_eid=%aeid ]
+        |< min 2 hours, max 1 day >
+        |[ type=cli, advertisable_eid=%aeid ]
+        |
+        |# Single click
+        |Input: @arr = %aeid
+        |Output: $match = 1
+        |[ type=cli, advertisable_eid=%aeid ]
+        |""".stripMargin)
+    val (_, out) = withCapturedStdout(Trick.main(Array(tr, tk)))
+    // case 1: Positive Only -> 4 time deltas = 4 positive trails, no masks;
+    // case 2: 1 positive + 1 negativity mask's negative
+    assert(out.contains("Test: Double click"), out)
+    assert(out.contains("4 / 4 trails ok!"), out)
+    assert(out.contains("Test: Single click"), out)
+    assert(out.contains("2 / 2 trails ok!"), out)
+    assert(out.contains("All 6 trails ok."), out)
+  }
+
   test("a wrong expectation fails loudly with per-trail diagnostics") {
     val tr = writeTemp("engaged.tr", machine)
     val tk = writeTemp("bad.trick",
