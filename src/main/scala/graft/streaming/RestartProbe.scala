@@ -141,11 +141,23 @@ object RestartProbe {
         s"WHEN (doc_id div $nDocs) = (((doc_id % $nDocs) % 97) % 6) + 2 THEN 'purchase' " +
         "ELSE 'view' END AS event_type")
 
+    // window-file variant (F2 under restart): every even cookie is listed
+    // with a start that cuts its batch-0 events — recovery must restore
+    // BOTH the per-entry ctx state and the high-water mark, and unlisted
+    // (odd) cookies must stay dropped before the stateful operator across
+    // the kill boundary
+    val winEntries = (0 until 97 by 2).map(u =>
+      graft.trck.LocalRunner.WindowEntry(s"w$u", s"u$u", 1700000000L + 1200L, 0L))
+
     val arms = Seq(
       arm("trailFsmFunnel",
         docs => TrailStream.emits(funnelProg, funnelEvents(docs), "uuid", "ts")
           // binary `item` stringifies as an identity hash — hex it so the
           // multiset fingerprint is value-stable across runs
+          .toDF().selectExpr("uuid", "tupleIdx", "kind", "dst", "hex(item) AS item_hex", "n")),
+      arm("trailFsmWindowed",
+        docs => TrailStream.emits(funnelProg, funnelEvents(docs), "uuid", "ts",
+            windows = Some(winEntries))
           .toDF().selectExpr("uuid", "tupleIdx", "kind", "dst", "hex(item) AS item_hex", "n")),
       arm("dedupNearMinHash",
         docs => DocStream.dedupNearMinHash(docs, watermarkDelay = watermark)),
