@@ -12,6 +12,7 @@ object SparkEntry {
 
   def registry: Seq[Q] =
     _root_.graft.queries.RelationalQueries.all ++
+      _root_.graft.queries.TrailAnalytics.queries ++
       engine.TrckQueries.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++

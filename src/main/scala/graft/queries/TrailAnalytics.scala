@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+
+/** Trail analytics — the relational companions to the FSM matcher over the
+  * same event trails the reference processes (trails = per-cookie
+  * time-ordered event lists, reference: src/match_traildb.c:384-390 trail
+  * iteration order). Where trck answers "did this trail match a program?",
+  * these answer the session/cohort/attribution questions every trail store
+  * is ultimately asked, each as ONE declarative Catalyst plan:
+  *
+  *  - gap sessionization (lag + running-sum window — the standard
+  *    session-id assignment, e.g. Kimball's sessionization pattern),
+  *  - weekly cohort retention (first-touch cohort ⋈ activity weeks),
+  *  - last-touch attribution and a general AS-OF JOIN — the operator the
+  *    builder brief names as one Spark lacks. Implemented with the
+  *    union-tag + running-max trick rather than a range join: tag right
+  *    rows 0 and left rows 1, sort each key's rows by (ts, tag), and the
+  *    running MAX of the right-side payload struct at a left row IS its
+  *    as-of match. One shuffle per side on the join key, no per-row range
+  *    probing, no interval explosion — the shape survives 100 TB because
+  *    it degenerates to a single sort-merge pass per key.
+  *  - a bucketed INTERVAL JOIN (sessions × events-in-interval) — the
+  *    explode-to-time-buckets + equi-join + exact-range refilter plan that
+  *    replaces the cartesian a naive `BETWEEN` join would produce.
+  *
+  * Determinism contract (driver hash-compares values): all times are epoch
+  * seconds (`ts_sec` vs DuckDB `floor(epoch(ts))`), all durations/weeks are
+  * integer arithmetic (`div` vs `//` on non-negative longs), as-of ties
+  * break by the payload struct order whose second field is a unique id,
+  * money goes through DECIMAL(18,2), and every result is totally ordered.
+  */
+object TrailAnalytics {
+  private val dec = DecimalType(18, 2)
+
+  /** Session gap: a trail splits where consecutive events are more than 6h
+    * apart (chosen so the 30-day test trails form multi-event sessions;
+    * the p25 inter-event gap is ~3h, the median ~7h).
+    */
+  val GapSec = 21600L
+
+  /** Attribution lookback: a purchase credits its most recent touch only
+    * within 7 days.
+    */
+  val LookbackSec = 604800L
+
+  private val WeekSec = 604800L
+
+  /** DuckDB-side epoch seconds for the ns-precision events.ts. */
+  private val SEC = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+  /** Shared oracle CTEs: events at second granularity, then gap
+    * sessionization (lag + running sum — byte-identical semantics to the
+    * Spark windows below; ties within a second break by the unique
+    * event_id in BOTH engines).
+    */
+  private val sessionCtes: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value, $SEC AS s
+       |           FROM events),
+       |nb AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
+       |                        OR s - lag(s) OVER w > $GapSec
+       |                      THEN 1 ELSE 0 END AS newsess
+       |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+       |sid AS (SELECT *, SUM(newsess) OVER (PARTITION BY user_id
+       |                                     ORDER BY s, event_id
+       |                                     ROWS UNBOUNDED PRECEDING) AS session_id
+       |        FROM nb),
+       |sess AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |                CAST(COUNT(*) AS BIGINT) AS n_events,
+       |                MIN(s) AS start_sec, MAX(s) AS end_sec,
+       |                MAX(s) - MIN(s) AS duration_sec,
+       |                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+       |         FROM sid GROUP BY user_id, session_id)""".stripMargin
+
+  /** Per-user gap sessions over an events frame carrying `ts_sec`.
+    *
+    * Plan shape: ONE shuffle on user_id feeds both windows (lag and the
+    * running sum share the same partitioning+ordering; Catalyst plans two
+    * Window passes over the one exchange+sort — frames differ, exchanges
+    * don't), then the per-session aggregate — (user_id,
+    * session_id) extends the window's partition key, and partial
+    * aggregation makes the second exchange carry one row per session, not
+    * per event. At 100 TB the only data-sized move is the first shuffle,
+    * which any per-trail computation needs (it IS the trail layout the
+    * engine's FSM path builds once and reuses).
+    */
+  def sessions(events: DataFrame, gapSec: Long = GapSec): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts_sec"), 1).over(w)
+    events
+      .withColumn("__nb", when(prev.isNull || col("ts_sec") - prev > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__nb")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+      )
+  }
+
+  /** AS-OF JOIN: each left row picks the greatest right row with
+    * rightTs ≤ leftTs under the same key; ties at equal rightTs break by
+    * the struct order of (rightTs, payload...), so callers put a unique id
+    * first in `payload`. With `lookbackSec`, matches older than
+    * leftTs − lookback yield nulls instead.
+    *
+    * Union-tag kernel (see object doc): right rows sort strictly before
+    * same-second left rows (tag 0 < 1), a same-key running max of the
+    * payload struct is order-insensitive within ties (left rows carry
+    * NULL, which MAX ignores in both engines), and the result needs no
+    * join at all — one union, one window. Payload column names must not
+    * collide with left's columns.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      lookbackSec: Option[Long] = None,
+  ): DataFrame = {
+    val rTagged = right.select(
+      col(key),
+      col(rightTs).cast("long").as("__ts"),
+      lit(0).as("__tag"),
+      struct(col(rightTs).cast("long").as("__rts") +: payload.map(col): _*).as("__p"),
+    )
+    val lTagged = left
+      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__tag", lit(1))
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("__last", max(col("__p")).over(w)).filter(col("__tag") === 1)
+    val kept = lookbackSec match {
+      case Some(lb) => when(col("__last.__rts") >= col("__ts") - lb, col("__last"))
+      case None     => col("__last")
+    }
+    val withMatch = matched.withColumn("__m", kept)
+    payload
+      .foldLeft(withMatch)((d, c) => d.withColumn(c, col(s"__m.$c")))
+      .drop("__ts", "__tag", "__p", "__last", "__m")
+  }
+
+  val queries: Seq[Q] = Seq(
+    // -------------------------------------------------------- ta_sessionize
+    // The session table itself: one row per (user, gap-session) with
+    // bounds, size, and purchase count. This is the frame the other
+    // session queries consume.
+    Q(
+      "ta_sessionize",
+      (s, dir) =>
+        sessions(Tables.events(s, dir))
+          .orderBy("user_id", "session_id"),
+      Some(s"""
+        $sessionCtes
+        SELECT user_id, session_id, n_events, start_sec, end_sec,
+               duration_sec, n_purchases
+        FROM sess ORDER BY user_id, session_id"""),
+    ),
+
+    // ----------------------------------------------------- ta_session_stats
+    // Corpus-level session-length profile: sessions bucketed by event
+    // count (5+ capped), with total duration and purchase conversion per
+    // bucket. Bounded output (≤5 rows) at any scale.
+    Q(
+      "ta_session_stats",
+      (s, dir) =>
+        sessions(Tables.events(s, dir))
+          .groupBy(least(col("n_events"), lit(5L)).as("len_bucket"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            sum(col("duration_sec")).as("sum_duration_sec"),
+            sum(col("n_purchases")).as("n_purchases"),
+          )
+          .orderBy("len_bucket"),
+      Some(s"""
+        $sessionCtes
+        SELECT LEAST(n_events, 5) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(duration_sec) AS BIGINT) AS sum_duration_sec,
+               CAST(SUM(n_purchases) AS BIGINT) AS n_purchases
+        FROM sess GROUP BY 1 ORDER BY 1"""),
+    ),
+
+    // -------------------------------------------------- ta_cohort_retention
+    // Weekly cohort retention matrix: users cohorted by the epoch week of
+    // their first event; a cell (cohort_week, week_offset) counts the
+    // cohort's users active that many weeks later. Two aggregations on
+    // user_id + one join that shuffles one row per (user, active-week) —
+    // nothing data-sized after the first pass.
+    Q(
+      "ta_cohort_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val first = e
+          .groupBy("user_id")
+          .agg(min(col("ts_sec")).as("first_sec"))
+          .withColumn("cohort_week", expr(s"first_sec div $WeekSec"))
+        val active = e.select(col("user_id"), expr(s"ts_sec div $WeekSec").as("week")).distinct()
+        first
+          .join(active, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, $SEC AS s FROM events),
+        first AS (SELECT user_id, MIN(s) // $WeekSec AS cohort_week FROM e GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, s // $WeekSec AS week FROM e)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM first JOIN active USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
+    // ------------------------------------------------------ ta_attribution
+    // Last-touch attribution: each purchase credits the user's most recent
+    // click/view/signup within 7 days ('(none)' otherwise); revenue is the
+    // DECIMAL(18,2) sum of the purchase values per channel. Runs on the
+    // asOfJoin kernel — the oracle replays the identical union-tag
+    // running-max with a fixed-width zero-padded string as the max key
+    // (same winner: the struct's first two fields are (ts, unique id)).
+    Q(
+      "ta_attribution",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val touches = e
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .select(
+            col("user_id"),
+            col("ts_sec"),
+            col("event_id").as("touch_id"),
+            col("event_type").as("channel"),
+          )
+        val purchases = e
+          .filter(col("event_type") === "purchase")
+          .select("user_id", "ts_sec", "event_id", "value")
+        asOfJoin(purchases, touches, "user_id", "ts_sec", "ts_sec",
+          Seq("touch_id", "channel"), Some(LookbackSec))
+          .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(dec)).cast("double").as("revenue"),
+          )
+          .orderBy("channel")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, value, $SEC AS s
+                   FROM events),
+        u AS (SELECT user_id, s, 1 AS tag, event_id AS rid, value, NULL AS pk
+              FROM e WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, s, 0 AS tag, event_id AS rid, NULL AS value,
+                     printf('%010d|%010d|%s', s, event_id, event_type) AS pk
+              FROM e WHERE event_type IN ('click', 'view', 'signup')),
+        m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
+                                      ROWS UNBOUNDED PRECEDING) AS lastpk
+              FROM u),
+        att AS (SELECT value,
+                       CASE WHEN lastpk IS NOT NULL
+                             AND CAST(substr(lastpk, 1, 10) AS BIGINT) >= s - $LookbackSec
+                            THEN substr(lastpk, 23) ELSE '(none)' END AS channel
+                FROM m WHERE tag = 1)
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM att GROUP BY channel ORDER BY channel"""),
+    ),
+
+    // ------------------------------------------------------ ta_asof_orders
+    // Cross-table as-of: every event joined to its user's most recent
+    // at-or-before order (orders keyed o_custkey = events.user_id; ties on
+    // o_orderdate break by the unique o_orderkey), then profiled by the
+    // matched order's priority. The canonical enrich-events-with-dimension-
+    // state-as-of-event-time shape; same union-tag kernel, so the plan is
+    // one shuffle per side on user_id regardless of how many orders
+    // precede each event.
+    Q(
+      "ta_asof_orders",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("user_id", "ts_sec", "event_id")
+        val ordersRaw = Tables(s, dir, "orders")
+        val o = ordersRaw.select(
+          col("o_custkey").as("user_id"),
+          Tables.tsLong(ordersRaw, "o_orderdate").as("o_sec"),
+          col("o_orderkey"),
+          col("o_orderpriority"),
+        )
+        asOfJoin(e, o, "user_id", "ts_sec", "o_sec", Seq("o_orderkey", "o_orderpriority"))
+          .groupBy(coalesce(col("o_orderpriority"), lit("(none)")).as("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+          )
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        WITH o AS (SELECT o_custkey AS user_id,
+                          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+                          o_orderkey, o_orderpriority
+                   FROM orders),
+        e AS (SELECT user_id, $SEC AS s, event_id FROM events),
+        u AS (SELECT user_id, s, 0 AS tag, o_orderkey AS rid,
+                     printf('%010d|%010d|%s', s, o_orderkey, o_orderpriority) AS pk
+              FROM o
+              UNION ALL
+              SELECT user_id, s, 1 AS tag, event_id AS rid, NULL AS pk FROM e),
+        m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
+                                      ROWS UNBOUNDED PRECEDING) AS lastpk
+              FROM u)
+        SELECT COALESCE(substr(lastpk, 23), '(none)') AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM m WHERE tag = 1
+        GROUP BY 1 ORDER BY 1"""),
+    ),
+
+    // ------------------------------------------------- ta_session_overlap
+    // Bucketed interval join: for each session, how many OTHER users'
+    // purchases fall inside its [start, end] interval (a concurrency /
+    // cross-trail overlap probe), reported as a histogram (10+ capped).
+    // Sessions explode to ≤ (duration div GapSec)+1 time buckets (session
+    // duration is gap-bounded: ≤ (n_events−1)·gap), purchases carry their
+    // single bucket, and the equi-join on bucket + exact-range refilter
+    // replaces the cartesian a naive BETWEEN join would be. The oracle IS
+    // the naive BETWEEN join (DuckDB's IEJoin) — same rows, different
+    // algorithm, which is the point.
+    Q(
+      "ta_session_overlap",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val sess = sessions(e).select("user_id", "session_id", "start_sec", "end_sec")
+        val buckets = sess.withColumn(
+          "bucket",
+          explode(sequence(expr(s"start_sec div $GapSec"), expr(s"end_sec div $GapSec"))),
+        )
+        val purchases = e
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id").as("p_user"),
+            col("ts_sec").as("p_sec"),
+            expr(s"ts_sec div $GapSec").as("p_bucket"),
+          )
+        // LEFT join keeps zero-overlap sessions without recomputing the
+        // session table for a join-back (a purchase lands in exactly one
+        // bucket, so matches are never double-counted; unmatched bucket
+        // rows count 0 via count(p_sec)).
+        val counts = buckets
+          .join(
+            purchases,
+            col("bucket") === col("p_bucket") &&
+              col("p_sec").between(col("start_sec"), col("end_sec")) &&
+              col("p_user") =!= col("user_id"),
+            "left",
+          )
+          .groupBy("user_id", "session_id")
+          .agg(count(col("p_sec")).as("c"))
+        counts
+          .groupBy(least(col("c"), lit(10L)).as("overlap"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy("overlap")
+      },
+      Some(s"""
+        $sessionCtes,
+        p AS (SELECT user_id AS p_user, s AS p_sec FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT sess.user_id, sess.session_id, CAST(COUNT(p.p_sec) AS BIGINT) AS c
+              FROM sess LEFT JOIN p
+                ON p.p_sec BETWEEN sess.start_sec AND sess.end_sec
+               AND p.p_user <> sess.user_id
+              GROUP BY sess.user_id, sess.session_id)
+        SELECT LEAST(c, 10) AS overlap, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM c GROUP BY 1 ORDER BY 1"""),
+    ),
+  )
+}

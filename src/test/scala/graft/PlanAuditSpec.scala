@@ -625,4 +625,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hq.contains("SortMergeJoin"),
       "host-quality gate must not sort-merge the corpus:\n" + hq.take(2000))
   }
+
+  test("trail analytics: as-of is join-free, sessionize single-exchanges, interval join is bucketed") {
+    // ta_asof_orders: the union-tag kernel must contain NO join operator at
+    // all — the as-of match is a window running-max, and reintroducing a
+    // range/theta join here is exactly the 100 TB regression the kernel
+    // exists to avoid.
+    val ao = plan("ta_asof_orders")
+    assert(!ao.contains("Join"), "as-of kernel must be join-free:\n" + ao.take(2000))
+    assert(ao.contains("Window"), ao.take(2000))
+    // ta_sessionize: both window passes (lag + running sum) must ride ONE
+    // hashpartitioning exchange on user_id — a second data-sized shuffle
+    // would double the trail-layout cost at any scale.
+    val se = plan("ta_sessionize")
+    val hashEx = se.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(hashEx <= 1, s"sessionize must shuffle events once, got $hashEx:\n" + se.take(2000))
+    // ta_session_overlap: the interval join must be the bucketed equi-join
+    // (never a cartesian/nested-loop over sessions × purchases), and the
+    // session table must be computed exactly once (one Window subtree).
+    val ov = plan("ta_session_overlap")
+    assert(!ov.contains("CartesianProduct") && !ov.contains("BroadcastNestedLoopJoin"),
+      "interval join must stay bucketed:\n" + ov.take(2000))
+    val windowNodes = ov.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(windowNodes <= 2,
+      s"session table must be computed once (2 window passes), got $windowNodes:\n" + ov.take(2000))
+  }
 }

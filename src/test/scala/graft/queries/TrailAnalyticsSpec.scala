@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** Trail-analytics semantics pinned on hand fixtures: the session-boundary
+  * rule (STRICTLY more than the gap splits; exactly the gap does not), the
+  * as-of join's at-or-before + unique-id tie-break + lookback contract, the
+  * interval join's zero-overlap retention and same-user exclusion, and
+  * whole-corpus invariants on the registered queries (sessions partition
+  * the event set; attribution conserves purchases and revenue).
+  */
+class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("4").appName("trail-analytics-spec").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** events-shaped frame: (user_id, ts_sec, event_id, event_type). */
+  private def eventsOf(rows: (Long, Long, Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "ts_sec", "event_id", "event_type")
+  }
+
+  test("session boundary: strictly-greater-than-gap splits, equal gap does not") {
+    val gap = TrailAnalytics.GapSec
+    val e = eventsOf(
+      (1L, 1000L, 1L, "click"),
+      (1L, 1000L + gap, 2L, "view"),          // exactly gap later: same session
+      (1L, 1000L + gap + gap + 1, 3L, "purchase"), // gap+1 later: new session
+      (2L, 5000L, 4L, "click"),                // second user: own numbering
+    )
+    val got = TrailAnalytics
+      .sessions(e)
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("start_sec"), r.getAs[Long]("end_sec"), r.getAs[Long]("n_purchases")))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 1000L, 1000L + gap, 0L),
+      (1L, 2L, 1L, 1000L + 2 * gap + 1, 1000L + 2 * gap + 1, 1L),
+      (2L, 1L, 1L, 5000L, 5000L, 0L),
+    ), got.mkString(", "))
+  }
+
+  test("asOfJoin: at-or-before match, unique-id tie-break, lookback null, no-match null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 70L, 11L), (2L, 100L, 12L), (3L, 100L, 13L))
+      .toDF("user_id", "ts_sec", "event_id")
+    val right = Seq(
+      (1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), // tie at ts 100: id 2 wins
+      (1L, 60L, 3L, "c"),
+      (2L, 5L, 4L, "stale"),                     // 95s before: outside lookback 50
+    ).toDF("user_id", "ts_sec2", "rid", "tag")
+    val got = TrailAnalytics
+      .asOfJoin(left, right, "user_id", "ts_sec", "ts_sec2", Seq("rid", "tag"), Some(50L))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[String]("tag"))))
+    assert(got.toSeq == Seq(
+      (10L, Some("b")), // ts 100: same-second rows eligible, max id wins
+      (11L, Some("c")), // ts 70: the ts-60 row is at-or-before and within lookback
+      (12L, None),      // stale row outside lookback
+      (13L, None),      // no right rows at all for the key
+    ), got.mkString(", "))
+  }
+
+  test("interval join keeps zero-overlap sessions and excludes the session's own user") {
+    val s = spark
+    import s.implicits._
+    // One session for user 1 covering [0, 100]; purchases: user 2 inside
+    // (counts), user 1 inside (excluded), user 2 outside (excluded).
+    val e = eventsOf(
+      (1L, 0L, 1L, "click"),
+      (1L, 100L, 2L, "view"),
+      (2L, 50L, 3L, "purchase"),
+      (1L, 60L, 4L, "purchase"),
+      (2L, 999999L, 5L, "purchase"),
+    )
+    // Run the registered query body on a temp dir-shaped copy: write the
+    // fixture as an events.parquet and invoke through the registry.
+    val dir = java.nio.file.Files.createTempDirectory("ta-overlap").toString
+    e.withColumn("ts", col("ts_sec").cast("timestamp"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit(""))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ta_session_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("overlap"), r.getAs[Long]("n_sessions")))
+      .toMap
+    // user 1's session [0,100] sees ONE other-user purchase (event 3);
+    // user 2's two single-purchase sessions see user 1's purchase only if
+    // it falls in their [t,t] intervals — it doesn't (60 ≠ 50, 999999).
+    assert(got == Map(1L -> 1L, 0L -> 2L), got.toString)
+  }
+
+  test("corpus invariants: sessions partition events; attribution conserves purchases") {
+    val e = Tables.events(spark, sfDir)
+    val sess = TrailAnalytics.sessions(e)
+    val totals = sess.agg(sum("n_events"), sum("n_purchases")).head()
+    assert(totals.getLong(0) == e.count())
+    assert(totals.getLong(1) == e.filter(col("event_type") === "purchase").count())
+
+    val att = SparkEntry.queries("ta_attribution")(spark, sfDir).collect()
+    val channels = att.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "signup", "(none)")), channels.toString)
+    assert(att.map(_.getAs[Long]("n_purchases")).sum ==
+      e.filter(col("event_type") === "purchase").count())
+  }
+
+  test("cohort retention: offset-0 cell equals cohort size") {
+    val rows = SparkEntry.queries("ta_cohort_retention")(spark, sfDir).collect()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    val e = Tables.events(spark, sfDir)
+    val cohortSizes = e
+      .groupBy("user_id").agg(min("ts_sec").as("f"))
+      .groupBy(expr("f div 604800").as("cw")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("cw") -> r.getAs[Long]("n")).toMap
+    byCohort.foreach { case (cw, cells) =>
+      val zero = cells.find(_.getAs[Long]("week_offset") == 0L)
+      assert(zero.isDefined, s"cohort $cw missing offset 0")
+      assert(zero.get.getAs[Long]("n_users") == cohortSizes(cw),
+        s"cohort $cw offset-0 ${zero.get.getAs[Long]("n_users")} != ${cohortSizes(cw)}")
+    }
+  }
+
+  test("asOfJoin with no lookback: every event with an order-owning user matches") {
+    val out = SparkEntry.queries("ta_asof_orders")(spark, sfDir).collect()
+    val total = out.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    // the test orders table predates every event, so nothing is unmatched
+    assert(!out.exists(_.getAs[String]("o_orderpriority") == "(none)"))
+  }
+}
