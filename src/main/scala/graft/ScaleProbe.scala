@@ -241,7 +241,19 @@ object ScaleProbe {
     // over user trails is the corpus-sized stage (the FSM partitioning);
     // the weighted iterations run on the saturated type-universe graph,
     // so the ratio should track the events multiple, not exceed it
-    "g_event_pagerank")
+    "g_event_pagerank",
+    // r18 continuation: trail analytics. sessionize/cohort/attribution
+    // all ride the one user_id exchange (the FSM trail layout), so their
+    // ratios should track the events multiple; the as-of join is the
+    // union-tag window — same posture (orders replicate with a stride
+    // shared with users, so the cust↔user alignment holds per replica).
+    // ta_session_overlap is replica-quadratic BY DESIGN: every replica
+    // stacks into the same 30-day window, so per-interval purchase
+    // density grows ×mult and matched pairs ×mult² (3.25M at sf0.1) —
+    // in production the time span grows with the corpus instead. Probe
+    // it at ≤10× only, the d_minhash_recall policy.
+    "ta_sessionize", "ta_cohort_retention", "ta_attribution",
+    "ta_asof_orders", "ta_session_overlap")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
@@ -381,11 +393,25 @@ object ScaleProbe {
     val ev = Tables(spark, base, "events")
     val nUser = ev.agg(max("user_id")).head.getLong(0) + 1
     val nEvent = ev.agg(max("event_id")).head.getLong(0) + 1
+    // orders replicate alongside events with a SHARED user stride (the
+    // max of the two key universes) so replica k's o_custkey range maps
+    // onto replica k's user_id range and nothing bleeds across replicas —
+    // the as-of probe needs the cust↔user alignment to hold per replica.
+    val ord = Tables(spark, base, "orders")
+    val nCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
+    val nOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val stride = math.max(nUser, nCust)
     (0 until mult).map { k =>
-      ev.withColumn("user_id", col("user_id") + lit(k * nUser))
+      ev.withColumn("user_id", col("user_id") + lit(k * stride))
         .withColumn("event_id", col("event_id") + lit(k * nEvent))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$work/events.parquet")
+    (0 until mult).map { k =>
+      ord
+        .withColumn("o_custkey", col("o_custkey") + lit(k * stride))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * nOrder))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
 
     // ---- timed runs (Bench's noop-write protocol) -----------------------
     // closureIters: per-query round count of the CC closures (the
