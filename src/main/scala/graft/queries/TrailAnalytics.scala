@@ -128,6 +128,19 @@ object TrailAnalytics {
       payload: Seq[String],
       lookbackSec: Option[Long] = None,
   ): DataFrame = {
+    // Fail loud on the silent-overwrite hazard: a payload name already on
+    // the left frame would be clobbered by the match-extraction
+    // withColumn, and the kernel's own working columns must be free on
+    // the left (the union would silently misalign them otherwise).
+    val reservedHit = left.columns.toSet
+      .intersect(Set("__ts", "__tag", "__p", "__last", "__m"))
+    require(reservedHit.isEmpty,
+      s"asOfJoin: left columns ${reservedHit.mkString(", ")} collide with kernel names")
+    val payloadHit = payload.toSet.intersect(left.columns.toSet)
+    require(payloadHit.isEmpty,
+      s"asOfJoin: payload columns ${payloadHit.mkString(", ")} already exist on the left " +
+        "frame - alias them on the right side before joining")
+    require(payload.nonEmpty, "asOfJoin: payload must name at least one right column")
     val rTagged = right.select(
       col(key),
       col(rightTs).cast("long").as("__ts"),

@@ -257,4 +257,31 @@ object TrailStream {
       .groupBy(col(groupCol))
       .agg(graft.functions.HllAggregator
         .trckHllHex(encode(col(itemCol).cast("string"), "UTF-8")).as("hll_hex"))
+
+  /** Streaming gap sessionization: the live twin of
+    * [[graft.queries.TrailAnalytics.sessions]], on Spark's NATIVE session
+    * window (`session_window(ts, gap)` — gap-merged event-time windows
+    * with watermark-bounded state; the engine merges a user's windows as
+    * events arrive and finalizes a session once the watermark passes its
+    * close, so per-user state is only the OPEN sessions). Batch ≡ stream
+    * is structural: the same expression runs in batch mode, and the spec
+    * pins the streamed output multiset-equal to the one-batch run.
+    *
+    * Boundary contract, pinned by spec: session_window merges at the
+    * equality instant (an event at exactly prev+gap extends the session)
+    * and splits strictly beyond it — the SAME rule as the batch
+    * `TrailAnalytics.sessions` (split iff gap strictly exceeded), so the
+    * two faces agree with no bridging.
+    */
+  def sessionsByGap(events: DataFrame, tsCol: String = "ts",
+                    gap: String = "6 hours",
+                    watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("n_purchases"))
 }

@@ -220,4 +220,79 @@ class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected u1 finalization yield, got ${rows.mkString(",")}")
     } finally query.stop()
   }
+
+  test("streaming gap sessions: cross-batch merge, watermark close, batch equality") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+    // user 1: three events within the gap SPLIT ACROSS micro-batches (the
+    // session must merge), then a second session 20h later; user 99 is
+    // the watermark pusher whose own session stays open (not emitted).
+    val t0 = 1700000000L
+    val b1 = Seq((1L, ts(t0), "click"), (1L, ts(t0 + 3600), "purchase"))
+    val b2 = Seq((1L, ts(t0 + 7200), "view"), (1L, ts(t0 + 72000), "purchase"))
+    val flush = Seq((99L, ts(t0 + 360000), "click"))
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+    val query = TrailStream.sessionsByGap(events)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      input.addData(flush: _*); query.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, n_events, n_purchases FROM sess_out ORDER BY session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // session 1: the three cross-batch events merged; session 2: the
+      // lone purchase 20h later; user 99's open session absent
+      assert(streamed == Seq((1L, 3L, 1L), (1L, 1L, 1L)), streamed.toString)
+      // batch ≡ stream: the same expression one-shot over all closed rows
+      val oneShot = TrailStream.sessionsByGap((b1 ++ b2).toDF("user_id", "ts", "event_type"))
+        .orderBy("session_start")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("n_purchases"))).toSeq
+      assert(oneShot == streamed, s"stream $streamed != batch $oneShot")
+    } finally query.stop()
+  }
+
+  test("session boundary agreement: native session_window merges at the equality instant, like the batch rule") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // two events exactly gap apart: session_window merges at the equality
+    // instant (an event at prev+gap still lands in [prev, prev+gap]) and
+    // splits beyond it — the SAME boundary rule as
+    // TrailAnalytics.sessions (split iff the gap is strictly exceeded),
+    // so the streaming twin needs no bridging.
+    val rows = Seq((1L, new Timestamp(1000000L * 1000), "click"),
+      (1L, new Timestamp((1000000L + 10) * 1000), "click"))
+    val atGap = TrailStream.sessionsByGap(
+      rows.toDF("user_id", "ts", "event_type"), gap = "10 seconds")
+    assert(atGap.count() == 1, "session_window: equality instant merges")
+    val beyondGap = TrailStream.sessionsByGap(
+      rows.toDF("user_id", "ts", "event_type"), gap = "9 seconds")
+    assert(beyondGap.count() == 2, "session_window: strictly-exceeded gap splits")
+    val batchRule = graft.queries.TrailAnalytics.sessions(
+      rows.toDF("user_id", "ts", "event_type")
+        .withColumn("ts_sec", org.apache.spark.sql.functions.col("ts").cast("long"))
+        .withColumn("event_id", org.apache.spark.sql.functions.monotonically_increasing_id()),
+      gapSec = 10L)
+    assert(batchRule.count() == 1, "batch rule: equal gap stays in one session")
+  }
+
+  test("asOfJoin fails loudly on payload/left column collisions") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("user_id", "ts_sec", "tag")
+    val right = Seq((1L, 5L, "y")).toDF("user_id", "o_sec", "tag")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TrailAnalytics.asOfJoin(
+        left, right, "user_id", "ts_sec", "o_sec", Seq("tag"))
+    }
+    assert(e.getMessage.contains("payload columns"), e.getMessage)
+  }
 }
