@@ -149,6 +149,18 @@ object RestartProbe {
     val winEntries = (0 until 97 by 2).map(u =>
       graft.trck.LocalRunner.WindowEntry(s"w$u", s"u$u", 1700000000L + 1200L, 0L))
 
+    // gap-session events: 97 users, each sitting out every 4th batch, so
+    // under a 25-min gap (> the 20-min batch step) sessions span runs of
+    // three batches and the sit-out closes them — open sessions STRADDLE
+    // the kill at nBatches/2 for most users
+    def sessEvents(docs: DataFrame): DataFrame = docs.selectExpr(
+      s"(doc_id % $nDocs) % 97 AS user_id",
+      s"timestamp_seconds(cast(1700000000 as bigint) + (doc_id div $nDocs) * 1200" +
+        s" + ((doc_id % $nDocs) div 97)) AS ts",
+      s"CASE WHEN (doc_id % $nDocs) % 5 = 0 THEN 'purchase' ELSE 'click' END AS event_type",
+      s"(doc_id div $nDocs) AS k")
+      .where("(user_id + k) % 4 != 0").drop("k")
+
     val arms = Seq(
       arm("trailFsmFunnel",
         docs => TrailStream.emits(funnelProg, funnelEvents(docs), "uuid", "ts")
@@ -190,6 +202,12 @@ object RestartProbe {
             org.apache.spark.sql.functions.length(
               org.apache.spark.sql.functions.col("text")).cast("long")),
           watermarkDelay = watermark)),
+      // bounded-stateful arm: native session_window — recovery must
+      // restore the per-session merge state AND the watermark across the
+      // kill or straddling sessions split/double in the emitted table
+      arm("sessionsByGap",
+        docs => TrailStream.sessionsByGap(sessEvents(docs),
+          gap = "25 minutes", watermarkDelay = watermark)),
     )
     val json =
       s"""{"metric":"restart_probe","sf_dir":"$dir","batches":$nBatches,""" +

@@ -206,6 +206,21 @@ object StreamProbe {
             org.apache.spark.sql.functions.length(
               org.apache.spark.sql.functions.col("text")).cast("long")),
           watermarkDelay = watermark)),
+      // BOUNDED-stateful arm: native session_window keeps ONE row per
+      // OPEN session. Gap 15 min < the 20 min clock step, so every batch
+      // opens fresh sessions and the watermark closes the previous
+      // batch's shortly after — state plateaus at ~open-batches × the
+      // 500-user universe (doc_id % 500), never the event volume
+      runArm("sessionsByGap", docs => {
+        import org.apache.spark.sql.functions.{col, when}
+        TrailStream.sessionsByGap(
+          docs.select(
+            (col("doc_id") % 500).as("user_id"),
+            col("event_time").as("ts"),
+            when(col("doc_id") % 5 === 0, "purchase")
+              .otherwise("click").as("event_type")),
+          gap = "15 minutes", watermarkDelay = watermark)
+      }),
     )
     val json =
       s"""{"metric":"stream_probe","sf_dir":"$dir",""" +
