@@ -103,7 +103,11 @@ object GraphScaleProbe {
     Graph.lastHyperBallRounds = -1
     val sw = deBruijnEdges(spark, 2048L).localCheckpoint(true)
     val t0 = System.nanoTime()
-    Graph.hyperBallHarmonic(sw).write.format("noop").mode("overwrite").save()
+    // maxLocalVertices = 0: this arm MEASURES the distributed round loop's
+    // convergence — the small-graph driver arm would otherwise absorb the
+    // 2048-node fixture
+    Graph.hyperBallHarmonic(sw, maxLocalVertices = 0)
+      .write.format("noop").mode("overwrite").save()
     val hbSec = (System.nanoTime() - t0) / 1e9
 
     val commit =

@@ -319,9 +319,24 @@ object Graph {
     * robust on disconnected crawls where closeness degenerates).
     */
   def harmonicExact(links: DataFrame, doublingRounds: Int = 4,
-                    scalePpm: Long = ScalePpm): DataFrame = {
+                    scalePpm: Long = ScalePpm,
+                    maxLocalVertices: Int = HyperBallLocalMaxVertices): DataFrame = {
     val edges = links.distinct()
     val nodes = nodesOf(edges)
+    if (maxLocalVertices > 0 && nodes.count() <= maxLocalVertices
+      && edges.count() <= HyperBallLocalMaxEdges) {
+      // small-graph arm (the hyperBallHarmonic/Dedup precedent): BFS from
+      // each node, distances CAPPED at 2^doublingRounds — exactly the
+      // pair set the staged min-plus table covers — and the same
+      // `scalePpm div d` long arithmetic, so the integer output is
+      // identical (spec-pinned). The distributed doubling face is 4
+      // rounds of self-join stage setup on a fixture-sized graph.
+      return harmonicExactLocal(
+        links.sparkSession,
+        nodes.orderBy("host").collect().map(_.getLong(0)),
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))),
+        1 << doublingRounds, scalePpm)
+    }
     val h = shortestPathsFromEdges(edges, doublingRounds)
       .filter(col("u") =!= col("v"))
       .groupBy(col("v").as("host"))
@@ -356,10 +371,34 @@ object Graph {
     */
   @volatile var lastHyperBallRounds: Int = -1
 
-  def hyperBallHarmonic(links: DataFrame, maxHops: Int = 16): DataFrame = {
+  /** Driver-local vertex bound for [[hyperBallHarmonic]]'s small-graph
+    * arm: register state is 16 KiB per node, so 4096 nodes is 64 MiB of
+    * driver memory — the `Dedup.connectedComponents` union-find precedent
+    * (identical contract under a bound, distributed loop above it). Kept
+    * well under the edge cap so collecting the adjacency is also bounded.
+    */
+  val HyperBallLocalMaxVertices = 4096
+  val HyperBallLocalMaxEdges = 1000000L
+
+  def hyperBallHarmonic(links: DataFrame, maxHops: Int = 16,
+                        maxLocalVertices: Int = HyperBallLocalMaxVertices): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
     val edges = links.distinct()
     val nodes = nodesOf(edges)
+    if (maxLocalVertices > 0 && nodes.count() <= maxLocalVertices
+      && edges.count() <= HyperBallLocalMaxEdges) {
+      // small-graph arm: the round loop below is ~0.5 s of stage setup
+      // per hop regardless of |V| — on a fixture-sized graph that fixed
+      // cost IS the cost. Every step is a pure function of the registers
+      // (trck Hll kernel, register-max merge, clamp-to-0 delta in round
+      // order), so the driver replay is BIT-identical (spec-pinned);
+      // probes that measure the distributed loop pass maxLocalVertices=0.
+      return hyperBallLocal(
+        links.sparkSession,
+        nodes.orderBy("host").collect().map(_.getLong(0)),
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))),
+        maxHops)
+    }
     val initRegs = udf { (h: Long) =>
       val s = graft.trck.Hll()
       s.add(h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -407,6 +446,94 @@ object Graph {
     }
     lastHyperBallRounds = r - 1
     st.select(col("host"), col("hacc").as("hb_centrality"))
+  }
+
+  /** Driver BFS replay of [[harmonicExact]] for small graphs: forward BFS
+    * from every node with depth capped at `maxDist` (the staged table's
+    * horizon), `hp(v) += scalePpm div d(u, v)` in exact long arithmetic —
+    * identical output by construction (sums of identical integer terms).
+    */
+  private def harmonicExactLocal(spark: org.apache.spark.sql.SparkSession,
+                                 hosts: Array[Long], edgeArr: Array[(Long, Long)],
+                                 maxDist: Int, scalePpm: Long): DataFrame = {
+    import spark.implicits._
+    val idx = hosts.zipWithIndex.toMap
+    val n = hosts.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edgeArr.foreach { case (s, d) => adj(idx(s)) ::= idx(d) }
+    val hp = new Array[Long](n)
+    val dist = new Array[Int](n)
+    val queue = new Array[Int](n)
+    var u = 0
+    while (u < n) {
+      java.util.Arrays.fill(dist, -1)
+      dist(u) = 0
+      queue(0) = u
+      var head = 0
+      var tail = 1
+      while (head < tail) {
+        val x = queue(head); head += 1
+        if (dist(x) < maxDist) adj(x).foreach { y =>
+          if (dist(y) < 0) { dist(y) = dist(x) + 1; queue(tail) = y; tail += 1 }
+        }
+      }
+      var v = 0
+      while (v < n) {
+        if (v != u && dist(v) > 0) hp(v) += scalePpm / dist(v)
+        v += 1
+      }
+      u += 1
+    }
+    hosts.indices.map(i => (hosts(i), hp(i))).toDF("host", "harmonic_ppm")
+  }
+
+  /** The driver replay of the HyperBall loop (see the small-graph arm in
+    * [[hyperBallHarmonic]]): same singleton-sketch seeding, same
+    * register-max union along in-edges each round, same
+    * `max(0, est_new − est) / r` accumulation in the same round order,
+    * same no-register-changed termination and `lastHyperBallRounds`
+    * witness — the double arithmetic is step-for-step the distributed
+    * plan's, so outputs match bit-for-bit.
+    */
+  private def hyperBallLocal(spark: org.apache.spark.sql.SparkSession,
+                             hosts: Array[Long], edgeArr: Array[(Long, Long)],
+                             maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val idx = hosts.zipWithIndex.toMap
+    val n = hosts.length
+    var regs = Array.tabulate(n) { i =>
+      val s = graft.trck.Hll()
+      s.add(hosts(i).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.registers
+    }
+    val est = Array.tabulate(n)(i => graft.trck.Hll.wrap(regs(i).clone()).estimate)
+    val hacc = new Array[Double](n)
+    val inEdges = edgeArr.map { case (s, d) => (idx(s), idx(d)) }
+    var r = 1
+    var converged = false
+    while (r <= maxHops && !converged) {
+      val next = regs.map(_.clone())
+      inEdges.foreach { case (si, di) =>
+        val a = next(di); val b = regs(si)
+        var i = 0
+        while (i < a.length) {
+          if ((a(i) & 0xff) < (b(i) & 0xff)) a(i) = b(i)
+          i += 1
+        }
+      }
+      converged = (0 until n).forall(i => java.util.Arrays.equals(next(i), regs(i)))
+      var i = 0
+      while (i < n) {
+        val eNew = graft.trck.Hll.wrap(next(i).clone()).estimate
+        hacc(i) += math.max(0.0, eNew - est(i)) / r.toDouble
+        est(i) = eNew
+        i += 1
+      }
+      regs = next
+      r += 1
+    }
+    lastHyperBallRounds = r - 1
+    hosts.indices.map(i => (hosts(i), hacc(i))).toDF("host", "hb_centrality")
   }
 
   /** Staged-CTE oracle for [[pageRankFrom]]: r0..r`iters` generated

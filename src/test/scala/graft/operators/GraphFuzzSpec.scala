@@ -109,8 +109,13 @@ class GraphFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (trial <- 1 to 8) {
       val links = randomEdges(rng, nNodes = 3 + rng.next(9), nLinks = 4 + rng.next(16))
       if (links.nonEmpty) {
-        val got = collectRanks(Graph.harmonicExact(toDf(links)))
+        // maxLocalVertices = 0 keeps the fuzz on the DISTRIBUTED doubling
+        // face; the driver BFS arm fuzzes against the same reference below
+        val got = collectRanks(Graph.harmonicExact(toDf(links), maxLocalVertices = 0))
         assert(got == refHarmonic(links), s"harmonic diverged at trial $trial links=$links")
+        val local = collectRanks(Graph.harmonicExact(toDf(links)))
+        assert(local == refHarmonic(links),
+          s"local harmonic diverged at trial $trial links=$links")
       }
     }
   }

@@ -63,11 +63,14 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("HyperBall early-exit is bit-identical to a longer ceiling; rounds = diameter+1") {
-    // path 0→1→2→3 plus 3→0 back-edge: strongly connected, diameter 3
+    // path 0→1→2→3 plus 3→0 back-edge: strongly connected, diameter 3.
+    // maxLocalVertices = 0 keeps this on the DISTRIBUTED loop — the
+    // small-graph arm has its own equivalence test below.
     val e = edgesOf(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L)
     def run(maxHops: Int): (Map[Long, Double], Int) = {
       Graph.lastHyperBallRounds = -1
-      val rows = Graph.hyperBallHarmonic(e, maxHops = maxHops).collect()
+      val rows = Graph.hyperBallHarmonic(e, maxHops = maxHops, maxLocalVertices = 0)
+        .collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       (rows, Graph.lastHyperBallRounds)
     }
@@ -77,6 +80,44 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // function of the registers), so the two ceilings agree bit-for-bit
     assert(atCeil4 == atCeil16, s"$atCeil4 vs $atCeil16")
     assert(r4 == 4 && r16 == 4, s"rounds: $r4 / $r16 (diameter 3 -> 4 rounds)")
+  }
+
+  test("HyperBall small-graph arm is bit-identical to the distributed loop") {
+    // same contract under the local bound (the Dedup union-find
+    // precedent): identical DOUBLES, not just close ones, on the cycle
+    // fixture AND the real 23-host link graph — every step is a pure
+    // function of the registers, so the driver replay must agree exactly,
+    // including the rounds witness
+    for (e <- Seq(
+        edgesOf(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L),
+        Graph.syntheticLinks(Tables(spark, sfDir, "documents")))) {
+      Graph.lastHyperBallRounds = -1
+      val dist = Graph.hyperBallHarmonic(e, maxLocalVertices = 0).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rDist = Graph.lastHyperBallRounds
+      Graph.lastHyperBallRounds = -1
+      val local = Graph.hyperBallHarmonic(e).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(local == dist, s"local $local vs distributed $dist")
+      assert(Graph.lastHyperBallRounds == rDist,
+        s"rounds witness: local ${Graph.lastHyperBallRounds} vs distributed $rDist")
+    }
+  }
+
+  test("harmonic small-graph arm is integer-identical to the doubling face") {
+    // includes the horizon cap: on a 5-node path, 2 doubling rounds cover
+    // distance 4, but ONE round caps at 2 — the BFS arm must apply the
+    // same 2^rounds cap, dropping the longer pairs both faces drop
+    val path = edgesOf(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    for (rounds <- Seq(1, 2)) {
+      val dist = ranksOf(Graph.harmonicExact(path, doublingRounds = rounds,
+        maxLocalVertices = 0))
+      val local = ranksOf(Graph.harmonicExact(path, doublingRounds = rounds))
+      assert(local == dist, s"rounds=$rounds: local $local vs distributed $dist")
+    }
+    val links = Graph.syntheticLinks(Tables(spark, sfDir, "documents"))
+    assert(ranksOf(Graph.harmonicExact(links)) ==
+      ranksOf(Graph.harmonicExact(links, maxLocalVertices = 0)))
   }
 
   test("weighted face on an empty edge set returns empty ranks, not an NPE (r17 advice)") {
