@@ -77,8 +77,11 @@ object GraphScaleProbe {
         d.write.format("noop").mode("overwrite").save()
         ((System.nanoTime() - t0) / 1e9, d)
       }
-      val (prSec, pr) = time(Graph.pageRank(links))
-      val (wSec, _) = time(Graph.pageRankWeighted(links))
+      // maxLocalVertices = 0: these arms MEASURE the distributed
+      // iteration (all decades exceed the driver bound anyway — the
+      // opt-out just skips the bound-probe jobs)
+      val (prSec, pr) = time(Graph.pageRank(links, maxLocalVertices = 0))
+      val (wSec, _) = time(Graph.pageRankWeighted(links, maxLocalVertices = 0))
       // the hub (20% of all out-edges point AT its targets via src 0 —
       // but src 0 itself should also be among the best-ranked dsts only
       // by chance; the structural invariant worth pinning is mass

@@ -142,8 +142,10 @@ object Graph {
     * the curation signal.
     */
   def pageRank(links: DataFrame, iters: Int = Iters,
-               scalePpm: Long = ScalePpm): DataFrame =
-    pageRankFrom(links, iters, scalePpm, seeds = None)
+               scalePpm: Long = ScalePpm,
+               maxLocalVertices: Int = HyperBallLocalMaxVertices): DataFrame =
+    pageRankFrom(links, iters, scalePpm, seeds = None,
+      maxLocalVertices = maxLocalVertices)
 
   /** Personalized (seeded) PageRank: teleport mass goes ONLY to `seeds` —
     * the crawl-quality seed-expansion shape (rank mass flows outward from
@@ -151,9 +153,11 @@ object Graph {
     * neighborhood endorses). Same integer arithmetic; emits `is_seed`.
     */
   def pageRankSeeded(links: DataFrame, seeds: Seq[Long] = FixtureSeeds,
-                     iters: Int = Iters, scalePpm: Long = ScalePpm): DataFrame = {
+                     iters: Int = Iters, scalePpm: Long = ScalePpm,
+                     maxLocalVertices: Int = HyperBallLocalMaxVertices): DataFrame = {
     require(seeds.nonEmpty, "seed set must be non-empty")
-    pageRankFrom(links, iters, scalePpm, seeds = Some(seeds))
+    pageRankFrom(links, iters, scalePpm, seeds = Some(seeds),
+      maxLocalVertices = maxLocalVertices)
   }
 
   /** WEIGHTED PageRank: parallel links count — share(u→v) =
@@ -164,12 +168,15 @@ object Graph {
     * multiplicities are 1.
     */
   def pageRankWeighted(links: DataFrame, iters: Int = Iters,
-                       scalePpm: Long = ScalePpm): DataFrame =
-    pageRankFrom(links, iters, scalePpm, seeds = None, weighted = true)
+                       scalePpm: Long = ScalePpm,
+                       maxLocalVertices: Int = HyperBallLocalMaxVertices): DataFrame =
+    pageRankFrom(links, iters, scalePpm, seeds = None, weighted = true,
+      maxLocalVertices = maxLocalVertices)
 
   private def pageRankFrom(links: DataFrame, iters: Int, scalePpm: Long,
                            seeds: Option[Seq[Long]],
-                           weighted: Boolean = false): DataFrame = {
+                           weighted: Boolean = false,
+                           maxLocalVertices: Int = HyperBallLocalMaxVertices): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     // weighted: one row per distinct edge with its multiplicity; uniform:
     // the distinct edge set with outdeg. Both keep the iterated side at
@@ -177,6 +184,23 @@ object Graph {
     val edges =
       if (weighted) links.groupBy("src", "dst").agg(count(lit(1)).as("w"))
       else links.distinct().withColumn("w", lit(1L))
+    // small-graph arm (the harmonic/Dedup precedent): the iteration is
+    // `iters` rounds of join+agg stage setup on a graph that — for
+    // host-level and event-transition universes — saturates far below the
+    // bound. The replay is pure non-negative int64 arithmetic (/, % match
+    // Spark's div/mod there), so the output is integer-identical
+    // (spec-pinned; fuzz keeps the distributed path via the opt-out).
+    if (maxLocalVertices > 0 && edges.count() <= HyperBallLocalMaxEdges) {
+      // keys stay whatever type the caller's graph uses (host ids here,
+      // event-type STRINGS in g_event_pagerank) — only the arithmetic is
+      // replayed locally
+      val eArr = edges.select(col("src"), col("dst"), col("w").cast("long"))
+        .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val nHosts = (eArr.map(_._1) ++ eArr.map(_._2)).distinct.length
+      if (nHosts <= maxLocalVertices)
+        return pageRankLocal(links.sparkSession, edges.schema("src").dataType,
+          eArr, iters, scalePpm, seeds, weighted)
+    }
     // fail-loud domain guard (the hot-bucket-guard discipline): the
     // weighted share decomposes as q·w + (r·w) div W with r < W, so the
     // arithmetic stays exact in int64 iff max_src(W · max w) < 2^62.
@@ -446,6 +470,65 @@ object Graph {
     }
     lastHyperBallRounds = r - 1
     st.select(col("host"), col("hacc").as("hb_centrality"))
+  }
+
+  /** Driver replay of [[pageRankFrom]] for small graphs: same uniform or
+    * seeded start, same per-edge share `q·w + (r·w) div W`, same
+    * `base + (85·contrib) div 100` fold each round, same overflow guard —
+    * every operation on non-negative int64, where Scala's `/`/`%` ARE
+    * Spark's `div`/`%`, so the ranks are integer-identical.
+    */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+                            keyType: org.apache.spark.sql.types.DataType,
+                            eArr: Array[(Any, Any, Long)],
+                            iters: Int, scalePpm: Long, seeds: Option[Seq[Long]],
+                            weighted: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val hosts: Array[Any] = (eArr.map(_._1) ++ eArr.map(_._2)).distinct
+    val idx = hosts.zipWithIndex.toMap
+    val n = hosts.length
+    val outw = new Array[Long](n)
+    eArr.foreach { case (s, _, w) => outw(idx(s)) += w }
+    if (weighted && n > 0) {
+      val mw = new Array[Long](n)
+      eArr.foreach { case (s, _, w) => mw(idx(s)) = math.max(mw(idx(s)), w) }
+      val hot = (0 until n).map(i => outw(i).toDouble * mw(i)).foldLeft(0.0)(math.max)
+      require(hot < math.pow(2, 62),
+        f"weighted PageRank domain exceeded: max src (W·max w) = $hot%.3g >= 2^62 — " +
+          "pre-aggregate edge multiplicities at coarser granularity")
+    }
+    val seedSet = seeds.map(_.map(x => x: Any).toSet)
+    def base(h: Any): Long = seedSet match {
+      case None    => 15L * scalePpm / 100
+      case Some(s) => if (s.contains(h)) 15L * scalePpm / 100 else 0L
+    }
+    var ranks = hosts.map(h => seedSet match {
+      case None    => scalePpm
+      case Some(s) => if (s.contains(h)) scalePpm else 0L
+    })
+    for (_ <- 1 to iters) {
+      val contrib = new Array[Long](n)
+      eArr.foreach { case (s, d, w) =>
+        val si = idx(s)
+        val r = ranks(si)
+        contrib(idx(d)) += (r / outw(si)) * w + ((r % outw(si)) * w) / outw(si)
+      }
+      ranks = Array.tabulate(n)(i => base(hosts(i)) + (Damp * contrib(i)) / 100)
+    }
+    val baseFields = Seq(StructField("host", keyType, nullable = false),
+      StructField("rank_ppm", LongType, nullable = false))
+    val (schema, rows) = seedSet match {
+      case None =>
+        (StructType(baseFields),
+          hosts.indices.map(i => Row(hosts(i), ranks(i))))
+      case Some(s) =>
+        (StructType(baseFields :+ StructField("is_seed", LongType, nullable = false)),
+          hosts.indices.map(i =>
+            Row(hosts(i), ranks(i), if (s.contains(hosts(i))) 1L else 0L)))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).orderBy("host")
   }
 
   /** Driver BFS replay of [[harmonicExact]] for small graphs: forward BFS

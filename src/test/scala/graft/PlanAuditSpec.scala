@@ -607,15 +607,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(genIdx < aggIdx,
       "posexplode must consume the aggregated sketch, not raw rows:\n" + qs.take(2000))
     assert(!qs.contains("Join"), "qsketch joins nothing:\n" + qs.take(2000))
-    // g_pagerank: the fixture derives everything from doc_id — the parquet
-    // scan must prune to that single column (no text/lang/source read),
-    // and the iterative plan must stay cartesian-free
+    // g_pagerank: the registered face now resolves on the driver under
+    // the small-graph bound (its result plan is a LocalRelation — no
+    // corpus scan in the RETURNED plan); the pruned-scan contract is the
+    // DISTRIBUTED arm's, pinned via the opt-out: the fixture derives
+    // everything from doc_id, so the parquet scan must prune to that one
+    // column, and the iterative plan must stay cartesian-free
     val pr = plan("g_pagerank")
-    val reads = pr.linesIterator.filter(_.contains("ReadSchema")).toList
-    assert(reads.nonEmpty && reads.forall(l => l.contains("doc_id") && !l.contains("text")),
-      "pagerank must scan doc_id only:\n" + reads.mkString("\n"))
     assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
       pr.take(2000))
+    val prDist = graft.operators.Graph
+      .pageRank(graft.operators.Graph.syntheticLinks(
+        graft.Tables(spark, sfDir, "documents")), maxLocalVertices = 0)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val reads = prDist.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty && reads.forall(l => l.contains("doc_id") && !l.contains("text")),
+      "pagerank must scan doc_id only:\n" + reads.mkString("\n"))
+    assert(!prDist.contains("CartesianProduct") && !prDist.contains("BroadcastNestedLoopJoin"),
+      prDist.take(2000))
     // c_host_quality: the |V|-row rank table must broadcast onto the doc
     // scan — the gate joins docs exactly once and that join is a
     // BroadcastHashJoin, so document rows never shuffle for the gate

@@ -94,12 +94,18 @@ class GraphFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val links = randomEdges(rng, nNodes = 3 + rng.next(9), nLinks = 4 + rng.next(20))
       if (links.nonEmpty) {
         val df = toDf(links)
-        val gotU = collectRanks(Graph.pageRank(df, iters = 3))
+        // both arms against the same independent reference: the opt-out
+        // pins the DISTRIBUTED loop, the default pins the driver replay
+        val gotU = collectRanks(Graph.pageRank(df, iters = 3, maxLocalVertices = 0))
         assert(gotU == refPageRank(links, 3, weighted = false),
           s"uniform diverged at trial $trial links=$links")
-        val gotW = collectRanks(Graph.pageRankWeighted(df, iters = 3))
+        assert(collectRanks(Graph.pageRank(df, iters = 3)) == gotU,
+          s"uniform local arm diverged at trial $trial links=$links")
+        val gotW = collectRanks(Graph.pageRankWeighted(df, iters = 3, maxLocalVertices = 0))
         assert(gotW == refPageRank(links, 3, weighted = true),
           s"weighted diverged at trial $trial links=$links")
+        assert(collectRanks(Graph.pageRankWeighted(df, iters = 3)) == gotW,
+          s"weighted local arm diverged at trial $trial links=$links")
       }
     }
   }
