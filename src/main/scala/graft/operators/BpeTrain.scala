@@ -120,11 +120,104 @@ object BpeTrain {
     * would restart the loop, or swap in reliable `checkpoint()` against
     * a checkpoint dir for long runs).
     */
+  /** Word-type bound for the driver-local merge loop (the graph-family
+    * small-input precedent): Heaps' law keeps the type table sublinear in
+    * corpus size, but at 100 TB it is still hundreds of millions of rows
+    * — the distributed per-merge aggregation above the bound IS the scale
+    * path. Under it, each distributed iteration is ~0.2 s of stage setup
+    * on a table that fits in driver memory, so the collected table
+    * replays the identical algorithm locally: same freq-weighted pair
+    * counts, same (count DESC, pair ASC) argmax with the tie-break in
+    * UTF-8 BINARY order (Spark's string ordering — Scala's UTF-16
+    * compareTo diverges beyond the BMP, so the comparator is explicit),
+    * same greedy fold ([[bpeApplyJvm]]'s accumulator logic), same
+    * minCount early stop.
+    */
+  val TrainLocalMaxTypes = 1000000L
+
+  /** Spark's string ordering is unsigned UTF-8 byte order. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         rows: Array[(String, Long, Array[String])],
+                         numMerges: Int, minCount: Long): (Seq[Merge], DataFrame) = {
+    import spark.implicits._
+    val syms = rows.map(_._3)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val a = syms(wi)
+        val f = rows(wi)._2
+        var i = 0
+        while (i < a.length - 1) {
+          counts.merge((a(i), a(i + 1)), f, (x, y) => x + y)
+          i += 1
+        }
+        wi += 1
+      }
+      var best: ((String, String), Long) = null
+      counts.forEach { (p, c) =>
+        if (c >= minCount) {
+          if (best == null || c > best._2 ||
+            (c == best._2 && (utf8Less(p._1, best._1._1) ||
+              (p._1 == best._1._1 && utf8Less(p._2, best._1._2)))))
+            best = (p, c)
+        }
+      }
+      if (best == null) done = true
+      else {
+        val ((l, r), c) = best
+        val m = l + r
+        out += Merge(step.toLong, l, r, m, c)
+        wi = 0
+        while (wi < syms.length) {
+          val a = syms(wi)
+          val b = Array.newBuilder[String]
+          var acc: String = null
+          a.foreach { s =>
+            if (acc == l && s == r) acc = m
+            else { if (acc != null) b += acc; acc = s }
+          }
+          if (acc != null) b += acc
+          syms(wi) = b.result()
+          wi += 1
+        }
+        step += 1
+      }
+    }
+    val state = rows.indices
+      .map(i => (rows(i)._1, rows(i)._2, syms(i).toSeq))
+      .toDF("word", "freq", "syms")
+    (out.toSeq, state)
+  }
+
   def trainWithState(docs: DataFrame, numMerges: Int, minCount: Long = 2,
-                     textCol: String = "text"): (Seq[Merge], DataFrame) = {
+                     textCol: String = "text",
+                     maxLocalTypes: Long = TrainLocalMaxTypes): (Seq[Merge], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     var words = initialWords(docs, textCol).localCheckpoint(true)
+    if (maxLocalTypes > 0 && words.count() <= maxLocalTypes) {
+      return trainLocal(docs.sparkSession,
+        words.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray)),
+        numMerges, minCount)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var done = false
@@ -147,10 +240,11 @@ object BpeTrain {
     * oracle-checkable artifact of training.
     */
   def train(docs: DataFrame, numMerges: Int, minCount: Long = 2,
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text",
+            maxLocalTypes: Long = TrainLocalMaxTypes): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, _) = trainWithState(docs, numMerges, minCount, textCol)
+    val (merges, _) = trainWithState(docs, numMerges, minCount, textCol, maxLocalTypes)
     merges.toDF()
   }
 

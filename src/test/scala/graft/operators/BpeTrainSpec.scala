@@ -121,4 +121,23 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = merges.map(r => (r.getString(1), r.getString(2))).toSeq
     assert(all.exists { case (l, r) => l.contains("é") || r.contains("é") || (l + r).contains("é") })
   }
+
+  test("driver-local merge loop == distributed loop: merges, state, and multi-byte tie-break") {
+    // the Sennrich fixture (exercises counts + the ASC tie-break) plus a
+    // multi-byte one where UTF-8 binary order and UTF-16 order could
+    // diverge — the local argmax must replicate Spark's BINARY string
+    // ordering, not compareTo
+    for (docs <- Seq(
+        corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3),
+        corpus("héé" -> 3, "hzz" -> 3, "éz" -> 2))) {
+      val (mLocal, sLocal) = BpeTrain.trainWithState(docs, numMerges = 6)
+      val (mDist, sDist) =
+        BpeTrain.trainWithState(docs, numMerges = 6, maxLocalTypes = 0)
+      assert(mLocal == mDist, s"merges: local $mLocal vs distributed $mDist")
+      def stateSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getSeq[String](2).toList)).toSet
+      assert(stateSet(sLocal) == stateSet(sDist))
+    }
+  }
 }
