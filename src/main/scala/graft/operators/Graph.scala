@@ -498,15 +498,19 @@ object Graph {
         f"weighted PageRank domain exceeded: max src (W·max w) = $hot%.3g >= 2^62 — " +
           "pre-aggregate edge multiplicities at coarser granularity")
     }
-    val seedSet = seeds.map(_.map(x => x: Any).toSet)
-    def base(h: Any): Long = seedSet match {
-      case None    => 15L * scalePpm / 100
-      case Some(s) => if (s.contains(h)) 15L * scalePpm / 100 else 0L
-    }
-    var ranks = hosts.map(h => seedSet match {
-      case None    => scalePpm
-      case Some(s) => if (s.contains(h)) scalePpm else 0L
+    // numeric seed membership, NOT boxed equals: the distributed
+    // `isin(seeds)` coerces an INT host column to the long literals, so
+    // a boxed Integer-vs-Long comparison here would silently de-seed
+    // every host on an int-keyed graph
+    val seedSet = seeds.map(_.toSet)
+    def isSeed(h: Any): Boolean = seedSet.exists(s => h match {
+      case n: java.lang.Number => s.contains(n.longValue)
+      case _                   => false
     })
+    def base(h: Any): Long =
+      if (seedSet.isEmpty || isSeed(h)) 15L * scalePpm / 100 else 0L
+    var ranks = hosts.map(h =>
+      if (seedSet.isEmpty || isSeed(h)) scalePpm else 0L)
     for (_ <- 1 to iters) {
       val contrib = new Array[Long](n)
       eArr.foreach { case (s, d, w) =>
@@ -522,10 +526,10 @@ object Graph {
       case None =>
         (StructType(baseFields),
           hosts.indices.map(i => Row(hosts(i), ranks(i))))
-      case Some(s) =>
+      case Some(_) =>
         (StructType(baseFields :+ StructField("is_seed", LongType, nullable = false)),
           hosts.indices.map(i =>
-            Row(hosts(i), ranks(i), if (s.contains(hosts(i))) 1L else 0L)))
+            Row(hosts(i), ranks(i), if (isSeed(hosts(i))) 1L else 0L)))
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema).orderBy("host")

@@ -68,25 +68,47 @@ object UnigramTrain {
     * piece-lex order (ids are positions + 1).
     */
   def train(docs: DataFrame, iters: Int = 2, maxPieceLen: Int = 4,
-            textCol: String = "text"): Seq[(String, Long, Long)] = {
+            textCol: String = "text",
+            maxLocalTypes: Long = BpeTrain.TrainLocalMaxTypes): Seq[(String, Long, Long)] = {
     require(iters >= 0 && maxPieceLen >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
     val wt = wordTypes(docs, textCol).as[(String, Long)]
+    // small-type-table arm (the BpeTrain.trainLocal precedent): the E/M
+    // aggregations run over the Heaps-bounded word-TYPE table, so under
+    // the bound they replay on the driver — the SAME substring expansion,
+    // the SAME JVM Viterbi kernel (UnigramTokenize is what the
+    // distributed flatMap calls anyway), the same integer sums. Above the
+    // bound every aggregation below stays distributed, unchanged.
+    val wtLocal: Option[Array[(String, Long)]] =
+      if (maxLocalTypes > 0 && wt.count() <= maxLocalTypes) Some(wt.collect()) else None
     // seed: occurrence-weighted substring counts, pieces in lex order
     val maxPl = maxPieceLen
-    val seed: Array[(String, Long)] = wt
-      .flatMap { case (w, f) =>
-        for {
-          st <- 0 until w.length
-          pl <- 1 to math.min(maxPl, w.length - st)
-        } yield (w.substring(st, st + pl), f)
-      }
-      .toDF("piece", "f")
-      .groupBy("piece").agg(sum("f").as("u"))
-      .as[(String, Long)]
-      .collect()
-      .sortBy(_._1)
+    val seed: Array[(String, Long)] = wtLocal match {
+      case Some(arr) =>
+        val m = new java.util.HashMap[String, Long]()
+        arr.foreach { case (w, f) =>
+          for {
+            st <- 0 until w.length
+            pl <- 1 to math.min(maxPl, w.length - st)
+          } m.merge(w.substring(st, st + pl), f, (x, y) => x + y)
+        }
+        val b = Array.newBuilder[(String, Long)]
+        m.forEach((p, u) => b += ((p, u)))
+        b.result().sortBy(_._1)
+      case None => wt
+        .flatMap { case (w, f) =>
+          for {
+            st <- 0 until w.length
+            pl <- 1 to math.min(maxPl, w.length - st)
+          } yield (w.substring(st, st + pl), f)
+        }
+        .toDF("piece", "f")
+        .groupBy("piece").agg(sum("f").as("u"))
+        .as[(String, Long)]
+        .collect()
+        .sortBy(_._1)
+    }
     require(seed.nonEmpty, "cannot train a unigram model on an empty corpus")
     def rescore(u: Array[Long]): Array[Long] = {
       val total = bitlen(u.sum)
@@ -95,23 +117,35 @@ object UnigramTrain {
     var usage: Array[Long] = seed.map(_._2)
     var scores: Array[Long] = rescore(usage)
     val pieces: Array[String] = seed.map(_._1)
+    // id 0 (UNK) cannot occur — single-char pieces always seed — but a
+    // defensive filter keeps a future seeding change from silently
+    // crediting the sentinel
     for (_ <- 1 to iters) {
       val vocab: Seq[(String, Long)] = pieces.zip(scores).toSeq
-      val uMap = wt
-        .flatMap { case (w, f) =>
-          val ids = UnigramTokenize
-            .tokenize(UTF8String.fromString(w), UnigramTokenize.compile(vocab))
-            .toLongArray()
-          // id 0 (UNK) cannot occur — single-char pieces always seed —
-          // but a defensive filter keeps a future seeding change from
-          // silently crediting the sentinel
-          ids.iterator.filter(_ > 0L).map(id => (id, f))
-        }
-        .toDF("id", "f")
-        .groupBy("id").agg(sum("f").as("u"))
-        .as[(Long, Long)]
-        .collect()
-        .toMap
+      val uMap: Map[Long, Long] = wtLocal match {
+        case Some(arr) =>
+          val compiled = UnigramTokenize.compile(vocab)
+          val m = new java.util.HashMap[Long, Long]()
+          arr.foreach { case (w, f) =>
+            UnigramTokenize.tokenize(UTF8String.fromString(w), compiled)
+              .toLongArray().foreach(id => if (id > 0L) m.merge(id, f, (x, y) => x + y))
+          }
+          val b = Map.newBuilder[Long, Long]
+          m.forEach((id, u) => b += ((id, u)))
+          b.result()
+        case None => wt
+          .flatMap { case (w, f) =>
+            val ids = UnigramTokenize
+              .tokenize(UTF8String.fromString(w), UnigramTokenize.compile(vocab))
+              .toLongArray()
+            ids.iterator.filter(_ > 0L).map(id => (id, f))
+          }
+          .toDF("id", "f")
+          .groupBy("id").agg(sum("f").as("u"))
+          .as[(Long, Long)]
+          .collect()
+          .toMap
+      }
       usage = Array.tabulate(pieces.length)(i => uMap.getOrElse((i + 1).toLong, 0L))
       scores = rescore(usage)
     }

@@ -104,6 +104,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("seeded local arm coerces INT host keys like the distributed isin") {
+    val s = spark
+    import s.implicits._
+    // IntegerType keys with Seq[Long] seeds: the distributed isin coerces
+    // numerically; the local arm must not fall back to boxed equals
+    val e = Seq((0, 1), (1, 2), (2, 0)).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString,
+        r.getAs[Long]("rank_ppm"), r.getAs[Long]("is_seed"))).toSet
+    val dist = rows(Graph.pageRankSeeded(e, seeds = Seq(0L), maxLocalVertices = 0))
+    val local = rows(Graph.pageRankSeeded(e, seeds = Seq(0L)))
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local.exists(_._3 == 1L), "seed must be flagged")
+  }
+
   test("harmonic small-graph arm is integer-identical to the doubling face") {
     // includes the horizon cap: on a 5-node path, 2 doubling rounds cover
     // distance 4, but ONE round caps at 2 — the BFS arm must apply the

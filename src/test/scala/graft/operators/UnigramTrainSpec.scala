@@ -83,4 +83,10 @@ class UnigramTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().flatMap(_.getSeq[Long](0))
     assert(ids.nonEmpty && !ids.contains(0L))
   }
+
+  test("driver-local EM arm == distributed EM: pieces, scores, usage") {
+    val local = UnigramTrain.train(fixture, iters = 2)
+    val dist = UnigramTrain.train(fixture, iters = 2, maxLocalTypes = 0)
+    assert(local == dist, s"local $local vs distributed $dist")
+  }
 }
