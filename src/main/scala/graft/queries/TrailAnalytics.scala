@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -164,6 +164,63 @@ object TrailAnalytics {
     payload
       .foldLeft(withMatch)((d, c) => d.withColumn(c, col(s"__m.$c")))
       .drop("__ts", "__tag", "__p", "__last", "__m")
+  }
+
+  /** Scale-safe EXACT global 0-based rank under `sortKeys` (the caller
+    * appends a unique tiebreak as the last key): range-partition on the
+    * keys — every partition a contiguous slice of the global order —
+    * count rows per partition (nParts rows to the driver), prefix-sum
+    * the offsets, and add each partition's offset to its partition-LOCAL
+    * row_number. The `Curation.shardAssign` two-level machinery,
+    * declarative end to end: the naive `row_number() OVER (ORDER BY …)`
+    * — which moves EVERY row to one task — is exactly what the oracle
+    * replays and this plan must never do. The ranged frame is eagerly
+    * checkpointed so the count pass and the rank pass observe the same
+    * sampled range bounds.
+    */
+  def rankGlobal(df: DataFrame, rankCol: String, sortKeys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(nParts, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .localCheckpoint(true)
+    val counts = ranged
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(sortKeys: _*)
+    ranged
+      .withColumn("__pid", spark_partition_id())
+      .join(broadcast(offDf), "__pid")
+      .withColumn(rankCol, row_number().over(w).cast("long") - 1L + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Per-user RFM metrics off the trail store (recency in whole days
+    * from the corpus's latest event, purchase frequency, DECIMAL-exact
+    * monetary) — the segmentation input every retention team derives
+    * first from an event log.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(col("ts_sec")).as("__anchor"))
+    events
+      .groupBy("user_id")
+      .agg(
+        max(col("ts_sec")).as("__last"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
+        sum(when(col("event_type") === "purchase", col("value").cast(dec))).as("__m"),
+      )
+      .crossJoin(broadcast(anchor))
+      .select(
+        col("user_id"),
+        expr("(__anchor - __last) div 86400").as("recency_days"),
+        col("frequency"),
+        coalesce(col("__m"), lit(0).cast(dec)).cast("double").as("monetary"),
+      )
   }
 
   val queries: Seq[Q] = Seq(
@@ -396,6 +453,70 @@ object TrailAnalytics {
               GROUP BY sess.user_id, sess.session_id)
         SELECT LEAST(c, 10) AS overlap, CAST(COUNT(*) AS BIGINT) AS n_sessions
         FROM c GROUP BY 1 ORDER BY 1"""),
+    ),
+
+    // -------------------------------------------------------------- ta_rfm
+    // Per-user recency/frequency/monetary: one aggregation over the trail
+    // store plus a broadcast one-row anchor (the corpus-constant pattern).
+    Q(
+      "ta_rfm",
+      (s, dir) => rfm(Tables.events(s, dir)).orderBy("user_id"),
+      Some(s"""
+        WITH e AS (SELECT user_id, event_type, value, $SEC AS s FROM events),
+        a AS (SELECT MAX(s) AS anchor FROM e)
+        SELECT user_id,
+               (a.anchor - MAX(s)) // 86400 AS recency_days,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS frequency,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(18,2)) END),
+                             0) AS DOUBLE) AS monetary
+        FROM e, a GROUP BY user_id, a.anchor ORDER BY user_id"""),
+    ),
+
+    // ------------------------------------------------------ ta_rfm_segments
+    // Quintile RFM segmentation: each metric ranked globally (ties broken
+    // by user_id), quintile = (rank·5) div n — EXACT quantile buckets
+    // computed via rankGlobal's two-level rank, never a single-partition
+    // window; the oracle IS the naive row_number() window, the semantics
+    // the distributed shape must reproduce. Output: segment cell counts.
+    Q(
+      "ta_rfm_segments",
+      (s, dir) => {
+        val base = rfm(Tables.events(s, dir))
+        val n = base.agg(count(lit(1)).as("__n"))
+        val ranked = Seq(
+          ("__rr", Seq(col("recency_days"), col("user_id"))),
+          ("__rf", Seq(col("frequency").desc, col("user_id"))),
+          ("__rm", Seq(col("monetary").desc, col("user_id"))),
+        ).foldLeft(base) { case (d, (c, keys)) => rankGlobal(d, c, keys: _*) }
+        ranked
+          .crossJoin(broadcast(n))
+          .select(
+            expr("(__rr * 5) div __n").as("r_q"),
+            expr("(__rf * 5) div __n").as("f_q"),
+            expr("(__rm * 5) div __n").as("m_q"),
+          )
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_type, value, $SEC AS s FROM events),
+        a AS (SELECT MAX(s) AS anchor FROM e),
+        rfm AS (SELECT user_id,
+                       (a.anchor - MAX(s)) // 86400 AS recency_days,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS frequency,
+                       COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                         THEN CAST(value AS DECIMAL(18,2)) END), 0) AS monetary
+                FROM e, a GROUP BY user_id, a.anchor),
+        n AS (SELECT COUNT(*) AS n FROM rfm),
+        q AS (SELECT ((row_number() OVER (ORDER BY recency_days, user_id) - 1) * 5) // n.n AS r_q,
+                     ((row_number() OVER (ORDER BY frequency DESC, user_id) - 1) * 5) // n.n AS f_q,
+                     ((row_number() OVER (ORDER BY monetary DESC, user_id) - 1) * 5) // n.n AS m_q
+              FROM rfm, n)
+        SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
     ),
   )
 }

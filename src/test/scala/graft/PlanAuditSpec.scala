@@ -659,5 +659,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val windowNodes = ov.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
     assert(windowNodes <= 2,
       s"session table must be computed once (2 window passes), got $windowNodes:\n" + ov.take(2000))
+    // ta_rfm_segments: the quintile ranks must ride rankGlobal's
+    // two-level rank — the surviving row_number window is partition-LOCAL
+    // (__pid); a naive global row_number would be a Window with an empty
+    // partition spec moving every user row to one task
+    val rq = plan("ta_rfm_segments")
+    assert(rq.contains("row_number") && rq.contains("__pid"),
+      "rfm quintiles must use the two-level rank (__pid-partitioned window):\n" + rq.take(2000))
   }
 }

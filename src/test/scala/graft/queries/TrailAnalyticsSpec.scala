@@ -134,6 +134,38 @@ class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rankGlobal == naive global row_number, invariant to input layout") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // values with heavy ties so the user_id tiebreak carries the order
+    val rows = (0 until 97).map(i => ((i * 7) % 13).toLong -> i.toLong)
+    val df = rows.toDF("v", "id")
+    val naive = df
+      .withColumn("rank",
+        row_number().over(W.orderBy(col("v").desc, col("id"))).cast("long") - 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    for (layout <- Seq(df, df.repartition(7), df.repartition(1), df.orderBy(col("id").desc))) {
+      val got = TrailAnalytics
+        .rankGlobal(layout, "rank", col("v").desc, col("id"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+      assert(got == naive, s"layout diverged: ${got.toSeq.sorted.take(5)}")
+    }
+  }
+
+  test("RFM segments: users conserved; recency marginals match the quintile formula") {
+    val e = Tables.events(spark, sfDir)
+    val nUsers = e.select("user_id").distinct().count()
+    val cells = SparkEntry.queries("ta_rfm_segments")(spark, sfDir).collect()
+    assert(cells.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // the quintile formula (rank*5) div n puts exactly
+    // |{r : (r*5) div n = q}| users in bucket q of EACH metric
+    val expected = (0L until nUsers).groupBy(r => r * 5 / nUsers).view.mapValues(_.size.toLong).toMap
+    val rMarginal = cells.groupBy(_.getAs[Long]("r_q")).view
+      .mapValues(_.map(_.getAs[Long]("n_users")).sum).toMap
+    assert(rMarginal == expected, s"$rMarginal vs $expected")
+  }
+
   test("asOfJoin with no lookback: every event with an order-owning user matches") {
     val out = SparkEntry.queries("ta_asof_orders")(spark, sfDir).collect()
     val total = out.map(_.getAs[Long]("n_events")).sum
