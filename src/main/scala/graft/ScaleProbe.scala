@@ -253,7 +253,13 @@ object ScaleProbe {
     // in production the time span grows with the corpus instead. Probe
     // it at ≤10× only, the d_minhash_recall policy.
     "ta_sessionize", "ta_cohort_retention", "ta_attribution",
-    "ta_asof_orders", "ta_session_overlap")
+    "ta_asof_orders", "ta_session_overlap",
+    // r18 continuation: RFM — one user-keyed aggregation feeding three
+    // rankGlobal passes over the users-sized frame; the two-level rank's
+    // claim is precisely that this stays distributed (range partitions +
+    // partition-local windows), so the ratio should track the events
+    // multiple for the aggregation and the users multiple for the ranks
+    "ta_rfm", "ta_rfm_segments")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
