@@ -289,6 +289,21 @@ object ScaleProbe {
     "d_dedup_thresholds" -> ((s, dir) =>
       operators.MinHash.dedupThresholdCurve(Tables(s, dir, "documents"),
         maxPairMass = if (mult <= 10) Long.MaxValue else 100000000L)),
+    // replica-quadratic BY DESIGN (every replica stacks into the same
+    // 30-day window → matched pairs ×mult²): the "probe at ≤10× only"
+    // policy is enforced HERE in code, not by comment — at ≤10× the
+    // registered face runs unchanged; past 10× the override refuses
+    // loudly and the artifact records the refusal verdict (the
+    // d_minhash_recall guarded-face pattern; the registered query has no
+    // pair-mass knob of its own to arm, so the refusal lives in the
+    // override)
+    "ta_session_overlap" -> ((s, dir) => {
+      require(mult <= 10,
+        s"ta_session_overlap is replica-quadratic under corpus replication " +
+          s"(pairs x mult^2); probe policy caps it at 10x, got ${mult}x - " +
+          "use the span-scaled probe (TaScaleProbe) for longitudinal growth")
+      SparkEntry.queries("ta_session_overlap")(s, dir)
+    }),
     // the registered query's fixed nCells=8 is an oracle-scale setting;
     // the contract at scale is nCells ∝ N, so the scaled arm runs 8·mult
     // cells — the ratio then witnesses the ~flat per-cell pair work the

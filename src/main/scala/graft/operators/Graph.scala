@@ -190,16 +190,18 @@ object Graph {
     // bound. The replay is pure non-negative int64 arithmetic (/, % match
     // Spark's div/mod there), so the output is integer-identical
     // (spec-pinned; fuzz keeps the distributed path via the opt-out).
-    if (maxLocalVertices > 0 && edges.count() <= HyperBallLocalMaxEdges) {
+    // gate order matches harmonic/HyperBall: the cheap distributed vertex
+    // COUNT decides first, so a >4096-vertex graph never pays the driver
+    // collect of up to 1M boxed edge tuples only to run distributed anyway
+    if (maxLocalVertices > 0 && nodesOf(edges).count() <= maxLocalVertices
+      && edges.count() <= HyperBallLocalMaxEdges) {
       // keys stay whatever type the caller's graph uses (host ids here,
       // event-type STRINGS in g_event_pagerank) — only the arithmetic is
       // replayed locally
       val eArr = edges.select(col("src"), col("dst"), col("w").cast("long"))
         .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
-      val nHosts = (eArr.map(_._1) ++ eArr.map(_._2)).distinct.length
-      if (nHosts <= maxLocalVertices)
-        return pageRankLocal(links.sparkSession, edges.schema("src").dataType,
-          eArr, iters, scalePpm, seeds, weighted)
+      return pageRankLocal(links.sparkSession, edges.schema("src").dataType,
+        eArr, iters, scalePpm, seeds, weighted)
     }
     // fail-loud domain guard (the hot-bucket-guard discipline): the
     // weighted share decomposes as q·w + (r·w) div W with r < W, so the

@@ -140,6 +140,13 @@ object TrailAnalytics {
     require(payloadHit.isEmpty,
       s"asOfJoin: payload columns ${payloadHit.mkString(", ")} already exist on the left " +
         "frame - alias them on the right side before joining")
+    // a payload named like a kernel working column would be extracted via
+    // withColumn and then silently dropped by the final .drop — fail loud
+    val payloadReserved = payload.toSet
+      .intersect(Set("__ts", "__tag", "__p", "__last", "__m"))
+    require(payloadReserved.isEmpty,
+      s"asOfJoin: payload columns ${payloadReserved.mkString(", ")} collide with kernel " +
+        "names - alias them on the right side before joining")
     require(payload.nonEmpty, "asOfJoin: payload must name at least one right column")
     val rTagged = right.select(
       col(key),
@@ -334,16 +341,19 @@ object TrailAnalytics {
         u AS (SELECT user_id, s, 1 AS tag, event_id AS rid, value, NULL AS pk
               FROM e WHERE event_type = 'purchase'
               UNION ALL
+              -- %019d: string-max agrees with Spark's (long, long, string)
+              -- struct max for any NON-NEGATIVE int64 (19 digits cover
+              -- Long.MaxValue; negative ts/id would still diverge)
               SELECT user_id, s, 0 AS tag, event_id AS rid, NULL AS value,
-                     printf('%010d|%010d|%s', s, event_id, event_type) AS pk
+                     printf('%019d|%019d|%s', s, event_id, event_type) AS pk
               FROM e WHERE event_type IN ('click', 'view', 'signup')),
         m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
                                       ROWS UNBOUNDED PRECEDING) AS lastpk
               FROM u),
         att AS (SELECT value,
                        CASE WHEN lastpk IS NOT NULL
-                             AND CAST(substr(lastpk, 1, 10) AS BIGINT) >= s - $LookbackSec
-                            THEN substr(lastpk, 23) ELSE '(none)' END AS channel
+                             AND CAST(substr(lastpk, 1, 19) AS BIGINT) >= s - $LookbackSec
+                            THEN substr(lastpk, 41) ELSE '(none)' END AS channel
                 FROM m WHERE tag = 1)
         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -383,15 +393,18 @@ object TrailAnalytics {
                           o_orderkey, o_orderpriority
                    FROM orders),
         e AS (SELECT user_id, $SEC AS s, event_id FROM events),
+        -- %019d: string-max ≡ struct-max for any non-negative int64 (see
+        -- ta_attribution) — replicated corpora that offset keys past 1e10
+        -- stay exact
         u AS (SELECT user_id, s, 0 AS tag, o_orderkey AS rid,
-                     printf('%010d|%010d|%s', s, o_orderkey, o_orderpriority) AS pk
+                     printf('%019d|%019d|%s', s, o_orderkey, o_orderpriority) AS pk
               FROM o
               UNION ALL
               SELECT user_id, s, 1 AS tag, event_id AS rid, NULL AS pk FROM e),
         m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
                                       ROWS UNBOUNDED PRECEDING) AS lastpk
               FROM u)
-        SELECT COALESCE(substr(lastpk, 23), '(none)') AS o_orderpriority,
+        SELECT COALESCE(substr(lastpk, 41), '(none)') AS o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM m WHERE tag = 1
