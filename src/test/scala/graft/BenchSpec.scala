@@ -51,8 +51,11 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadPrevEffective(write("garbage.json", "not json"), "sf0.1").isEmpty)
   }
 
-  test("suspect threshold: 2x band with the 0.75 s sub-second floor") {
-    assert(Bench.threshold(0.2) == 0.95) // floor shields sub-second bands
-    assert(Bench.threshold(5.0) == 10.0) // 2x rules past it
+  test("suspect threshold: 2x band unconditionally - no sub-second blind spot") {
+    // the old band+0.75s floor could never fire for bands < 0.75 s, which
+    // is most of the registry; r13/r14/r17/r18 each shipped a >2x
+    // sub-second escape through that gap
+    assert(Bench.threshold(0.2) == 0.4) // sub-second bands now trigger at 2x
+    assert(Bench.threshold(5.0) == 10.0) // 2x everywhere
   }
 }
