@@ -438,26 +438,79 @@ object MinHash {
           "or evaluate recall on a document sample.")
     val sizes = buckets.select(explode(col("ids")).as("id"))
       .groupBy("id").agg(count(lit(1)).as("nsz"))
-    // the size joins are pinned to sort-merge for the same reason the
-    // recall face's full-outer is: the pair frame's post-aggregation
+    // pair expansion as a typed flatMap kernel: the SQL
+    // transform/slice/flatten lambda ([[pairExpand]]) is interpreted
+    // per element — measured 0.74 s for 1.3M pairs at sf0.1 vs ~0.2 s
+    // for the tight two-level loop kernel emitting raw (Long, Long) rows
+    val pairCounts = expandPairsTyped(buckets)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("ni"))
+    // size-join strategy is ADAPTIVE on the sizes side (one row per doc):
+    // below the broadcast bound a hash join keeps the quadratic pair
+    // frame in place — no exchange + sort of millions of pair rows
+    // against a 5k-row dimension (measured 1.9 s → sub-second at sf0.1).
+    // Past the bound the joins pin to sort-merge for the same reason the
+    // recall face's full-outer does: the pair frame's post-aggregation
     // estimate undersells its true mult²-quadratic cardinality on a
     // replica-heavy corpus, and Spark 4 then broadcasts the PAIR side —
     // measured as a driver broadcast OOM at the 10× probe arm before
-    // the hint (the sizes side stays modest, but a hint on either side
-    // forces the exchange-based plan that never materializes pairs on
-    // the driver)
-    buckets
-      .filter(size(col("ids")) >= 2)
-      .select(explode(pairExpand("ids")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("ni"))
-      .hint("merge")
-      .join(sizes.select(col("id").as("id_a"), col("nsz").as("na")), Seq("id_a"))
-      .hint("merge")
-      .join(sizes.select(col("id").as("id_b"), col("nsz").as("nb")), Seq("id_b"))
+    // the hint. Both paths produce identical rows; only the exchange
+    // shape differs.
+    val nDocs = sizes.count()
+    val joined =
+      if (nDocs <= MaxBroadcastSizesRows)
+        pairCounts
+          .join(broadcast(sizes.select(col("id").as("id_a"), col("nsz").as("na"))), Seq("id_a"))
+          .join(broadcast(sizes.select(col("id").as("id_b"), col("nsz").as("nb"))), Seq("id_b"))
+      else
+        pairCounts
+          .hint("merge")
+          .join(sizes.select(col("id").as("id_a"), col("nsz").as("na")), Seq("id_a"))
+          .hint("merge")
+          .join(sizes.select(col("id").as("id_b"), col("nsz").as("nb")), Seq("id_b"))
+    joined
       .filter(col("ni") * (den + num) >= (col("na") + col("nb")) * num)
       .select("id_a", "id_b", "ni", "na", "nb")
+  }
+
+  /** Above this many docs the exact-pair size joins switch from broadcast
+    * (sizes side — one row per doc) to sort-merge: 2M rows ≈ 32 MB of
+    * (long, long) pairs, comfortably under the broadcast limit; a corpus
+    * past it takes the exchange-based plan automatically — no refusal
+    * needed because the merge path is always correct, just slower at
+    * evaluation scale.
+    */
+  val MaxBroadcastSizesRows = 2000000L
+
+  /** Ordered 2-combinations of each sorted `ids` array as raw
+    * (id_a, id_b) rows — the typed twin of `explode(pairExpand(...))`.
+    * The SQL lambda interprets transform/slice/named_struct per element;
+    * this tight two-level loop emits the identical pair multiset
+    * (measured ~3.5× faster on a 1.3M-pair expansion at sf0.1). Used by
+    * the EXACT feeder only, where bucket arrays are unbounded: on the
+    * maxBucket-capped LSH families the encoder boundary costs MORE than
+    * the interpreted lambda (d_minhash_verified measured 2.1 → 2.9 s
+    * when this kernel replaced pairExpand there — reverted).
+    */
+  private[operators] def expandPairsTyped(buckets: DataFrame): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val n = ids.length
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b")
   }
 
   /** Dedup-recall accounting: how much of the EXACT Jaccard-≥τ pair set
