@@ -252,8 +252,12 @@ object ScaleProbe {
     // density grows ×mult and matched pairs ×mult² (3.25M at sf0.1) —
     // in production the time span grows with the corpus instead. Probe
     // it at ≤10× only, the d_minhash_recall policy.
+    // ta_funnel_cohort composes the FSM funnel (per-trail match — the
+    // m1_fsm_funnel posture) with the first-touch cohort aggregation:
+    // both sides ride the user_id exchange, so the ratio should track
+    // the events multiple
     "ta_sessionize", "ta_cohort_retention", "ta_attribution",
-    "ta_asof_orders", "ta_session_overlap",
+    "ta_asof_orders", "ta_session_overlap", "ta_funnel_cohort",
     // r18 continuation: RFM — one user-keyed aggregation feeding three
     // rankGlobal passes over the users-sized frame; the two-level rank's
     // claim is precisely that this stays distributed (range partitions +

@@ -230,6 +230,37 @@ object TrailAnalytics {
       )
   }
 
+  /** Funnel conversion by daily first-touch cohort, the FSM engine and the
+    * cohort aggregation composed: the converted-user set comes from the
+    * REAL engine running the signup→purchase [[graft.engine.TrckQueries
+    * .funnelProgram]] (quit at the first purchase after the first signup),
+    * cohorts from the same first-touch aggregation ta_cohort_retention
+    * uses. `events` must carry user_id, ts_sec, event_id, event_type.
+    */
+  def funnelCohort(events: DataFrame): DataFrame = {
+    val prog = graft.trck.Compiled.compile(graft.engine.TrckQueries.funnelProgram)
+    val trails = events.select(
+      col("user_id").cast("string").as("uuid"),
+      col("ts_sec"), col("event_type"), col("event_id"))
+    val em = graft.engine.TrailEngine.emits(prog, trails, "uuid", "ts_sec", Seq("event_id"))
+    val converted = em
+      .filter(col("kind") === "c" && col("dst") === "conv")
+      .select(col("uuid").cast("long").as("user_id"))
+      .distinct()
+      .withColumn("__conv", lit(1L))
+    events
+      .groupBy("user_id")
+      .agg(min(col("ts_sec")).as("first_sec"))
+      .withColumn("cohort_day", expr("first_sec div 86400"))
+      .join(converted, Seq("user_id"), "left")
+      .groupBy("cohort_day")
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("__conv")).as("n_converted"),
+      )
+      .orderBy("cohort_day")
+  }
+
   val queries: Seq[Q] = Seq(
     // -------------------------------------------------------- ta_sessionize
     // The session table itself: one row per (user, gap-session) with
@@ -530,6 +561,48 @@ object TrailAnalytics {
               FROM rfm, n)
         SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users
         FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    ),
+
+    // ------------------------------------------------------ ta_funnel_cohort
+    // The two halves COMPOSED: funnel conversion by DAILY first-touch
+    // cohort — "did cohort X convert more?", the first question a trck
+    // user asks once both the FSM matcher and the cohort table exist.
+    // (Day granularity, not ta_cohort_retention's weeks: the 30-day test
+    // corpus concentrates first touches into 1-2 epoch weeks, which would
+    // collapse the hash gate to a single row.)
+    // The converted-user set comes from the REAL FSM engine (the same
+    // signup→purchase funnelProgram m1_fsm_funnel runs; reference
+    // semantics anchor: foreach/groupby in src/match_traildb.c:281-335
+    // meeting the per-trail match loop), cohorts from the first-touch
+    // aggregation ta_cohort_retention uses. Plan shape: the FSM side
+    // rides the trail layout's one user-keyed exchange and collapses to
+    // one row per CONVERTED user (map-side partial distinct — the
+    // converted-minority fold m1_fsm_funnel pins); the cohort side is one
+    // user-keyed aggregation; the join carries one row per user. The
+    // oracle replays the FSM by the filter+count equivalence proved for
+    // m1_fsm_funnel (first signup, any later purchase).
+    Q(
+      "ta_funnel_cohort",
+      (s, dir) => funnelCohort(Tables.events(s, dir)),
+      Some(s"""
+        WITH o AS (SELECT user_id, event_type, $SEC AS s,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY $SEC, event_id) AS seq
+                   FROM events),
+        first AS (SELECT user_id, MIN(s) // 86400 AS cohort_day
+                  FROM o GROUP BY user_id),
+        sg AS (SELECT user_id, MIN(seq) AS first_signup FROM o
+               WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (SELECT user_id FROM sg
+                 WHERE EXISTS (SELECT 1 FROM o
+                               WHERE o.user_id = sg.user_id
+                                 AND o.event_type = 'purchase'
+                                 AND o.seq > sg.first_signup))
+        SELECT cohort_day,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted
+        FROM first LEFT JOIN conv ON first.user_id = conv.user_id
+        GROUP BY 1 ORDER BY 1"""),
     ),
   )
 }

@@ -166,6 +166,27 @@ class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rMarginal == expected, s"$rMarginal vs $expected")
   }
 
+  test("funnelCohort: purchase must FOLLOW the first signup; cohorts by first-touch day") {
+    val d = 86400L
+    val e = eventsOf(
+      // user 1 (day 0): signup then purchase — converted
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "purchase"),
+      // user 2 (day 0): purchase BEFORE its only signup — NOT converted
+      (2L, 10L, 3L, "purchase"), (2L, 20L, 4L, "signup"),
+      // user 3 (day 1): signup only — not converted
+      (3L, d + 10L, 5L, "signup"),
+      // user 4 (day 1): purchase only (no signup) — not converted
+      (4L, d + 10L, 6L, "purchase"),
+      // user 5 (day 1): click, signup, click, purchase — converted
+      (5L, d + 10L, 7L, "click"), (5L, d + 20L, 8L, "signup"),
+      (5L, d + 30L, 9L, "click"), (5L, d + 40L, 10L, "purchase"),
+    )
+    val got = TrailAnalytics.funnelCohort(e).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_converted")))
+    assert(got.toSeq == Seq((0L, 2L, 1L), (1L, 3L, 1L)), got.mkString(", "))
+  }
+
   test("asOfJoin with no lookback: every event with an order-owning user matches") {
     val out = SparkEntry.queries("ta_asof_orders")(spark, sfDir).collect()
     val total = out.map(_.getAs[Long]("n_events")).sum
