@@ -184,6 +184,20 @@ object TrailAnalytics {
     * replays and this plan must never do. The ranged frame is eagerly
     * checkpointed so the count pass and the rank pass observe the same
     * sampled range bounds.
+    *
+    * Skew: a low-cardinality FIRST key (rfm's `frequency` is mostly 0)
+    * leans entirely on the unique trailing tiebreak — RangePartitioner
+    * samples the FULL key tuple, so ties on the leading key still split
+    * across partitions on the tiebreak (spec-pinned: 99%-identical
+    * leading keys stay within 2× the mean partition size,
+    * TrailAnalyticsSpec "rankGlobal under pathological leading-key skew").
+    * Callers MUST pass a unique last key or ranks stay correct but one
+    * partition can absorb every tie.
+    *
+    * The usual localCheckpoint caveat applies on a real cluster (the
+    * BpeTrain discipline): executor loss fails the job instead of
+    * recomputing — a long-running deployment would swap in reliable
+    * `checkpoint()` against a checkpoint dir.
     */
   def rankGlobal(df: DataFrame, rankCol: String, sortKeys: Column*): DataFrame = {
     val spark = df.sparkSession
