@@ -161,6 +161,18 @@ object RestartProbe {
       s"(doc_id div $nDocs) AS k")
       .where("(user_id + k) % 4 != 0").drop("k")
 
+    // frozen as-of version dimension: 97 users × 4 versions stepping every
+    // 3000 s across the probe's event-time span, with a same-second tie
+    // pair on every user (ids i and i+97·4: the unique-id tie-break must
+    // resolve identically on both runs)
+    val asofDim = spark.range(97L * 5)
+      .selectExpr(
+        "id % 97 AS user_id",
+        "cast(1700000000 as bigint) + least(id div 97, 3) * 3000 AS o_sec",
+        "id AS o_id",
+        "concat('v', id div 97) AS o_tag")
+      .localCheckpoint(true)
+
     val arms = Seq(
       arm("trailFsmFunnel",
         docs => TrailStream.emits(funnelProg, funnelEvents(docs), "uuid", "ts")
@@ -187,6 +199,21 @@ object RestartProbe {
       // same docs across the kill/restart boundary
       arm("deconFilter",
         docs => DocStream.deconFilter(docs, deconDir)),
+      // stateless stream-static arm: as-of enrichment against the frozen
+      // version dimension — recovery must re-resolve the SAME match for
+      // every replayed event (the dimension is rebuilt identically on
+      // restart; any drift in the sorted-version tie-break or the
+      // lookback cut shows up as a multiset diff). Events walk forward
+      // through the version history so matches differ per batch.
+      arm("asOfEnrichStatic",
+        docs => TrailStream.asOfEnrichStatic(
+          docs.selectExpr(
+            s"(doc_id % $nDocs) % 97 AS user_id",
+            s"cast(1700000000 as bigint) + (doc_id div $nDocs) * 1200" +
+              s" + ((doc_id % $nDocs) div 97) AS ts_sec",
+            s"doc_id AS event_id"),
+          asofDim, "user_id", "ts_sec", "o_sec", Seq("o_id", "o_tag"),
+          lookbackSec = Some(2400L))),
       // bounded-stateful arm: the windowed Count-Min matrix — recovery
       // must restore the open window's 2048-counter state exactly or the
       // emitted sketch (and every estimate served from it) drifts; the

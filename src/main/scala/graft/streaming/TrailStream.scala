@@ -284,4 +284,73 @@ object TrailStream {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("n_purchases"))
+
+  /** Streaming AS-OF enrichment against a FROZEN dimension: the live twin
+    * of [[graft.queries.TrailAnalytics.asOfJoin]] for the stream-static
+    * case (live events vs a versioned dimension built once per stream —
+    * the lmScoreByWindow lifecycle). Each arriving left row picks the
+    * greatest dimension row with rightTs ≤ leftTs under the same key;
+    * ties at equal rightTs break by the struct order of
+    * (rightTs, payload...), so callers put a unique id first in `payload`
+    * — the IDENTICAL contract as the batch kernel.
+    *
+    * Shape: the batch union-tag + running-window kernel cannot stream (an
+    * unbounded-preceding window over a live source), so the dimension
+    * collapses ONCE to one row per key holding its versions sorted by the
+    * (rightTs, payload...) struct — the same order whose running MAX the
+    * batch kernel takes, so the LAST qualifying element IS the batch
+    * match, tie-break included. Each stream row then resolves its match
+    * with a scalar `filter` + `try_element_at(-1)` over the equi-joined
+    * array: stateless map-side work after one stream-static join, batch ≡
+    * stream BY CONSTRUCTION (spec-pinned equal to the batch asOfJoin),
+    * and zero stream state — restart recovery is pure source-offset
+    * replay.
+    *
+    * Scale: per-key payload is the key's VERSION count (orders per
+    * customer — dimension-bounded, never event-volume). A fail-loud
+    * pre-flight refuses a dimension whose hottest key exceeds
+    * `maxVersionsPerKey` instead of building a row the executors cannot
+    * hold (the hot-bucket-guard discipline); one distributed aggregation
+    * at setup time, never per micro-batch.
+    */
+  def asOfEnrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      lookbackSec: Option[Long] = None,
+      maxVersionsPerKey: Long = 100000L,
+  ): DataFrame = {
+    require(payload.nonEmpty, "asOfEnrichStatic: payload must name at least one right column")
+    val reserved = Set("__vs", "__v", "__m", "__rts")
+    val leftHit = stream.columns.toSet.intersect(reserved)
+    require(leftHit.isEmpty,
+      s"asOfEnrichStatic: stream columns ${leftHit.mkString(", ")} collide with kernel names")
+    val payloadHit = payload.toSet.intersect(stream.columns.toSet ++ reserved)
+    require(payloadHit.isEmpty,
+      s"asOfEnrichStatic: payload columns ${payloadHit.mkString(", ")} collide with stream " +
+        "or kernel columns - alias them on the dimension side first")
+    val hot = dim.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head
+    if (!hot.isNullAt(0))
+      require(hot.getLong(0) <= maxVersionsPerKey,
+        s"asOfEnrichStatic: hottest dimension key carries ${hot.getLong(0)} versions " +
+          s"(> maxVersionsPerKey=$maxVersionsPerKey) - compact the dimension (e.g. keep a " +
+          "bounded version horizon) before streaming against it")
+    val versions = dim
+      .select(col(key),
+        struct(col(rightTs).cast("long").as("__rts") +: payload.map(col): _*).as("__v"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col("__v"))).as("__vs"))
+    val lbCond = lookbackSec.fold("")(lb => s" AND v.__rts >= CAST($leftTs AS BIGINT) - $lb")
+    val matched = stream
+      .join(versions, Seq(key), "left")
+      .withColumn("__m", expr(
+        s"try_element_at(filter(__vs, v -> v.__rts <= CAST($leftTs AS BIGINT)$lbCond), -1)"))
+    payload
+      .foldLeft(matched)((d, c) => d.withColumn(c, col(s"__m.$c")))
+      .drop("__vs", "__m")
+  }
 }

@@ -295,4 +295,67 @@ class TrailStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("payload columns"), e.getMessage)
   }
+
+  test("asOfEnrichStatic == batch asOfJoin (at-or-before, tie-break, lookback, no-match)") {
+    val s = spark
+    import s.implicits._
+    // events: at-or-before hit (ts 100), exact-equality hit (ts 50),
+    // before-everything miss (ts 5), lookback-expired miss (user 3),
+    // key-absent miss (user 9)
+    val left = Seq(
+      (1L, 100L, 10L), (1L, 50L, 11L), (1L, 5L, 12L),
+      (2L, 100L, 13L), (3L, 500L, 14L), (9L, 100L, 15L),
+    ).toDF("user_id", "ts_sec", "event_id")
+    // dimension with a same-second TIE on user 2 (ids 22 < 23: the unique
+    // id first in payload must make 23 win) and an old version for user 3
+    val dim = Seq(
+      (1L, 50L, 21L, "lo"), (1L, 90L, 20L, "hi"),
+      (2L, 40L, 22L, "tie_lo"), (2L, 40L, 23L, "tie_hi"),
+      (3L, 100L, 24L, "old"),
+    ).toDF("user_id", "o_sec", "o_id", "o_tag")
+    val lookback = Some(300L)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "ts_sec", "event_id", "o_id", "o_tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    val batch = norm(graft.queries.TrailAnalytics.asOfJoin(
+      left, dim, "user_id", "ts_sec", "o_sec", Seq("o_id", "o_tag"), lookback))
+    val enrich = norm(TrailStream.asOfEnrichStatic(
+      left, dim, "user_id", "ts_sec", "o_sec", Seq("o_id", "o_tag"), lookback))
+    assert(enrich == batch, s"enrich $enrich != batch $batch")
+    // the fixture exercises every leg: hit, tie, and the three miss modes
+    assert(batch.exists { case (u, _, _, oid, _) => u == 2L && oid.contains(23L) },
+      "tie must break to the larger unique id")
+    assert(batch.count(_._4.isEmpty) == 3, s"expected 3 null matches in $batch")
+
+    // batch ≡ stream: the same expression over a MemoryStream, microbatched
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = TrailStream.asOfEnrichStatic(
+      input.toDF().toDF("user_id", "ts_sec", "event_id"),
+      dim, "user_id", "ts_sec", "o_sec", Seq("o_id", "o_tag"), lookback)
+    val query = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 100L, 10L), (1L, 50L, 11L), (1L, 5L, 12L))
+      query.processAllAvailable()
+      input.addData((2L, 100L, 13L), (3L, 500L, 14L), (9L, 100L, 15L))
+      query.processAllAvailable()
+      val streamed = norm(spark.sql("SELECT * FROM asof_out"))
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+    } finally query.stop()
+  }
+
+  test("asOfEnrichStatic fails loudly on a hot dimension key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("user_id", "ts_sec", "event_id")
+    val dim = (0 until 50).map(i => (1L, i.toLong, i.toLong))
+      .toDF("user_id", "o_sec", "o_id")
+    val e = intercept[IllegalArgumentException] {
+      TrailStream.asOfEnrichStatic(left, dim, "user_id", "ts_sec", "o_sec",
+        Seq("o_id"), maxVersionsPerKey = 10L)
+    }
+    assert(e.getMessage.contains("maxVersionsPerKey"), e.getMessage)
+  }
 }
