@@ -15,6 +15,20 @@ package graft
   *
   * Usage: runMain graft.TaScaleProbe [mult] [workDir]
   * Prints one JSON line {"metric":"ta_span_probe",...}.
+  *
+  * Second mode — `runMain graft.TaScaleProbe hot [workDir]` — the
+  * ADVERSARIAL arm: one user holds a month-long CONTINUOUS session
+  * (hourly events, never a 6h gap → ~121 six-hour buckets) against a
+  * purchase-heavy rest-of-corpus. The claims under test: (1) the
+  * bucketed join's exact-range refilter keeps the hot session's matched
+  * pairs EXACTLY equal to the other-user purchases inside its interval
+  * (bucket explosion must not double-count a purchase that lands in one
+  * bucket), and (2) the bucket equi-join spreads the hot session's ~121
+  * bucket rows across the bucket-key hash slots — no task absorbs the
+  * whole month at scale (max/mean slot ratio recorded and asserted ≤ 2;
+  * measured on the key hash, not spark_partition_id, because AQE
+  * correctly coalesces the toy-scale join to one task).
+  * Prints {"metric":"ta_hot_session_probe",...}.
   */
 object TaScaleProbe {
 
@@ -34,7 +48,99 @@ object TaScaleProbe {
     n
   }
 
+  /** The hot-session adversarial arm (see object doc). */
+  private def hotMain(work: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).appName("ta-hot-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val dir = s"$work/hot"
+    val spanSec = 30L * 86400L
+    // user 0: one event per HOUR for the whole month — never a 6h gap, so
+    // ONE continuous session spanning ~121 six-hour buckets
+    val hotN = spanSec / 3600L
+    val hot = spark.range(hotN).selectExpr(
+      "CAST(0 AS BIGINT) AS user_id",
+      "id AS event_id",
+      "timestamp_seconds(CAST(1700000000 AS BIGINT) + id * 3600) AS ts",
+      "'click' AS event_type",
+      "CAST(1.0 AS DOUBLE) AS value")
+    // users 1..1500: purchase-heavy (80% purchases) at an 8h±4h cadence —
+    // every bucket of the month is purchase-dense
+    val nUsers = 1500L
+    val step = 28800L
+    val restN = nUsers * spanSec / step
+    val rest = spark.range(restN).selectExpr(
+      s"1 + (id % $nUsers) AS user_id",
+      s"$hotN + id AS event_id",
+      s"timestamp_seconds(CAST(1700000000 AS BIGINT) + (id div $nUsers) * $step" +
+        s" + pmod(id * 2654435761, 28801) - 14400) AS ts",
+      "CASE WHEN id % 5 = 0 THEN 'click' ELSE 'purchase' END AS event_type",
+      "CAST(1.0 AS DOUBLE) AS value")
+    hot.unionByName(rest).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    Tables(spark, dir, "events").count()
+    val t0 = System.nanoTime()
+    SparkEntry.queries("ta_session_overlap")(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val e = Tables.events(spark, dir)
+    val sess = graft.queries.TrailAnalytics.sessions(e)
+      .select("user_id", "session_id", "start_sec", "end_sec")
+    // claim 0: user 0 really is ONE month-long session
+    val hotSess = sess.filter(col("user_id") === 0L).collect()
+    require(hotSess.length == 1,
+      s"hot-session synth broke: user 0 has ${hotSess.length} sessions, wanted 1")
+    val (hs, he) = (hotSess(0).getAs[Long]("start_sec"), hotSess(0).getAs[Long]("end_sec"))
+    val hotBuckets = he / 21600L - hs / 21600L + 1
+    // claim 1: the bucketed join + exact refilter matches EXACTLY the
+    // other-user purchases inside [start, end] — no bucket double-count
+    val buckets = sess.withColumn("bucket",
+      explode(sequence(expr("start_sec div 21600"), expr("end_sec div 21600"))))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_sec").as("p_sec"),
+        expr("ts_sec div 21600").as("p_bucket"))
+    val joined = buckets.join(p,
+      col("bucket") === col("p_bucket") &&
+        col("p_sec").between(col("start_sec"), col("end_sec")) &&
+        col("p_user") =!= col("user_id"))
+    val hotPairs = joined.filter(col("user_id") === 0L).count()
+    val truth = e.filter(col("event_type") === "purchase" &&
+      col("user_id") =!= 0L && col("ts_sec").between(hs, he)).count()
+    require(hotPairs == truth,
+      s"refilter drift: hot session matched $hotPairs pairs vs $truth purchases in-interval")
+    // claim 2: the bucket equi-join spreads the month — no task absorbs
+    // it. Measured on the bucket-key HASH distribution (32 slots, the
+    // shuffle-partition count): at toy scale AQE correctly coalesces the
+    // few-MB join inputs into one task, so spark_partition_id() is
+    // vacuous — but at production scale the hash slots ARE the tasks,
+    // and a month-long session whose output piled into one slot would be
+    // the straggler. The hot session's 121 bucket rows must spread.
+    val parts = joined.groupBy(expr("pmod(hash(bucket), 32)")).count()
+      .collect().map(_.getLong(1))
+    val meanP = parts.sum.toDouble / parts.length
+    val maxOverMean = parts.max / meanP
+    require(parts.length >= 16 && maxOverMean <= 2.0,
+      f"hot-session skew: max bucket-hash slot ${parts.max} = $maxOverMean%.2f x " +
+        f"mean $meanP%.0f over ${parts.length} slots")
+    val commit =
+      try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    def r2(v: Double) = math.round(v * 100) / 100.0
+    println(
+      s"""{"metric":"ta_hot_session_probe","commit":"$commit",""" +
+        s""""hot_session_buckets":$hotBuckets,"hot_pairs":$hotPairs,""" +
+        s""""purchases_in_interval":$truth,"total_pairs":${joined.count()},""" +
+        s""""bucket_hash_slots":${parts.length},"max_over_mean":${r2(maxOverMean)},""" +
+        s""""overlap_query_sec":${r2(sec)}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("hot")) {
+      hotMain(args.lift(1).getOrElse("/tmp/graft_ta_hot")); return
+    }
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val work = args.lift(1).getOrElse("/tmp/graft_ta_span")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
