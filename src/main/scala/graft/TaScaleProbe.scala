@@ -25,9 +25,13 @@ package graft
   * (bucket explosion must not double-count a purchase that lands in one
   * bucket), and (2) the bucket equi-join spreads the hot session's ~121
   * bucket rows across the bucket-key hash slots — no task absorbs the
-  * whole month at scale (max/mean slot ratio recorded and asserted ≤ 2;
-  * measured on the key hash, not spark_partition_id, because AQE
-  * correctly coalesces the toy-scale join to one task).
+  * whole session at scale. Measured on the key hash (not
+  * spark_partition_id: AQE correctly coalesces the toy-scale join to one
+  * task). Two arms: at 1 month (121 buckets over 32 slots) max/mean is
+  * balls-in-bins noise (~2.3 measured), so the assertion there is slot
+  * COVERAGE — the hot session must touch ≥ 3/4 of the slots; at 12
+  * months (1452 buckets) the large-sample balance claim holds and
+  * max/mean ≤ 2 is asserted.
   * Prints {"metric":"ta_hot_session_probe",...}.
   */
 object TaScaleProbe {
@@ -53,9 +57,19 @@ object TaScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).appName("ta-hot-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val arms = Seq(30L, 360L).map(d => hotArm(spark, s"$work/hot$d", d))
+    val commit =
+      try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    println(
+      s"""{"metric":"ta_hot_session_probe","commit":"$commit","arms":[${arms.mkString(",")}]}""")
+    spark.stop()
+  }
+
+  private def hotArm(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     spanDays: Long): String = {
     import org.apache.spark.sql.functions._
-    val dir = s"$work/hot"
-    val spanSec = 30L * 86400L
+    val spanSec = spanDays * 86400L
     // user 0: one event per HOUR for the whole month — never a 6h gap, so
     // ONE continuous session spanning ~121 six-hour buckets
     val hotN = spanSec / 3600L
@@ -110,31 +124,32 @@ object TaScaleProbe {
       col("user_id") =!= 0L && col("ts_sec").between(hs, he)).count()
     require(hotPairs == truth,
       s"refilter drift: hot session matched $hotPairs pairs vs $truth purchases in-interval")
-    // claim 2: the bucket equi-join spreads the month — no task absorbs
-    // it. Measured on the bucket-key HASH distribution (32 slots, the
-    // shuffle-partition count): at toy scale AQE correctly coalesces the
-    // few-MB join inputs into one task, so spark_partition_id() is
-    // vacuous — but at production scale the hash slots ARE the tasks,
-    // and a month-long session whose output piled into one slot would be
-    // the straggler. The hot session's 121 bucket rows must spread.
+    // claim 2: the bucket equi-join spreads the session — no task absorbs
+    // it at scale. Measured on the bucket-key HASH distribution (32
+    // slots): at toy scale AQE correctly coalesces the few-MB join
+    // inputs into one task, so spark_partition_id() is vacuous — at
+    // production scale the hash slots ARE the tasks. Gate by regime:
+    // slot COVERAGE of the hot session always (its buckets must not pile
+    // up), max/mean ≤ 2 only in the large-sample regime (≥ 1000 buckets)
+    // where balls-in-bins noise has died down (at 121 buckets / 32 slots
+    // the NOISE maximum is ~2.3× mean — measured, not operator skew).
     val parts = joined.groupBy(expr("pmod(hash(bucket), 32)")).count()
       .collect().map(_.getLong(1))
     val meanP = parts.sum.toDouble / parts.length
     val maxOverMean = parts.max / meanP
-    require(parts.length >= 16 && maxOverMean <= 2.0,
-      f"hot-session skew: max bucket-hash slot ${parts.max} = $maxOverMean%.2f x " +
-        f"mean $meanP%.0f over ${parts.length} slots")
-    val commit =
-      try scala.sys.process.Process(Seq("git", "describe", "--always", "--dirty")).!!.trim
-      catch { case scala.util.control.NonFatal(_) => "unknown" }
+    val hotSlots = joined.filter(col("user_id") === 0L)
+      .select(expr("pmod(hash(bucket), 32)")).distinct().count()
+    require(hotSlots >= 24,
+      s"hot session piled into $hotSlots/32 bucket-hash slots - wanted >= 24")
+    if (hotBuckets >= 1000)
+      require(maxOverMean <= 2.0,
+        f"hot-session skew at $spanDays days: max bucket-hash slot ${parts.max} = " +
+          f"$maxOverMean%.2f x mean $meanP%.0f over ${parts.length} slots")
     def r2(v: Double) = math.round(v * 100) / 100.0
-    println(
-      s"""{"metric":"ta_hot_session_probe","commit":"$commit",""" +
-        s""""hot_session_buckets":$hotBuckets,"hot_pairs":$hotPairs,""" +
-        s""""purchases_in_interval":$truth,"total_pairs":${joined.count()},""" +
-        s""""bucket_hash_slots":${parts.length},"max_over_mean":${r2(maxOverMean)},""" +
-        s""""overlap_query_sec":${r2(sec)}}""")
-    spark.stop()
+    s"""{"span_days":$spanDays,"hot_session_buckets":$hotBuckets,""" +
+      s""""hot_pairs":$hotPairs,"purchases_in_interval":$truth,""" +
+      s""""total_pairs":${joined.count()},"hot_slots":$hotSlots,""" +
+      s""""max_over_mean":${r2(maxOverMean)},"overlap_query_sec":${r2(sec)}}"""
   }
 
   def main(args: Array[String]): Unit = {
