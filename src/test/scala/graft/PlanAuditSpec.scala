@@ -666,5 +666,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rq = plan("ta_rfm_segments")
     assert(rq.contains("row_number") && rq.contains("__pid"),
       "rfm quintiles must use the two-level rank (__pid-partitioned window):\n" + rq.take(2000))
+    // ta_funnel_cohort: the converted-user set (the FSM side's distinct
+    // minority) must BROADCAST onto the per-user cohort aggregate — a
+    // sort-merge join here would re-shuffle the cohort table for a
+    // duplicate-scale build side (adaptive at true scale: past the
+    // broadcast threshold Spark falls back on size estimates, which is
+    // the correct degradation).
+    val fc = plan("ta_funnel_cohort")
+    assert(fc.contains("BroadcastHashJoin"),
+      "funnel-cohort must broadcast the converted minority:\n" + fc.take(2000))
+    assert(!fc.contains("SortMergeJoin"),
+      "funnel-cohort must not sort-merge at test scale:\n" + fc.take(2000))
   }
 }
