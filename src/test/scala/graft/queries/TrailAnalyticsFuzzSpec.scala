@@ -104,6 +104,20 @@ class TrailAnalyticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toSet
       assert(got == want,
         s"trial $trial lookback $lookback: ${got.diff(want)} / ${want.diff(got)}")
+
+      // the streaming stream-static twin must agree with the batch kernel
+      // on the SAME random inputs (here run in batch mode — the expression
+      // is mode-independent; TrailStreamSpec covers the microbatched run)
+      val gotStream = graft.streaming.TrailStream
+        .asOfEnrichStatic(lDf, rDf, "user_id", "ts_sec", "rts",
+          Seq("rid", "payload"), lookback)
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Long]("rid")).map(_.toLong),
+          Option(r.getAs[String]("payload")))).toSet
+      assert(gotStream == want,
+        s"trial $trial lookback $lookback (asOfEnrichStatic): " +
+          s"${gotStream.diff(want)} / ${want.diff(gotStream)}")
     }
   }
 }
