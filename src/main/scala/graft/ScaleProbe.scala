@@ -256,8 +256,13 @@ object ScaleProbe {
     // m1_fsm_funnel posture) with the first-touch cohort aggregation:
     // both sides ride the user_id exchange, so the ratio should track
     // the events multiple
+    // ta_asof_enrich_static is the streaming kernel's batch face: the
+    // dimension collapses to one sorted version array per key (orders-
+    // scale, not events-scale), so the ratio should track the events
+    // multiple like the union-tag face
     "ta_sessionize", "ta_cohort_retention", "ta_attribution",
-    "ta_asof_orders", "ta_session_overlap", "ta_funnel_cohort",
+    "ta_asof_orders", "ta_asof_enrich_static", "ta_session_overlap",
+    "ta_funnel_cohort",
     // r18 continuation: RFM — one user-keyed aggregation feeding three
     // rankGlobal passes over the users-sized frame; the two-level rank's
     // claim is precisely that this stays distributed (range partitions +

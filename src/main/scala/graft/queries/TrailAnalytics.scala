@@ -275,6 +275,31 @@ object TrailAnalytics {
       .orderBy("cohort_day")
   }
 
+  /** Shared oracle for ta_asof_orders and ta_asof_enrich_static: both
+    * kernels must pick the same as-of winner, so one SQL replay gates
+    * both. %019d: string-max ≡ struct-max for any non-negative int64 —
+    * replicated corpora that offset keys past 1e10 stay exact.
+    */
+  private val asofOrdersOracle: String = s"""
+        WITH o AS (SELECT o_custkey AS user_id,
+                          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+                          o_orderkey, o_orderpriority
+                   FROM orders),
+        e AS (SELECT user_id, $SEC AS s, event_id FROM events),
+        u AS (SELECT user_id, s, 0 AS tag, o_orderkey AS rid,
+                     printf('%019d|%019d|%s', s, o_orderkey, o_orderpriority) AS pk
+              FROM o
+              UNION ALL
+              SELECT user_id, s, 1 AS tag, event_id AS rid, NULL AS pk FROM e),
+        m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
+                                      ROWS UNBOUNDED PRECEDING) AS lastpk
+              FROM u)
+        SELECT COALESCE(substr(lastpk, 41), '(none)') AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM m WHERE tag = 1
+        GROUP BY 1 ORDER BY 1"""
+
   val queries: Seq[Q] = Seq(
     // -------------------------------------------------------- ta_sessionize
     // The session table itself: one row per (user, gap-session) with
@@ -432,28 +457,41 @@ object TrailAnalytics {
           )
           .orderBy("o_orderpriority")
       },
-      Some(s"""
-        WITH o AS (SELECT o_custkey AS user_id,
-                          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
-                          o_orderkey, o_orderpriority
-                   FROM orders),
-        e AS (SELECT user_id, $SEC AS s, event_id FROM events),
-        -- %019d: string-max ≡ struct-max for any non-negative int64 (see
-        -- ta_attribution) — replicated corpora that offset keys past 1e10
-        -- stay exact
-        u AS (SELECT user_id, s, 0 AS tag, o_orderkey AS rid,
-                     printf('%019d|%019d|%s', s, o_orderkey, o_orderpriority) AS pk
-              FROM o
-              UNION ALL
-              SELECT user_id, s, 1 AS tag, event_id AS rid, NULL AS pk FROM e),
-        m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
-                                      ROWS UNBOUNDED PRECEDING) AS lastpk
-              FROM u)
-        SELECT COALESCE(substr(lastpk, 41), '(none)') AS o_orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-        FROM m WHERE tag = 1
-        GROUP BY 1 ORDER BY 1"""),
+      Some(asofOrdersOracle),
+    ),
+
+    // ------------------------------------------------ ta_asof_enrich_static
+    // The STREAMING as-of kernel's oracled face: the identical
+    // events-to-most-recent-order enrichment computed through
+    // `TrailStream.asOfEnrichStatic` (sorted-version-array + last
+    // qualifying element) run in batch mode — the expression is
+    // mode-independent, so this row is the DuckDB gate for the kernel
+    // the restart probe and TrailStreamSpec exercise live. Same oracle
+    // as ta_asof_orders: the two kernels must pick the SAME winner
+    // (running struct-max ≡ last element of the sorted version array,
+    // tie-break included).
+    Q(
+      "ta_asof_enrich_static",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("user_id", "ts_sec", "event_id")
+        val ordersRaw = Tables(s, dir, "orders")
+        val o = ordersRaw.select(
+          col("o_custkey").as("user_id"),
+          Tables.tsLong(ordersRaw, "o_orderdate").as("o_sec"),
+          col("o_orderkey"),
+          col("o_orderpriority"),
+        )
+        graft.streaming.TrailStream
+          .asOfEnrichStatic(e, o, "user_id", "ts_sec", "o_sec",
+            Seq("o_orderkey", "o_orderpriority"))
+          .groupBy(coalesce(col("o_orderpriority"), lit("(none)")).as("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+          )
+          .orderBy("o_orderpriority")
+      },
+      Some(asofOrdersOracle),
     ),
 
     // ------------------------------------------------- ta_session_overlap
