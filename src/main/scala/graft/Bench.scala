@@ -84,6 +84,21 @@ object Bench {
     */
   private[graft] def threshold(band: Double): Double = 2 * band
 
+  /** min-of-2 merge for one query's two pass rows: keep the surviving
+    * reading when one pass failed (a one-sided GC pause or transient OOM
+    * must not turn a measurable query into an error row); only a
+    * both-pass failure is an error, reporting the FIRST pass's class.
+    */
+  private[graft] def mergePasses(
+      p1: (String, Option[Double], Option[String]),
+      p2: (String, Option[Double], Option[String]),
+  ): (String, Option[Double], Option[String]) = {
+    val (n, t1, e1) = p1
+    val (_, t2, e2) = p2
+    val t = (t1.toSeq ++ t2.toSeq).minOption
+    (n, t, if (t.isEmpty) e1.orElse(e2) else None)
+  }
+
   /** Per-query EFFECTIVE times of a previous round's bench artifact: the
     * first reading, replaced by the arbitration rep minimum wherever that
     * round self-classified the first reading as noise ("contaminated" /
@@ -192,12 +207,7 @@ object Bench {
     val pass1 = sweep()
     val pass2 = sweep()
     val results: Seq[(String, Option[Double], Option[String])] =
-      names.indices.map { i =>
-        val (n, t1, e1) = pass1(i)
-        val (_, t2, e2) = pass2(i)
-        val t = (t1.toSeq ++ t2.toSeq).minOption
-        (n, t, if (t.isEmpty) e1.orElse(e2) else None)
-      }
+      names.indices.map(i => mergePasses(pass1(i), pass2(i)))
     // contamination witness: 1-minute load average at start and end of the
     // run — necessary but NOT sufficient (BENCH_r07 was contaminated at a
     // recorded load of 2.57); the band arbitration below is the classifier.

@@ -51,6 +51,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadPrevEffective(write("garbage.json", "not json"), "sf0.1").isEmpty)
   }
 
+  test("mergePasses: min of two passes; one-pass failure keeps the survivor") {
+    assert(Bench.mergePasses(("q", Some(1.5), None), ("q", Some(0.9), None))
+      == (("q", Some(0.9), None)))
+    // a single-pass failure (GC pause, transient OOM) must not lose the query
+    assert(Bench.mergePasses(("q", None, Some("OOM")), ("q", Some(0.9), None))
+      == (("q", Some(0.9), None)))
+    assert(Bench.mergePasses(("q", Some(1.5), None), ("q", None, Some("OOM")))
+      == (("q", Some(1.5), None)))
+    // both-pass failure is an error row carrying the first pass's class
+    assert(Bench.mergePasses(("q", None, Some("A")), ("q", None, Some("B")))
+      == (("q", None, Some("A"))))
+  }
+
   test("suspect threshold: 2x band unconditionally - no sub-second blind spot") {
     // the old band+0.75s floor could never fire for bands < 0.75 s, which
     // is most of the registry; r13/r14/r17/r18 each shipped a >2x
