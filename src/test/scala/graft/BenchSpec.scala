@@ -51,6 +51,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadPrevEffective(write("garbage.json", "not json"), "sf0.1").isEmpty)
   }
 
+  test("loadPrevEffective skips pass1-only partial artifacts") {
+    val partial = write("partial.json",
+      """{"metric":"total","value":10.0,"partial":true,
+         "queries":{"q1":1.0},"sf":"/x/sf0.1"}""")
+    assert(Bench.loadPrevEffective(partial, "sf0.1").isEmpty)
+  }
+
   test("mergePasses: min of two passes; one-pass failure keeps the survivor") {
     assert(Bench.mergePasses(("q", Some(1.5), None), ("q", Some(0.9), None))
       == (("q", Some(0.9), None)))
