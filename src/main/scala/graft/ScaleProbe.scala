@@ -260,9 +260,12 @@ object ScaleProbe {
     // dimension collapses to one sorted version array per key (orders-
     // scale, not events-scale), so the ratio should track the events
     // multiple like the union-tag face
+    // ta_time_to_convert (two user-keyed aggs + user-scale join) and
+    // ta_purchase_paths (the sessionize windows + one lag pass) both
+    // ride the user_id exchange — ratios should track the events multiple
     "ta_sessionize", "ta_cohort_retention", "ta_attribution",
     "ta_asof_orders", "ta_asof_enrich_static", "ta_session_overlap",
-    "ta_funnel_cohort",
+    "ta_funnel_cohort", "ta_time_to_convert", "ta_purchase_paths",
     // r18 continuation: RFM — one user-keyed aggregation feeding three
     // rankGlobal passes over the users-sized frame; the two-level rank's
     // claim is precisely that this stays distributed (range partitions +

@@ -656,5 +656,92 @@ object TrailAnalytics {
         FROM first LEFT JOIN conv ON first.user_id = conv.user_id
         GROUP BY 1 ORDER BY 1"""),
     ),
+
+    // ----------------------------------------------------- ta_time_to_convert
+    // Conversion-latency histogram: per converted user, whole days from
+    // the FIRST signup to the FIRST subsequent purchase (the funnel's
+    // timing face — "how long does conversion take?"), day-bucketed with
+    // a 7+ tail cap. Two user-keyed aggregations: the first-signup table
+    // collapses to one row per SIGNING user before the join, so the join
+    // carries the purchase stream against a user-scale side — at 100 TB
+    // the only data-sized moves are the per-user shuffles any trail
+    // computation needs.
+    Q(
+      "ta_time_to_convert",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val firstSignup = e
+          .filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(col("ts_sec")).as("s0"))
+        val conv = e
+          .filter(col("event_type") === "purchase")
+          .join(firstSignup, "user_id")
+          .filter(col("ts_sec") > col("s0"))
+          .groupBy("user_id")
+          .agg(min(col("ts_sec") - col("s0")).as("lat_sec"))
+        conv
+          .groupBy(least(expr("lat_sec div 86400"), lit(7L)).as("days_to_convert"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("days_to_convert")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_type, $SEC AS s FROM events),
+        sg AS (SELECT user_id, MIN(s) AS s0 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (SELECT e.user_id, MIN(e.s - sg.s0) AS lat_sec
+                 FROM e JOIN sg ON e.user_id = sg.user_id
+                 WHERE e.event_type = 'purchase' AND e.s > sg.s0
+                 GROUP BY e.user_id)
+        SELECT LEAST(lat_sec // 86400, 7) AS days_to_convert,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM conv GROUP BY 1 ORDER BY 1"""),
+    ),
+
+    // -------------------------------------------------------- ta_purchase_paths
+    // Path analysis: the two event types PRECEDING each purchase within
+    // the SAME gap-session ("what do users do right before buying?") —
+    // the top-paths report every trail store serves. One lag window over
+    // the per-user trail order (the FSM layout exchange), '(start)' when
+    // the purchase opens its session or trail; counts per (prev2, prev1)
+    // path. Session boundaries cut paths: a predecessor from a previous
+    // session is NOT a path step — same rule the sessionization faces pin.
+    Q(
+      "ta_purchase_paths",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prevTs = lag(col("ts_sec"), 1).over(w)
+        val withSess = e
+          .withColumn("__nb",
+            when(prevTs.isNull || col("ts_sec") - prevTs > GapSec, 1L).otherwise(0L))
+          .withColumn("__sid", sum(col("__nb")).over(run))
+        val sw = Window.partitionBy("user_id", "__sid").orderBy(col("ts_sec"), col("event_id"))
+        withSess
+          .withColumn("prev1", lag(col("event_type"), 1).over(sw))
+          .withColumn("prev2", lag(col("event_type"), 2).over(sw))
+          .filter(col("event_type") === "purchase")
+          .groupBy(
+            coalesce(col("prev2"), lit("(start)")).as("prev2"),
+            coalesce(col("prev1"), lit("(start)")).as("prev1"),
+          )
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy("prev2", "prev1")
+      },
+      Some(s"""
+        $sessionCtes,
+        p AS (SELECT *,
+                     lag(event_type, 1) OVER sw AS prev1,
+                     lag(event_type, 2) OVER sw AS prev2
+              FROM sid
+              WINDOW sw AS (PARTITION BY user_id, session_id
+                            ORDER BY s, event_id))
+        SELECT COALESCE(prev2, '(start)') AS prev2,
+               COALESCE(prev1, '(start)') AS prev1,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM p WHERE event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
   )
 }
