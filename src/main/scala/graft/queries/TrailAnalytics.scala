@@ -317,6 +317,59 @@ object TrailAnalytics {
         FROM sess ORDER BY user_id, session_id"""),
     ),
 
+    // ----------------------------------------------- ta_sessionize_prepared
+    // Sessionization over the SHARED prepared trail layout (the
+    // m1_fsm_count_prepared precedent applied to the analytics family):
+    // one `TrailEngine.prepare` amortizes across the FSM matcher AND the
+    // relational faces — the windows key on the layout's uuid clustering
+    // AND its within-partition sort, so the per-query events exchange and
+    // the window sort BOTH disappear (plan-pinned: 1 sort + 1 shuffle,
+    // both belonging to the final orderBy, vs the cold face's 2 + 2 —
+    // PlanAuditSpec). Identical rows and oracle to ta_sessionize.
+    // Measured honestly at sf0.1: the prepared face reads ~0.2 s SLOWER
+    // (0.91 vs 0.69 min-of-7) — at toy scale the saved ~6 MB exchange
+    // costs less than reading the persisted layout and windowing on the
+    // string uuid key. The claim is structural: the eliminated
+    // exchange+sort are the DATA-sized stages, and they dominate exactly
+    // where it matters (the m1 prepared faces show the positive delta
+    // once the per-query constant stops dominating).
+    Q(
+      "ta_sessionize_prepared",
+      (s, dir) => {
+        // the prepared layout carries one __ghost sentinel row per trail
+        // (the FSM's finalization marker) — relational consumers must
+        // drop them; the filter preserves the uuid clustering
+        val prep = graft.engine.TrckQueries.preparedTrailEvents(s, dir)
+          .filter(col("__ghost") === 0)
+        val w = Window.partitionBy("uuid").orderBy(col("ts_sec"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = lag(col("ts_sec"), 1).over(w)
+        prep
+          .withColumn("__nb",
+            when(prev.isNull || col("ts_sec") - prev > GapSec, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("__nb")).over(run))
+          .groupBy("uuid", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts_sec")).as("start_sec"),
+            max(col("ts_sec")).as("end_sec"),
+            (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          )
+          .select(
+            col("uuid").cast("long").as("user_id"),
+            col("session_id"), col("n_events"), col("start_sec"),
+            col("end_sec"), col("duration_sec"), col("n_purchases"),
+          )
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""
+        $sessionCtes
+        SELECT user_id, session_id, n_events, start_sec, end_sec,
+               duration_sec, n_purchases
+        FROM sess ORDER BY user_id, session_id"""),
+    ),
+
     // ----------------------------------------------------- ta_session_stats
     // Corpus-level session-length profile: sessions bucketed by event
     // count (5+ capped), with total duration and purchase conversion per

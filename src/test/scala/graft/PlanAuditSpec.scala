@@ -41,6 +41,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("ta_sessionize_prepared drops the per-query events shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(name: String): Int =
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.length
+      val cold = shuffles("ta_sessionize")
+      val prepared = shuffles("ta_sessionize_prepared")
+      assert(cold >= 1, s"cold sessionize should shuffle events at least once, got $cold")
+      // the shared FSM trail layout serves the analytics windows too: the
+      // uuid clustering satisfies the window + session aggregation keys
+      assert(prepared < cold,
+        s"prepared sessionize must ride the trail layout: prepared=$prepared cold=$cold")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("m1_fsm_count_durable reads the bucketed table with no pre-FSM shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
