@@ -36,11 +36,19 @@ import org.apache.spark.sql.SparkSession
   *     that the remaining names are listed under "unarbitrated_suspects".
   *     Additionally the top-6 first/band ratios are arbitrated
   *     UNCONDITIONALLY (verdicts "inflated"/"clean"); and any query
-  *     ≥1.5× its PREVIOUS round's effective time (BENCH_r*.json
+  *     ≥1.35× its PREVIOUS round's effective time (BENCH_r*.json
   *     auto-discovered, or env SPARK_GRAFT_PREV_BENCH) is arbitrated
   *     under the "round_over_round" trigger — a genuine rise that
   *     survives the reps is verdict "slower_than_prev" (surfaced, never
-  *     subtracted);
+  *     subtracted). "suspect_contamination" stamps true only when the
+  *     run exceeds the modeled warmth band (median pass1/pass2 > 1.15)
+  *     or a band arbitration lands "contaminated" — a flag that never
+  *     read false carried no signal;
+  *   - per-query shuffle-write bytes are recorded ("shuffle_bytes") and
+  *     the five prepared-layout plans are byte-checked against their
+  *     cold twins ("shuffle_checks") — a lost prepared layout or
+  *     broadcast shows up as a byte regression at sf0.1 without anyone
+  *     reading plans;
   *   - the headline `corrected_total_sec` (raw total minus the
   *     contaminated deltas) is the number to quote, and `commit` stamps
   *     which code state was measured.
@@ -51,6 +59,59 @@ import org.apache.spark.sql.SparkSession
   * ("bands_sf_mismatch") rather than misapplied.
   */
 object Bench {
+
+  /** Per-run shuffle-write + spill accounting: a SparkListener summing
+    * stage-level shuffle bytes written and disk spill. The plan pins live
+    * in PlanAuditSpec at sf0.01; recording shuffle BYTES per query in the
+    * bench artifact catches a plan regression (a lost broadcast, a dead
+    * prepared layout) at sf0.1 without a human reading plans. Listener
+    * events are delivered asynchronously, so reads go through
+    * [[quiesce]] — a short stability poll AFTER the timed section (the
+    * poll is never charged to the query's seconds).
+    */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  /** Poll until the async listener counter is stable across two 25 ms
+    * reads (bounded at ~1 s) — the jobs are done when this is called, so
+    * stability means the listener bus has drained this query's events.
+    */
+  private def quiesce(read: () => Long): Long = {
+    var prev = read()
+    var stable = 0
+    var iters = 0
+    while (stable < 2 && iters < 40) {
+      Thread.sleep(25)
+      val cur = read()
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      iters += 1
+    }
+    prev
+  }
+
+  /** The five plan pins worth watching at sf0.1: each prepared face must
+    * shuffle strictly fewer bytes than its cold twin (the prepared layout
+    * replaces the per-query exchange with a persisted/bucketed read — if
+    * the layout silently stops being picked up, bytes converge and the
+    * check trips here before a human reads a plan).
+    */
+  private val ShuffleChecks: Seq[(String, String)] = Seq(
+    "m1_fsm_count_prepared" -> "m1_fsm_count",
+    "ta_sessionize_prepared" -> "ta_sessionize",
+    "ta_purchase_paths_prepared" -> "ta_purchase_paths",
+    "ta_time_to_convert_prepared" -> "ta_time_to_convert",
+    "ta_funnel_cohort_prepared" -> "ta_funnel_cohort",
+  )
 
   /** bench_bands.json, parsed with Spark's shipped Jackson — no new deps.
     * Shared with [[ScaleProbe]], which arbitrates its base-arm readings
@@ -181,13 +242,25 @@ object Bench {
         // the first measured query
         System.err.println(s"[bench] warmup failed: $e")
     }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val shuffleBytes = scala.collection.mutable.Map[String, Long]()
+    val spillBytes = scala.collection.mutable.Map[String, Long]()
     // noop write materializes every output column — a bare count() would
     // let Catalyst prune projections and eliminate joins, timing a
     // different (cheaper) plan than the one Verify checks
     def run(name: String): Double = {
+      // quiesce BEFORE starting too, so a previous query's late listener
+      // events are flushed out of this query's delta window
+      val b0 = quiesce(() => meter.bytes.get())
+      val s0 = meter.spill.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drain the bus AFTER the clock stops — attribution, not timing
+      shuffleBytes(name) = quiesce(() => meter.bytes.get()) - b0
+      spillBytes(name) = meter.spill.get() - s0
+      sec
     }
     val loadStart = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     // a failed query must NOT be timed as a (misleadingly fast) result:
@@ -298,16 +371,19 @@ object Bench {
       .sortBy { case (_, first, band) => -(first / band) }
       .take(6)
     val topNNames = topN.map(_._1).toSet
-    // round-over-round trigger: any query ≥1.5× its PREVIOUS round's
-    // effective time (with a 0.25 s absolute delta floor against
+    // round-over-round trigger: any query ≥1.35× its PREVIOUS round's
+    // effective time (with a 0.2 s absolute delta floor against
     // sub-second jitter) is arbitrated regardless of band distance —
     // the band floor is stale exactly when the box drifts, and r16/r17
     // each shipped silent >1.5× risers that sat under the band trigger.
+    // 1.35/0.2 (was 1.5/0.25): r19's sole unexplained riser, t_cms_merge
+    // at 1.36× prev with a 0.25 s delta, sat EXACTLY in the old trigger's
+    // blind spot and shipped un-re-read.
     val risers = results
       .flatMap { case (name, tOpt, _) =>
         for (first <- tOpt; prev <- prevEff.get(name)
              if !suspectNames(name) && !topNNames(name) &&
-               first > prev * 1.5 && first - prev > 0.25)
+               first > prev * 1.35 && first - prev > 0.2)
           yield (name, first, prev)
       }
       .sortBy { case (_, first, prev) => -(first / prev) }
@@ -345,7 +421,7 @@ object Bench {
         else if (bandOpt.exists(b => first > threshold(b))) {
           if (best <= threshold(bandOpt.get)) "contaminated" else "regression"
         } else if (best < first / 1.5) "inflated"
-        else if (trigger == "round_over_round" && prevOpt.exists(p => best > p * 1.5))
+        else if (trigger == "round_over_round" && prevOpt.exists(p => best > p * 1.35))
           // the rise survives a min-of-4: a REAL slowdown vs the previous
           // round (new code cost or a lost optimization) — surfaced, never
           // subtracted from the corrected total
@@ -353,8 +429,18 @@ object Bench {
         else "clean"
       (name, first, bandOpt, prevOpt, trigger, reps, best, verdict)
     }
+    // the stamp must EARN its true: every bench since r17 stamped
+    // suspect_contamination because the unconditional top-6 arbitration
+    // almost always finds one warmth-"inflated" first read — a flag that
+    // never reads false carries no signal. Stamp true only when the run
+    // exceeds the MODELED warmth band (COOKBOOK "first-read noise":
+    // median pass1/pass2 ≤ ~1.15 on a clean box) or a band-trigger
+    // arbitration lands a genuine "contaminated" verdict; isolated top-6
+    // "inflated" verdicts within the modeled band are expected page-cache
+    // warmth, already absorbed by min-of-2 + the corrected total.
     val suspectContamination =
-      arbitrated.exists(a => a._8 == "contaminated" || a._8 == "inflated")
+      (!medianP1P2.isNaN && medianP1P2 > 1.15) ||
+        arbitrated.exists(_._8 == "contaminated")
 
     def num(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => num(t).toString) }
@@ -374,6 +460,26 @@ object Bench {
       val prevJs = prevOpt.fold("null")(p => num(p).toString)
       s""""$k":{"first":${num(first)},"band":$bandJs,"prev":$prevJs,"trigger":"$trigger","reps":[${reps.map(num).mkString(",")}],"min":$minJs,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
+    // per-query shuffle-write bytes (the value recorded by the LAST run of
+    // each query — plans are deterministic, so passes agree) + the five
+    // prepared-layout byte checks. Check failures are surfaced loudly but
+    // never abort the artifact.
+    val shufJs = names
+      .map(n => "\"" + n + "\":" + shuffleBytes.getOrElse(n, -1L))
+      .mkString("{", ",", "}")
+    val checks = ShuffleChecks.map { case (prepName, coldName) =>
+      val ok = for (p <- shuffleBytes.get(prepName); c <- shuffleBytes.get(coldName))
+        yield p < c
+      if (ok.contains(false))
+        System.err.println(s"[bench] SHUFFLE CHECK FAILED: $prepName wrote " +
+          s"${shuffleBytes(prepName)} shuffle bytes >= cold twin $coldName's " +
+          s"${shuffleBytes(coldName)} - prepared layout regression?")
+      (prepName, ok)
+    }
+    val checksJs = checks
+      .map { case (n, ok) => "\"" + n + "\":" + ok.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
+    val shuffleChecksOk = checks.forall(_._2.getOrElse(true))
     val total = results.flatMap(_._2).sum
     // the headline number a reader should quote: raw total minus the
     // arbitrated contamination deltas (first reading − clean rep minimum
@@ -396,6 +502,8 @@ object Bench {
         s""""unbanded":[${unbanded.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""prev_bench_file":${prevBenchPath.fold("null")("\"" + _ + "\"")},""" +
         s""""arbitrated":$arb,"unarbitrated_suspects":[${(overflow.map(_._1) ++ risersOverflow.map(_._1)).map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""shuffle_bytes":$shufJs,"shuffle_checks":$checksJs,"shuffle_checks_ok":$shuffleChecksOk,""" +
+        s""""spill_bytes_total":${spillBytes.values.sum},""" +
         s""""suspect_contamination":$suspectContamination,"sf":"$sfDir"}"""
     // file first: if stdout capture is truncated (BENCH_r07) the artifact
     // still exists whole on disk

@@ -190,11 +190,12 @@ object Graph {
     // bound. The replay is pure non-negative int64 arithmetic (/, % match
     // Spark's div/mod there), so the output is integer-identical
     // (spec-pinned; fuzz keeps the distributed path via the opt-out).
-    // gate order matches harmonic/HyperBall: the cheap distributed vertex
-    // COUNT decides first, so a >4096-vertex graph never pays the driver
-    // collect of up to 1M boxed edge tuples only to run distributed anyway
-    if (maxLocalVertices > 0 && nodesOf(edges).count() <= maxLocalVertices
-      && edges.count() <= HyperBallLocalMaxEdges) {
+    // gate order: the EDGE count is the cheap job (no union+distinct
+    // shuffle), so it short-circuits first — a corpus-scale graph never
+    // pays the distinct-vertex job; the vertex gate still decides before
+    // the driver collect of up to 1M boxed edge tuples
+    if (maxLocalVertices > 0 && edges.count() <= HyperBallLocalMaxEdges
+      && nodesOf(edges).count() <= maxLocalVertices) {
       // keys stay whatever type the caller's graph uses (host ids here,
       // event-type STRINGS in g_event_pagerank) — only the arithmetic is
       // replayed locally

@@ -501,7 +501,13 @@ object MinHash {
       .as[Seq[Long]]
       .flatMap { ids =>
         val n = ids.length
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](n * (n - 1) / 2)
+        // Long arithmetic + cap: exact-feeder buckets are unbounded, and
+        // n*(n-1)/2 in Int overflows negative past 65535 ids; a full exact
+        // hint past ~4M pairs would also pre-allocate a giant array — the
+        // buffer grows to the true size either way, the hint just avoids
+        // early re-allocations
+        val hint = math.min(n.toLong * (n - 1) / 2, 1L << 22).toInt.max(16)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](hint)
         var i = 0
         while (i < n) {
           var j = i + 1

@@ -51,6 +51,22 @@ object TrailAnalytics {
 
   private val WeekSec = 604800L
 
+  /** Salt factor for the interval join's bucket equi-join: a hot time
+    * bucket (many sessions overlapping it × many purchases inside it) is
+    * ONE join key, so all its pair work lands on one reducer — the
+    * r19 hot-session probe measured max/mean slot load 2.31 at the
+    * 30-day/121-bucket regime. Replicating each session-bucket row across
+    * `OverlapSaltK` salts and routing each purchase to exactly one salt by
+    * its unique event id (the deterministic-salt discipline of
+    * [[graft.operators.Skew.saltedJoin]]) spreads every bucket over
+    * `OverlapSaltK` reducers for a ×K session-bucket-row cost (bucket rows
+    * are session-scale, not event-scale). A purchase matches exactly one
+    * replica, so the pair multiset is unchanged, and the LEFT-join count
+    * ignores the unmatched replicas' nulls — row-identical results. The
+    * hot-session probe asserts ≤2× max/mean at BOTH spans, un-gated.
+    */
+  val OverlapSaltK = 4L
+
   /** DuckDB-side epoch seconds for the ns-precision events.ts. */
   private val SEC = "CAST(floor(epoch(ts)) AS BIGINT)"
 
@@ -221,6 +237,75 @@ object TrailAnalytics {
       .drop("__pid", "__off")
   }
 
+  /** The reference's sequential-DB overlap rule applied to a relational
+    * event store: processing snapshot i+1, events with
+    * ts < max_timestamp(snapshot i) are SKIPPED and events AT the mark are
+    * kept (reference: src/match_traildb.c:804 `min_ts =
+    * tdb_max_timestamp(db)`, :559 `window_start = max(window_start,
+    * min_ts)`, src/ctx.c:60 skips `ts < window_start` — the same
+    * inclusivity the FSM engine's multi-source path and the streaming
+    * high-water cut carry). Each snapshot's max timestamp is one 1-row
+    * aggregate read at "open" time — the reference reads it from the DB
+    * header; here it is a bounded driver scalar per snapshot, never
+    * data-sized. An empty snapshot contributes no cut (min_ts 0 — no
+    * event is skipped by it), mirroring the reference's zero-initialized
+    * min_ts.
+    *
+    * Boundary semantics are the reference's, by design: an event AT the
+    * previous snapshot's max second is kept because it may be a genuinely
+    * NEW same-second arrival — which means a re-ingested DUPLICATE at
+    * exactly that second would be double-processed. Snapshot producers
+    * whose overlap ends strictly below the previous dump's final second
+    * (the common dump contract, and the fixture ta_sessionize_multidb
+    * builds) avoid the edge entirely; TrailAnalyticsSpec pins both halves
+    * of the rule.
+    */
+  def unionWithMinTsCut(snapshots: Seq[DataFrame], tsCol: String): DataFrame = {
+    require(snapshots.nonEmpty, "unionWithMinTsCut: need at least one snapshot")
+    def maxTs(df: DataFrame): Long = {
+      val r = df.agg(max(col(tsCol).cast("long"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    snapshots.tail
+      .foldLeft((snapshots.head, maxTs(snapshots.head))) { case ((acc, cut), next) =>
+        val kept = if (cut == 0L) next else next.filter(col(tsCol) >= cut)
+        (acc.unionByName(kept), maxTs(next))
+      }
+      ._1
+  }
+
+  /** The ta_session_overlap join frame, pre-aggregation: gap sessions
+    * exploded to 6h time buckets × salt replicas, LEFT-joined to purchases
+    * on (bucket, salt) with the exact-range refilter. Shared with
+    * [[graft.TaScaleProbe]] so the skew probe measures the production
+    * shape, not a reconstruction. Matched rows have non-null `p_sec`;
+    * unmatched replicas keep zero-overlap sessions alive for the count.
+    */
+  def overlapJoined(e: DataFrame): DataFrame = {
+    val sess = sessions(e).select("user_id", "session_id", "start_sec", "end_sec")
+    val buckets = sess
+      .withColumn(
+        "bucket",
+        explode(sequence(expr(s"start_sec div $GapSec"), expr(s"end_sec div $GapSec"))),
+      )
+      .withColumn("__salt", explode(sequence(lit(0L), lit(OverlapSaltK - 1L))))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        col("ts_sec").as("p_sec"),
+        expr(s"ts_sec div $GapSec").as("p_bucket"),
+        pmod(xxhash64(col("event_id")), lit(OverlapSaltK)).as("p_salt"),
+      )
+    buckets.join(
+      purchases,
+      col("bucket") === col("p_bucket") && col("__salt") === col("p_salt") &&
+        col("p_sec").between(col("start_sec"), col("end_sec")) &&
+        col("p_user") =!= col("user_id"),
+      "left",
+    )
+  }
+
   /** Per-user RFM metrics off the trail store (recency in whole days
     * from the corpus's latest event, purchase frequency, DECIMAL-exact
     * monetary) — the segmentation input every retention team derives
@@ -300,6 +385,93 @@ object TrailAnalytics {
         FROM m WHERE tag = 1
         GROUP BY 1 ORDER BY 1"""
 
+  /** Shared oracle for ta_sessionize, its prepared face, and the
+    * multi-snapshot face (whose cut union must reconstruct the single
+    * store exactly).
+    */
+  private val sessionizeOracle: String = s"""
+        $sessionCtes
+        SELECT user_id, session_id, n_events, start_sec, end_sec,
+               duration_sec, n_purchases
+        FROM sess ORDER BY user_id, session_id"""
+
+  /** Shared oracle for ta_attribution and ta_attribution_streamed: the
+    * batch union-tag kernel and the streaming sorted-version-array kernel
+    * must pick the same last-touch winner under the same 7-day lookback.
+    */
+  private val attributionOracle: String = s"""
+        WITH e AS (SELECT event_id, user_id, event_type, value, $SEC AS s
+                   FROM events),
+        u AS (SELECT user_id, s, 1 AS tag, event_id AS rid, value, NULL AS pk
+              FROM e WHERE event_type = 'purchase'
+              UNION ALL
+              -- %019d: string-max agrees with Spark's (long, long, string)
+              -- struct max for any NON-NEGATIVE int64 (19 digits cover
+              -- Long.MaxValue; negative ts/id would still diverge)
+              SELECT user_id, s, 0 AS tag, event_id AS rid, NULL AS value,
+                     printf('%019d|%019d|%s', s, event_id, event_type) AS pk
+              FROM e WHERE event_type IN ('click', 'view', 'signup')),
+        m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
+                                      ROWS UNBOUNDED PRECEDING) AS lastpk
+              FROM u),
+        att AS (SELECT value,
+                       CASE WHEN lastpk IS NOT NULL
+                             AND CAST(substr(lastpk, 1, 19) AS BIGINT) >= s - $LookbackSec
+                            THEN substr(lastpk, 41) ELSE '(none)' END AS channel
+                FROM m WHERE tag = 1)
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM att GROUP BY channel ORDER BY channel"""
+
+  /** Shared oracle for ta_funnel_cohort and its prepared face. */
+  private val funnelCohortOracle: String = s"""
+        WITH o AS (SELECT user_id, event_type, $SEC AS s,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY $SEC, event_id) AS seq
+                   FROM events),
+        first AS (SELECT user_id, MIN(s) // 86400 AS cohort_day
+                  FROM o GROUP BY user_id),
+        sg AS (SELECT user_id, MIN(seq) AS first_signup FROM o
+               WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (SELECT user_id FROM sg
+                 WHERE EXISTS (SELECT 1 FROM o
+                               WHERE o.user_id = sg.user_id
+                                 AND o.event_type = 'purchase'
+                                 AND o.seq > sg.first_signup))
+        SELECT cohort_day,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted
+        FROM first LEFT JOIN conv ON first.user_id = conv.user_id
+        GROUP BY 1 ORDER BY 1"""
+
+  /** Shared oracle for ta_time_to_convert and its prepared face. */
+  private val timeToConvertOracle: String = s"""
+        WITH e AS (SELECT user_id, event_type, $SEC AS s FROM events),
+        sg AS (SELECT user_id, MIN(s) AS s0 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (SELECT e.user_id, MIN(e.s - sg.s0) AS lat_sec
+                 FROM e JOIN sg ON e.user_id = sg.user_id
+                 WHERE e.event_type = 'purchase' AND e.s > sg.s0
+                 GROUP BY e.user_id)
+        SELECT LEAST(lat_sec // 86400, 7) AS days_to_convert,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM conv GROUP BY 1 ORDER BY 1"""
+
+  /** Shared oracle for ta_purchase_paths and its prepared face. */
+  private val purchasePathsOracle: String = s"""
+        $sessionCtes,
+        p AS (SELECT *,
+                     lag(event_type, 1) OVER sw AS prev1,
+                     lag(event_type, 2) OVER sw AS prev2
+              FROM sid
+              WINDOW sw AS (PARTITION BY user_id, session_id
+                            ORDER BY s, event_id))
+        SELECT COALESCE(prev2, '(start)') AS prev2,
+               COALESCE(prev1, '(start)') AS prev1,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM p WHERE event_type = 'purchase'
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Seq[Q] = Seq(
     // -------------------------------------------------------- ta_sessionize
     // The session table itself: one row per (user, gap-session) with
@@ -310,11 +482,45 @@ object TrailAnalytics {
       (s, dir) =>
         sessions(Tables.events(s, dir))
           .orderBy("user_id", "session_id"),
-      Some(s"""
-        $sessionCtes
-        SELECT user_id, session_id, n_events, start_sec, end_sec,
-               duration_sec, n_purchases
-        FROM sess ORDER BY user_id, session_id"""),
+      Some(sessionizeOracle),
+    ),
+
+    // ----------------------------------------------- ta_sessionize_multidb
+    // The reference's sequential-DB ingestion contract on the analytics
+    // side: the store arrives as OVERLAPPING snapshots (each dump
+    // re-contains a tail of the previous one), [[unionWithMinTsCut]]
+    // applies the cross-DB min_ts cut (events below the previous
+    // snapshot's max timestamp are skipped — src/match_traildb.c:804,559;
+    // ctx.c:60), and sessionization over the cut union must be IDENTICAL
+    // to the single-store run — same oracle as ta_sessionize, bit for
+    // bit. The snapshots here are built from the one test store (A = the
+    // first half of the time span; B = the rest PLUS a re-ingested 7-day
+    // tail of A ending strictly below A's final second — the dump
+    // contract under which the cut is exact); at 100 TB the snapshots are
+    // real per-dump parquet roots and the union is the same plan: one
+    // filter per snapshot scan (partition-prunable on a date-partitioned
+    // lake layout), one bounded max-read per snapshot at open time.
+    Q(
+      "ta_sessionize_multidb",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select("user_id", "ts_sec", "event_id", "event_type")
+        val b = e.agg(min(col("ts_sec")), max(col("ts_sec"))).head
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val cutSec = lo + (hi - lo) / 2
+        val snapA = e.filter(col("ts_sec") <= cutSec)
+        // the previous dump's header max (what the producer knew when it
+        // cut the next dump's overlap)
+        val mA = snapA.agg(max(col("ts_sec"))).head.getLong(0)
+        val overlapLo = math.max(lo, cutSec - 7L * 86400L)
+        val snapB = e
+          .filter(col("ts_sec") > cutSec)
+          .unionByName(
+            e.filter(col("ts_sec") >= overlapLo && col("ts_sec") < mA))
+        sessions(unionWithMinTsCut(Seq(snapA, snapB), "ts_sec"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(sessionizeOracle),
     ),
 
     // ----------------------------------------------- ta_sessionize_prepared
@@ -363,11 +569,7 @@ object TrailAnalytics {
           )
           .orderBy("user_id", "session_id")
       },
-      Some(s"""
-        $sessionCtes
-        SELECT user_id, session_id, n_events, start_sec, end_sec,
-               duration_sec, n_purchases
-        FROM sess ORDER BY user_id, session_id"""),
+      Some(sessionizeOracle),
     ),
 
     // ----------------------------------------------------- ta_session_stats
@@ -458,29 +660,49 @@ object TrailAnalytics {
           )
           .orderBy("channel")
       },
-      Some(s"""
-        WITH e AS (SELECT event_id, user_id, event_type, value, $SEC AS s
-                   FROM events),
-        u AS (SELECT user_id, s, 1 AS tag, event_id AS rid, value, NULL AS pk
-              FROM e WHERE event_type = 'purchase'
-              UNION ALL
-              -- %019d: string-max agrees with Spark's (long, long, string)
-              -- struct max for any NON-NEGATIVE int64 (19 digits cover
-              -- Long.MaxValue; negative ts/id would still diverge)
-              SELECT user_id, s, 0 AS tag, event_id AS rid, NULL AS value,
-                     printf('%019d|%019d|%s', s, event_id, event_type) AS pk
-              FROM e WHERE event_type IN ('click', 'view', 'signup')),
-        m AS (SELECT *, MAX(pk) OVER (PARTITION BY user_id ORDER BY s, tag, rid
-                                      ROWS UNBOUNDED PRECEDING) AS lastpk
-              FROM u),
-        att AS (SELECT value,
-                       CASE WHEN lastpk IS NOT NULL
-                             AND CAST(substr(lastpk, 1, 19) AS BIGINT) >= s - $LookbackSec
-                            THEN substr(lastpk, 41) ELSE '(none)' END AS channel
-                FROM m WHERE tag = 1)
-        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM att GROUP BY channel ORDER BY channel"""),
+      Some(attributionOracle),
+    ),
+
+    // --------------------------------------------- ta_attribution_streamed
+    // The LIVE-attribution twin: the identical last-touch attribution
+    // (7-day lookback, '(none)' fill) computed through
+    // [[graft.streaming.TrailStream.asOfEnrichStatic]] — the streaming
+    // as-of kernel (frozen touch dimension collapsed to one sorted version
+    // array per user; each purchase resolves its credit with a stateless
+    // filter + last-element, so restart recovery is pure source-offset
+    // replay) — run in batch mode, where the mode-independent expression
+    // is DuckDB-gated. Same oracle as ta_attribution: the union-tag
+    // running-max and the sorted-array kernels must pick the SAME winner
+    // AND apply the same lookback cutoff (>= leftTs − lookback inclusive,
+    // tie-break by unique touch id). The kill/restart arm for this exact
+    // shape (purchases streamed against the frozen dimension WITH
+    // lookback) runs in RestartProbe.
+    Q(
+      "ta_attribution_streamed",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val touches = e
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .select(
+            col("user_id"),
+            col("ts_sec").as("t_sec"),
+            col("event_id").as("touch_id"),
+            col("event_type").as("channel"),
+          )
+        val purchases = e
+          .filter(col("event_type") === "purchase")
+          .select("user_id", "ts_sec", "event_id", "value")
+        graft.streaming.TrailStream
+          .asOfEnrichStatic(purchases, touches, "user_id", "ts_sec", "t_sec",
+            Seq("touch_id", "channel"), Some(LookbackSec))
+          .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(dec)).cast("double").as("revenue"),
+          )
+          .orderBy("channel")
+      },
+      Some(attributionOracle),
     ),
 
     // ------------------------------------------------------ ta_asof_orders
@@ -553,38 +775,19 @@ object TrailAnalytics {
     // cross-trail overlap probe), reported as a histogram (10+ capped).
     // Sessions explode to ≤ (duration div GapSec)+1 time buckets (session
     // duration is gap-bounded: ≤ (n_events−1)·gap), purchases carry their
-    // single bucket, and the equi-join on bucket + exact-range refilter
-    // replaces the cartesian a naive BETWEEN join would be. The oracle IS
-    // the naive BETWEEN join (DuckDB's IEJoin) — same rows, different
-    // algorithm, which is the point.
+    // single bucket, and the SALTED equi-join on (bucket, salt) + exact-
+    // range refilter (see [[overlapJoined]]/[[OverlapSaltK]]) replaces the
+    // cartesian a naive BETWEEN join would be AND spreads each hot bucket
+    // over OverlapSaltK reducers. The oracle IS the naive BETWEEN join
+    // (DuckDB's IEJoin) — same rows, different algorithm, which is the
+    // point. LEFT join keeps zero-overlap sessions without recomputing the
+    // session table for a join-back (a purchase lands in exactly one
+    // (bucket, salt), so matches are never double-counted; unmatched
+    // replica rows count 0 via count(p_sec)).
     Q(
       "ta_session_overlap",
       (s, dir) => {
-        val e = Tables.events(s, dir)
-        val sess = sessions(e).select("user_id", "session_id", "start_sec", "end_sec")
-        val buckets = sess.withColumn(
-          "bucket",
-          explode(sequence(expr(s"start_sec div $GapSec"), expr(s"end_sec div $GapSec"))),
-        )
-        val purchases = e
-          .filter(col("event_type") === "purchase")
-          .select(
-            col("user_id").as("p_user"),
-            col("ts_sec").as("p_sec"),
-            expr(s"ts_sec div $GapSec").as("p_bucket"),
-          )
-        // LEFT join keeps zero-overlap sessions without recomputing the
-        // session table for a join-back (a purchase lands in exactly one
-        // bucket, so matches are never double-counted; unmatched bucket
-        // rows count 0 via count(p_sec)).
-        val counts = buckets
-          .join(
-            purchases,
-            col("bucket") === col("p_bucket") &&
-              col("p_sec").between(col("start_sec"), col("end_sec")) &&
-              col("p_user") =!= col("user_id"),
-            "left",
-          )
+        val counts = overlapJoined(Tables.events(s, dir))
           .groupBy("user_id", "session_id")
           .agg(count(col("p_sec")).as("c"))
         counts
@@ -689,25 +892,46 @@ object TrailAnalytics {
     Q(
       "ta_funnel_cohort",
       (s, dir) => funnelCohort(Tables.events(s, dir)),
-      Some(s"""
-        WITH o AS (SELECT user_id, event_type, $SEC AS s,
-                          row_number() OVER (PARTITION BY user_id
-                                             ORDER BY $SEC, event_id) AS seq
-                   FROM events),
-        first AS (SELECT user_id, MIN(s) // 86400 AS cohort_day
-                  FROM o GROUP BY user_id),
-        sg AS (SELECT user_id, MIN(seq) AS first_signup FROM o
-               WHERE event_type = 'signup' GROUP BY user_id),
-        conv AS (SELECT user_id FROM sg
-                 WHERE EXISTS (SELECT 1 FROM o
-                               WHERE o.user_id = sg.user_id
-                                 AND o.event_type = 'purchase'
-                                 AND o.seq > sg.first_signup))
-        SELECT cohort_day,
-               CAST(COUNT(*) AS BIGINT) AS n_users,
-               CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted
-        FROM first LEFT JOIN conv ON first.user_id = conv.user_id
-        GROUP BY 1 ORDER BY 1"""),
+      Some(funnelCohortOracle),
+    ),
+
+    // ---------------------------------------------- ta_funnel_cohort_prepared
+    // Both halves over the SHARED prepared trail layout: the FSM side runs
+    // prepared=true (no per-query trail shuffle — the m1_fsm_funnel_prepared
+    // precedent) AND the cohort side's first-touch aggregation keys on the
+    // layout's uuid clustering, so ITS per-query events exchange disappears
+    // too. One `TrailEngine.prepare` now feeds the matcher, sessionization,
+    // paths, conversion timing and cohorts — the layout-amortization story
+    // ta_sessionize_prepared started, completed across the composed query.
+    // Identical rows and oracle to ta_funnel_cohort; the same honest sf0.1
+    // caveat applies (the saved exchange is data-sized — the win is at
+    // scale, not on a 6 MB corpus).
+    Q(
+      "ta_funnel_cohort_prepared",
+      (s, dir) => {
+        val prog = graft.trck.Compiled.compile(graft.engine.TrckQueries.funnelProgram)
+        val prep = graft.engine.TrckQueries.preparedTrailEvents(s, dir)
+        val em = graft.engine.TrailEngine
+          .emits(prog, prep, "uuid", "ts_sec", Seq("event_id"), prepared = true)
+        val converted = em
+          .filter(col("kind") === "c" && col("dst") === "conv")
+          .select(col("uuid"))
+          .distinct()
+          .withColumn("__conv", lit(1L))
+        prep
+          .filter(col("__ghost") === 0)
+          .groupBy("uuid")
+          .agg(min(col("ts_sec")).as("first_sec"))
+          .withColumn("cohort_day", expr("first_sec div 86400"))
+          .join(converted, Seq("uuid"), "left")
+          .groupBy("cohort_day")
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("__conv")).as("n_converted"),
+          )
+          .orderBy("cohort_day")
+      },
+      Some(funnelCohortOracle),
     ),
 
     // ----------------------------------------------------- ta_time_to_convert
@@ -738,17 +962,37 @@ object TrailAnalytics {
           .agg(count(lit(1)).as("n_users"))
           .orderBy("days_to_convert")
       },
-      Some(s"""
-        WITH e AS (SELECT user_id, event_type, $SEC AS s FROM events),
-        sg AS (SELECT user_id, MIN(s) AS s0 FROM e
-               WHERE event_type = 'signup' GROUP BY user_id),
-        conv AS (SELECT e.user_id, MIN(e.s - sg.s0) AS lat_sec
-                 FROM e JOIN sg ON e.user_id = sg.user_id
-                 WHERE e.event_type = 'purchase' AND e.s > sg.s0
-                 GROUP BY e.user_id)
-        SELECT LEAST(lat_sec // 86400, 7) AS days_to_convert,
-               CAST(COUNT(*) AS BIGINT) AS n_users
-        FROM conv GROUP BY 1 ORDER BY 1"""),
+      Some(timeToConvertOracle),
+    ),
+
+    // ------------------------------------------- ta_time_to_convert_prepared
+    // Conversion latency over the shared prepared layout: the first-signup
+    // aggregation, the purchase-side aggregation AND their join all key on
+    // uuid — the layout's clustering satisfies every one, so the plan is
+    // CO-PARTITIONED end to end (zero data-sized exchanges; only the
+    // histogram fold and orderBy move rows — plan-pinned in PlanAuditSpec).
+    // Identical rows and oracle to ta_time_to_convert.
+    Q(
+      "ta_time_to_convert_prepared",
+      (s, dir) => {
+        val prep = graft.engine.TrckQueries.preparedTrailEvents(s, dir)
+          .filter(col("__ghost") === 0)
+        val firstSignup = prep
+          .filter(col("event_type") === "signup")
+          .groupBy("uuid")
+          .agg(min(col("ts_sec")).as("s0"))
+        val conv = prep
+          .filter(col("event_type") === "purchase")
+          .join(firstSignup, "uuid")
+          .filter(col("ts_sec") > col("s0"))
+          .groupBy("uuid")
+          .agg(min(col("ts_sec") - col("s0")).as("lat_sec"))
+        conv
+          .groupBy(least(expr("lat_sec div 86400"), lit(7L)).as("days_to_convert"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("days_to_convert")
+      },
+      Some(timeToConvertOracle),
     ),
 
     // -------------------------------------------------------- ta_purchase_paths
@@ -782,19 +1026,41 @@ object TrailAnalytics {
           .agg(count(lit(1)).as("n_purchases"))
           .orderBy("prev2", "prev1")
       },
-      Some(s"""
-        $sessionCtes,
-        p AS (SELECT *,
-                     lag(event_type, 1) OVER sw AS prev1,
-                     lag(event_type, 2) OVER sw AS prev2
-              FROM sid
-              WINDOW sw AS (PARTITION BY user_id, session_id
-                            ORDER BY s, event_id))
-        SELECT COALESCE(prev2, '(start)') AS prev2,
-               COALESCE(prev1, '(start)') AS prev1,
-               CAST(COUNT(*) AS BIGINT) AS n_purchases
-        FROM p WHERE event_type = 'purchase'
-        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      Some(purchasePathsOracle),
+    ),
+
+    // --------------------------------------------- ta_purchase_paths_prepared
+    // Path analysis over the shared prepared layout: both windows (the
+    // session boundary lag and the within-session path lags) key on the
+    // layout's uuid clustering AND within-partition (uuid, ts, id) sort —
+    // the per-query events exchange and the window sort both disappear
+    // (the ta_sessionize_prepared plan shape; pinned in PlanAuditSpec).
+    // Identical rows and oracle to ta_purchase_paths.
+    Q(
+      "ta_purchase_paths_prepared",
+      (s, dir) => {
+        val prep = graft.engine.TrckQueries.preparedTrailEvents(s, dir)
+          .filter(col("__ghost") === 0)
+        val w = Window.partitionBy("uuid").orderBy(col("ts_sec"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prevTs = lag(col("ts_sec"), 1).over(w)
+        val withSess = prep
+          .withColumn("__nb",
+            when(prevTs.isNull || col("ts_sec") - prevTs > GapSec, 1L).otherwise(0L))
+          .withColumn("__sid", sum(col("__nb")).over(run))
+        val sw = Window.partitionBy("uuid", "__sid").orderBy(col("ts_sec"), col("event_id"))
+        withSess
+          .withColumn("prev1", lag(col("event_type"), 1).over(sw))
+          .withColumn("prev2", lag(col("event_type"), 2).over(sw))
+          .filter(col("event_type") === "purchase")
+          .groupBy(
+            coalesce(col("prev2"), lit("(start)")).as("prev2"),
+            coalesce(col("prev1"), lit("(start)")).as("prev1"),
+          )
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy("prev2", "prev1")
+      },
+      Some(purchasePathsOracle),
     ),
   )
 }

@@ -161,16 +161,30 @@ object RestartProbe {
       s"(doc_id div $nDocs) AS k")
       .where("(user_id + k) % 4 != 0").drop("k")
 
-    // frozen as-of version dimension: 97 users × 4 versions stepping every
-    // 3000 s across the probe's event-time span, with a same-second tie
-    // pair on every user (ids i and i+97·4: the unique-id tie-break must
-    // resolve identically on both runs)
+    // frozen as-of version dimension: 97 users × 5 rows (4 distinct version
+    // seconds stepping every 3000 s across the probe's event-time span —
+    // the 5th row ties the 4th at the same o_sec, giving every user a
+    // same-second tie pair whose unique-id tie-break must resolve
+    // identically on both runs)
     val asofDim = spark.range(97L * 5)
       .selectExpr(
         "id % 97 AS user_id",
         "cast(1700000000 as bigint) + least(id div 97, 3) * 3000 AS o_sec",
         "id AS o_id",
         "concat('v', id div 97) AS o_tag")
+      .localCheckpoint(true)
+
+    // frozen touch dimension for the live-attribution arm: 97 users × 6
+    // touches (5 distinct touch seconds stepping 2000 s, plus a
+    // same-second tie pair per user whose unique touch_id must break the
+    // same way on both runs); channels cycle view/click/signup
+    val touchDim = spark.range(97L * 6)
+      .selectExpr(
+        "id % 97 AS user_id",
+        "cast(1700000000 as bigint) + least(id div 97, 4) * 2000 AS t_sec",
+        "id AS touch_id",
+        "CASE WHEN (id div 97) % 3 = 0 THEN 'view' " +
+          "WHEN (id div 97) % 3 = 1 THEN 'click' ELSE 'signup' END AS channel")
       .localCheckpoint(true)
 
     val arms = Seq(
@@ -214,6 +228,23 @@ object RestartProbe {
             s"doc_id AS event_id"),
           asofDim, "user_id", "ts_sec", "o_sec", Seq("o_id", "o_tag"),
           lookbackSec = Some(2400L))),
+      // live-attribution arm (ta_attribution_streamed's exact shape under
+      // kill/restart): purchases streamed against a frozen TOUCH dimension,
+      // last-touch credit under a lookback with '(none)' fill — the 3000 s
+      // lookback is sized so early purchases credit a touch and late ones
+      // age out to '(none)' ACROSS the kill boundary; recovery must
+      // re-credit every replayed purchase to the same channel
+      arm("liveAttribution",
+        docs => TrailStream.asOfEnrichStatic(
+            docs.selectExpr(
+              s"(doc_id % $nDocs) % 97 AS user_id",
+              s"cast(1700000000 as bigint) + (doc_id div $nDocs) * 1200" +
+                s" + ((doc_id % $nDocs) div 97) AS ts_sec",
+              s"doc_id AS event_id"),
+            touchDim, "user_id", "ts_sec", "t_sec", Seq("touch_id", "channel"),
+            lookbackSec = Some(3000L))
+          .selectExpr("user_id", "ts_sec", "event_id",
+            "COALESCE(channel, '(none)') AS channel")),
       // bounded-stateful arm: the windowed Count-Min matrix — recovery
       // must restore the open window's 2048-counter state exactly or the
       // emitted sketch (and every estimate served from it) drifts; the

@@ -324,7 +324,7 @@ object TrailStream {
       maxVersionsPerKey: Long = 100000L,
   ): DataFrame = {
     require(payload.nonEmpty, "asOfEnrichStatic: payload must name at least one right column")
-    val reserved = Set("__vs", "__v", "__m", "__rts")
+    val reserved = Set("__vs", "__v", "__m", "__rts", "__lts")
     val leftHit = stream.columns.toSet.intersect(reserved)
     require(leftHit.isEmpty,
       s"asOfEnrichStatic: stream columns ${leftHit.mkString(", ")} collide with kernel names")
@@ -339,18 +339,28 @@ object TrailStream {
         s"asOfEnrichStatic: hottest dimension key carries ${hot.getLong(0)} versions " +
           s"(> maxVersionsPerKey=$maxVersionsPerKey) - compact the dimension (e.g. keep a " +
           "bounded version horizon) before streaming against it")
-    val versions = dim
+    val versions0 = dim
       .select(col(key),
         struct(col(rightTs).cast("long").as("__rts") +: payload.map(col): _*).as("__v"))
       .groupBy(col(key))
       .agg(sort_array(collect_list(col("__v"))).as("__vs"))
-    val lbCond = lookbackSec.fold("")(lb => s" AND v.__rts >= CAST($leftTs AS BIGINT) - $lb")
+    // a stream-static join re-executes the static side EVERY micro-batch —
+    // checkpoint the collapsed dimension so the groupBy/collect_list/sort
+    // runs once at setup (like the hot-key pre-flight above), not per
+    // batch; batch callers execute once anyway and skip the extra job
+    val versions =
+      if (stream.isStreaming) versions0.localCheckpoint(true) else versions0
+    // pre-project the left timestamp to a reserved alias: interpolating the
+    // caller's column name raw into the lambda would mis-resolve for names
+    // needing backticks or shadowed by the lambda variable
+    val lbCond = lookbackSec.fold("")(lb => s" AND v.__rts >= __lts - $lb")
     val matched = stream
+      .withColumn("__lts", col(leftTs).cast("long"))
       .join(versions, Seq(key), "left")
       .withColumn("__m", expr(
-        s"try_element_at(filter(__vs, v -> v.__rts <= CAST($leftTs AS BIGINT)$lbCond), -1)"))
+        s"try_element_at(filter(__vs, v -> v.__rts <= __lts$lbCond), -1)"))
     payload
       .foldLeft(matched)((d, c) => d.withColumn(c, col(s"__m.$c")))
-      .drop("__vs", "__m")
+      .drop("__vs", "__m", "__lts")
   }
 }

@@ -58,6 +58,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("prepared ta faces drop their per-query events shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(name: String): Int =
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.length
+      // each pair: the shared trail layout's uuid clustering satisfies the
+      // face's window/aggregation/join keys, so the prepared plan must
+      // carry strictly fewer exchanges than its cold twin
+      for (base <- Seq("ta_purchase_paths", "ta_time_to_convert", "ta_funnel_cohort")) {
+        val cold = shuffles(base)
+        val prepared = shuffles(s"${base}_prepared")
+        assert(cold >= 1, s"cold $base should shuffle events at least once, got $cold")
+        assert(prepared < cold,
+          s"${base}_prepared must ride the trail layout: prepared=$prepared cold=$cold")
+      }
+      // ta_time_to_convert_prepared is the strongest claim: both
+      // aggregations AND the join are co-partitioned on the layout — the
+      // only exchanges left are the bounded histogram fold + orderBy
+      // (single-partition-scale rows, never event-scale)
+      assert(shuffles("ta_time_to_convert_prepared") <= 2,
+        "time_to_convert_prepared should be co-partitioned end to end")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("m1_fsm_count_durable reads the bucketed table with no pre-FSM shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -229,4 +229,47 @@ class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the test orders table predates every event, so nothing is unmatched
     assert(!out.exists(_.getAs[String]("o_orderpriority") == "(none)"))
   }
+
+  private def fingerprint(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.toString).groupBy(identity).map { case (k, g) => k -> g.length }
+
+  test("unionWithMinTsCut: overlapping snapshots reduce to the single store") {
+    // 2 users, 3 snapshots with re-ingested tails (each dump's overlap
+    // ends strictly below the previous dump's final second — the dump
+    // contract under which the cut is exact)
+    val e = eventsOf(
+      (1L, 100L, 1L, "click"), (1L, 250L, 2L, "view"), (1L, 400L, 3L, "purchase"),
+      (2L, 150L, 4L, "click"), (2L, 350L, 5L, "view"), (2L, 550L, 6L, "purchase"),
+    )
+    val a = e.filter(col("ts_sec") <= 250)                      // max 250
+    val b = e.filter(col("ts_sec") > 250 && col("ts_sec") <= 400) // max 400
+      .unionByName(e.filter(col("ts_sec") >= 150 && col("ts_sec") < 250)) // dup tail of A
+    val c = e.filter(col("ts_sec") > 400)
+      .unionByName(e.filter(col("ts_sec") >= 300 && col("ts_sec") < 400)) // dup tail of B
+    val cut = TrailAnalytics.unionWithMinTsCut(Seq(a, b, c), "ts_sec")
+    assert(fingerprint(cut) == fingerprint(e),
+      s"cut union must equal the single store:\n${fingerprint(cut)}\nvs\n${fingerprint(e)}")
+    // and the registered face's downstream claim: sessionization agrees
+    assert(fingerprint(TrailAnalytics.sessions(cut)) == fingerprint(TrailAnalytics.sessions(e)))
+  }
+
+  test("unionWithMinTsCut boundary: AT the previous max is kept, below it is cut") {
+    val a = eventsOf((1L, 100L, 1L, "click"), (1L, 300L, 2L, "view"))
+    // next snapshot: a genuinely NEW same-second event at A's max (kept —
+    // reference inclusivity: ctx.c:60 skips only ts < window_start), a
+    // stale re-ingested event below it (cut), and a later event (kept)
+    val b = eventsOf((2L, 300L, 3L, "click"), (1L, 200L, 4L, "view"),
+      (1L, 500L, 5L, "purchase"))
+    val got = TrailAnalytics.unionWithMinTsCut(Seq(a, b), "ts_sec")
+    val want = eventsOf((1L, 100L, 1L, "click"), (1L, 300L, 2L, "view"),
+      (2L, 300L, 3L, "click"), (1L, 500L, 5L, "purchase"))
+    assert(fingerprint(got) == fingerprint(want))
+  }
+
+  test("unionWithMinTsCut: an empty snapshot contributes no cut") {
+    val a = eventsOf((1L, 100L, 1L, "click")).filter(col("ts_sec") < 0) // empty
+    val b = eventsOf((1L, 50L, 2L, "view"))
+    val got = TrailAnalytics.unionWithMinTsCut(Seq(a, b), "ts_sec")
+    assert(fingerprint(got) == fingerprint(b))
+  }
 }
