@@ -36,15 +36,14 @@ def main() -> None:
     sf = datas[0].get("sf", "sf0.1").rstrip("/").rsplit("/", 1)[-1]
     doc = (
         "Per-query clean bands at sf0.1 (warm box, idle, local[32], "
-        "noop-write protocol): per-query MIN over %d consecutive clean runs "
-        "recorded round 15 at one HEAD (%s; totals %s s; closest-pair ratio "
-        "%.3f). Full re-record per the r10 min-of-4 protocol — replaces the "
-        "three-vintage r10+r13+r14 band set. graft.Bench re-measures every "
-        "query exceeding max(2x band, band+0.75s), plus the top-3 "
-        "first/band ratios UNCONDITIONALLY (the r13/r14 trigger-gap fix), "
-        "classifies each as contamination or regression, and emits "
-        "corrected_total_sec. Re-record (clean warm Bench pair) whenever "
-        "queries change."
+        "noop-write, min-of-2 interleaved-pass protocol): per-query MIN "
+        "over %d consecutive clean full-Bench runs at one HEAD (%s; raw "
+        "totals %s s; closest-pair ratio %.3f), folding in each run's "
+        "arbitration rep minima. graft.Bench re-measures every query over "
+        "2x band (unconditional), the top-6 first/band ratios, and any "
+        ">=1.35x round-over-round riser; classifies each as contamination "
+        "or regression and emits corrected_total_sec. Re-record (clean "
+        "warm consecutive Bench runs) whenever queries change."
         % (
             len(runs),
             datas[0].get("commit", "?"),
