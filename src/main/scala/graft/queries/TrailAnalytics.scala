@@ -532,13 +532,13 @@ object TrailAnalytics {
     // the window sort BOTH disappear (plan-pinned: 1 sort + 1 shuffle,
     // both belonging to the final orderBy, vs the cold face's 2 + 2 —
     // PlanAuditSpec). Identical rows and oracle to ta_sessionize.
-    // Measured honestly at sf0.1: the prepared face reads ~0.2 s SLOWER
-    // (0.91 vs 0.69 min-of-7) — at toy scale the saved ~6 MB exchange
-    // costs less than reading the persisted layout and windowing on the
-    // string uuid key. The claim is structural: the eliminated
-    // exchange+sort are the DATA-sized stages, and they dominate exactly
-    // where it matters (the m1 prepared faces show the positive delta
-    // once the per-query constant stops dominating).
+    // Measurement history, honestly: the r19 min-of-7 read the prepared
+    // face ~0.2 s SLOWER at sf0.1 (persisted-scan overhead vs a ~6 MB
+    // saved exchange); the r20 three-run floors flipped it (0.594 vs
+    // 0.736, shuffle bytes 1.4 vs 3.1 MB) — at toy scale the two faces
+    // sit within run-to-run warmth of each other, and the structural
+    // claim is the one that holds at scale: the eliminated exchange+sort
+    // are the DATA-sized stages.
     Q(
       "ta_sessionize_prepared",
       (s, dir) => {
