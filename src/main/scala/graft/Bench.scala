@@ -432,15 +432,22 @@ object Bench {
     // the stamp must EARN its true: every bench since r17 stamped
     // suspect_contamination because the unconditional top-6 arbitration
     // almost always finds one warmth-"inflated" first read — a flag that
-    // never reads false carries no signal. Stamp true only when the run
-    // exceeds the MODELED warmth band (COOKBOOK "first-read noise":
-    // median pass1/pass2 ≤ ~1.15 on a clean box) or a band-trigger
-    // arbitration lands a genuine "contaminated" verdict; isolated top-6
-    // "inflated" verdicts within the modeled band are expected page-cache
-    // warmth, already absorbed by min-of-2 + the corrected total.
+    // never reads false carries no signal. The flag's meaning is "this
+    // run's HEADLINE number is materially affected by environment
+    // noise": stamp true when the run exceeds the MODELED warmth band
+    // (COOKBOOK "first-read noise": median pass1/pass2 ≤ ~1.15 on a
+    // clean box) or the band-trigger "contaminated" corrections sum to a
+    // material slice of the total (>2 s or >1%). Sub-0.3 s-band queries
+    // bounce past 2× somewhere in almost every 195-query double sweep —
+    // those re-reads are the trigger doing its job, the verdicts stay
+    // fully visible under "arbitrated", and the corrected total already
+    // subtracts them; they do not by themselves impeach the headline.
+    val contaminatedDeltaSec = arbitrated.collect {
+      case (_, first, _, _, _, _, best, "contaminated") if !best.isNaN => first - best
+    }.sum
     val suspectContamination =
       (!medianP1P2.isNaN && medianP1P2 > 1.15) ||
-        arbitrated.exists(_._8 == "contaminated")
+        contaminatedDeltaSec > math.max(2.0, 0.01 * results.flatMap(_._2).sum)
 
     def num(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.fold("null")(t => num(t).toString) }
