@@ -280,22 +280,26 @@ object TrailAnalytics {
     * [[graft.TaScaleProbe]] so the skew probe measures the production
     * shape, not a reconstruction. Matched rows have non-null `p_sec`;
     * unmatched replicas keep zero-overlap sessions alive for the count.
+    * `saltK` defaults to the production factor — results are
+    * salt-invariant by construction (fuzz-pinned across k in
+    * TrailAnalyticsFuzzSpec; k=1 IS the un-salted join).
     */
-  def overlapJoined(e: DataFrame): DataFrame = {
+  def overlapJoined(e: DataFrame, saltK: Long = OverlapSaltK): DataFrame = {
+    require(saltK >= 1, s"overlapJoined: saltK must be >= 1, got $saltK")
     val sess = sessions(e).select("user_id", "session_id", "start_sec", "end_sec")
     val buckets = sess
       .withColumn(
         "bucket",
         explode(sequence(expr(s"start_sec div $GapSec"), expr(s"end_sec div $GapSec"))),
       )
-      .withColumn("__salt", explode(sequence(lit(0L), lit(OverlapSaltK - 1L))))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltK - 1L))))
     val purchases = e
       .filter(col("event_type") === "purchase")
       .select(
         col("user_id").as("p_user"),
         col("ts_sec").as("p_sec"),
         expr(s"ts_sec div $GapSec").as("p_bucket"),
-        pmod(xxhash64(col("event_id")), lit(OverlapSaltK)).as("p_salt"),
+        pmod(xxhash64(col("event_id")), lit(saltK)).as("p_salt"),
       )
     buckets.join(
       purchases,

@@ -120,4 +120,75 @@ class TrailAnalyticsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"${gotStream.diff(want)} / ${want.diff(gotStream)}")
     }
   }
+
+  test("random corpora: overlapJoined counts are salt-invariant and match the naive replay") {
+    val s = spark
+    import s.implicits._
+    val rng = new Rng(0x5a175a17L)
+    for (trial <- 1 to 4) {
+      // tsSpan far above GapSec so sessions span several buckets
+      val evs = randomEvents(rng, n = 60 + rng.next(120),
+        nUsers = 1 + rng.next(8), tsSpan = 200000)
+      val df = evs.map(e => (e.user, e.ts, e.id, e.tpe))
+        .toDF("user_id", "ts_sec", "event_id", "event_type")
+      // independent replay: per session (from the reference sessionizer),
+      // count OTHER users' purchases with ts in [start, end] — zeros kept
+      val purchases = evs.filter(_.tpe == "purchase")
+      val want = refSessions(evs, TrailAnalytics.GapSec).map {
+        case (u, sid, _, st, en, _, _) =>
+          (u, sid) -> purchases.count(p => p.user != u && p.ts >= st && p.ts <= en).toLong
+      }.toMap
+      for (k <- Seq(1L, 2L, 4L, 7L)) {
+        val got = TrailAnalytics.overlapJoined(df, saltK = k)
+          .groupBy("user_id", "session_id")
+          .agg(org.apache.spark.sql.functions.count($"p_sec").as("c"))
+          .collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) -> r.getAs[Long]("c"))
+          .toMap
+        assert(got == want,
+          s"trial $trial saltK $k: ${got.toSet.diff(want.toSet)} / ${want.toSet.diff(got.toSet)}")
+      }
+    }
+  }
+
+  test("random snapshot splits with re-ingested tails: unionWithMinTsCut == single store") {
+    val s = spark
+    import s.implicits._
+    val rng = new Rng(0xc0ffee11L)
+    import org.apache.spark.sql.functions.col
+    for (trial <- 1 to 5) {
+      val evs = randomEvents(rng, n = 50 + rng.next(150),
+        nUsers = 1 + rng.next(10), tsSpan = 1000)
+      val df = evs.map(e => (e.user, e.ts, e.id, e.tpe))
+        .toDF("user_id", "ts_sec", "event_id", "event_type")
+      // two random cut points (c1 may fall below every event — empty
+      // first snapshot arises by construction) + re-ingested tails that
+      // end strictly below the previous dump's max (the producer
+      // contract under which the cut is exact)
+      val cuts = Seq(rng.next(1000).toLong, rng.next(1000).toLong).sorted
+      val (c1, c2) = (cuts.head, cuts.last)
+      val ovB = 1L + rng.next(300)
+      val ovC = 1L + rng.next(300)
+      val mA = evs.filter(_.ts <= c1).map(_.ts).maxOption
+      val snapA = df.filter(col("ts_sec") <= c1)
+      val tailB = mA.fold(df.limit(0))(m =>
+        df.filter(col("ts_sec") >= c1 - ovB && col("ts_sec") < m))
+      val snapB = df.filter(col("ts_sec") > c1 && col("ts_sec") <= c2).unionByName(tailB)
+      // the engine cut for snapshot C is maxTs(constructed B)
+      val mB = (evs.filter(e => e.ts > c1 && e.ts <= c2).map(_.ts) ++
+        mA.toSeq.flatMap(m => evs.filter(e => e.ts >= c1 - ovB && e.ts < m).map(_.ts)))
+        .maxOption
+      val tailC = mB.fold(df.limit(0))(m =>
+        df.filter(col("ts_sec") >= c2 - ovC && col("ts_sec") < m))
+      val snapC = df.filter(col("ts_sec") > c2).unionByName(tailC)
+      val cut = TrailAnalytics.unionWithMinTsCut(Seq(snapA, snapB, snapC), "ts_sec")
+      def fp(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+      assert(fp(cut) == fp(df),
+        s"trial $trial c1=$c1 c2=$c2 ovB=$ovB ovC=$ovC: cut union != single store")
+      // and the registered face's downstream claim on the same fixture
+      assert(fp(TrailAnalytics.sessions(cut)) == fp(TrailAnalytics.sessions(df)),
+        s"trial $trial: sessionization over the cut union diverged")
+    }
+  }
 }
