@@ -709,6 +709,68 @@ object TrailAnalytics {
       Some(attributionOracle),
     ),
 
+    // ------------------------------------------------- ta_attribution_first
+    // FIRST-touch attribution: each purchase credits the EARLIEST touch
+    // within its 7-day window ('(none)' otherwise) — the other canonical
+    // single-touch model. No new kernel: first-touch IS last-touch on the
+    // REVERSED time axis. Map ts → R − ts (R a constant above every
+    // corpus second): the as-of "greatest rightTs ≤ leftTs" becomes
+    // "smallest touch time ≥ ts − lookback", and the reversed lookback
+    // bound enforces touch ≤ ts — so one asOfJoin call with transformed
+    // columns answers the question, inheriting the kernel's one-shuffle
+    // plan, fuzz pins, and tie discipline (at the tied earliest second
+    // the LARGEST touch_id wins — the struct-max rule, replayed by the
+    // oracle's ORDER BY s ASC, tid DESC).
+    Q(
+      "ta_attribution_first",
+      (s, dir) => {
+        val R = 4000000000L // > any corpus ts_sec; keeps reversed axis positive
+        val e = Tables.events(s, dir)
+        val touches = e
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .select(
+            col("user_id"),
+            (lit(R) - col("ts_sec")).as("rts2"),
+            col("event_id").as("touch_id"),
+            col("event_type").as("channel"),
+          )
+        val purchases = e
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"),
+            (lit(R) - col("ts_sec") + LookbackSec).as("lts2"),
+            col("event_id"),
+            col("value"),
+          )
+        asOfJoin(purchases, touches, "user_id", "lts2", "rts2",
+          Seq("touch_id", "channel"), Some(LookbackSec))
+          .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(dec)).cast("double").as("revenue"),
+          )
+          .orderBy("channel")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, value, $SEC AS s
+                   FROM events),
+        p AS (SELECT event_id, user_id, value, s FROM e
+              WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, s, event_id AS tid, event_type AS ch FROM e
+              WHERE event_type IN ('click', 'view', 'signup')),
+        w AS (SELECT p.event_id, p.value, t.tid, t.ch,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY t.s ASC, t.tid DESC) AS rn
+              FROM p LEFT JOIN t
+                ON t.user_id = p.user_id AND t.s BETWEEN p.s - $LookbackSec AND p.s),
+        att AS (SELECT value,
+                       CASE WHEN tid IS NULL THEN '(none)' ELSE ch END AS channel
+                FROM w WHERE rn = 1)
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM att GROUP BY channel ORDER BY channel"""),
+    ),
+
     // ------------------------------------------------------ ta_asof_orders
     // Cross-table as-of: every event joined to its user's most recent
     // at-or-before order (orders keyed o_custkey = events.user_id; ties on

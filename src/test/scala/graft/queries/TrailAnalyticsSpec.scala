@@ -230,6 +230,41 @@ class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(_.getAs[String]("o_orderpriority") == "(none)"))
   }
 
+  test("first-touch via time reversal: window bounds, tie, and '(none)' fill") {
+    // purchase at 2_000_000 with a 7-day (604800) lookback: window
+    // [1_395_200, 2_000_000]. Touches: one just OUTSIDE the window start
+    // (dropped), one AT the window start (the earliest in-window — wins),
+    // one later (ignored by first-touch), one tied pair at the earliest
+    // second for user 2 (largest touch_id wins), and user 3 with no
+    // in-window touch ('(none)').
+    val lb = TrailAnalytics.LookbackSec
+    val p = 2000000L
+    val e = eventsOf(
+      (1L, p - lb - 1, 10L, "click"),  // outside window - dropped
+      (1L, p - lb, 11L, "signup"),     // AT window start - first touch
+      (1L, p - 100L, 12L, "view"),     // later - not first
+      (1L, p, 13L, "purchase"),
+      (2L, p - lb, 20L, "click"),      // tied earliest pair:
+      (2L, p - lb, 21L, "view"),       // largest touch_id (21) wins
+      (2L, p, 22L, "purchase"),
+      (3L, p - lb - 50L, 30L, "click"),// user 3: only a stale touch
+      (3L, p, 31L, "purchase"),
+    ).withColumn("value", lit(10.0))
+    // replicate the registered query body on the fixture frame
+    val R = 4000000000L
+    val touches = e.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), (lit(R) - col("ts_sec")).as("rts2"),
+        col("event_id").as("touch_id"), col("event_type").as("channel"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (lit(R) - col("ts_sec") + lb).as("lts2"),
+        col("event_id"), col("value"))
+    val got = TrailAnalytics.asOfJoin(purchases, touches, "user_id", "lts2", "rts2",
+        Seq("touch_id", "channel"), Some(lb))
+      .select(col("user_id"), coalesce(col("channel"), lit("(none)")).as("ch"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("ch")).toMap
+    assert(got == Map(1L -> "signup", 2L -> "view", 3L -> "(none)"), got.toString)
+  }
+
   private def fingerprint(df: DataFrame): Map[String, Int] =
     df.collect().map(_.toString).groupBy(identity).map { case (k, g) => k -> g.length }
 
