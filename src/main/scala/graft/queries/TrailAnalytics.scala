@@ -724,7 +724,11 @@ object TrailAnalytics {
     Q(
       "ta_attribution_first",
       (s, dir) => {
-        val R = 4000000000L // > any corpus ts_sec; keeps reversed axis positive
+        // R > any corpus ts_sec keeps the reversed axis positive for
+        // readability only — kernel and oracle are both sign-agnostic
+        // (struct-max and BETWEEN compare signed longs), so a far-future
+        // corpus with ts_sec > R stays correct
+        val R = 4000000000L
         val e = Tables.events(s, dir)
         val touches = e
           .filter(col("event_type").isin("click", "view", "signup"))

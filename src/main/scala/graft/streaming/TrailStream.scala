@@ -347,7 +347,11 @@ object TrailStream {
     // a stream-static join re-executes the static side EVERY micro-batch —
     // checkpoint the collapsed dimension so the groupBy/collect_list/sort
     // runs once at setup (like the hot-key pre-flight above), not per
-    // batch; batch callers execute once anyway and skip the extra job
+    // batch; batch callers execute once anyway and skip the extra job.
+    // localCheckpoint carries the usual cluster caveat (executor loss
+    // fails the query instead of recomputing — a long-lived deployment
+    // swaps in reliable checkpoint() against a checkpoint dir, the
+    // BpeTrain discipline)
     val versions =
       if (stream.isStreaming) versions0.localCheckpoint(true) else versions0
     // pre-project the left timestamp to a reserved alias: interpolating the
