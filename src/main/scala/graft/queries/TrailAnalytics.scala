@@ -709,6 +709,95 @@ object TrailAnalytics {
       Some(attributionOracle),
     ),
 
+    // ------------------------------------------------ ta_attribution_linear
+    // LINEAR multi-touch attribution: each purchase splits its value
+    // EQUALLY across all touches in its 7-day window ('(none)' takes the
+    // full credit when the window is empty) — the third canonical
+    // attribution model, and the one that forces a WINDOW JOIN (every
+    // in-window touch matters, not just one winner, so no as-of kernel
+    // applies). Two scale decisions:
+    //  - the window join reuses the bucketed-interval-join shape on the
+    //    time axis: touches carry ONE lookback-sized bucket, purchases
+    //    explode to the ≤2 buckets their window spans, equi-join on
+    //    (user_id, bucket) + exact BETWEEN refilter — cartesian-free,
+    //    per-key work bounded by a user's per-window event rate;
+    //  - credits are EXACT INTEGER micro-cents: value → DECIMAL(18,2) →
+    //    cents (lossless) → ×10000 div n (floor division — `div` ≡
+    //    DuckDB `//` on non-negative longs, the pageRank ppm
+    //    discipline), so the driver's hash compare never meets a float
+    //    sum whose order could differ across engines.
+    Q(
+      "ta_attribution_linear",
+      (s, dir) => {
+        val lb = LookbackSec
+        val e = Tables.events(s, dir)
+        val touches = e
+          .filter(col("event_type").isin("click", "view", "signup"))
+          .select(
+            col("user_id"),
+            col("ts_sec").as("t_sec"),
+            expr(s"ts_sec div $lb").as("t_bucket"),
+            col("event_type").as("channel"),
+          )
+        val purchases = e
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"),
+            col("ts_sec"),
+            col("event_id").as("p_id"),
+            (col("value").cast(dec) * 100).cast("long").as("cents"),
+          )
+        val pBuckets = purchases.withColumn(
+          "t_bucket",
+          explode(sequence(expr(s"(ts_sec - $lb) div $lb"), expr(s"ts_sec div $lb"))),
+        )
+        val pairs = pBuckets
+          .join(touches, Seq("user_id", "t_bucket"))
+          .filter(col("t_sec").between(col("ts_sec") - lb, col("ts_sec")))
+          .select("p_id", "cents", "channel")
+        val nPer = pairs.groupBy("p_id").agg(count(lit(1)).as("__n"))
+        val credited = pairs
+          .join(nPer, "p_id")
+          .groupBy("channel")
+          .agg(
+            count(lit(1)).as("n_credits"),
+            sum(expr("cents * 10000 div __n")).as("credit_microcents"),
+          )
+        val untouched = purchases
+          .join(nPer, purchases("p_id") === nPer("p_id"), "left_anti")
+          .agg(
+            count(lit(1)).as("n_credits"),
+            coalesce(sum(expr("cents * 10000")), lit(0L)).as("credit_microcents"),
+          )
+          .select(lit("(none)").as("channel"), col("n_credits"), col("credit_microcents"))
+        credited
+          .unionByName(untouched)
+          .filter(col("n_credits") > 0)
+          .orderBy("channel")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, value, $SEC AS s
+                   FROM events),
+        p AS (SELECT event_id AS p_id, user_id, s,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM e WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, s AS t_sec, event_type AS channel FROM e
+              WHERE event_type IN ('click', 'view', 'signup')),
+        pairs AS (SELECT p.p_id, p.cents, t.channel,
+                         CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS n
+                  FROM p JOIN t
+                    ON t.user_id = p.user_id
+                   AND t.t_sec BETWEEN p.s - $LookbackSec AND p.s),
+        credited AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+                            CAST(SUM(cents * 10000 // n) AS BIGINT) AS credit_microcents
+                     FROM pairs GROUP BY channel),
+        untouched AS (SELECT '(none)' AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+                             CAST(COALESCE(SUM(cents * 10000), 0) AS BIGINT) AS credit_microcents
+                      FROM p WHERE p_id NOT IN (SELECT p_id FROM pairs))
+        SELECT * FROM (SELECT * FROM credited UNION ALL SELECT * FROM untouched)
+        WHERE n_credits > 0 ORDER BY channel"""),
+    ),
+
     // ------------------------------------------------- ta_attribution_first
     // FIRST-touch attribution: each purchase credits the EARLIEST touch
     // within its 7-day window ('(none)' otherwise) — the other canonical

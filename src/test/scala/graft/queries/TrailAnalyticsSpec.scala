@@ -230,6 +230,49 @@ class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(_.getAs[String]("o_orderpriority") == "(none)"))
   }
 
+  test("linear attribution: equal floor-div split, window edges, '(none)', conservation") {
+    // registered query on the real sf0.001 store: credits must conserve
+    // value — every purchase's micro-cents land somewhere ('(none)' takes
+    // the full amount), losing only the floor-division remainders
+    // (< n_credits microcents total)
+    val out = SparkEntry.queries("ta_attribution_linear")(spark, sfDir).collect()
+    val credited = out.map(_.getAs[Long]("credit_microcents")).sum
+    val nCredits = out.map(_.getAs[Long]("n_credits")).sum
+    val e = Tables.events(spark, sfDir)
+    val totalMicro = e.filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long") * 10000L))
+      .head.getLong(0)
+    assert(credited <= totalMicro && credited > totalMicro - nCredits,
+      s"conservation: credited $credited vs total $totalMicro (n_credits $nCredits)")
+    // hand fixture: 3-way split floors exactly; '(none)' takes full value
+    val lb = TrailAnalytics.LookbackSec
+    val p = 2000000L
+    val fx = eventsOf(
+      (1L, p - lb, 10L, "click"),      // AT window start - in
+      (1L, p - lb - 1, 11L, "view"),   // just outside - out
+      (1L, p - 5L, 12L, "view"),
+      (1L, p, 13L, "signup"),          // AT purchase second - in
+      (1L, p, 14L, "purchase"),
+      (2L, p, 20L, "purchase"),        // no touches -> (none)
+    ).withColumn("value", lit(10.0))
+    // run the registered body on the fixture by writing it to a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("ta_lin_fx").toString
+    fx.select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("ts_sec")).as("ts"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ta_attribution_linear")(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("credit_microcents"))).toMap
+    // 10.00 = 1000 cents = 10_000_000 microcents; 3-way floor = 3_333_333
+    assert(got == Map(
+      "click" -> (1L, 3333333L),
+      "view" -> (1L, 3333333L),
+      "signup" -> (1L, 3333333L),
+      "(none)" -> (1L, 10000000L),
+    ), got.toString)
+  }
+
   test("first-touch via time reversal: window bounds, tie, and '(none)' fill") {
     // purchase at 2_000_000 with a 7-day (604800) lookback: window
     // [1_395_200, 2_000_000]. Touches: one just OUTSIDE the window start
