@@ -271,7 +271,20 @@ object ScaleProbe {
     // claim is precisely that this stays distributed (range partitions +
     // partition-local windows), so the ratio should track the events
     // multiple for the aggregation and the users multiple for the ranks
-    "ta_rfm", "ta_rfm_segments")
+    "ta_rfm", "ta_rfm_segments",
+    // r20 additions: the prepared ta faces (the amortized layout is warmed
+    // like m1_fsm_count_prepared — the probe times the per-query cost the
+    // shared prepare buys), the two further attribution models
+    // (first-touch = the as-of kernel on the reversed axis, linear
+    // multi-touch = the bucketed window join on the time axis — replicas
+    // are distinct users, so its pair mass grows linearly, unlike the
+    // cross-user overlap face), the streaming-kernel batch face with the
+    // lookback, and the multi-snapshot cut (three scans + union + the
+    // session windows — linear by shape)
+    "ta_purchase_paths_prepared", "ta_time_to_convert_prepared",
+    "ta_funnel_cohort_prepared", "ta_attribution_first",
+    "ta_attribution_linear", "ta_attribution_streamed",
+    "ta_sessionize_multidb")
 
   /** Probe-local query shapes where the registered query's fail-loud guard
     * would (correctly) refuse at mult× but the probe wants the guarded
