@@ -966,6 +966,62 @@ object TrailAnalytics {
         FROM c GROUP BY 1 ORDER BY 1"""),
     ),
 
+    // ------------------------------------------------------ ta_active_users
+    // Daily active-user panel: DAU, sliding 7-day WAU, sliding 30-day MAU
+    // and the classic DAU/MAU stickiness (integer ppm) per active day —
+    // the first dashboard every trail store serves. EXACT sliding distinct
+    // counts without a window-function distinct (Spark has none): the
+    // per-(user, day) presence table explodes each presence row to the 7
+    // (resp. 30) window-end days it makes the user active for, and a
+    // per-day exact distinct does the rest. Scale shape: presence is one
+    // distinct over (user, day) — corpus-sized but map-side-partial; the
+    // exploded frames are presence×7/×30 (presence-scale, NOT
+    // event-scale), and the per-day distinct goes through
+    // [[graft.operators.Skew.saltedDistinctCount]] (its first registered
+    // consumer): value-hash salting keeps a hot day's distinct set off a
+    // single reducer — disjoint per-salt counts sum exactly.
+    Q(
+      "ta_active_users",
+      (s, dir) => {
+        val presence = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        def sliding(spanDays: Int, name: String): DataFrame =
+          graft.operators.Skew
+            .saltedDistinctCount(
+              presence.withColumn(
+                "day",
+                explode(sequence(col("day"), col("day") + (spanDays - 1)))),
+              "day", "user_id")
+            .withColumnRenamed("n_distinct", name)
+        val dau = presence.groupBy("day").agg(count(lit(1)).as("dau"))
+        dau
+          .join(sliding(7, "wau"), "day")
+          .join(sliding(30, "mau"), "day")
+          .select(
+            col("day"), col("dau"), col("wau"), col("mau"),
+            expr("dau * 1000000 div mau").as("stickiness_ppm"),
+          )
+          .orderBy("day")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, $SEC AS s FROM events),
+        pres AS (SELECT DISTINCT user_id, s // 86400 AS day FROM e),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pres GROUP BY day),
+        wau AS (SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+                FROM (SELECT DISTINCT day FROM pres) d
+                JOIN pres p ON p.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day),
+        mau AS (SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau
+                FROM (SELECT DISTINCT day FROM pres) d
+                JOIN pres p ON p.day BETWEEN d.day - 29 AND d.day
+                GROUP BY d.day)
+        SELECT day, dau, wau, mau,
+               CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+        FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        ORDER BY day"""),
+    ),
+
     // -------------------------------------------------------------- ta_rfm
     // Per-user recency/frequency/monetary: one aggregation over the trail
     // store plus a broadcast one-row anchor (the corpus-constant pattern).

@@ -230,6 +230,37 @@ class TrailAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(_.getAs[String]("o_orderpriority") == "(none)"))
   }
 
+  test("active-users panel: window monotonicity + hand-fixture edges") {
+    // whole-corpus invariants on the registered query: DAU ≤ WAU ≤ MAU
+    // per day, stickiness ≤ 1e6
+    val out = SparkEntry.queries("ta_active_users")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (d, w, m, st) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"), r.getAs[Long]("stickiness_ppm"))
+      assert(d <= w && w <= m && st <= 1000000L, r.toString)
+    }
+    // hand fixture: user 1 active day 0, user 2 active day 6 — day 6's
+    // 7-day window [0,6] still counts user 1 (the edge day), its 30-day
+    // window too; day 7 would not (no presence row exists there to report)
+    val fx = eventsOf(
+      (1L, 0L, 1L, "click"),
+      (2L, 6L * 86400, 2L, "view"),
+    ).withColumn("value", lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("ta_au_fx").toString
+    fx.select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.timestamp_seconds(col("ts_sec")).as("ts"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ta_active_users")(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("mau"), r.getAs[Long]("stickiness_ppm"))).toMap
+    assert(got == Map(
+      0L -> (1L, 1L, 1L, 1000000L),
+      6L -> (1L, 2L, 2L, 500000L),
+    ), got.toString)
+  }
+
   test("linear attribution: equal floor-div split, window edges, '(none)', conservation") {
     // registered query on the real sf0.001 store: credits must conserve
     // value — every purchase's micro-cents land somewhere ('(none)' takes
