@@ -336,11 +336,21 @@ object Bench {
     // committed bench_out.json (Bench's own full artifact; read BEFORE
     // this run overwrites it, so it is the previous official run)
     val sfBase = new java.io.File(sfDir.stripSuffix("/")).getName
+    // r21 (VERDICT r20 item 1): the driver's BENCH_r*.json artifacts are
+    // tail-only and every one was skipped, so the r20 close ran with
+    // prev_bench_file null — the cross-round riser net never armed. Full
+    // close artifacts are now persisted per round as BENCH_OUT_r<n>.json
+    // (r20's committed as part of this round); the scan prefers the
+    // highest-round full artifact, then the driver artifacts (in case a
+    // future driver version embeds the full JSON), then the last committed
+    // bench_out.json.
     val prevCandidates = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(Seq(_)).getOrElse {
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      def byRoundDesc(pat: String) = files
+        .filter(_.getName.matches(pat))
         .sortBy(f => -f.getName.replaceAll("\\D", "").toInt)
-        .map(_.getPath) :+ outPath
+        .map(_.getPath)
+      byRoundDesc("BENCH_OUT_r\\d+\\.json") ++ byRoundDesc("BENCH_r\\d+\\.json") :+ outPath
     }
     val (prevBenchPath, prevEff) = prevCandidates.iterator
       .map(p => (Option(p), loadPrevEffective(p, sfBase)))

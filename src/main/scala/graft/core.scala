@@ -65,6 +65,59 @@ object Tables {
     }
 }
 
+/** Scale-gated parallelism fix for CPU-heavy per-row stages (r21, guide
+  * §2.5 "input skew: one huge unsplittable file … repartition immediately
+  * after the read"): the bench corpora arrive as ONE parquet file with one
+  * row group, so every scan is a single split, and AQE's partition
+  * coalescing keeps tiny shuffles at one partition — which serializes the
+  * expensive per-row kernels (md5 gram hashing, real image/audio codec
+  * round-trips, shingle fingerprinting) onto one core of local[32]
+  * (measured: jobs == stages == tasks for the whole mm_* family and the
+  * md5 dedup faces; d_simhash_hamming ran 3.2 s with every stage
+  * single-task).
+  *
+  * `Spread(df)` round-robin-repartitions to the session's default
+  * parallelism ONLY when the frame's current scan parallelism is below it
+  * — at lake scale the scan already carries more splits than cores and
+  * the call is a no-op (no exchange added), so the fix is scale-adaptive
+  * rather than a local[32] constant. The repartition pays one doc-scale
+  * exchange (bytes = the rows the downstream kernel was going to read
+  * anyway) to spread the kernel across every core; round-robin needs no
+  * key and Spark's sort-before-repartition keeps the assignment
+  * deterministic under retries (SPARK-23207). Apply it ONLY where the
+  * downstream per-row work dominates — an extra stage costs ~50 ms at
+  * bench scale, a regression for already-cheap map-only queries.
+  */
+object Spread {
+  def apply(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val spark = df.sparkSession
+      val target = spark.sparkContext.defaultParallelism.toLong
+      // estimate each LEAF's scan parallelism from the already-listed file
+      // metadata (`.rdd.getNumPartitions` would be exact, but under AQE it
+      // eagerly executes upstream query stages — a plan inspection must
+      // not run jobs). Non-file leaves conservatively report "wide
+      // enough": only genuinely-small file scans (and already-materialized
+      // checkpoint RDDs) ever take the exchange.
+      val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      val leafParts: Seq[Long] = df.queryExecution.analyzed.collectLeaves().map {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.sizeInBytes / maxSplit + 1
+            case _ => Long.MaxValue
+          }
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.getNumPartitions.toLong
+        case _ => Long.MaxValue
+      }
+      val parts = if (leafParts.isEmpty) Long.MaxValue else leafParts.max
+      if (parts < target) df.repartition(target.toInt) else df
+    }
+  }
+}
+
 /** Session factory used by Verify/Bench/tests AND the spark-submit mains.
   * Every setting is the one you'd want on a real cluster: AQE on (runtime
   * skew-join and partition coalescing), nanos-as-long so the ns-precision

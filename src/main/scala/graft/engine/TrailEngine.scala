@@ -250,6 +250,14 @@ object TrailEngine {
         dedupCols.map(c => col(c).cast(StringType).as(c)) ++ tbSel ++ ghostSel: _*
     )
 
+    // r21 note: an explicit-count repartition here (to defeat AQE's
+    // coalesce-to-one at bench scale, the sessions()/asOfJoin fix) was
+    // TRIED and measured SLOWER for the FSM family — m1_fsm_count
+    // 0.38→0.50, g1_fsm_foreach 0.38→0.65, m2 0.40→0.55 at sf0.1: the
+    // per-task FSM setup (broadcast tuple tables, window maps) times the
+    // task count exceeds the single-task matching cost at bench scale,
+    // unlike the window kernels where per-row work dominates. Reverted;
+    // the AQE-coalescible exchange stands.
     val sorted =
       if (prepared) projected // layout guaranteed by the caller — no shuffle
       else

@@ -85,6 +85,11 @@ object Audio {
         s"$idCol must be an integral type (got ${dt.simpleString})")
     }
     val enc = RowEncoder.encoderFor(outSchema)
+    // r21: NOT spread (unlike the image synthesizers) — measured 0.65 s →
+    // 1.64 s on au_decode_meta and 0.52 s → 1.0 s on au_fingerprint_dup
+    // with a 32-way repartition here: javax.sound's provider lookup
+    // contends under concurrent decode where ImageIO does not, so the
+    // audio chain stays on the scan's own parallelism.
     df.mapPartitions { rows =>
       rows.map(r => Row.fromSeq(r.toSeq :+ syntheticWav(getId(r))))
     }(enc)

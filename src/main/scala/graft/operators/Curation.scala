@@ -757,6 +757,8 @@ object Curation {
     // the ONE split-bucket family (shared with train/val/test routing) —
     // the LM train bucket must stay coupled to the corpus split it claims
     val bkt = TextAnalysis.splitBucket(col(idCol))
+    // r21: NOT spread — tried, c_lm_score regressed 0.80→0.92 s (the
+    // xxhash bigram explode is cheap; the exchange didn't pay for itself)
     docs.filter(col(textCol).isNotNull)
       .filter(bkt >= trainBucketMin)
       .select(explode(graft.functions.ShingleHash64(col(textCol), 2)).as("bgh"))
@@ -807,10 +809,18 @@ object Curation {
                  textCol: String = "text", srcCol: String = "source"): DataFrame = {
     require(scale >= 1, s"scale must be positive, got $scale")
     val scored = lmScore(docs, idCol, textCol)
+    // r21: `base` feeds BOTH the per-source histogram (→ thresholds) and
+    // the final labeling join, and without a pin the whole lmScore
+    // pipeline (LM build + per-doc scoring — 4 corpus scans) executed
+    // twice. The frame is doc-scale × 3 narrow columns, so the eager
+    // checkpoint is cheap at any scale next to re-running the LM
+    // (guide §2.4; plans/r21/c_ppl_buckets_{before,after}.txt: 16 scans →
+    // 5, 16 exchanges → 8).
     val base = docs.select(col(idCol), col(srcCol))
       .join(scored, Seq(idCol))
       .withColumn("mscore", expr(s"ll_score * $scale div greatest(n_bigrams, 1)"))
       .select(col(idCol), col(srcCol), col("mscore"))
+      .localCheckpoint(true)
     val hist = base.groupBy(srcCol, "mscore").agg(count(lit(1)).as("c"))
     val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(srcCol).orderBy("mscore")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(srcCol)
@@ -863,8 +873,9 @@ object Curation {
     import spark.implicits._
     val dd = d
     val wf = weightOf
-    docs
-      .filter(col(textCol).isNotNull)
+    // r21: spread before the per-row md5 gram kernel (graft.Spread —
+    // no-op on streams and at lake scale)
+    graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1569,8 +1580,9 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val dd = d
-    docs
-      .filter(col(textCol).isNotNull)
+    // r21: spread before the md5 gram kernel (graft.Spread — single-task
+    // on one-split bench scans, no-op at lake scale)
+    graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -1591,6 +1603,44 @@ object Curation {
         }
       }
       .toDF(idCol, "bucket")
+  }
+
+  /** [[gramBuckets]] carrying one extra per-doc LONG tag through the gram
+    * explode — the fused shape for consumers that previously joined the
+    * gram rows back to a per-doc label/flag frame (nbRatioWeights) or ran
+    * the explode twice over overlapping corpora (dsirWeights raw vs
+    * target): the tag is computed once per DOC on the scan and rides each
+    * emitted gram row, so no doc-keyed join and no second md5 pass. Same
+    * tokenization/hash family as [[gramBuckets]] (r21, guide §2.3
+    * "aggregate before you shuffle" / §2.4 remove shuffles outright).
+    */
+  private[operators] def gramBucketsTagged(docs: DataFrame, d: Int, tag: Column,
+                                           idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dd = d
+    // r21: spread before the md5 gram kernel (gramBuckets rationale)
+    graft.Spread(docs.filter(col(textCol).isNotNull))
+      .select(col(idCol).cast("long"), col(textCol), tag.cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t, y) =>
+          val ws = OpChecks.sqlTrim(t).split("\\s+", -1)
+          val out = new Array[(Long, Long, Long)](ws.length + math.max(0, ws.length - 1))
+          var j = 0
+          var i = 0
+          while (i < ws.length) {
+            out(j) = (id, Dedup.md5Hash60Jvm(md, ws(i)) % dd, y); j += 1; i += 1
+          }
+          i = 0
+          while (i < ws.length - 1) {
+            out(j) = (id, Dedup.md5Hash60Jvm(md, ws(i) + " " + ws(i + 1)) % dd, y); j += 1; i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF(idCol, "bucket", "__tag")
   }
 
   /** DSIR-style hashed-gram importance weights (Xie et al. 2023, "Data
@@ -1628,6 +1678,29 @@ object Curation {
         col("bucket"),
         coalesce(col("n_target"), lit(0L)).as("n_target"),
         coalesce(col("n_raw"), lit(0L)).as("n_raw"))
+      .withColumn("weight", expr(s"(n_target + 1) * ${scale}L div (n_raw + 1)"))
+  }
+
+  /** [[dsirWeights]] for the common case where the target IS a subset of
+    * the raw corpus selected by a per-doc predicate (the registered
+    * "select web text that looks like the curated set" shape): ONE tagged
+    * gram pass instead of two overlapping explodes — the target-flag rides
+    * each gram row, n_raw counts all rows, n_target the flagged ones, and
+    * the full-outer merge disappears (target buckets ⊆ raw buckets by
+    * construction). Row-identical to
+    * `dsirWeights(docs, docs.filter(isTarget))` — r21, guide §2.3/§2.4;
+    * the before/after plans are plans/r21/c_dsir_weights_{before,after}.txt
+    * (4 corpus scans + full-outer SMJ → 1 scan, one aggregation).
+    */
+  def dsirWeightsFlagged(docs: DataFrame, isTarget: Column, d: Int = 4096,
+                         scale: Long = 1000000L, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(d >= 2, s"bucket count must be >= 2, got $d")
+    require(scale >= 1, s"scale must be positive, got $scale")
+    OpChecks.requireIntegralId(docs, idCol)
+    gramBucketsTagged(docs, d, when(isTarget, 1L).otherwise(0L), idCol, textCol)
+      .groupBy("bucket")
+      .agg(sum(col("__tag")).as("n_target"), count(lit(1)).as("n_raw"))
       .withColumn("weight", expr(s"(n_target + 1) * ${scale}L div (n_raw + 1)"))
   }
 
@@ -1901,8 +1974,13 @@ object Curation {
   def urlCanonDedup(df: DataFrame, idCol: String = "doc_id",
                     urlCol: String = "url_text"): DataFrame = {
     OpChecks.requireIntegralId(df, idCol)
-    val withU = df.select(col(idCol).cast("long").as(idCol),
+    // r21: spread the per-row regex canonicalization (single-task on a
+    // one-split bench scan) and pin the doc-scale (id, canon_url) frame —
+    // it feeds BOTH the min-id fold and the join-back, so unpinned the
+    // whole regex battery ran twice (guide §2.4)
+    val withU = graft.Spread(df).select(col(idCol).cast("long").as(idCol),
       canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .localCheckpoint(true)
     val canon = withU
       .filter(col("canon_url") =!= "")
       .groupBy("canon_url").agg(min(col(idCol)).as("__c"))
@@ -2533,8 +2611,11 @@ object Curation {
     Q(
       "c_dsir_weights",
       (s, dir) => {
+        // r21: target = a predicate-selected subset of the same corpus, so
+        // the fused single-pass face applies (row-identical, see
+        // dsirWeightsFlagged doc)
         val docs = Tables(s, dir, "documents")
-        dsirWeights(docs, docs.filter(TextAnalysis.qualityPass(col("text"))))
+        dsirWeightsFlagged(docs, TextAnalysis.qualityPass(col("text")))
           .orderBy("bucket")
       },
       Some(dsirWeightsOracleSql),
@@ -2544,8 +2625,11 @@ object Curation {
     Q(
       "c_dsir_topq",
       (s, dir) => {
+        // r21: fused weights (1 tagged gram pass) + 1 score pass = 2 gram
+        // explodes instead of the previous raw + target + score ≈ 2.5; the
+        // d-row weight table rides a broadcast, so nothing re-evaluates.
         val docs = Tables(s, dir, "documents")
-        val w = dsirWeights(docs, docs.filter(TextAnalysis.qualityPass(col("text"))))
+        val w = dsirWeightsFlagged(docs, TextAnalysis.qualityPass(col("text")))
         dsirTopQ(docs, w, n = 50)
       },
       Some(dsirTopQOracleSql),

@@ -258,9 +258,11 @@ object Dedup {
         .select(least(col("x"), col("m")).as("a"), greatest(col("x"), col("m")).as("b"))
         .distinct()
         .localCheckpoint(true)
-      // both sides are canonical distinct sets → equal counts plus an
-      // empty one-direction difference proves set equality (one job fewer
-      // than a two-direction exceptAll check)
+      // r21 note: fusing this two-job check (count + exceptAll probe) into
+      // one full-outer one-sided-row probe was TRIED and measured SLOWER
+      // (d_embed_cc_stars 1.97→2.41 s at sf0.1 — the shuffle join costs
+      // more than the saved action). Reverted to the count + exceptAll
+      // shape.
       val smallCount = small.count()
       converged = smallCount == eCount && small.exceptAll(e).limit(1).count() == 0
       e = small
@@ -300,7 +302,9 @@ object Dedup {
     // ≥1 row (n_chunks ≥ 1)
     val hs = transform(sequence(lit(1), size(ws), lit(w)),
       st => md5(array_join(slice(ws, st, lit(w)), " ")))
-    val chunks = docs.filter(col(textCol).isNotNull)
+    // r21: spread before the per-row chunk-hash explode (graft.Spread —
+    // single-task on one-split bench scans, no-op at lake scale)
+    val chunks = graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(hs).as("h"))
     val dup = chunks.groupBy("h").agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
     chunks
@@ -339,6 +343,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val mask = avgChunkWords - 1
+    // r21: NOT spread — tried, d_cdc_dup regressed 0.85→1.01 s (kernel too
+    // cheap for the exchange at bench scale)
     val chunks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
@@ -511,8 +517,13 @@ object Dedup {
     */
   private def shingleStream(docs: DataFrame, k: Int,
                             idCol: String, textCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull)
-      .filter(size(split(trim(col(textCol)), "\\s+")) >= k)
+    // r21: spread the doc rows before the fingerprint explode — the
+    // explode + partial aggregation ran single-task on one-split bench
+    // scans (graft.Spread; no-op at lake scale). This is NOT the
+    // checkpoint the scaladoc above rejects: the explode still recomputes
+    // per consumer, only its parallelism changes.
+    graft.Spread(docs.filter(col(textCol).isNotNull)
+        .filter(size(split(trim(col(textCol)), "\\s+")) >= k))
       .select(col(idCol), posexplode(graft.functions.ShingleHash64(col(textCol), k)))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
 
@@ -633,6 +644,9 @@ object Dedup {
     */
   private def lineFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ls = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    // r21: NOT spread — tried, and d_line_dup regressed 0.45→0.82 s (the
+    // line split + md5 is cheap, and the frame's two consumers each pay
+    // the added exchange)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(ls).as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))

@@ -73,8 +73,9 @@ object MinHash {
     // silently DUPLICATE g_0+ — perfectly correlated minhashes that double
     // compute and add zero LSH discrimination
     require(h >= 1 && h <= 64, s"signature width h=$h must be in [1, 64] (rotl family)")
-    docs
-      .filter(col(textCol).isNotNull)
+    // r21: spread before the shingle explode + H-way min fold (graft.Spread
+    // — single-task on one-split bench scans, no-op at lake scale)
+    graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).cast("long").as(idCol),
         explode(graft.functions.ShingleHash64(col(textCol), k)).as("__h1"))
       .select(col(idCol), col("__h1"), xxhash64(col("__h1")).as("__h2"))
@@ -119,8 +120,9 @@ object MinHash {
     OpChecks.requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .filter(col(textCol).isNotNull)
+    // r21: spread before the shingle flatMap + md5 chain — single-task on
+    // a one-split bench scan otherwise (graft.Spread; no-op at lake scale)
+    graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleStrings(id, t, k) }
@@ -418,8 +420,7 @@ object MinHash {
     // stream needs no pre-dedup exchange
     val spark = docs.sparkSession
     import spark.implicits._
-    val buckets = docs
-      .filter(col(textCol).isNotNull)
+    val buckets = graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleStrings(id, t, k) }
@@ -630,9 +631,9 @@ object MinHash {
       .union(cand.select(col("id_b").as("__cid"))).distinct()
     // distinct (id, shingle-hash) rows for candidate docs only — the only
     // texts verification ever touches
-    val th = docs
+    val th = graft.Spread(docs
       .filter(col(textCol).isNotNull)
-      .join(broadcast(candIds), col(idCol).cast("long") === col("__cid"), "left_semi")
+      .join(broadcast(candIds), col(idCol).cast("long") === col("__cid"), "left_semi"))
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleStrings(id, t, k) }

@@ -149,7 +149,11 @@ object Multimodal {
         s"$idCol must be an integral type (got ${dt.simpleString})")
     }
     val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    // r21: spread the id rows before the codec kernel — the bench corpus
+    // is a one-split scan, which serialized every synthesize+decode chain
+    // onto one core (measured: the whole mm_* family ran single-task
+    // stages); Spread is a no-op at lake scale (see graft.Spread)
+    graft.Spread(df).mapPartitions { rows =>
       val png = new PngEncoder // per-partition codec setup
       rows.map { r =>
         val id = getId(r)
@@ -395,7 +399,8 @@ object Multimodal {
         s"$idCol must be an integral type (got ${dt.simpleString})")
     }
     val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
+    // r21: spread before the codec kernel (synthesizeImages rationale)
+    graft.Spread(df).mapPartitions { rows =>
       val gif = new GifEncoder // per-partition codec setup
       rows.map { r =>
         val id = getId(r)

@@ -65,20 +65,30 @@ object QualityTrain {
     import spark.implicits._
     val train = docs.filter(col(textCol).isNotNull &&
       TextAnalysis.splitBucket(col(idCol)) < 80)
-    val labels = train.select(col(idCol).cast("long").as("__id"),
-      when(isTarget, 1L).otherwise(-1L).as("__y"))
-    val counts = Curation.gramBuckets(train, d, idCol, textCol)
-      .withColumnRenamed(idCol, "__id")
-      .join(labels, Seq("__id"))
+    // r21: the label used to be a separate per-doc frame joined back onto
+    // the gram rows — a doc-keyed shuffle join whose probe side is
+    // gram-cardinality. The tagged gram pass computes ±1 per DOC on the
+    // scan and carries it on each gram row, so the class counts fall out
+    // of one map-side-combined aggregation (guide §2.3/§2.4; plan diff:
+    // plans/r21/c_quality_train_{before,after}.txt — the labels join and
+    // its two extra corpus scans are gone).
+    val counts = Curation
+      .gramBucketsTagged(train, d, when(isTarget, 1L).otherwise(-1L), idCol, textCol)
       .groupBy("bucket")
       .agg(
-        sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("n_target"),
-        sum(when(col("__y") === -1L, 1L).otherwise(0L)).as("n_other"))
+        sum(when(col("__tag") === 1L, 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("__tag") === -1L, 1L).otherwise(0L)).as("n_other"))
+    // r21: materialize the d-row table once — `full` feeds BOTH the totals
+    // aggregate and the weight map below, and without the pin the whole
+    // gram explode + aggregation lineage executed twice (once under the
+    // broadcast totals build, once under the map). d rows ≤ a few thousand:
+    // the checkpoint costs microseconds and halves the query's corpus work.
     val full = spark.range(d).select(col("id").as("bucket"))
       .join(counts, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_target"), lit(0L)).as("n_target"),
         coalesce(col("n_other"), lit(0L)).as("n_other"))
+      .localCheckpoint(true)
     // the weight arithmetic runs in BigInt over the d-row frame (DuckDB
     // mirrors with HUGEINT): scale·(n+1)·(T+d) wraps a long at web-scale
     // gram totals (the langBalance overflow lesson), and d rows cost

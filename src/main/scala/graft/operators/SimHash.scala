@@ -124,12 +124,22 @@ object SimHash {
     // (id, sh) rows once — the eager checkpoint IS the pre-flight's scan,
     // and the main pass re-reads checkpointed primitives instead of
     // re-running the whole lineage.
-    val fps = if (maxHotDropFrac < 1.0) fps0.localCheckpoint(true) else fps0
+    // r21: spread the 16-byte rows before the checkpoint so the
+    // checkpointed RDD keeps core-count partitions (the upstream agg's
+    // AQE-coalesced output is ONE partition at bench scale, which would
+    // single-thread every downstream stage reading the checkpoint)
+    val fps = if (maxHotDropFrac < 1.0) graft.Spread(fps0).localCheckpoint(true) else fps0
+    // r21: explicit-count user-intent exchange on the bucket key feeding
+    // BOTH the hot-count window and the member-array groupBy (same key →
+    // one exchange, guide §2.4); the planner's own exchange here is
+    // AQE-coalescible and serialized the pair expansion at bench scale
     val memberships = fps
       .select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * chunkBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("chunk_idx", "chunk")))
+      .repartition(fps.sparkSession.sessionState.conf.numShufflePartitions,
+        col("chunk_idx"), col("chunk"))
     if (maxHotDropFrac < 1.0) {
       // n·(n−1) not halved: the /2 cancels in the ratio, and staying in
       // long arithmetic avoids Divide's double rounding at huge counts
@@ -173,8 +183,10 @@ object SimHash {
     */
   def simhashOfMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    bits: Int = 32): DataFrame = {
-    val hashed = docs
-      .filter(col(textCol).isNotNull)
+    // r21: spread the doc rows before the md5-per-token explode + the
+    // `bits`-aggregate fold — on a one-split bench scan this whole stage
+    // ran single-task (graft.Spread doc; no-op at lake scale)
+    val hashed = graft.Spread(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__t"))
       .select(col(idCol), MinHash.md5Hash60(col("__t")).as("__h"))
     val sums = hashed

@@ -247,7 +247,8 @@ object TextAnalysis {
     val counts = ScriptRanges.map { case (name, cls) =>
       (length(t) - length(regexp_replace(t, s"[$cls]", ""))).cast("long").as(s"n_$name")
     }
-    val withCounts = docs.select(col(idCol) +: counts: _*)
+    // r21: spread before the per-row regex battery (one per script block)
+    val withCounts = graft.Spread(docs).select(col(idCol) +: counts: _*)
     // argmax, ties to the EARLIER block: greatest(), then the first
     // count equal to it (the langId CASE-chain idiom, SQL-mirrorable)
     val g = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
@@ -548,7 +549,9 @@ object TextAnalysis {
     withSyntheticHtml(docs, coalesce(col("text"), lit("")))
 
   private def withSyntheticHtml(docs: DataFrame, body: Column): DataFrame =
-    docs.withColumn("html", concat(
+    // r21: spread — the downstream strip/repair/rules chains are heavy
+    // per-row regex work that ran single-task on one-split bench scans
+    graft.Spread(docs).withColumn("html", concat(
       lit("<html><head><title>t</title><style>p { color: red }</style>" +
         "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script></head><body>"),
       when(col("doc_id") % 5 === 0, lit("<div class=\"unclosed\" <p>")).otherwise(lit("")),
@@ -801,6 +804,8 @@ object TextAnalysis {
     " donâ€™t do cafÃ© â€œstyleâ€“mojibake hÃ¼ge"
   private[operators] val MojibakeDecoy = " clean résumé already"
   private def withMojibake(docs: DataFrame): DataFrame =
+    // r21: NOT spread — tried, and t_mojibake_fix regressed 0.25→0.49 s
+    // (the 60-char repair chain is too cheap to amortize the exchange)
     docs.withColumn("mtext", concat(
       substring(coalesce(col("text"), lit("")), 1, 60),
       when(col("doc_id") % 4 === 1, lit(MojibakeGarble)).otherwise(lit("")),
@@ -1505,8 +1510,9 @@ object TextAnalysis {
     Q(
       "c_token_count_bpe",
       (s, dir) =>
-        Tables(s, dir, "documents")
-          .filter(col("text").isNotNull)
+        // r21: Spread — heavy per-row trie kernel, single-task otherwise
+        graft.Spread(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
           .select(col("doc_id"), tokenCount(col("text")).as("n_words"),
             bpeTokenCount(col("text")).as("n_bpe_tokens"))
           .orderBy("doc_id"),
@@ -1536,8 +1542,8 @@ object TextAnalysis {
     Q(
       "c_tokenize_bpe",
       (s, dir) =>
-        Tables(s, dir, "documents")
-          .filter(col("text").isNotNull)
+        graft.Spread(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
           .select(col("doc_id"),
             array_join(transform(bpeTokenize(col("text")), _.cast("string")), ",")
               .as("ids"))
@@ -1581,8 +1587,8 @@ object TextAnalysis {
     Q(
       "c_oov_stats",
       (s, dir) =>
-        Tables(s, dir, "documents")
-          .filter(col("text").isNotNull)
+        graft.Spread(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
           .select(col("source"), bpeTokenize(col("text")).as("ids"))
           .select(col("source"),
             size(col("ids")).cast("long").as("n"),
@@ -1898,7 +1904,8 @@ object TextAnalysis {
     Q(
       "t_langid",
       (s, dir) =>
-        Tables(s, dir, "documents")
+        // r21: Spread — langId is a per-row replace-count battery
+        graft.Spread(Tables(s, dir, "documents"))
           .select(col("doc_id"), langId(col("text")).as("lang_pred"), col("lang"))
           .orderBy("doc_id"),
       Some(langIdOracleSql),
@@ -1910,8 +1917,8 @@ object TextAnalysis {
     Q(
       "c_tokenize_wordpiece",
       (s, dir) =>
-        Tables(s, dir, "documents")
-          .filter(col("text").isNotNull)
+        graft.Spread(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
           .select(col("doc_id"), wordpieceTokenize(col("text")).as("idsa"))
           .select(
             col("doc_id"),
@@ -1944,8 +1951,8 @@ object TextAnalysis {
         val scoresLit = typedlit(UnigramVocab.map(_._2))
         val pieceScore = (id: Column) =>
           when(id === 0L, 0L).otherwise(element_at(scoresLit, id.cast("int")))
-        Tables(s, dir, "documents")
-          .filter(col("text").isNotNull)
+        graft.Spread(Tables(s, dir, "documents")
+          .filter(col("text").isNotNull))
           .select(col("doc_id"), unigramTokenize(col("text")).as("idsa"))
           .select(
             col("doc_id"),

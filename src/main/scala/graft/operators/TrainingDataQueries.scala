@@ -186,10 +186,17 @@ object TrainingDataQueries {
         val train = docs.filter(
           TextAnalysis.splitName(org.apache.spark.sql.functions.col("doc_id")) === "train")
         val canon = MinHash.nearDupCanonicalMd5(train).select("doc_id", "canonical_id")
+        // r21: `surv` feeds the langBalance collect AND the final
+        // sourceBudgetSample — without a pin the whole MinHash canonical
+        // pipeline (signatures + band window + join) executed twice. The
+        // frame is survivor-doc-scale; one materialization beats a second
+        // LSH pass at any scale (guide §2.4; plan diff in
+        // plans/r21/c_pipeline_release_{before,after}.txt).
         val surv = train.join(canon, Seq("doc_id"))
           .filter(org.apache.spark.sql.functions.col("canonical_id") ===
             org.apache.spark.sql.functions.col("doc_id"))
           .drop("canonical_id")
+          .localCheckpoint(true)
         val quotas = Curation.langBalance(surv, budget = 8000L)
           .select("lang", "alloc").as[(String, Long)].collect().toMap
         Curation.sourceBudgetSample(surv, quotas, srcCol = "lang").orderBy("doc_id")

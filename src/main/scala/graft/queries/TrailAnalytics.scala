@@ -109,7 +109,16 @@ object TrailAnalytics {
     val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("ts_sec"), 1).over(w)
+    // r21: user-intent exchange with an EXPLICIT count (the session's
+    // shuffle-partition conf) feeding the windows — the planner's own
+    // window exchange is AQE-coalescible and folded to ONE partition at
+    // bench scale, single-threading the per-trail sort + both window
+    // passes. Same key and count as the windows' required distribution,
+    // so no second exchange appears (guide §2.4); at lake scale the conf
+    // is the cluster's own sizing.
     events
+      .repartition(
+        events.sparkSession.sessionState.conf.numShufflePartitions, col("user_id"))
       .withColumn("__nb", when(prev.isNull || col("ts_sec") - prev > gapSec, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("__nb")).over(run))
       .groupBy("user_id", "session_id")
@@ -173,7 +182,12 @@ object TrailAnalytics {
     val lTagged = left
       .withColumn("__ts", col(leftTs).cast("long"))
       .withColumn("__tag", lit(1))
+    // r21: explicit-count user-intent exchange feeding the kernel window
+    // (the sessions() rationale — AQE folded the window exchange to one
+    // partition at bench scale, single-threading the union's sort + scan)
     val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .repartition(
+        left.sparkSession.sessionState.conf.numShufflePartitions, col(key))
     val w = Window
       .partitionBy(key)
       .orderBy(col("__ts"), col("__tag"))
@@ -262,14 +276,26 @@ object TrailAnalytics {
     */
   def unionWithMinTsCut(snapshots: Seq[DataFrame], tsCol: String): DataFrame = {
     require(snapshots.nonEmpty, "unionWithMinTsCut: need at least one snapshot")
-    def maxTs(df: DataFrame): Long = {
-      val r = df.agg(max(col(tsCol).cast("long"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    snapshots.tail
-      .foldLeft((snapshots.head, maxTs(snapshots.head))) { case ((acc, cut), next) =>
+    // r21: ONE job computes every snapshot's max (tagged union + groupBy)
+    // instead of one scalar aggregate job per snapshot — same per-snapshot
+    // values (an empty snapshot contributes no row and reads 0 below), a
+    // third of the driver actions for the 3-snapshot face (guide §1.2).
+    // Only the first n-1 maxes are ever used as cuts, but computing all n
+    // in the single pass costs nothing extra.
+    val maxes: Map[Int, Long] = snapshots.zipWithIndex
+      .map { case (df, i) =>
+        df.select(lit(i).as("__i"), col(tsCol).cast("long").as("__t"))
+      }
+      .reduce(_.unionByName(_))
+      .groupBy("__i").agg(max(col("__t")).as("__m"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    def maxTs(i: Int): Long = maxes.getOrElse(i, 0L)
+    snapshots.tail.zipWithIndex
+      .foldLeft((snapshots.head, maxTs(0))) { case ((acc, cut), (next, i)) =>
         val kept = if (cut == 0L) next else next.filter(col(tsCol) >= cut)
-        (acc.unionByName(kept), maxTs(next))
+        (acc.unionByName(kept), maxTs(i + 1))
       }
       ._1
   }
@@ -751,20 +777,31 @@ object TrailAnalytics {
           "t_bucket",
           explode(sequence(expr(s"(ts_sec - $lb) div $lb"), expr(s"ts_sec div $lb"))),
         )
+        // r21: the bucketed (user_id, t_bucket) join — the corpus-scale
+        // stage — executes ONCE. The first cut aggregated pairs to nPer and
+        // joined back, then anti-joined purchases against nPer: THREE
+        // evaluations of the bucket-join lineage in the physical plan
+        // (plans/r21/ta_attribution_linear_before.txt: 7 events scans, 3
+        // join subtrees). Now the duplicate-scale pairs frame is
+        // materialized once (localCheckpoint — the hammingPairs
+        // discipline) and the per-purchase touch count is the oracle's own
+        // `COUNT(*) OVER (PARTITION BY p_id)` window: one p_id exchange
+        // instead of agg + join-back (guide §2.4 — two operations keyed
+        // the same way share one exchange).
         val pairs = pBuckets
           .join(touches, Seq("user_id", "t_bucket"))
           .filter(col("t_sec").between(col("ts_sec") - lb, col("ts_sec")))
           .select("p_id", "cents", "channel")
-        val nPer = pairs.groupBy("p_id").agg(count(lit(1)).as("__n"))
+          .localCheckpoint(true)
         val credited = pairs
-          .join(nPer, "p_id")
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("p_id")))
           .groupBy("channel")
           .agg(
             count(lit(1)).as("n_credits"),
             sum(expr("cents * 10000 div __n")).as("credit_microcents"),
           )
         val untouched = purchases
-          .join(nPer, purchases("p_id") === nPer("p_id"), "left_anti")
+          .join(pairs, purchases("p_id") === pairs("p_id"), "left_anti")
           .agg(
             count(lit(1)).as("n_credits"),
             coalesce(sum(expr("cents * 10000")), lit(0L)).as("credit_microcents"),
@@ -1050,7 +1087,10 @@ object TrailAnalytics {
     Q(
       "ta_rfm_segments",
       (s, dir) => {
-        val base = rfm(Tables.events(s, dir))
+        // r21: pin the user-scale RFM frame once — it feeds the global
+        // count AND the first rankGlobal's range pass, and unpinned the
+        // whole events aggregation ran twice (guide §2.4)
+        val base = rfm(Tables.events(s, dir)).localCheckpoint(true)
         val n = base.agg(count(lit(1)).as("__n"))
         val ranked = Seq(
           ("__rr", Seq(col("recency_days"), col("user_id"))),
