@@ -89,8 +89,15 @@ object Tables {
   * bench scale, a regression for already-cheap map-only queries.
   */
 object Spread {
+  /** A/B kill switch for measurement only: SPARK_GRAFT_NO_SPREAD=1 makes
+    * every Spread call a no-op, so the same build can time both shapes
+    * back-to-back on the same box (drift-cancelling A/B). Never set in
+    * the bench/driver environment.
+    */
+  private val disabled = sys.env.contains("SPARK_GRAFT_NO_SPREAD")
+
   def apply(df: DataFrame): DataFrame = {
-    if (df.isStreaming) df
+    if (disabled || df.isStreaming) df
     else {
       val spark = df.sparkSession
       val target = spark.sparkContext.defaultParallelism.toLong

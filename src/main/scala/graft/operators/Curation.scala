@@ -442,6 +442,9 @@ object Curation {
     val nParts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // r21: NOT spread — A/B read c_pack_bpe 0.49→0.69 s with a spread
+    // here (c_pack_tokens/c_pack_unigram tied): the count-only trie walk
+    // doesn't amortize the extra exchange ahead of the range partitioner
     val ranged = docs
       .select(col(idCol).cast("long").as("id"),
         coalesce(countOf(col(textCol)), lit(0L)).as("n"))
@@ -1974,11 +1977,12 @@ object Curation {
   def urlCanonDedup(df: DataFrame, idCol: String = "doc_id",
                     urlCol: String = "url_text"): DataFrame = {
     OpChecks.requireIntegralId(df, idCol)
-    // r21: spread the per-row regex canonicalization (single-task on a
-    // one-split bench scan) and pin the doc-scale (id, canon_url) frame —
-    // it feeds BOTH the min-id fold and the join-back, so unpinned the
-    // whole regex battery ran twice (guide §2.4)
-    val withU = graft.Spread(df).select(col(idCol).cast("long").as(idCol),
+    // r21: pin the doc-scale (id, canon_url) frame — it feeds BOTH the
+    // min-id fold and the join-back, so unpinned the whole regex battery
+    // ran twice (guide §2.4; measured 1.04 → 0.47 s). NOT spread: the
+    // 3-round A/B read 0.47 off vs 0.89 on — the canonicalization is
+    // cheaper than the exchange once it runs only once.
+    val withU = df.select(col(idCol).cast("long").as(idCol),
       canonicalizeUrl(col(urlCol)).as("canon_url"))
       .localCheckpoint(true)
     val canon = withU

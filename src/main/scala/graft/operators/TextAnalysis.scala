@@ -247,8 +247,9 @@ object TextAnalysis {
     val counts = ScriptRanges.map { case (name, cls) =>
       (length(t) - length(regexp_replace(t, s"[$cls]", ""))).cast("long").as(s"n_$name")
     }
-    // r21: spread before the per-row regex battery (one per script block)
-    val withCounts = graft.Spread(docs).select(col(idCol) +: counts: _*)
+    // r21: NOT spread — A/B read t_script_stats 0.45→0.71 s with it (the
+    // per-block replace-count battery is cheaper than the exchange here)
+    val withCounts = docs.select(col(idCol) +: counts: _*)
     // argmax, ties to the EARLIER block: greatest(), then the first
     // count equal to it (the langId CASE-chain idiom, SQL-mirrorable)
     val g = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
@@ -1510,9 +1511,10 @@ object TextAnalysis {
     Q(
       "c_token_count_bpe",
       (s, dir) =>
-        // r21: Spread — heavy per-row trie kernel, single-task otherwise
-        graft.Spread(Tables(s, dir, "documents")
-          .filter(col("text").isNotNull))
+        // r21: NOT spread — A/B read 0.42→0.59 s with it (count-only trie
+        // walk too cheap for the exchange; the tokenize faces differ)
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), tokenCount(col("text")).as("n_words"),
             bpeTokenCount(col("text")).as("n_bpe_tokens"))
           .orderBy("doc_id"),
@@ -1587,8 +1589,9 @@ object TextAnalysis {
     Q(
       "c_oov_stats",
       (s, dir) =>
-        graft.Spread(Tables(s, dir, "documents")
-          .filter(col("text").isNotNull))
+        // r21: NOT spread — A/B read 0.37→0.45 s with it
+        Tables(s, dir, "documents")
+          .filter(col("text").isNotNull)
           .select(col("source"), bpeTokenize(col("text")).as("ids"))
           .select(col("source"),
             size(col("ids")).cast("long").as("n"),
