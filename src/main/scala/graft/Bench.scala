@@ -531,7 +531,56 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // r22 (VERDICT r21 item 1): the round driver runs Bench at TWO core
+    // counts with the same default out path, and in r21 the 8-core scaling
+    // run overwrote the 32-core close artifact — the close's per-query
+    // numbers were unrecoverable. The full artifact is therefore ALSO
+    // written to a cpus-stamped path that no other core count can clobber.
+    val cpuOutPath = {
+      val dot = outPath.lastIndexOf('.')
+      if (dot > 0) outPath.substring(0, dot) + "_c" + cpus + outPath.substring(dot)
+      else outPath + "_c" + cpus
+    }
+    try {
+      val w = new java.io.PrintWriter(cpuOutPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $cpuOutPath: $e")
+    }
     println(json)
+    // r22 (VERDICT r21 item 1, second half): the driver's BENCH_r*.json
+    // artifacts keep only a ~2,000-char TAIL of stdout, and the full line
+    // above is ~26 KB — both r21 bench artifacts were unparseable and
+    // PERF_r21 compared nothing. So a SECOND, compact summary line
+    // (~1.3 KB — it fits whole inside a 2,000-char tail even with sbt's
+    // trailing "[success]" line) is printed LAST: headline totals plus
+    // per-query seconds as "qv", a value ARRAY in sorted-query-name order
+    // (a 198-entry named map is ~4.6 KB and cannot fit; the name list is
+    // recoverable from the registry and pinned by "qn_sha256" = first 12
+    // hex chars of SHA-256 over the comma-joined sorted names). The full
+    // named map lives in the files named by "full_artifact". Additions
+    // only: the full contract line above is unchanged.
+    val qnHash = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(names.mkString(",").getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    }
+    def num2(v: Double) = math.round(v * 100) / 100.0
+    val qvJs = results.map(_._2.fold("null")(t => num2(t).toString)).mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","corrected_total_sec":${num(correctedTotal)},""" +
+        s""""commit":"$commit","cpus":$cpus,"n_queries":${names.size},"n_failed":${results.count(_._3.isDefined)},""" +
+        s""""suspect_contamination":$suspectContamination,"compact":true,"full_artifact":"$cpuOutPath",""" +
+        s""""qn_sha256":"$qnHash","qv":$qvJs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(cpuOutPath.replace(".json", "_summary.json"), "UTF-8")
+      try w.println(compact) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write compact summary: $e")
+    }
+    println(compact)
     spark.stop()
   }
 }
